@@ -1,0 +1,323 @@
+package graft.core
+
+import Geography._
+
+/**
+ * Decomposed view of a Geography for predicate evaluation: points, open
+ * polylines, and polygons (ring groups with prebuilt S2Loops).
+ */
+final class GeoShapes(val g: Geography) extends Serializable {
+  val (points, lines, polyGroups) = Geography.flatten(g)
+
+  /** One entry per ring group: loops (shell + holes) as S2Loop. */
+  lazy val loops: Vector[Vector[S2Loop]] =
+    polyGroups.map(_.filter(_.size >= 3).map(r => new S2Loop(r.toArray)))
+
+  def isEmpty: Boolean = points.isEmpty && lines.forall(_.size == 0) && polyGroups.isEmpty
+
+  /** CLOSED-model polygon containment: boundary points are contained
+    * (reference boundary model: src/include/global_options.hpp:11-14). */
+  def polygonContains(p: S2Point): Boolean = {
+    var gi = 0
+    while (gi < loops.size) {
+      val group = loops(gi)
+      if (group.nonEmpty) {
+        var crossings = 0
+        var onBdy = false
+        var li = 0
+        while (li < group.size && !onBdy) {
+          if (group(li).onBoundary(p)) onBdy = true
+          else if (group(li).contains(p)) crossings += 1
+          li += 1
+        }
+        if (onBdy || (crossings % 2) == 1) return true
+      }
+      gi += 1
+    }
+    false
+  }
+
+  /** Strict interior containment (no boundary). */
+  def polygonContainsInterior(p: S2Point): Boolean = {
+    var gi = 0
+    while (gi < loops.size) {
+      val group = loops(gi)
+      if (group.nonEmpty) {
+        var crossings = 0
+        var li = 0
+        while (li < group.size) {
+          if (group(li).onBoundary(p)) return false
+          if (group(li).contains(p)) crossings += 1
+          li += 1
+        }
+        if ((crossings % 2) == 1) return true
+      }
+      gi += 1
+    }
+    false
+  }
+
+  def onAnyLine(p: S2Point): Boolean = {
+    var i = 0
+    while (i < lines.size) {
+      val l = lines(i)
+      var j = 0
+      while (j + 1 < l.size) {
+        if (S2Pred.pointOnEdge(p, l(j), l(j + 1))) return true
+        j += 1
+      }
+      i += 1
+    }
+    false
+  }
+
+  def hasPoint(p: S2Point): Boolean = points.contains(p)
+
+  /** All edges as (a, b) pairs: polyline edges + polygon ring edges. */
+  def foreachEdge(f: (S2Point, S2Point) => Boolean): Boolean = {
+    var i = 0
+    while (i < lines.size) {
+      val l = lines(i)
+      var j = 0
+      while (j + 1 < l.size) { if (!f(l(j), l(j + 1))) return false; j += 1 }
+      i += 1
+    }
+    i = 0
+    while (i < polyGroups.size) {
+      val rings = polyGroups(i)
+      var r = 0
+      while (r < rings.size) {
+        val ring = rings(r)
+        if (ring.size >= 3) {
+          var j = 0
+          while (j < ring.size) {
+            if (!f(ring(j), ring((j + 1) % ring.size))) return false
+            j += 1
+          }
+        }
+        r += 1
+      }
+      i += 1
+    }
+    true
+  }
+
+  def hasPolygons: Boolean = loops.exists(_.nonEmpty)
+  def hasLines: Boolean = lines.exists(_.size >= 2)
+}
+
+/**
+ * Binary spatial predicates with CLOSED boundary model (SURVEY.md §2.4;
+ * reference: src/s2_binary_index_ops.cpp:52-462 — semantics, not code).
+ */
+object Relate {
+
+  def intersects(a: GeoShapes, b: GeoShapes): Boolean = {
+    if (a.isEmpty || b.isEmpty) return false
+    // point vs anything
+    var i = 0
+    while (i < a.points.size) {
+      if (pointIntersects(a.points(i), b)) return true
+      i += 1
+    }
+    i = 0
+    while (i < b.points.size) {
+      if (pointIntersects(b.points(i), a)) return true
+      i += 1
+    }
+    // vertex-in-polygon (covers containment without edge crossings)
+    if (b.hasPolygons) {
+      var found = false
+      a.foreachEdge { (p, _) => if (b.polygonContains(p)) { found = true; false } else true }
+      if (found) return true
+    }
+    if (a.hasPolygons) {
+      var found = false
+      b.foreachEdge { (p, _) => if (a.polygonContains(p)) { found = true; false } else true }
+      if (found) return true
+    }
+    // edge-edge crossings (proper or touching — CLOSED model)
+    var crossing = false
+    a.foreachEdge { (p1, p2) =>
+      b.foreachEdge { (q1, q2) =>
+        val s = S2Pred.crossingSign(p1, p2, q1, q2)
+        if (s > 0) { crossing = true; false }
+        else if (s == 0 && edgesTouch(p1, p2, q1, q2)) { crossing = true; false }
+        else true
+      }
+      !crossing
+    }
+    crossing
+  }
+
+  private def pointIntersects(p: S2Point, other: GeoShapes): Boolean =
+    other.hasPoint(p) || other.onAnyLine(p) || (other.hasPolygons && other.polygonContains(p))
+
+  /** For crossingSign == 0: do the edges actually share a point? */
+  private def edgesTouch(a: S2Point, b: S2Point, c: S2Point, d: S2Point): Boolean = {
+    if (a == c || a == d || b == c || b == d) return true
+    S2Pred.pointOnEdge(c, a, b) || S2Pred.pointOnEdge(d, a, b) ||
+      S2Pred.pointOnEdge(a, c, d) || S2Pred.pointOnEdge(b, c, d)
+  }
+
+  /** a contains b (a ⊇ b), CLOSED model. */
+  def contains(a: GeoShapes, b: GeoShapes): Boolean = {
+    if (b.isEmpty) return false // reference: empty args -> false
+    if (a.isEmpty) return false
+    // every point of b must be in a
+    var ok = true
+    var i = 0
+    while (i < b.points.size && ok) {
+      if (!pointIntersects(b.points(i), a)) ok = false
+      i += 1
+    }
+    if (!ok) return false
+    if (b.hasLines || b.hasPolygons) {
+      if (!a.hasPolygons) {
+        // only a polygon can contain 1D/2D content (line-in-line is the
+        // degenerate exception; handled as vertex+midpoint-on-line)
+        if (a.hasLines && !b.hasPolygons) {
+          var good = true
+          b.foreachEdge { (p, q) =>
+            val mid = (p + q).normalize
+            if (!(a.onAnyLine(p) && a.onAnyLine(q) && a.onAnyLine(mid))) { good = false; false } else true
+          }
+          return good
+        }
+        return false
+      }
+      // all b vertices inside a's polygons
+      var good = true
+      b.foreachEdge { (p, _) => if (!a.polygonContains(p)) { good = false; false } else true }
+      if (!good) return false
+      // no b edge may properly cross a's boundary
+      var crossed = false
+      a.foreachEdge { (q1, q2) =>
+        b.foreachEdge { (p1, p2) =>
+          if (S2Pred.crossingSign(p1, p2, q1, q2) > 0) { crossed = true; false } else true
+        }
+        !crossed
+      }
+      if (crossed) return false
+      // holes of a must not bite into b's interior: a hole vertex strictly
+      // inside b's polygons disqualifies
+      if (b.hasPolygons) {
+        var holeBite = false
+        var gi = 0
+        while (gi < a.polyGroups.size && !holeBite) {
+          val rings = a.polyGroups(gi)
+          var r = 1 // holes only
+          while (r < rings.size && !holeBite) {
+            val ring = rings(r)
+            var v = 0
+            while (v < ring.size && !holeBite) {
+              if (b.polygonContainsInterior(ring(v))) holeBite = true
+              v += 1
+            }
+            r += 1
+          }
+          gi += 1
+        }
+        if (holeBite) return false
+      }
+      true
+    } else true
+  }
+
+  /** Geometric equality: same closed point set (edge-set, order-insensitive;
+    * reference: docs/function-reference.md:1616-1619). */
+  def equalsGeog(a: GeoShapes, b: GeoShapes): Boolean = {
+    if (a.isEmpty && b.isEmpty) return true
+    if (a.isEmpty || b.isEmpty) return false
+    if (a.g.dimension != b.g.dimension) return false
+    if (a.hasPolygons || b.hasPolygons || a.hasLines || b.hasLines)
+      contains(a, b) && contains(b, a)
+    else a.points.toSet == b.points.toSet
+  }
+
+  // ------------------------------------------------------------- distance
+
+  /** Min distance in radians; +inf if either empty
+    * (reference: s2_binary_index_ops.cpp:628-631). */
+  def distanceAngle(a: GeoShapes, b: GeoShapes): Double = {
+    if (a.isEmpty || b.isEmpty) return Double.PositiveInfinity
+    if (intersects(a, b)) return 0.0
+    var best = Double.PositiveInfinity
+    // point-point / point-edge / edge-edge brute force
+    val aPts = a.points; val bPts = b.points
+    var i = 0
+    while (i < aPts.size) {
+      var j = 0
+      while (j < bPts.size) {
+        best = Math.min(best, S2EdgeDist.pointAngle(aPts(i), bPts(j)))
+        j += 1
+      }
+      b.foreachEdge { (q1, q2) =>
+        best = Math.min(best, S2EdgeDist.pointEdgeAngle(aPts(i), q1, q2)); true
+      }
+      i += 1
+    }
+    i = 0
+    while (i < bPts.size) {
+      a.foreachEdge { (q1, q2) =>
+        best = Math.min(best, S2EdgeDist.pointEdgeAngle(bPts(i), q1, q2)); true
+      }
+      i += 1
+    }
+    a.foreachEdge { (p1, p2) =>
+      b.foreachEdge { (q1, q2) =>
+        best = Math.min(best, S2EdgeDist.edgeEdgeAngle(p1, p2, q1, q2)); true
+      }
+      true
+    }
+    best
+  }
+
+  /** Max distance in radians; +inf if either empty. */
+  def maxDistanceAngle(a: GeoShapes, b: GeoShapes): Double = {
+    if (a.isEmpty || b.isEmpty) return Double.PositiveInfinity
+    var best = 0.0
+    val aPts = a.points; val bPts = b.points
+    var i = 0
+    while (i < aPts.size) {
+      var j = 0
+      while (j < bPts.size) {
+        best = Math.max(best, S2EdgeDist.pointAngle(aPts(i), bPts(j)))
+        j += 1
+      }
+      b.foreachEdge { (q1, q2) =>
+        best = Math.max(best, S2EdgeDist.pointEdgeMaxAngle(aPts(i), q1, q2)); true
+      }
+      i += 1
+    }
+    i = 0
+    while (i < bPts.size) {
+      a.foreachEdge { (q1, q2) =>
+        best = Math.max(best, S2EdgeDist.pointEdgeMaxAngle(bPts(i), q1, q2)); true
+      }
+      i += 1
+    }
+    a.foreachEdge { (p1, p2) =>
+      b.foreachEdge { (q1, q2) =>
+        best = Math.max(best, S2EdgeDist.edgeEdgeMaxAngle(p1, p2, q1, q2)); true
+      }
+      true
+    }
+    best
+  }
+
+  def distanceMeters(a: GeoShapes, b: GeoShapes): Double = {
+    val ang = distanceAngle(a, b)
+    if (ang.isInfinite) ang else ang * S2EdgeDist.EarthRadiusMeters
+  }
+
+  def maxDistanceMeters(a: GeoShapes, b: GeoShapes): Double = {
+    val ang = maxDistanceAngle(a, b)
+    if (ang.isInfinite) ang else ang * S2EdgeDist.EarthRadiusMeters
+  }
+
+  def dwithin(a: GeoShapes, b: GeoShapes, meters: Double): Boolean = {
+    if (a.isEmpty || b.isEmpty) return false // reference: false even for inf
+    distanceMeters(a, b) <= meters
+  }
+}
