@@ -227,7 +227,8 @@ object Relate {
   /** Geometric equality: same closed point set (edge-set, order-insensitive;
     * reference: docs/function-reference.md:1616-1619). */
   def equalsGeog(a: GeoShapes, b: GeoShapes): Boolean = {
-    if (a.isEmpty && b.isEmpty) return true
+    // reference short-circuits every binary predicate to false when either
+    // side is empty, including s2_equals (s2_binary_index_ops.cpp:296-303)
     if (a.isEmpty || b.isEmpty) return false
     if (a.g.dimension != b.g.dimension) return false
     if (a.hasPolygons || b.hasPolygons || a.hasLines || b.hasLines)

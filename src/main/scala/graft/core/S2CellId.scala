@@ -113,6 +113,22 @@ object S2CellId {
     id + (2L * pos + 1 - 4) * nl
   }
 
+  /** Reference-parity parent: negative level = relative to current level;
+    * level above the cell's own level → Sentinel
+    * (reference: docs/function-reference.md:965-968, cell_ops.test:199-213). */
+  def parentChecked(id: Long, lvl: Int): Long = {
+    if (!isValid(id)) return Sentinel
+    val cur = level(id)
+    val target = if (lvl < 0) cur + lvl else lvl
+    if (target < 0 || target > cur) Sentinel else parent(id, target)
+  }
+
+  /** Reference-parity child: index outside 0-3 or leaf input → Sentinel
+    * (reference: docs/function-reference.md:779-783, cell_ops.test:216-223). */
+  def childChecked(id: Long, pos: Int): Long =
+    if (!isValid(id) || pos < 0 || pos > 3 || isLeaf(id)) Sentinel
+    else child(id, pos)
+
   def childPosition(id: Long, lvl: Int): Int =
     ((id >>> (2 * (MaxLevel - lvl) + 1)) & 3L).toInt
 
@@ -162,6 +178,10 @@ object S2CellId {
       bits &= (SwapMask | InvertMask)
       k -= 1
     }
+    // Non-leaf cells at odd levels need the swap-mask correction: the
+    // Hilbert curve orientation alternates per level (public S2 scheme;
+    // C++ applies bits ^= kSwapMask when lsb & 0x1111111111111110 != 0).
+    if ((lsb(id) & 0x1111111111111110L) != 0L) bits ^= SwapMask
     (f, i, j, bits)
   }
 

@@ -48,8 +48,12 @@ object S2EdgeDist {
     m
   }
 
-  /** Max angle between arcs (max over point pairs). */
+  /** Max angle between arcs (max over point pairs).
+    * If (a,b) crosses the reflection (-c,-d), the true max is pi — endpoint
+    * pairs alone miss that antipodal interior crossing (matches
+    * S2FurthestEdgeQuery; see ADVICE.md round 1). */
   def edgeEdgeMaxAngle(a: S2Point, b: S2Point, c: S2Point, d: S2Point): Double = {
+    if (S2Pred.crossingSign(a, b, -c, -d) >= 0) return Math.PI
     var m = pointEdgeMaxAngle(c, a, b)
     m = Math.max(m, pointEdgeMaxAngle(d, a, b))
     m = Math.max(m, pointEdgeMaxAngle(a, c, d))

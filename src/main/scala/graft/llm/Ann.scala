@@ -1,0 +1,105 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over embedding columns (Array[Float]).
+ *
+ * - cosine / dot products are pure built-in expressions (zip_with +
+ *   aggregate) → whole-stage codegen, no UDF.
+ * - bruteForceTopK broadcasts the (small) query side; the corpus streams —
+ *   the right plan when queries << corpus (the common case at 100 TB).
+ * - lshTopK buckets both sides with signed-random-projection LSH so the
+ *   pair space shrinks from |Q|x|C| to per-bucket; the scale path.
+ */
+object Ann {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /**
+   * Exact top-k neighbors for each query row against the corpus.
+   * Query side is broadcast (keep it small); ties break on corpus id asc.
+   */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rank"))
+  }
+
+  /**
+   * Deterministic signed-random-projection LSH signature: `bits` hyperplanes
+   * whose components are derived from xxhash64(seed, plane, dim) — no
+   * driver-side randomness, identical on every executor.
+   */
+  def srpSignature(vec: Column, bits: Int, seed: Int = 42): Column = {
+    val planes = sequence(lit(0), lit(bits - 1))
+    transform(planes, p => {
+      // pseudo-random +-1 component per (plane, dim): parity of xxhash64
+      val contrib = zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
+        when(xxhash64(lit(seed), p, i).bitwiseAND(1L) === 1L, x).otherwise(-x))
+      when(aggregate(contrib, lit(0.0d), (acc, v) => acc + v) >= 0, 1L).otherwise(0L)
+    })
+  }
+
+  /** Pack an array of `n` bits into a single long bucket key. */
+  def packBits(bits: Column, n: Int): Column =
+    (0 until n).map(i => element_at(bits, i + 1) * lit(1L << i)).reduce(_ + _)
+
+  /** All single-bit flips of a packed signature (multiprobe ring). */
+  private def flips(sig: Column, n: Int): Seq[Column] =
+    (0 until n).map(b => sig.bitwiseXOR(lit(1L << b)))
+
+  /**
+   * Approximate top-k: bucket queries and corpus by SRP signature, compare
+   * only within buckets (plus single-bit-flip probing for recall), exact
+   * rerank inside the bucket. Scale path: one equi-join shuffle.
+   */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int = 8,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      packBits(srpSignature(col(vecCol), bits), bits).as("sig"))
+    // multiprobe: original bucket + each 1-bit flip
+    val probes = q.withColumn("bucket",
+      explode(array(col("sig") +: flips(col("sig"), bits): _*)))
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+      packBits(srpSignature(col(vecCol), bits), bits).as("bucket"))
+    val scored = c.join(probes.hint("shuffle_hash"), Seq("bucket"))
+      .where(col("q_id") =!= col("c_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+      .select("q_id", "c_id", "sim").distinct()
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold via LSH buckets. */
+  def cosineNearDupPairs(df: DataFrame, threshold: Double, bits: Int = 8,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      packBits(srpSignature(col(vecCol), bits), bits).as("sig"))
+    val probes = v.withColumn("bucket",
+      explode(array(col("sig") +: flips(col("sig"), bits): _*)))
+      .select(col("id"), col("vec"), col("bucket"))
+    val base = v.select(col("id"), col("vec"), col("sig").as("bucket"))
+    base.as("a").join(probes.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("sim", cosine(col("a.vec"), col("b.vec")))
+      .where(col("sim") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
+      .distinct()
+  }
+}

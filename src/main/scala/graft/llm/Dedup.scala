@@ -1,0 +1,162 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for training-data pipelines, designed bucketed —
+ * never all-pairs. Every candidate-pair generator is an equi-join on a
+ * bucket key (hash group / LSH band / simhash value), so at 100 TB each
+ * stage is one shuffle on a well-distributed key; the quadratic work is
+ * confined to within-bucket comparisons.
+ */
+object Dedup {
+
+  // ------------------------------------------------------------ exact dedup
+
+  /** Exact dedup stats + winners: one shuffle on md5(text).
+    * keepFirst: minimal id per identical text survives. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    df.withColumn("__h", md5(col(textCol)))
+      .groupBy("__h")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
+      .drop("__h")
+  }
+
+  /** Pairs of ids with byte-identical text (a < b), via hash-bucket
+    * self-join — the oracle-checkable subset of any near-dup method. */
+  def exactDupPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = df.select(col(idCol).as("id"), md5(col(textCol)).as("h"), col(textCol).as("t"))
+    h.as("a").join(h.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
+          col("a.t") === col("b.t"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+  }
+
+  // --------------------------------------------------------------- minhash
+
+  /** Word-set MinHash signature as an Array[Long] column (k hashes).
+    * Uses xxhash64 over (word, seed) — a built-in, codegen'd hash — and a
+    * sortless aggregate-min per seed: no UDF in the hot path. */
+  def minhashSignature(textCol: Column, numHashes: Int): Column = {
+    val words = array_distinct(split(trim(textCol), "\\s+"))
+    val seeds = sequence(lit(0), lit(numHashes - 1))
+    transform(seeds, seed =>
+      array_min(transform(words, w => xxhash64(w, seed))))
+  }
+
+  /** LSH band keys: split the signature into `bands` bands of
+    * numHashes/bands rows each; each band hashes to one bucket key. */
+  def lshBandKeys(sig: Column, numHashes: Int, bands: Int): Column = {
+    val rows = numHashes / bands
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.as("band"),
+        xxhash64(concat_ws(",", slice(sig, b * rows + 1, lit(rows))), b).as("bucket")))
+  }
+
+  /**
+   * MinHash-LSH candidate pairs: explode band keys, self-join per
+   * (band, bucket), distinct pairs. Identical word sets collide in every
+   * band (guaranteed); with 64 hashes / 8 bands (r=8), jaccard 0.9 pairs
+   * collide w.p. ~0.99 while jaccard 0.5 pairs stay under ~3%.
+   */
+  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                            numHashes: Int = 64, bands: Int = 8): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+        minhashSignature(col(textCol), numHashes).as("sig"))
+      .withColumn("bk", explode(lshBandKeys(col("sig"), numHashes, bands)))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    sigs.as("a").join(sigs.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Estimated jaccard from two signatures (fraction of equal components). */
+  def minhashJaccardEstimate(sigA: Column, sigB: Column): Column =
+    aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / size(sigA)
+
+  // --------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over word unigrams (UDF: per-word 64-bit FNV hash,
+    * per-bit vote, sign → bit — word order does not matter). */
+  private val simhashFn: String => Long = (text: String) => {
+    if (text == null) 0L
+    else {
+      val votes = new Array[Int](64)
+      for (w <- text.trim.split("\\s+") if w.nonEmpty) {
+        // FNV-1a 64-bit
+        var h = 0xcbf29ce484222325L
+        var i = 0
+        while (i < w.length) { h ^= w.charAt(i); h *= 0x100000001b3L; i += 1 }
+        var b = 0
+        while (b < 64) { if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+      out
+    }
+  }
+
+  val simhash: org.apache.spark.sql.expressions.UserDefinedFunction = udf(simhashFn)
+
+  /** SimHash candidate pairs: bucket-join on the four 16-bit sub-blocks
+    * (any pair within hamming distance 3 shares at least one exact 16-bit
+    * block — the classic block-permutation LSH). */
+  def simhashCandidatePairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val blocks = sh.select(col("id"), col("sh"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("blk"),
+            shiftright(col("sh"), b * 16).bitwiseAND(lit(0xffffL)).as("bucket"))): _*)).as("bk"))
+      .select(col("id"), col("sh"), col("bk.blk").as("blk"), col("bk.bucket").as("bucket"))
+    blocks.as("a").join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .distinct()
+  }
+
+  /** Hamming distance between two 64-bit simhashes (built-in bit_count). */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ------------------------------------------------------- n-gram jaccard
+
+  /** Character n-gram set jaccard similarity of two strings (UDF — the
+    * refine step after LSH bucketing, never run all-pairs). */
+  private def ngrams(s: String, n: Int): Set[String] = {
+    if (s == null || s.length < n) Set.empty
+    else (0 to s.length - n).iterator.map(i => s.substring(i, i + n)).toSet
+  }
+
+  private val ngramJaccardFn: (String, String, Int) => Double =
+    (a: String, b: String, n: Int) => {
+      val sa = ngrams(a, n); val sb = ngrams(b, n)
+      if (sa.isEmpty && sb.isEmpty) 1.0
+      else if (sa.isEmpty || sb.isEmpty) 0.0
+      else {
+        val inter = sa.intersect(sb).size
+        inter.toDouble / (sa.size + sb.size - inter)
+      }
+    }
+
+  val ngramJaccard: org.apache.spark.sql.expressions.UserDefinedFunction = udf(ngramJaccardFn)
+
+  /** Word-set jaccard via built-ins only (codegen; no UDF). */
+  def wordJaccard(a: Column, b: Column): Column = {
+    val wa = array_distinct(split(trim(a), "\\s+"))
+    val wb = array_distinct(split(trim(b), "\\s+"))
+    val inter = size(array_intersect(wa, wb)).cast("double")
+    inter / (size(wa) + size(wb) - inter)
+  }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.udf.register("ngram_jaccard", ngramJaccardFn)
+    spark.udf.register("simhash", simhashFn)
+    ()
+  }
+}

@@ -1,0 +1,130 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines:
+ * token counting, quality scoring, language ID, document fingerprinting.
+ *
+ * Design rule: everything that CAN be a built-in Catalyst expression IS one
+ * (codegen'd, pushdown-friendly); only the n-gram language model and the
+ * rolling hash are Scala UDFs. All operators are per-row and stateless →
+ * fully partition-parallel at 100 TB and usable in Structured Streaming.
+ */
+object TextAnalysis {
+
+  // ----------------------------------------------------------- token count
+
+  /** Whitespace token count, pure built-ins (codegen). */
+  def tokenCount(text: Column): Column =
+    when(org.apache.spark.sql.functions.length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count: letter runs, digits, and punctuation each count;
+    * a long letter run costs ceil(len/4) tokens (crude BPE cost model). */
+  def bpeishTokenCount(text: Column): Column = {
+    val letters = regexp_replace(text, "[^A-Za-z]", "")
+    val others = org.apache.spark.sql.functions.length(regexp_replace(text, "[A-Za-z\\s]", ""))
+    ceil(org.apache.spark.sql.functions.length(letters).cast("double") / 4.0).cast("long") + others.cast("long")
+  }
+
+  // --------------------------------------------------------- quality score
+
+  /** Heuristic quality features as a struct of ratios, pure built-ins. */
+  def qualityFeatures(text: Column): Column = {
+    val len = greatest(org.apache.spark.sql.functions.length(text), lit(1)).cast("double")
+    val alpha = org.apache.spark.sql.functions.length(regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+    val digits = org.apache.spark.sql.functions.length(regexp_replace(text, "[^0-9]", "")).cast("double")
+    val punct = org.apache.spark.sql.functions.length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double")
+    val spaces = org.apache.spark.sql.functions.length(regexp_replace(text, "[^ ]", "")).cast("double")
+    struct(
+      (alpha / len).as("alpha_ratio"),
+      (digits / len).as("digit_ratio"),
+      (punct / len).as("punct_ratio"),
+      (spaces / len).as("space_ratio"),
+      tokenCount(text).as("n_tokens"))
+  }
+
+  /** Scalar quality score in [0,1]: mostly-alphabetic, low-punct text with a
+    * reasonable token count scores high. */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text)
+    val alphaTerm = f.getField("alpha_ratio")
+    val punctPenalty = f.getField("punct_ratio") * 2.0
+    val lenTerm = least(f.getField("n_tokens").cast("double") / 20.0, lit(1.0))
+    greatest(least(alphaTerm - punctPenalty + lenTerm * 0.2, lit(1.0)), lit(0.0))
+  }
+
+  // ----------------------------------------------------------- language id
+
+  /** Tiny trigram+stopword language model: en/de/fr/es + CJK range for zh.
+    * Profiles are hand-rolled from public stopword lists — deliberately
+    * small; the operator shape (per-row classify, no state) is the point. */
+  private val stopwords: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "in", "is", "that", "it", "was", "for",
+      "with", "as", "his", "on", "be", "at", "by", "had", "not", "are"),
+    "de" -> Set("der", "die", "und", "das", "ist", "von", "mit", "den", "nicht",
+      "ein", "eine", "auf", "auch", "sich", "des", "dem", "als", "aber", "wir"),
+    "fr" -> Set("le", "la", "les", "des", "est", "dans", "pour", "que", "une",
+      "sur", "avec", "pas", "par", "plus", "mais", "nous", "vous", "ses", "cette"),
+    "es" -> Set("el", "los", "las", "una", "por", "con", "para", "como", "más",
+      "pero", "sus", "este", "esta", "entre", "cuando", "muy", "sin", "sobre", "ser"))
+
+  private val langIdFn: String => String = (text: String) => {
+    if (text == null || text.isEmpty) "und"
+    else {
+      var cjk = 0; var total = 0
+      var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        if (!Character.isWhitespace(c)) {
+          total += 1
+          val b = Character.UnicodeBlock.of(c)
+          if (b == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS ||
+              b == Character.UnicodeBlock.HIRAGANA || b == Character.UnicodeBlock.KATAKANA ||
+              b == Character.UnicodeBlock.HANGUL_SYLLABLES) cjk += 1
+        }
+        i += 1
+      }
+      if (total > 0 && cjk.toDouble / total > 0.25) "zh"
+      else {
+        val words = text.toLowerCase.split("\\W+")
+        var best = "und"; var bestScore = 0
+        for ((lang, sw) <- stopwords) {
+          var s = 0
+          var j = 0
+          while (j < words.length) { if (sw.contains(words(j))) s += 1; j += 1 }
+          if (s > bestScore) { bestScore = s; best = lang }
+        }
+        if (bestScore == 0) "und" else best
+      }
+    }
+  }
+
+  val langId: org.apache.spark.sql.expressions.UserDefinedFunction = udf(langIdFn)
+
+  // ---------------------------------------------------------- fingerprint
+
+  /** 64-bit rolling polynomial fingerprint of the normalized text
+    * (lowercased, whitespace collapsed). Identical normalized content →
+    * identical fingerprint; usable as a cheap partition/dedup key. */
+  private val fingerprintFn: String => Long = (text: String) => {
+    if (text == null) 0L
+    else {
+      val s = text.toLowerCase.trim.replaceAll("\\s+", " ")
+      var h = 1125899906842597L // prime
+      var i = 0
+      while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
+      h
+    }
+  }
+
+  val fingerprint: org.apache.spark.sql.expressions.UserDefinedFunction = udf(fingerprintFn)
+
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("doc_lang_id", langIdFn)
+    spark.udf.register("doc_fingerprint", fingerprintFn)
+    ()
+  }
+}

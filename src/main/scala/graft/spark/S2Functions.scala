@@ -1,0 +1,269 @@
+package graft.spark
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.udf
+
+import graft.core._
+
+/**
+ * Spark binding layer: registers every kernel operator as a SQL-callable
+ * function (reference registers 53 scalars at extension load,
+ * /root/reference/src/geography_extension.cpp:23-34 and
+ * src/function_builder.cpp:6-43 — same surface, Spark-first mechanics).
+ *
+ * GEOGRAPHY is a BinaryType column holding the tagged blob encoding
+ * (GeoCodec); S2_CELL / S2_CELL_CENTER are LongType (sign-flip via
+ * s2_cell_sortkey for unsigned order); S2_CELL_UNION is ArrayType(LongType).
+ *
+ * Registration is via `spark.udf.register`, so both the SQL surface
+ * (`spark.sql("SELECT s2_intersects(a, b) ...")`) and the typed Column
+ * DSL (`S2.intersects($"a", $"b")`) work. Catalyst still drives pushdown,
+ * pruning and join planning around these expressions.
+ */
+object S2Functions {
+
+  // ------------------------------------------------------------ kernel fns
+  // Shared, stateless, serializable function values. Each closes over
+  // nothing; the kernel objects are JVM singletons per executor.
+
+  private def shapes(b: Array[Byte]): GeoShapes = new GeoShapes(GeoCodec.decode(b))
+
+  val geogFromText: String => Array[Byte] =
+    (wkt: String) => if (wkt == null) null else GeoCodec.encode(Wkt.read(wkt, validate = true))
+  val geogFromTextNoValidate: String => Array[Byte] =
+    (wkt: String) => if (wkt == null) null else GeoCodec.encode(Wkt.read(wkt, validate = false))
+  val geogFromWkb: Array[Byte] => Array[Byte] =
+    (b: Array[Byte]) => if (b == null) null else GeoCodec.encode(Wkb.read(b, validate = true))
+  val geogFromWkbNoValidate: Array[Byte] => Array[Byte] =
+    (b: Array[Byte]) => if (b == null) null else GeoCodec.encode(Wkb.read(b, validate = false))
+  val asText: Array[Byte] => String =
+    (b: Array[Byte]) => if (b == null) null else Wkt.write(GeoCodec.decode(b))
+  val format: (Array[Byte], Int) => String =
+    (b: Array[Byte], p: Int) => if (b == null) null else Wkt.write(GeoCodec.decode(b), p)
+  val asWkb: Array[Byte] => Array[Byte] =
+    (b: Array[Byte]) => if (b == null) null else Wkb.write(GeoCodec.decode(b))
+  val prepare: Array[Byte] => Array[Byte] =
+    (b: Array[Byte]) => if (b == null) null else GeoCodec.prepare(b)
+
+  val isEmpty: Array[Byte] => Boolean = (b: Array[Byte]) => GeoCodec.isEmptyBlob(b)
+  val isValid: Array[Byte] => Boolean =
+    (b: Array[Byte]) => Validation.findError(GeoCodec.decode(b)).isEmpty
+  val isValidReason: Array[Byte] => String =
+    (b: Array[Byte]) => Validation.findError(GeoCodec.decode(b)).getOrElse("")
+  val area: Array[Byte] => Double = (b: Array[Byte]) => S2Measure.areaMeters2(GeoCodec.decode(b))
+  val perimeter: Array[Byte] => Double =
+    (b: Array[Byte]) => S2Measure.perimeterMeters(GeoCodec.decode(b))
+  val length: Array[Byte] => Double =
+    (b: Array[Byte]) => S2Measure.lengthMeters(GeoCodec.decode(b))
+  val x: Array[Byte] => Double = (b: Array[Byte]) => S2Measure.x(GeoCodec.decode(b))
+  val y: Array[Byte] => Double = (b: Array[Byte]) => S2Measure.y(GeoCodec.decode(b))
+  val dimension: Array[Byte] => Int = (b: Array[Byte]) => GeoCodec.decode(b).dimension
+  val numPoints: Array[Byte] => Int = (b: Array[Byte]) => GeoCodec.decode(b).numPoints
+
+  val distance: (Array[Byte], Array[Byte]) => Double =
+    (a: Array[Byte], b: Array[Byte]) => Relate.distanceMeters(shapes(a), shapes(b))
+  val maxDistance: (Array[Byte], Array[Byte]) => Double =
+    (a: Array[Byte], b: Array[Byte]) => Relate.maxDistanceMeters(shapes(a), shapes(b))
+  val dwithin: (Array[Byte], Array[Byte], Double) => Boolean =
+    (a: Array[Byte], b: Array[Byte], m: Double) => Relate.dwithin(shapes(a), shapes(b), m)
+
+  val intersects: (Array[Byte], Array[Byte]) => Boolean =
+    (a: Array[Byte], b: Array[Byte]) => {
+      // covering prefilter from the stored tags — no geometry decode when
+      // coverings are disjoint (reference: s2_binary_index_ops.cpp:450-461)
+      if (GeoCodec.isEmptyBlob(a) || GeoCodec.isEmptyBlob(b)) false
+      else if (!Covering.unionsIntersect(GeoCodec.coveringOf(a), GeoCodec.coveringOf(b))) false
+      else Relate.intersects(shapes(a), shapes(b))
+    }
+  val contains: (Array[Byte], Array[Byte]) => Boolean =
+    (a: Array[Byte], b: Array[Byte]) => {
+      if (GeoCodec.isEmptyBlob(a) || GeoCodec.isEmptyBlob(b)) false
+      else Relate.contains(shapes(a), shapes(b))
+    }
+  val equalsGeog: (Array[Byte], Array[Byte]) => Boolean =
+    (a: Array[Byte], b: Array[Byte]) => Relate.equalsGeog(shapes(a), shapes(b))
+  val mayIntersect: (Array[Byte], Array[Byte]) => Boolean =
+    (a: Array[Byte], b: Array[Byte]) =>
+      !GeoCodec.isEmptyBlob(a) && !GeoCodec.isEmptyBlob(b) &&
+        Covering.unionsIntersect(GeoCodec.coveringOf(a), GeoCodec.coveringOf(b))
+
+  val covering: Array[Byte] => Array[Long] =
+    (b: Array[Byte]) => Covering.cover(GeoCodec.decode(b))
+  val coveringFixedLevel: (Array[Byte], Int) => Array[Long] =
+    (b: Array[Byte], lvl: Int) => Covering.coverFixedLevel(GeoCodec.decode(b), lvl)
+
+  // ---- cell ops (pure long math; no geometry decode)
+  val cellFromLonLat: (Double, Double) => Long =
+    (lon: Double, lat: Double) => S2CellId.fromLonLatDegrees(lon, lat)
+  val cellFromWkb: Array[Byte] => Long = (b: Array[Byte]) => Wkb.cellFromWkb(b)
+  val arbitraryCellFromWkb: Array[Byte] => Long = (b: Array[Byte]) => Wkb.arbitraryCellFromWkb(b)
+  val cellToken: Long => String = (id: Long) => S2CellId.toToken(id)
+  val cellFromToken: String => Long = (s: String) => S2CellId.fromToken(s)
+  val cellLevel: Long => Int = (id: Long) => if (S2CellId.isValid(id)) S2CellId.level(id) else -1
+  val cellContains: (Long, Long) => Boolean = (a: Long, b: Long) => S2CellId.contains(a, b)
+  val cellIntersects: (Long, Long) => Boolean = (a: Long, b: Long) => S2CellId.intersects(a, b)
+  val cellChild: (Long, Int) => Long = (id: Long, k: Int) => S2CellId.childChecked(id, k)
+  val cellParent: (Long, Int) => Long = (id: Long, lvl: Int) => S2CellId.parentChecked(id, lvl)
+  val cellEdgeNeighbor: (Long, Int) => Long =
+    (id: Long, k: Int) =>
+      if (!S2CellId.isValid(id) || k < 0 || k > 3) S2CellId.Sentinel
+      else S2CellId.edgeNeighbors(id)(k)
+  val cellRangeMin: Long => Long =
+    (id: Long) => if (S2CellId.isValid(id)) S2CellId.rangeMin(id) else S2CellId.Sentinel
+  val cellRangeMax: Long => Long =
+    (id: Long) => if (S2CellId.isValid(id)) S2CellId.rangeMax(id) else S2CellId.Sentinel
+  val cellSortKey: Long => Long = (id: Long) => S2CellId.sortKey(id)
+  val cellDebug: Long => String = (id: Long) => S2CellId.toDebugString(id)
+  val cellFromDebug: String => Long = (s: String) => S2CellId.fromDebugString(s)
+  val cellVertex: (Long, Int) => Array[Byte] =
+    (id: Long, k: Int) =>
+      if (!S2CellId.isValid(id) || k < 0 || k > 3) GeoCodec.encode(Geography.emptyPoint)
+      else GeoCodec.encode(Geography.Points(Vector(S2CellId.vertices(id)(k))))
+
+  // ---- casts (reference cast graph, SURVEY §1.4; explicit functions here)
+  val cellCenterToGeog: Long => Array[Byte] =
+    (id: Long) => GeoCodec.encode(Geography.CellCenter(id))
+  val cellToGeog: Long => Array[Byte] =
+    (id: Long) =>
+      if (!S2CellId.isValid(id)) GeoCodec.encode(Geography.Polygons(Vector.empty))
+      else GeoCodec.encode(Geography.Polygons(Vector(Vector(S2CellId.vertices(id).toVector))))
+  val geogToCellCenter: Array[Byte] => Long =
+    (b: Array[Byte]) => {
+      if (GeoCodec.isEmptyBlob(b)) S2CellId.Sentinel
+      else if (GeoCodec.kindOf(b) == GeoCodec.KindCellCenter) GeoCodec.cellCenterIdOf(b)
+      else S2Measure.singlePoint(GeoCodec.decode(b)) match {
+        case Some(p) => S2CellId.fromPoint(p.x, p.y, p.z)
+        case None => throw new IllegalArgumentException(
+          "Can't convert geography that is not empty nor a single point to S2_CELL_CENTER")
+      }
+    }
+  val cellUnionToGeog: Array[Long] => Array[Byte] =
+    (ids: Array[Long]) => {
+      val valid = if (ids == null) Array.empty[Long] else ids.filter(S2CellId.isValid)
+      if (valid.isEmpty) GeoCodec.encode(Geography.Polygons(Vector.empty))
+      else GeoCodec.encode(Geography.Polygons(
+        valid.toVector.map(id => Vector(S2CellId.vertices(id).toVector))))
+    }
+  val cellUnionNormalize: Array[Long] => Array[Long] =
+    (ids: Array[Long]) => if (ids == null) Array.empty[Long] else Covering.normalize(ids)
+
+  /** Point constructor (BigQuery ST_GEOGPOINT analogue; the reference reaches
+    * points via WKT or cell casts — this is the Spark-friendly direct path). */
+  val geogPoint: (Double, Double) => Array[Byte] =
+    (lon: Double, lat: Double) => GeoCodec.encode(Geography.point(lon, lat))
+
+  // ------------------------------------------------------------ column DSL
+
+  object S2 {
+    val s2_geogfromtext = udf(geogFromText)
+    val s2_geogfromtext_novalidate = udf(geogFromTextNoValidate)
+    val s2_geogfromwkb = udf(geogFromWkb)
+    val s2_geogfromwkb_novalidate = udf(geogFromWkbNoValidate)
+    val s2_astext = udf(asText)
+    val s2_format = udf(format)
+    val s2_aswkb = udf(asWkb)
+    val s2_prepare = udf(prepare)
+    val s2_isempty = udf(isEmpty)
+    val s2_is_valid = udf(isValid)
+    val s2_is_valid_reason = udf(isValidReason)
+    val s2_area = udf(area)
+    val s2_perimeter = udf(perimeter)
+    val s2_length = udf(length)
+    val s2_x = udf(x)
+    val s2_y = udf(y)
+    val s2_dimension = udf(dimension)
+    val s2_num_points = udf(numPoints)
+    val s2_distance = udf(distance)
+    val s2_max_distance = udf(maxDistance)
+    val s2_dwithin = udf(dwithin)
+    val s2_intersects = udf(intersects)
+    val s2_contains = udf(contains)
+    val s2_equals = udf(equalsGeog)
+    val s2_mayintersect = udf(mayIntersect)
+    val s2_covering = udf(covering)
+    val s2_covering_fixed_level = udf(coveringFixedLevel)
+    val s2_cellfromlonlat = udf(cellFromLonLat)
+    val s2_cellfromwkb = udf(cellFromWkb)
+    val s2_arbitrarycellfromwkb = udf(arbitraryCellFromWkb)
+    val s2_cell_token = udf(cellToken)
+    val s2_cell_from_token = udf(cellFromToken)
+    val s2_cell_level = udf(cellLevel)
+    val s2_cell_contains = udf(cellContains)
+    val s2_cell_intersects = udf(cellIntersects)
+    val s2_cell_child = udf(cellChild)
+    val s2_cell_parent = udf(cellParent)
+    val s2_cell_edge_neighbor = udf(cellEdgeNeighbor)
+    val s2_cell_range_min = udf(cellRangeMin)
+    val s2_cell_range_max = udf(cellRangeMax)
+    val s2_cell_sortkey = udf(cellSortKey)
+    val s2_cell_vertex = udf(cellVertex)
+    val s2_cellcenter_to_geog = udf(cellCenterToGeog)
+    val s2_cell_to_geog = udf(cellToGeog)
+    val s2_geog_to_cellcenter = udf(geogToCellCenter)
+    val s2_cellunion_to_geog = udf(cellUnionToGeog)
+    val s2_cellunion_normalize = udf(cellUnionNormalize)
+    val s2_geogpoint = udf(geogPoint)
+
+    // convenience appliers
+    def geogfromtext(c: Column): Column = s2_geogfromtext(c)
+    def astext(c: Column): Column = s2_astext(c)
+    def point(lon: Column, lat: Column): Column = s2_geogpoint(lon, lat)
+    def intersectsCol(a: Column, b: Column): Column = s2_intersects(a, b)
+  }
+
+  /** Register every function under its reference-parity SQL name. */
+  def register(spark: SparkSession): Unit = {
+    val r = spark.udf
+    r.register("s2_geogfromtext", geogFromText)
+    r.register("s2_geogfromtext_novalidate", geogFromTextNoValidate)
+    r.register("s2_geogfromwkb", geogFromWkb)
+    r.register("s2_geogfromwkb_novalidate", geogFromWkbNoValidate)
+    r.register("s2_astext", asText)
+    r.register("s2_format", format)
+    r.register("s2_aswkb", asWkb)
+    r.register("s2_prepare", prepare)
+    r.register("s2_isempty", isEmpty)
+    r.register("s2_is_valid", isValid)
+    r.register("s2_is_valid_reason", isValidReason)
+    r.register("s2_area", area)
+    r.register("s2_perimeter", perimeter)
+    r.register("s2_length", length)
+    r.register("s2_x", x)
+    r.register("s2_y", y)
+    r.register("s2_dimension", dimension)
+    r.register("s2_num_points", numPoints)
+    r.register("s2_distance", distance)
+    r.register("s2_max_distance", maxDistance)
+    r.register("s2_dwithin", dwithin)
+    r.register("s2_intersects", intersects)
+    r.register("s2_contains", contains)
+    r.register("s2_equals", equalsGeog)
+    r.register("s2_mayintersect", mayIntersect)
+    r.register("s2_covering", covering)
+    r.register("s2_covering_fixed_level", coveringFixedLevel)
+    r.register("s2_cellfromlonlat", cellFromLonLat)
+    r.register("s2_cellfromwkb", cellFromWkb)
+    r.register("s2_arbitrarycellfromwkb", arbitraryCellFromWkb)
+    r.register("s2_cell_token", cellToken)
+    r.register("s2_cell_from_token", cellFromToken)
+    r.register("s2_cell_level", cellLevel)
+    r.register("s2_cell_contains", cellContains)
+    r.register("s2_cell_intersects", cellIntersects)
+    r.register("s2_cell_child", cellChild)
+    r.register("s2_cell_parent", cellParent)
+    r.register("s2_cell_edge_neighbor", cellEdgeNeighbor)
+    r.register("s2_cell_range_min", cellRangeMin)
+    r.register("s2_cell_range_max", cellRangeMax)
+    r.register("s2_cell_sortkey", cellSortKey)
+    r.register("s2_cell_debug", cellDebug)
+    r.register("s2_cell_from_debug", cellFromDebug)
+    r.register("s2_cell_vertex", cellVertex)
+    r.register("s2_cellcenter_to_geog", cellCenterToGeog)
+    r.register("s2_cell_to_geog", cellToGeog)
+    r.register("s2_geog_to_cellcenter", geogToCellCenter)
+    r.register("s2_cellunion_to_geog", cellUnionToGeog)
+    r.register("s2_cellunion_normalize", cellUnionNormalize)
+    r.register("s2_geogpoint", geogPoint)
+    ()
+  }
+}

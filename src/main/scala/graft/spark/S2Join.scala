@@ -1,0 +1,104 @@
+package graft.spark
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import S2Functions.S2
+
+/**
+ * Spatial join helpers (SURVEY §2.8): the scalable default is the
+ * cover-then-refine equi-join — explode a fixed-level covering on both
+ * sides, equi-join on the cell (SortMergeJoin / ShuffledHashJoin, AQE
+ * handles skew), then refine with the exact predicate and dedupe.
+ *
+ * The reference reaches the same result as a nested-loop predicate join
+ * with a per-row covering prefilter (README.md:14-19,
+ * s2_binary_index_ops.cpp:450-461); on Spark we hoist that prefilter into
+ * the plan as a join key so it shuffles instead of looping.
+ */
+object S2Join {
+
+  /** Explode `level`-covering of geogCol into a `__cell` column. */
+  private def withCells(df: DataFrame, geogCol: String, level: Int): DataFrame =
+    df.withColumn("__cell", explode(S2.s2_covering_fixed_level(col(geogCol), lit(level))))
+
+  /**
+   * Cover-then-refine intersects join. Every output row satisfies
+   * s2_intersects(left.geogL, right.geogR); duplicates from multi-cell
+   * coverings are removed via a final distinct on the input row identity.
+   *
+   * At 100 TB: both sides shuffle once on the cell key; no broadcast
+   * needed; AQE splits skewed cells (e.g. dense metro areas).
+   */
+  def intersects(left: DataFrame, geogL: String, right: DataFrame, geogR: String,
+                 level: Int = 4): DataFrame = {
+    val l = withCells(left, geogL, level)
+    val r = withCells(right, geogR, level)
+    l.join(r, "__cell")
+      .where(S2.s2_intersects(col(geogL), col(geogR)))
+      .drop("__cell")
+      .distinct()
+  }
+
+  /** Containment join: rows where left contains right. */
+  def contains(left: DataFrame, geogL: String, right: DataFrame, geogR: String,
+               level: Int = 4): DataFrame = {
+    val l = withCells(left, geogL, level)
+    val r = withCells(right, geogR, level)
+    l.join(r, "__cell")
+      .where(S2.s2_contains(col(geogL), col(geogR)))
+      .drop("__cell")
+      .distinct()
+  }
+
+  /**
+   * Broadcast predicate join for a small build side (the reference's
+   * prepared-join pattern, docs/function-reference.md:1416-1423): prepare
+   * the small side once, broadcast it, evaluate the exact predicate —
+   * right plan when one side fits in memory (e.g. 177 countries).
+   */
+  def broadcastIntersects(small: DataFrame, geogS: String,
+                          large: DataFrame, geogL: String): DataFrame = {
+    val prepped = small.withColumn(geogS, S2.s2_prepare(col(geogS)))
+    large.join(broadcast(prepped), S2.s2_intersects(col(geogS), col(geogL)))
+  }
+
+  /**
+   * Distance join: pairs within `meters`. The covering level is chosen so
+   * a cell diagonal comfortably exceeds `meters`, then each left cell
+   * probes its own cell plus edge neighbors (covers the `meters` buffer),
+   * refined by exact s2_dwithin.
+   */
+  def dwithin(left: DataFrame, geogL: String, right: DataFrame, geogR: String,
+              meters: Double): DataFrame = {
+    val level = levelForDistance(meters)
+    val l = withCells(left, geogL, level)
+      .withColumn("__cell", explode(array(col("__cell"),
+        S2.s2_cell_edge_neighbor(col("__cell"), lit(0)),
+        S2.s2_cell_edge_neighbor(col("__cell"), lit(1)),
+        S2.s2_cell_edge_neighbor(col("__cell"), lit(2)),
+        S2.s2_cell_edge_neighbor(col("__cell"), lit(3)))))
+    val r = withCells(right, geogR, level)
+    l.join(r, "__cell")
+      .where(S2.s2_dwithin(col(geogL), col(geogR), lit(meters)))
+      .drop("__cell")
+      .distinct()
+  }
+
+  /** Smallest level whose min cell edge still exceeds `meters` (so one
+    * neighbor ring is a sufficient buffer). Level edge ~ 8000km / 2^level. */
+  def levelForDistance(meters: Double): Int = {
+    var level = 0
+    var edge = 8.0e6
+    while (level < 12 && edge / 2 > meters * 2) { edge /= 2; level += 1 }
+    level
+  }
+
+  /** Spatially cluster a dataframe by cell key for co-located storage /
+    * pruned scans (reference "Great for sorting!" s2_cell_ops.cpp:287-290). */
+  def clusterByCell(df: DataFrame, geogCol: String, level: Int): DataFrame = {
+    val withKey = df.withColumn("__cell",
+      S2.s2_cell_sortkey(S2.s2_cell_parent(S2.s2_geog_to_cellcenter(col(geogCol)), lit(level))))
+    withKey.repartitionByRange(col("__cell")).sortWithinPartitions("__cell")
+  }
+}

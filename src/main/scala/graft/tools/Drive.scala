@@ -1,0 +1,76 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.spark.{S2Data, S2Functions, S2Join}
+import graft.llm.{Ann, Dedup, Multimodal, TextAnalysis}
+
+/** End-to-end drive of the public library surface against real testdata. */
+object Drive {
+  def main(args: Array[String]): Unit = {
+    val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", false)
+      .appName("graft-drive").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    S2Functions.register(spark)
+    S2Data.register(spark)
+    Dedup.register(spark)
+    TextAnalysis.register(spark)
+
+    // 1. SQL surface
+    spark.sql("SELECT s2_astext(s2_geogfromtext('POINT (-64 45)')) AS t").show(false)
+    spark.sql("""SELECT s2_cell_debug(s2_cellfromlonlat(-64.0, 45.0)) AS c,
+                        s2_cell_token(s2_cellfromlonlat(-64.0, 45.0)) AS tok""").show(false)
+    spark.sql("""SELECT round(s2_distance(s2_data_city('Vancouver'), s2_data_city('Toronto')), 0) AS d,
+                        s2_intersects(s2_data_city('Vancouver'), s2_data_country('Canada')) AS van_in_can,
+                        s2_intersects(s2_data_city('Chicago'), s2_data_country('Canada')) AS chi_in_can""").show(false)
+
+    // 2. flagship spatial join through S2Join (cover-then-refine)
+    val cities = S2Data.cities(spark)
+    val countries = S2Data.countries(spark)
+    val joined = S2Join.intersects(countries.select($"name".as("country"), $"geog".as("cgeog")), "cgeog",
+      cities.select($"name".as("city"), $"geog"), "geog", level = 4)
+    println("flagship join rows = " + joined.count() + " (want 210)")
+
+    // broadcast variant
+    val bj = S2Join.broadcastIntersects(
+      countries.select($"name".as("country"), $"geog".as("cgeog")), "cgeog",
+      cities.select($"name".as("city"), $"geog"), "geog")
+    println("broadcast join rows = " + bj.count() + " (want 210)")
+
+    // 3. LLM ops on real documents/embeddings
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+    println("docs=" + docs.count() + " emb=" + emb.count())
+    docs.select(TextAnalysis.tokenCount($"text").as("tok"),
+        TextAnalysis.qualityScore($"text").as("q"),
+        TextAnalysis.langId($"text").as("lang"),
+        TextAnalysis.fingerprint($"text").as("fp"))
+      .show(3, truncate = 40)
+
+    val mh = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+    println("minhash candidate pairs = " + mh.count())
+    val sh = Dedup.simhashCandidatePairs(docs, "doc_id", "text")
+    println("simhash candidate pairs = " + sh.count())
+
+    val top1 = Ann.bruteForceTopK(emb.where($"vec_id" % 100 === 0), emb, 1)
+    top1.orderBy("q_id").show(5)
+    val lsh = Ann.lshTopK(emb.where($"vec_id" % 100 === 0), emb, 1)
+    println("lsh rows = " + lsh.count())
+
+    val media = Multimodal.fakeMediaFromText(docs.limit(50), "doc_id", "text")
+    val feats = Multimodal.extractFeatures(media)
+    println("media features: " + feats.count() + " rows, dim=" +
+      feats.select(size($"features")).first().getInt(0))
+
+    // plan sanity: the cover-refine join should be a shuffle equi-join
+    joined.explain("simple")
+    spark.stop()
+  }
+}
