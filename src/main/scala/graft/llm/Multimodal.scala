@@ -83,7 +83,8 @@ object Multimodal {
   def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame =
     media.select(col("media_id"),
       posexplode(transform(
-        sequence(lit(0), greatest((org.apache.spark.sql.functions.length(col("payload")) / frameBytes) - 1, lit(0))),
+        sequence(lit(0),
+          greatest(floor(org.apache.spark.sql.functions.length(col("payload")) / frameBytes).cast("int") - 1, lit(0))),
         i => substring(col("payload"), (i * frameBytes + 1).cast("int"), lit(frameBytes))))
         .as(Seq("frame_no", "frame")))
       .where(col("frame_no") % stride === 0)

@@ -1,0 +1,848 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Ann, Dedup, Multimodal, TextAnalysis}
+import S2Functions.S2
+
+/**
+ * The driver-facing query inventory: one entry per operator
+ * (SURVEY.md §2 + the LLM-pipeline operators), each with DuckDB oracle SQL.
+ *
+ * Two kinds of checks:
+ *  - golden-fixture queries (VALUES-based): port of the reference's own
+ *    sqllogictests; the oracle is the literal golden.
+ *  - scale queries over the sf parquet tables: data-dependent results the
+ *    oracle recomputes arithmetically (point-in-box counts, cell
+ *    round-trips, md5 dedup, decimal TPC-H aggregates).
+ *
+ * Output discipline (driver hash-compares values): integers, strings,
+ * booleans, decimals, or doubles that are exact copies of inputs /
+ * rounded far from boundaries. Every multi-row result has a total ORDER BY.
+ */
+object Queries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val tables = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  @volatile private var preppedFor: (SparkSession, String) = null
+
+  def prep(s: SparkSession, dir: String): Unit = synchronized {
+    if (preppedFor == (s, dir)) return
+    S2Functions.register(s)
+    S2Data.register(s)
+    Dedup.register(s)
+    TextAnalysis.register(s)
+    // events.ts is parquet TIMESTAMP(NANOS) which Spark rejects; read nanos
+    // as long and rebuild the timestamp at micros (lossless for this data)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tables.foreach(t => s.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t))
+    s.sql("""CREATE OR REPLACE TEMP VIEW events AS
+      SELECT event_id, timestamp_micros(ts DIV 1000) AS ts,
+             user_id, event_type, value, props
+      FROM (SELECT * FROM parquet.`""" + dir + """/events.parquet`)""")
+    // synthesized point table: deterministic lon/lat from customer keys
+    s.sql("""CREATE OR REPLACE TEMP VIEW pts AS
+      SELECT c_custkey AS id,
+             CAST((c_custkey % 360) - 180 AS INT) AS lon_i,
+             CAST((c_custkey % 160) - 80 AS INT) AS lat_i,
+             (c_custkey % 360) - 180 + 0.25 AS lon,
+             (c_custkey % 160) - 80 + 0.25 AS lat
+      FROM customer""")
+    // duplicate-augmented docs (guaranteed exact dups for dedup oracles)
+    s.sql("""CREATE OR REPLACE TEMP VIEW docs_aug AS
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0""")
+    preppedFor = (s, dir)
+  }
+
+  private def sqlQ(q: String): Q = (s, dir) => { prep(s, dir); s.sql(q) }
+  private def dfQ(f: SparkSession => DataFrame): Q = (s, dir) => { prep(s, dir); f(s) }
+
+  /** Oracle-side CTEs matching the temp views above (DuckDB dialect). */
+  private val oraclePts =
+    """pts AS (SELECT c_custkey AS id,
+      |  CAST((c_custkey % 360) - 180 AS INT) AS lon_i,
+      |  CAST((c_custkey % 160) - 80 AS INT) AS lat_i,
+      |  CAST((c_custkey % 360) - 180 + 0.25 AS DOUBLE) AS lon,
+      |  CAST((c_custkey % 160) - 80 + 0.25 AS DOUBLE) AS lat FROM customer)""".stripMargin
+  private val oracleDocsAug =
+    """docs_aug AS (SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  // ======================================================= golden fixtures
+
+  private val ioFixtures = Seq(
+    1 -> "POINT (-64 45)",
+    2 -> "LINESTRING (0 1, 2 3)",
+    3 -> "POLYGON ((0 0, 1 0, 0 1, 0 0))",
+    4 -> "MULTIPOINT ((-64 45), (-64 46))",
+    5 -> "GEOMETRYCOLLECTION (POINT (0 1), LINESTRING (0 0, 1 1))",
+    6 -> "POINT EMPTY",
+    7 -> "MULTIPOLYGON (((0 0, 1 0, 0 1, 0 0)), ((10 10, 11 10, 10 11, 10 10)))",
+    8 -> "GEOMETRYCOLLECTION EMPTY")
+
+  private def fixtureValues: String =
+    ioFixtures.map { case (i, w) => s"($i, '$w')" }.mkString(", ")
+
+  private val qIoText = sqlQ(
+    s"""SELECT id, s2_format(s2_geogfromtext(wkt), 6) AS out
+       |FROM (VALUES $fixtureValues) AS t(id, wkt) ORDER BY id""".stripMargin)
+  private val oIoText =
+    """SELECT * FROM (VALUES (1,'POINT (-64 45)'), (2,'LINESTRING (0 1, 2 3)'),
+      | (3,'POLYGON ((0 0, 1 0, 0 1, 0 0))'), (4,'MULTIPOINT ((-64 45), (-64 46))'),
+      | (5,'GEOMETRYCOLLECTION (POINT (0 1), LINESTRING (0 0, 1 1))'),
+      | (6,'POINT EMPTY'),
+      | (7,'MULTIPOLYGON (((0 0, 1 0, 0 1, 0 0)), ((10 10, 11 10, 10 11, 10 10)))'),
+      | (8,'GEOMETRYCOLLECTION EMPTY')) t(id, out) ORDER BY id""".stripMargin
+
+  private val qIoWkb = sqlQ(
+    s"""SELECT id, s2_format(s2_geogfromwkb(s2_aswkb(s2_geogfromtext(wkt))), 6) AS out
+       |FROM (VALUES $fixtureValues) AS t(id, wkt) WHERE id <= 7 ORDER BY id""".stripMargin)
+  private val oIoWkb =
+    """SELECT * FROM (VALUES (1,'POINT (-64 45)'), (2,'LINESTRING (0 1, 2 3)'),
+      | (3,'POLYGON ((0 0, 1 0, 0 1, 0 0))'), (4,'MULTIPOINT ((-64 45), (-64 46))'),
+      | (5,'GEOMETRYCOLLECTION (POINT (0 1), LINESTRING (0 0, 1 1))'),
+      | (6,'POINT EMPTY'),
+      | (7,'MULTIPOLYGON (((0 0, 1 0, 0 1, 0 0)), ((10 10, 11 10, 10 11, 10 10)))'))
+      | t(id, out) ORDER BY id""".stripMargin
+
+  private val qIoNovalidate = sqlQ(
+    """SELECT s2_format(s2_geogfromtext_novalidate('LINESTRING (0 0, 0 0, 1 1)'), 6) AS wkt_out,
+      | s2_is_valid(s2_geogfromtext_novalidate('LINESTRING (0 0, 0 0, 1 1)')) AS valid,
+      | s2_is_valid_reason(s2_geogfromtext_novalidate('LINESTRING (0 0, 0 0, 1 1)')) AS reason,
+      | s2_format(s2_geogfromwkb_novalidate(s2_aswkb(s2_geogfromtext_novalidate('LINESTRING (0 0, 0 0, 1 1)'))), 6) AS wkb_out,
+      | s2_is_valid(s2_geogfromtext_novalidate('LINESTRING (0 0, 1 1)')) AS valid_ok,
+      | s2_is_valid_reason(s2_geogfromtext_novalidate('LINESTRING (0 0, 1 1)')) = '' AS reason_ok""".stripMargin)
+  private val oIoNovalidate =
+    """SELECT 'LINESTRING (0 0, 0 0, 1 1)' AS wkt_out, false AS valid,
+      | 'Vertices 0 and 1 are identical' AS reason,
+      | 'LINESTRING (0 0, 0 0, 1 1)' AS wkb_out, true AS valid_ok, true AS reason_ok""".stripMargin
+
+  private val qPrepareGolden = sqlQ(
+    """SELECT s2_format(s2_prepare(s2_geogfromtext('POINT (30 10)')), 6) AS small,
+      | s2_isempty(s2_prepare(s2_geogfromtext('LINESTRING (0 0, 1 1, 2 2, 3 3, 4 4)'))) AS prepared_empty,
+      | s2_format(s2_prepare(s2_geogfromtext('LINESTRING (0 0, 1 1, 2 2, 3 3, 4 4)')), 6) AS prepared_wkt""".stripMargin)
+  private val oPrepareGolden =
+    """SELECT 'POINT (30 10)' AS small, false AS prepared_empty,
+      | 'LINESTRING (0 0, 1 1, 2 2, 3 3, 4 4)' AS prepared_wkt""".stripMargin
+
+  private val qAccessorsGolden = sqlQ(
+    """SELECT id,
+      | CAST(round(s2_area(s2_geogfromtext(wkt)), 0) AS BIGINT) AS area_r,
+      | CAST(round(s2_perimeter(s2_geogfromtext(wkt)), 0) AS BIGINT) AS perim_r,
+      | CAST(round(s2_length(s2_geogfromtext(wkt)), 0) AS BIGINT) AS len_r,
+      | s2_dimension(s2_geogfromtext(wkt)) AS dim,
+      | s2_num_points(s2_geogfromtext(wkt)) AS np,
+      | s2_isempty(s2_geogfromtext(wkt)) AS empty
+      |FROM (VALUES
+      | (1, 'POINT EMPTY'), (2, 'POINT (0 1)'), (3, 'LINESTRING (0 1, 2 3)'),
+      | (4, 'POLYGON ((0 0, 0 1, 1 0, 0 0))'),
+      | (5, 'GEOMETRYCOLLECTION (POINT (0 1), LINESTRING (0 0, 1 1))'),
+      | (6, 'GEOMETRYCOLLECTION EMPTY')) AS t(id, wkt) ORDER BY id""".stripMargin)
+  private val oAccessorsGolden =
+    """SELECT * FROM (VALUES
+      | (1, 0, 0, 0, 0, 0, true),
+      | (2, 0, 0, 0, 0, 1, false),
+      | (3, 0, 0, 314403, 1, 2, false),
+      | (4, 6182489131, 379640, 0, 2, 3, false),
+      | (5, 0, 0, 157250, 1, 3, false),
+      | (6, 0, 0, 0, -1, 0, true))
+      | t(id, area_r, perim_r, len_r, dim, np, empty) ORDER BY id""".stripMargin
+
+  private val qXyGolden = sqlQ(
+    """SELECT CAST(round(s2_x(s2_geogfromtext('POINT (-64 45)')), 0) AS BIGINT) AS x_r,
+      | CAST(round(s2_y(s2_geogfromtext('POINT (-64 45)')), 0) AS BIGINT) AS y_r,
+      | isnan(s2_x(s2_geogfromtext('POINT EMPTY'))) AS x_empty_nan,
+      | isnan(s2_x(s2_geogfromtext('LINESTRING (0 1, 1 2)'))) AS x_line_nan,
+      | CAST(round(s2_x(s2_cellcenter_to_geog(s2_cellfromlonlat(-64.0, 45.0))), 0) AS BIGINT) AS cc_x_r,
+      | CAST(round(s2_y(s2_cellcenter_to_geog(s2_cellfromlonlat(-64.0, 45.0))), 0) AS BIGINT) AS cc_y_r""".stripMargin)
+  private val oXyGolden =
+    "SELECT -64 AS x_r, 45 AS y_r, true AS x_empty_nan, true AS x_line_nan, -64 AS cc_x_r, 45 AS cc_y_r"
+
+  private val qPredicatesGolden = sqlQ(
+    """SELECT
+      | s2_intersects(s2_data_city('Vancouver'), s2_data_country('Canada')) AS van_can,
+      | s2_mayintersect(s2_data_city('Chicago'), s2_data_country('Canada')) AS chi_may,
+      | s2_intersects(s2_data_city('Chicago'), s2_data_country('Canada')) AS chi_can,
+      | s2_contains(s2_data_city('Toronto'), s2_data_country('Canada')) AS tor_contains_can,
+      | s2_contains(s2_data_country('Canada'), s2_data_city('Toronto')) AS can_contains_tor,
+      | s2_equals(s2_data_country('Canada'), s2_data_country('Canada')) AS can_eq,
+      | s2_mayintersect(s2_geogfromtext('POINT (-64 45)'), s2_geogfromtext('POINT (-64 46)')) AS may_far,
+      | s2_mayintersect(s2_geogfromtext('POINT (-64 45)'), s2_geogfromtext('POINT (-64 45)')) AS may_same,
+      | s2_mayintersect(s2_geogfromtext('POINT (-64 45)'), s2_geogfromtext('POINT EMPTY')) AS may_empty,
+      | s2_intersects(s2_geogfromtext('POINT EMPTY'), s2_data_city('Toronto')) AS int_empty,
+      | s2_equals(s2_geogfromtext('POINT EMPTY'), s2_geogfromtext('POINT EMPTY')) AS eq_empty,
+      | s2_dwithin(s2_data_city('Vancouver'), s2_data_city('Toronto'), 3000000.0) AS dw3m,
+      | s2_dwithin(s2_data_city('Vancouver'), s2_data_city('Toronto'), 4000000.0) AS dw4m,
+      | s2_dwithin(s2_cellcenter_to_geog(s2_geog_to_cellcenter(s2_data_city('Vancouver'))),
+      |            s2_cellcenter_to_geog(s2_geog_to_cellcenter(s2_data_city('Toronto'))), 3000000.0) AS dw3m_cc,
+      | s2_dwithin(s2_cellcenter_to_geog(s2_geog_to_cellcenter(s2_data_city('Vancouver'))),
+      |            s2_cellcenter_to_geog(s2_geog_to_cellcenter(s2_data_city('Toronto'))), 4000000.0) AS dw4m_cc,
+      | s2_dwithin(s2_geogfromtext('POINT EMPTY'), s2_data_city('Toronto'), CAST('Infinity' AS DOUBLE)) AS dw_empty""".stripMargin)
+  private val oPredicatesGolden =
+    """SELECT true AS van_can, true AS chi_may, false AS chi_can, false AS tor_contains_can,
+      | true AS can_contains_tor, true AS can_eq, false AS may_far, true AS may_same,
+      | false AS may_empty, false AS int_empty, false AS eq_empty,
+      | false AS dw3m, true AS dw4m, false AS dw3m_cc, true AS dw4m_cc, false AS dw_empty""".stripMargin
+
+  private val qDistanceGolden = sqlQ(
+    """SELECT
+      | CAST(round(s2_distance(s2_data_city('Vancouver'), s2_data_city('Toronto')), 0) AS BIGINT) AS d_r,
+      | CAST(round(s2_distance(s2_cellcenter_to_geog(s2_geog_to_cellcenter(s2_data_city('Vancouver'))),
+      |   s2_cellcenter_to_geog(s2_geog_to_cellcenter(s2_data_city('Toronto')))), 0) AS BIGINT) AS d_cc_r,
+      | CAST(s2_distance(s2_geogfromtext('POINT EMPTY'), s2_data_city('Toronto')) = CAST('Infinity' AS DOUBLE) AS BOOLEAN) AS d_empty_inf,
+      | CAST(round(s2_max_distance(s2_cellcenter_to_geog(s2_geog_to_cellcenter(s2_data_city('Vancouver'))),
+      |   s2_data_city('Toronto')), 0) AS BIGINT) AS dmax_r,
+      | s2_max_distance(s2_data_city('Vancouver'), s2_data_country('Fiji')) >
+      |   s2_distance(s2_data_city('Vancouver'), s2_data_country('Fiji')) AS max_gt_min""".stripMargin)
+  private val oDistanceGolden =
+    """SELECT 3354018 AS d_r, 3354018 AS d_cc_r, true AS d_empty_inf,
+      | 3354018 AS dmax_r, true AS max_gt_min""".stripMargin
+
+  private val qCellsGolden = sqlQ(
+    """SELECT
+      | s2_cell_debug(s2_cellfromlonlat(-64.0, 45.0)) AS c1,
+      | s2_cell_token(s2_cellfromlonlat(-64.0, 45.0)) AS tok,
+      | s2_cell_debug(s2_cell_from_token('4b59a0cd83b5de49')) AS from_tok,
+      | s2_cell_debug(s2_cell_from_token('foofy')) AS bad_tok,
+      | s2_cell_level(s2_cellfromlonlat(-64.0, 45.0)) AS lvl_leaf,
+      | s2_cell_level(s2_cell_from_debug('5/33120')) AS lvl5,
+      | s2_cell_level(s2_cell_from_debug('not valid')) AS lvl_bad,
+      | s2_cell_debug(s2_cellfromlonlat(CAST('NaN' AS DOUBLE), CAST('NaN' AS DOUBLE))) AS nan_cell,
+      | s2_cell_debug(s2_cell_parent(s2_cellfromlonlat(-64.0, 45.0), 0)) AS par0,
+      | s2_cell_debug(s2_cell_parent(s2_cellfromlonlat(-64.0, 45.0), -30)) AS par_neg,
+      | s2_cell_debug(s2_cell_parent(s2_cell_from_debug('2/'), 1)) AS par_above,
+      | s2_cell_debug(s2_cell_child(s2_cell_from_debug('2/'), 0)) AS child0,
+      | s2_cell_debug(s2_cell_child(s2_cell_from_debug('2/'), -1)) AS child_bad,
+      | s2_cell_debug(s2_cell_edge_neighbor(s2_cell_from_debug('2/'), 0)) AS nbr0,
+      | s2_cell_debug(s2_cell_edge_neighbor(s2_cell_from_debug('2/'), -1)) AS nbr_bad,
+      | s2_cell_debug(s2_cell_range_min(s2_cell_from_debug('2/'))) AS rmin,
+      | s2_cell_debug(s2_cell_range_max(s2_cell_from_debug('2/'))) AS rmax,
+      | s2_cell_debug(s2_cell_range_min(s2_cell_from_debug('foofy'))) AS rmin_bad,
+      | s2_cell_contains(s2_cell_from_debug('2/'), s2_cell_from_debug('2/0')) AS cont1,
+      | s2_cell_contains(s2_cell_from_debug('2/0'), s2_cell_from_debug('2/')) AS cont2,
+      | s2_cell_contains(s2_cell_from_debug('invalid'), s2_cell_from_debug('2/')) AS cont_bad,
+      | s2_cell_intersects(s2_cell_from_debug('2/'), s2_cell_from_debug('2/0')) AS int1,
+      | s2_cell_intersects(s2_cell_from_debug('2/'), s2_cell_from_debug('3/')) AS int2,
+      | s2_cell_intersects(s2_cell_from_debug('2/'), s2_cell_from_debug('invalid')) AS int_bad""".stripMargin)
+  private val oCellsGolden =
+    """SELECT '2/112230310012123001312232330210' AS c1, '4b59a0cd83b5de49' AS tok,
+      | '2/112230310012123001312232330210' AS from_tok,
+      | 'Invalid: 0000000000000000' AS bad_tok, 30 AS lvl_leaf, 5 AS lvl5, -1 AS lvl_bad,
+      | 'Invalid: ffffffffffffffff' AS nan_cell,
+      | '2/' AS par0, '2/' AS par_neg, 'Invalid: ffffffffffffffff' AS par_above,
+      | '2/0' AS child0, 'Invalid: ffffffffffffffff' AS child_bad,
+      | '1/' AS nbr0, 'Invalid: ffffffffffffffff' AS nbr_bad,
+      | '2/000000000000000000000000000000' AS rmin, '2/333333333333333333333333333333' AS rmax,
+      | 'Invalid: ffffffffffffffff' AS rmin_bad,
+      | true AS cont1, false AS cont2, false AS cont_bad,
+      | true AS int1, false AS int2, false AS int_bad""".stripMargin
+
+  private val qCellCastsGolden = sqlQ(
+    """SELECT
+      | s2_format(s2_cellcenter_to_geog(s2_cellfromlonlat(-64.0, 45.0)), 6) AS cc_geog,
+      | s2_cell_debug(s2_geog_to_cellcenter(s2_geogfromtext('POINT (-64 45)'))) AS geog_cc,
+      | s2_format(s2_cell_to_geog(s2_cell_from_debug('2/0')), 6) AS cell_poly,
+      | s2_format(s2_cell_to_geog(s2_cell_from_debug('2/1122303')), 6) AS cell_poly7,
+      | s2_format(s2_cellunion_to_geog(array(s2_cell_from_debug('2/0'))), 6) AS union_poly,
+      | s2_cell_debug(s2_cellfromwkb(s2_aswkb(s2_geogfromtext('POINT (-64 45)')))) AS wkb_cell,
+      | s2_cell_debug(s2_cellfromwkb(s2_aswkb(s2_geogfromtext('GEOMETRYCOLLECTION (POLYGON EMPTY, POINT (-64 45))')))) AS wkb_cell_gc,
+      | s2_cell_debug(s2_cellfromwkb(s2_aswkb(s2_geogfromtext('POINT EMPTY')))) AS wkb_cell_empty,
+      | s2_cell_debug(s2_arbitrarycellfromwkb(s2_aswkb(s2_geogfromtext('LINESTRING (-64 45, 0 0)')))) AS arb_cell,
+      | s2_cell_debug(s2_arbitrarycellfromwkb(s2_aswkb(s2_geogfromtext('GEOMETRYCOLLECTION (POINT EMPTY, LINESTRING EMPTY, POLYGON EMPTY)')))) AS arb_empty,
+      | concat_ws(',', transform(s2_cellunion_normalize(array(s2_cell_from_debug('1/'), s2_cell_from_debug('0/'))), c -> s2_cell_debug(c))) AS norm_union,
+      | s2_format(s2_cell_vertex(s2_cell_from_debug('2/0'), 0), 6) AS vertex0""".stripMargin)
+  private val oCellCastsGolden =
+    """SELECT 'POINT (-64 45)' AS cc_geog, '2/112230310012123001312232330210' AS geog_cc,
+      | 'POLYGON ((45 35.26439, 90 45, 0 90, 0 45, 45 35.26439))' AS cell_poly,
+      | 'POLYGON ((-63.470273 44.898834, -64.286611 45.098989, -64.779066 44.581998, -63.973842 44.388923, -63.470273 44.898834))' AS cell_poly7,
+      | 'POLYGON ((45 35.26439, 90 45, 0 90, 0 45, 45 35.26439))' AS union_poly,
+      | '2/112230310012123001312232330210' AS wkb_cell,
+      | '2/112230310012123001312232330210' AS wkb_cell_gc,
+      | 'Invalid: ffffffffffffffff' AS wkb_cell_empty,
+      | '2/112230310012123001312232330210' AS arb_cell,
+      | 'Invalid: ffffffffffffffff' AS arb_empty,
+      | '0/,1/' AS norm_union,
+      | 'POINT (45 35.26439)' AS vertex0""".stripMargin
+
+  private val qDataGolden = (s: SparkSession, dir: String) => {
+    prep(s, dir)
+    val cities = S2Data.cities(s)
+    val countries = S2Data.countries(s)
+    cities.createOrReplaceTempView("cities_v")
+    countries.createOrReplaceTempView("countries_v")
+    s.sql(
+      """SELECT
+        | (SELECT count(*) FROM cities_v) AS n_cities,
+        | (SELECT count(*) FROM countries_v) AS n_countries,
+        | s2_format(s2_data_city('Vancouver'), 6) AS vancouver,
+        | s2_dimension(s2_data_country('Canada')) AS canada_dim,
+        | (SELECT count(DISTINCT continent) FROM countries_v) AS n_continents,
+        | (SELECT CAST(sum(CAST(s2_intersects(s2_cell_to_geog(s2_cellfromlonlat(s2_x(geog), s2_y(geog))), geog) AS INT)) AS BIGINT) FROM cities_v) AS cities_cell_inv,
+        | (SELECT CAST(sum(CAST(s2_intersects(s2_cell_to_geog(s2_cell_parent(s2_arbitrarycellfromwkb(s2_aswkb(geog)), 10)), geog) AS INT)) AS BIGINT) FROM countries_v) AS countries_cell_inv,
+        | (SELECT CAST(sum(CAST(s2_intersects(s2_cell_to_geog(s2_cellfromwkb(s2_aswkb(geog))), geog) AS INT)) AS BIGINT) FROM cities_v) AS cities_wkb_inv""".stripMargin)
+  }
+  private val oDataGolden =
+    """SELECT 243 AS n_cities, 177 AS n_countries, 'POINT (-123.12359 49.275362)' AS vancouver,
+      | 2 AS canada_dim, 8 AS n_continents, 243 AS cities_cell_inv, 177 AS countries_cell_inv,
+      | 243 AS cities_wkb_inv""".stripMargin
+
+  private val qFlagshipJoin = dfQ { s =>
+    import s.implicits._
+    val countries = S2Data.countries(s).select($"name".as("country"), $"geog".as("cgeog"))
+    val cities = S2Data.cities(s).select($"name".as("city"), $"geog")
+    val joined = S2Join.intersects(countries, "cgeog", cities, "geog", level = 4)
+    joined.agg(count(lit(1)).cast("long").as("n"))
+  }
+  private val oFlagshipJoin = "SELECT 210 AS n"
+
+  private val qFlagshipBroadcast = dfQ { s =>
+    import s.implicits._
+    val countries = S2Data.countries(s).select($"name".as("country"), $"geog".as("cgeog"))
+    val cities = S2Data.cities(s).select($"name".as("city"), $"geog")
+    S2Join.broadcastIntersects(countries, "cgeog", cities, "geog")
+      .agg(count(lit(1)).cast("long").as("n"))
+  }
+
+  // ========================================================= scale queries
+
+  private val qScaleXy = sqlQ(
+    """SELECT id, round(s2_x(s2_geogpoint(lon, lat)), 6) AS x, round(s2_y(s2_geogpoint(lon, lat)), 6) AS y
+      |FROM pts ORDER BY id""".stripMargin)
+  private val oScaleXy =
+    s"WITH $oraclePts SELECT id, round(lon, 6) AS x, round(lat, 6) AS y FROM pts ORDER BY id"
+
+  private val qScaleWkt = sqlQ(
+    """SELECT id, s2_format(s2_geogfromtext(
+      |   concat('POINT (', CAST(lon_i AS STRING), ' ', CAST(lat_i AS STRING), ')')), 6) AS out
+      |FROM pts ORDER BY id""".stripMargin)
+  private val oScaleWkt =
+    s"""WITH $oraclePts
+       |SELECT id, 'POINT (' || CAST(lon_i AS VARCHAR) || ' ' || CAST(lat_i AS VARCHAR) || ')' AS out
+       |FROM pts ORDER BY id""".stripMargin
+
+  private val qScaleWkb = sqlQ(
+    """SELECT id, length(s2_aswkb(s2_geogfromtext(CASE CAST(id % 3 AS INT)
+      |  WHEN 0 THEN concat('POINT (', lon_i, ' ', lat_i, ')')
+      |  WHEN 1 THEN concat('MULTIPOINT (', lon_i, ' ', lat_i, ', ', lon_i + 1, ' ', lat_i, ')')
+      |  ELSE concat('MULTIPOINT (', lon_i, ' ', lat_i, ', ', lon_i + 1, ' ', lat_i, ', ', lon_i + 2, ' ', lat_i, ')')
+      |  END))) AS wkb_len
+      |FROM pts ORDER BY id""".stripMargin)
+  private val oScaleWkb =
+    s"""WITH $oraclePts
+       |SELECT id, CASE CAST(id % 3 AS INT) WHEN 0 THEN 21 WHEN 1 THEN 51 ELSE 72 END AS wkb_len
+       |FROM pts ORDER BY id""".stripMargin
+
+  private val qScaleValidity = sqlQ(
+    """SELECT id, s2_is_valid(g) AS valid, s2_is_valid_reason(g) AS reason FROM (
+      |  SELECT id, s2_geogfromtext_novalidate(CASE WHEN id % 3 = 0
+      |    THEN concat('LINESTRING (', lon_i, ' ', lat_i, ', ', lon_i, ' ', lat_i, ', 0 89)')
+      |    ELSE concat('LINESTRING (', lon_i, ' ', lat_i, ', 0 89)') END) AS g
+      |  FROM pts) ORDER BY id""".stripMargin)
+  private val oScaleValidity =
+    s"""WITH $oraclePts
+       |SELECT id, id % 3 <> 0 AS valid,
+       |  CASE WHEN id % 3 = 0 THEN 'Vertices 0 and 1 are identical' ELSE '' END AS reason
+       |FROM pts ORDER BY id""".stripMargin
+
+  private val qScaleIsempty = sqlQ(
+    """SELECT id, s2_isempty(CASE WHEN id % 5 = 0 THEN s2_geogfromtext('POINT EMPTY')
+      |  ELSE s2_geogpoint(lon, lat) END) AS empty
+      |FROM pts ORDER BY id""".stripMargin)
+  private val oScaleIsempty =
+    s"WITH $oraclePts SELECT id, id % 5 = 0 AS empty FROM pts ORDER BY id"
+
+  private val qScaleCells = sqlQ(
+    """SELECT id,
+      | CAST(id % 31 AS INT) AS want_lvl,
+      | s2_cell_level(s2_cell_parent(s2_cellfromlonlat(lon, lat), CAST(id % 31 AS INT))) AS lvl,
+      | s2_cell_from_token(s2_cell_token(s2_cellfromlonlat(lon, lat))) = s2_cellfromlonlat(lon, lat) AS tok_rt,
+      | s2_cell_from_debug(s2_cell_debug(s2_cellfromlonlat(lon, lat))) = s2_cellfromlonlat(lon, lat) AS dbg_rt,
+      | s2_cell_contains(s2_cell_parent(s2_cellfromlonlat(lon, lat), 5), s2_cellfromlonlat(lon, lat)) AS par_contains,
+      | s2_cell_sortkey(s2_cell_range_min(s2_cell_parent(s2_cellfromlonlat(lon, lat), 5))) <= s2_cell_sortkey(s2_cellfromlonlat(lon, lat))
+      |   AND s2_cell_sortkey(s2_cellfromlonlat(lon, lat)) <= s2_cell_sortkey(s2_cell_range_max(s2_cell_parent(s2_cellfromlonlat(lon, lat), 5))) AS range_ok,
+      | s2_cell_intersects(s2_cell_parent(s2_cellfromlonlat(lon, lat), 3), s2_cellfromlonlat(lon, lat)) AS anc_int,
+      | s2_cell_level(s2_cell_child(s2_cell_parent(s2_cellfromlonlat(lon, lat), 5), 2)) AS child_lvl
+      |FROM pts ORDER BY id""".stripMargin)
+  private val oScaleCells =
+    s"""WITH $oraclePts
+       |SELECT id, CAST(id % 31 AS INT) AS want_lvl, CAST(id % 31 AS INT) AS lvl,
+       | true AS tok_rt, true AS dbg_rt, true AS par_contains, true AS range_ok,
+       | true AS anc_int, 6 AS child_lvl
+       |FROM pts ORDER BY id""".stripMargin
+
+  private val boxes = Seq(
+    (1, 0, 0, 20, 20), (2, -20, -20, 0, 0), (3, 100, 30, 120, 50),
+    (4, -120, -50, -100, -30), (5, 150, -10, 170, 10), (6, 40, 40, 60, 60))
+
+  private def boxWkt(b: (Int, Int, Int, Int, Int)): String = {
+    val (_, x0, y0, x1, y1) = b
+    s"POLYGON (($x0 $y0, $x1 $y0, $x1 $y1, $x0 $y1, $x0 $y0))"
+  }
+
+  private def boxValues: String =
+    boxes.map(b => s"(${b._1}, '${boxWkt(b)}', ${b._2}, ${b._3}, ${b._4}, ${b._5})").mkString(", ")
+
+  /** s2_contains data-dependent check: arithmetic-inside-with-margin points
+    * must be contained; arithmetic-outside-with-margin must not. The 0.5 deg
+    * margin dominates the geodesic-vs-planar edge bulge for these box sizes. */
+  private val qPointInPoly = sqlQ(
+    s"""SELECT b.box_id,
+       | CAST(sum(CASE WHEN p.lon > b.xmin + 0.5 AND p.lon < b.xmax - 0.5
+       |   AND p.lat > b.ymin + 0.5 AND p.lat < b.ymax - 0.5
+       |   AND s2_contains(s2_geogfromtext(b.wkt), s2_geogpoint(p.lon, p.lat)) THEN 1 ELSE 0 END) AS BIGINT) AS n_in,
+       | CAST(sum(CASE WHEN (p.lon < b.xmin - 0.5 OR p.lon > b.xmax + 0.5
+       |   OR p.lat < b.ymin - 0.5 OR p.lat > b.ymax + 0.5)
+       |   AND s2_contains(s2_geogfromtext(b.wkt), s2_geogpoint(p.lon, p.lat)) THEN 1 ELSE 0 END) AS BIGINT) AS n_fp
+       |FROM (VALUES $boxValues) AS b(box_id, wkt, xmin, ymin, xmax, ymax)
+       |CROSS JOIN pts p
+       |GROUP BY b.box_id ORDER BY b.box_id""".stripMargin)
+  private val oPointInPoly =
+    s"""WITH $oraclePts
+       |SELECT b.box_id,
+       | CAST(sum(CASE WHEN p.lon > b.xmin + 0.5 AND p.lon < b.xmax - 0.5
+       |   AND p.lat > b.ymin + 0.5 AND p.lat < b.ymax - 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_in,
+       | CAST(0 AS BIGINT) AS n_fp
+       |FROM (VALUES ${boxes.map(b => s"(${b._1}, ${b._2}, ${b._3}, ${b._4}, ${b._5})").mkString(", ")})
+       |  b(box_id, xmin, ymin, xmax, ymax)
+       |CROSS JOIN pts p
+       |GROUP BY b.box_id ORDER BY b.box_id""".stripMargin
+
+  /** Same counts through the scalable cover-then-refine join. */
+  private val qCoverRefineJoin = (s: SparkSession, dir: String) => {
+    prep(s, dir)
+    import s.implicits._
+    val boxDf = s.sql(
+      s"""SELECT box_id, s2_geogfromtext(wkt) AS bgeog, xmin, ymin, xmax, ymax
+         |FROM (VALUES $boxValues) AS b(box_id, wkt, xmin, ymin, xmax, ymax)""".stripMargin)
+    val ptsDf = s.sql("SELECT id, lon, lat, s2_geogpoint(lon, lat) AS pgeog FROM pts")
+    val joined = S2Join.contains(boxDf, "bgeog", ptsDf, "pgeog", level = 3)
+    joined.where($"lon" > $"xmin" + 0.5 && $"lon" < $"xmax" - 0.5 &&
+        $"lat" > $"ymin" + 0.5 && $"lat" < $"ymax" - 0.5)
+      .groupBy("box_id").agg(count(lit(1)).cast("long").as("n_in"))
+      .orderBy("box_id")
+  }
+  private val oCoverRefineJoin =
+    s"""WITH $oraclePts
+       |SELECT b.box_id,
+       | CAST(sum(CASE WHEN p.lon > b.xmin + 0.5 AND p.lon < b.xmax - 0.5
+       |   AND p.lat > b.ymin + 0.5 AND p.lat < b.ymax - 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_in
+       |FROM (VALUES ${boxes.map(b => s"(${b._1}, ${b._2}, ${b._3}, ${b._4}, ${b._5})").mkString(", ")})
+       |  b(box_id, xmin, ymin, xmax, ymax)
+       |CROSS JOIN pts p
+       |WHERE p.lon > b.xmin + 0.5 AND p.lon < b.xmax - 0.5
+       |  AND p.lat > b.ymin + 0.5 AND p.lat < b.ymax - 0.5
+       |GROUP BY b.box_id ORDER BY b.box_id""".stripMargin
+
+  private val dwithinMeters: Double = Math.toRadians(5.5) * 6371010.0
+
+  private val qDwithinScale = sqlQ(
+    s"""SELECT id, s2_dwithin(s2_geogpoint(CAST(lon_i AS DOUBLE), 0.0), s2_geogpoint(0.0, 0.0),
+       |  CAST($dwithinMeters AS DOUBLE)) AS within
+       |FROM pts ORDER BY id""".stripMargin)
+  private val oDwithinScale =
+    s"WITH $oraclePts SELECT id, abs(lon_i) <= 5 AS within FROM pts ORDER BY id"
+
+  private val qDistanceScale = sqlQ(
+    """SELECT id, CAST(round(s2_distance(s2_geogpoint(CAST(lon_i AS DOUBLE), 0.0),
+      |  s2_geogpoint(0.0, 0.0)) / 1000.0, 0) AS BIGINT) AS km
+      |FROM pts ORDER BY id""".stripMargin)
+  private val oDistanceScale =
+    s"""WITH $oraclePts
+       |SELECT id, CAST(round(radians(abs(lon_i)) * 6371010.0 / 1000.0, 0) AS BIGINT) AS km
+       |FROM pts ORDER BY id""".stripMargin
+
+  private val qCoveringScale = sqlQ(
+    """SELECT id,
+      | size(s2_covering(s2_geogpoint(lon, lat))) AS cov_size,
+      | s2_covering_fixed_level(s2_geogpoint(lon, lat), 5)[0]
+      |   = s2_cell_parent(s2_cellfromlonlat(lon, lat), 5) AS fixed_is_parent,
+      | s2_mayintersect(s2_geogpoint(lon, lat), s2_geogpoint(lon, lat)) AS may_self,
+      | s2_mayintersect(s2_geogpoint(lon, lat), s2_geogpoint(lon - 20.0, lat)) AS may_far
+      |FROM pts WHERE lat BETWEEN -60 AND 60 ORDER BY id""".stripMargin)
+  private val oCoveringScale =
+    s"""WITH $oraclePts
+       |SELECT id, 1 AS cov_size, true AS fixed_is_parent, true AS may_self, false AS may_far
+       |FROM pts WHERE lat BETWEEN -60 AND 60 ORDER BY id""".stripMargin
+
+  private val qPrepareScale = dfQ { s =>
+    import s.implicits._
+    val countries = S2Data.countries(s).select($"name".as("country"), $"geog".as("cgeog"))
+    val cities = S2Data.cities(s).select($"name".as("city"), $"geog")
+    S2Join.broadcastIntersects(countries, "cgeog", cities, "geog")
+      .agg(count(lit(1)).cast("long").as("n"))
+  }
+  private val oPrepareScale = "SELECT 210 AS n"
+
+  // ====================================================== LLM-pipeline ops
+
+  private val qDedupExact = dfQ { s =>
+    val docs = s.table("docs_aug")
+    val g = Dedup.exactDedup(docs, "doc_id", "text")
+    g.agg(count(lit(1)).cast("long").as("n_groups"),
+      sum("group_size").cast("long").as("n_rows"),
+      max("group_size").cast("long").as("max_group"))
+  }
+  private val oDedupExact =
+    s"""WITH $oracleDocsAug
+       |SELECT CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_groups,
+       |       CAST(count(*) AS BIGINT) AS n_rows,
+       |       CAST(max(cnt) AS BIGINT) AS max_group
+       |FROM docs_aug, (SELECT max(c) AS cnt FROM (SELECT count(*) c FROM docs_aug GROUP BY md5(text)))""".stripMargin
+
+  private val qDedupPairs = dfQ { s =>
+    Dedup.exactDupPairs(s.table("docs_aug"), "doc_id", "text")
+      .orderBy("id_a", "id_b")
+  }
+  private val oDedupPairs =
+    s"""WITH $oracleDocsAug
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM docs_aug a JOIN docs_aug b
+       |  ON md5(a.text) = md5(b.text) AND a.text = b.text AND a.doc_id < b.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** MinHash-LSH candidates restricted to word-set-identical pairs: LSH must
+    * find every such pair (identical signatures collide in every band). */
+  private val qDedupMinhash = dfQ { s =>
+    val docs = s.table("docs_aug")
+    val cands = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+    val canon = docs.select(col("doc_id"),
+      md5(array_join(array_sort(array_distinct(split(trim(col("text")), "\\s+"))), " ")).as("canon"))
+    cands.join(canon.as("ca"), col("id_a") === col("ca.doc_id"))
+      .join(canon.as("cb"), col("id_b") === col("cb.doc_id"))
+      .where(col("ca.canon") === col("cb.canon"))
+      .select("id_a", "id_b").orderBy("id_a", "id_b")
+  }
+  private val oDedupMinhash =
+    s"""WITH $oracleDocsAug,
+       |canon AS (SELECT doc_id,
+       |  md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(text), '\\s+'))), ' ')) AS canon
+       |  FROM docs_aug)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM canon a JOIN canon b ON a.canon = b.canon AND a.doc_id < b.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** SimHash candidates restricted to byte-identical pairs == exact dup set. */
+  private val qDedupSimhash = dfQ { s =>
+    val docs = s.table("docs_aug")
+    val cands = Dedup.simhashCandidatePairs(docs, "doc_id", "text")
+    val t = docs.select(col("doc_id"), col("text"))
+    cands.join(t.as("ta"), col("id_a") === col("ta.doc_id"))
+      .join(t.as("tb"), col("id_b") === col("tb.doc_id"))
+      .where(col("ta.text") === col("tb.text"))
+      .select("id_a", "id_b").orderBy("id_a", "id_b")
+  }
+
+  private val qJaccard = dfQ { s =>
+    val docs = s.table("documents")
+    docs.select(col("doc_id"),
+        (Dedup.ngramJaccard(col("text"), col("text"), lit(3)) === 1.0).as("self_one"),
+        (Dedup.wordJaccard(col("text"), col("text")) === 1.0).as("word_self_one"),
+        Dedup.ngramJaccard(col("text"), reverse(col("text")), lit(3)).between(0.0, 1.0).as("bounded"))
+      .orderBy("doc_id")
+  }
+  private val oJaccard =
+    "SELECT doc_id, true AS self_one, true AS word_self_one, true AS bounded FROM documents ORDER BY doc_id"
+
+  private val qAnnTop1 = dfQ { s =>
+    val emb = s.table("embeddings")
+    Ann.bruteForceTopK(emb.where(col("vec_id") % 50 === 0), emb, 1)
+      .select(col("q_id"), col("c_id"), round(col("sim"), 4).as("sim_r"))
+      .orderBy("q_id")
+  }
+  private val oAnnTop1 =
+    """SELECT q.vec_id AS q_id,
+      | arg_max(c.vec_id, list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) AS c_id,
+      | round(max(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))), 4) AS sim_r
+      |FROM embeddings q JOIN embeddings c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id
+      |GROUP BY q.vec_id ORDER BY q_id""".stripMargin
+
+  /** Embedding near-dup: planted exact copies must be recovered by the
+    * SRP-LSH bucketed pair generator (cosine(v, v) = 1 >= threshold). */
+  private val qEmbedNearDup = dfQ { s =>
+    val emb = s.table("embeddings")
+    val aug = emb.select(col("vec_id"), col("embedding"))
+      .unionAll(emb.where(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    Ann.cosineNearDupPairs(aug, threshold = 0.999)
+      .where(col("id_b") === col("id_a") + 100000)
+      .select("id_a", "id_b").orderBy("id_a")
+  }
+  private val oEmbedNearDup =
+    """SELECT vec_id AS id_a, vec_id + 100000 AS id_b FROM embeddings
+      |WHERE vec_id % 25 = 0 ORDER BY id_a""".stripMargin
+
+  private val qTextTokens = dfQ { s =>
+    val docs = s.table("documents")
+    docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"),
+        org.apache.spark.sql.functions.length(col("text")).as("n_len"),
+        (org.apache.spark.sql.functions.length(col("text")) === col("n_chars")).as("len_ok"))
+      .orderBy("doc_id")
+  }
+  private val oTextTokens =
+    """SELECT doc_id,
+      | CASE WHEN length(trim(text)) = 0 THEN 0
+      |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+      | length(text) AS n_len, length(text) = n_chars AS len_ok
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val qTextQuality = dfQ { s =>
+    val docs = s.table("documents")
+    val f = TextAnalysis.qualityFeatures(col("text"))
+    docs.select(col("doc_id"),
+        round(f.getField("alpha_ratio"), 4).as("alpha_r"),
+        round(f.getField("space_ratio"), 4).as("space_r"),
+        f.getField("n_tokens").as("n_tok"))
+      .orderBy("doc_id")
+  }
+  private val oTextQuality =
+    """SELECT doc_id,
+      | round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(length(text), 1)::DOUBLE, 4) AS alpha_r,
+      | round((length(text) - length(replace(text, ' ', ''))) / greatest(length(text), 1)::DOUBLE, 4) AS space_r,
+      | CASE WHEN length(trim(text)) = 0 THEN 0
+      |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val qTextLangid = dfQ { s =>
+    val fixtures = Seq(
+      (1, "the cat sat on the mat and it was happy with the sun"),
+      (2, "der Hund und die Katze sind nicht mit dem Auto gefahren"),
+      (3, "le chat est dans la maison avec les enfants pour la nuit"),
+      (4, "el perro y el gato están en la casa con los niños para ser feliz"),
+      (5, "这是一个中文句子用来测试语言识别功能"),
+      (6, ""))
+    import s.implicits._
+    fixtures.toDF("id", "text")
+      .select($"id", TextAnalysis.langId($"text").as("lang"))
+      .orderBy("id")
+  }
+  private val oTextLangid =
+    """SELECT * FROM (VALUES (1, 'en'), (2, 'de'), (3, 'fr'), (4, 'es'), (5, 'zh'), (6, 'und'))
+      | t(id, lang) ORDER BY id""".stripMargin
+
+  private val qTextFingerprint = dfQ { s =>
+    val docs = s.table("docs_aug")
+    val fps = docs.select(col("doc_id"), col("text"), TextAnalysis.fingerprint(col("text")).as("fp"))
+    val pairs = fps.as("a").join(fps.as("b"),
+        col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (col("a.fp") === col("b.fp")).as("fp_eq"))
+    pairs.orderBy("id_a", "id_b")
+  }
+  private val oTextFingerprint =
+    s"""WITH $oracleDocsAug
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, true AS fp_eq
+       |FROM docs_aug a JOIN docs_aug b ON a.text = b.text AND a.doc_id < b.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
+
+  private val qMultimodal = dfQ { s =>
+    val docs = s.table("documents")
+    val media = Multimodal.fakeMediaFromText(docs, "doc_id", "text")
+    val feats = Multimodal.extractFeatures(media)
+    feats.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("n_bytes")).cast("long").as("total_bytes"),
+      min(size(col("features"))).as("min_dim"),
+      max(size(col("features"))).as("max_dim"))
+  }
+  private val oMultimodal =
+    """SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+      | 8 AS min_dim, 8 AS max_dim FROM documents""".stripMargin
+
+  private val qFrameSample = dfQ { s =>
+    val docs = s.table("documents")
+    val media = Multimodal.fakeMediaFromText(docs, "doc_id", "text")
+    Multimodal.sampleFrames(media, frameBytes = 64, stride = 2)
+      .groupBy("media_id").agg(count(lit(1)).cast("long").as("n_frames"))
+      .orderBy("media_id")
+  }
+  private val oFrameSample =
+    """SELECT doc_id AS media_id,
+      | CAST((greatest(length(text) // 64, 1) + 1) // 2 AS BIGINT) AS n_frames
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  // ================================================== relational / bench
+
+  private val qTpchQ1 = sqlQ(
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+      | CAST(count(*) AS BIGINT) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  private val oTpchQ1 =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+      | CAST(count(*) AS BIGINT) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  private val qTpchQ6 = sqlQ(
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS revenue,
+      | CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin)
+  private val oTpchQ6 =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS revenue,
+      | CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  private val qTpchQ3 = sqlQ(
+    """SELECT o.o_orderkey,
+      | CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue
+      |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |GROUP BY o.o_orderkey
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)
+  private val oTpchQ3 =
+    """SELECT o.o_orderkey,
+      | CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue
+      |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |GROUP BY o.o_orderkey
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  private val qTpchQ5 = sqlQ(
+    """SELECT r.r_name, n.n_name,
+      | CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue,
+      | CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem l
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY r.r_name, n.n_name
+      |ORDER BY r.r_name, n.n_name""".stripMargin)
+  private val oTpchQ5 =
+    """SELECT r.r_name, n.n_name,
+      | CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue,
+      | CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem l
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY r.r_name, n.n_name
+      |ORDER BY r.r_name, n.n_name""".stripMargin
+
+  private val qTopOrderPerCustomer = sqlQ(
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      | SELECT o_custkey, o_orderkey, o_totalprice,
+      |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      | FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin)
+  private val oTopOrderPerCustomer =
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      | SELECT o_custkey, o_orderkey, o_totalprice,
+      |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      | FROM orders) t WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+
+  private val qEventsHourly = sqlQ(
+    """SELECT event_type, CAST(date_trunc('hour', ts) AS BIGINT) AS hour_epoch,
+      | CAST(count(*) AS BIGINT) AS n, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events
+      |GROUP BY event_type, date_trunc('hour', ts)
+      |ORDER BY event_type, hour_epoch""".stripMargin)
+  private val oEventsHourly =
+    """SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+      | CAST(count(*) AS BIGINT) AS n, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events
+      |GROUP BY event_type, date_trunc('hour', ts)
+      |ORDER BY event_type, hour_epoch""".stripMargin
+
+  /** Gap-based sessionization (30-min idle gap) via window functions —
+    * the batch shape of the streaming mapGroupsWithState sessionizer. */
+  private val qEventsSessions = sqlQ(
+    """SELECT user_id, CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions FROM (
+      | SELECT user_id, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+      | FROM (
+      |  SELECT user_id, ts, event_id,
+      |   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+      |        WHEN CAST(ts AS DOUBLE) - CAST(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) > 1800 THEN 1
+      |        ELSE 0 END AS is_new
+      |  FROM events))
+      |GROUP BY user_id ORDER BY user_id""".stripMargin)
+  private val oEventsSessions =
+    """SELECT user_id, CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions FROM (
+      | SELECT user_id, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+      | FROM (
+      |  SELECT user_id, ts, event_id,
+      |   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+      |        WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 THEN 1
+      |        ELSE 0 END AS is_new
+      |  FROM events) t1) t2
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ============================================================== registry
+
+  /** name -> (query, oracle). Oracle None => rows-only check. */
+  val all: Seq[(String, Q, Option[String])] = Seq(
+    ("g_io_text", qIoText, Some(oIoText)),
+    ("g_io_wkb", qIoWkb, Some(oIoWkb)),
+    ("g_io_novalidate", qIoNovalidate, Some(oIoNovalidate)),
+    ("g_prepare", qPrepareGolden, Some(oPrepareGolden)),
+    ("g_accessors", qAccessorsGolden, Some(oAccessorsGolden)),
+    ("g_xy", qXyGolden, Some(oXyGolden)),
+    ("g_predicates", qPredicatesGolden, Some(oPredicatesGolden)),
+    ("g_distance", qDistanceGolden, Some(oDistanceGolden)),
+    ("g_cells", qCellsGolden, Some(oCellsGolden)),
+    ("g_cell_casts", qCellCastsGolden, Some(oCellCastsGolden)),
+    ("g_data", qDataGolden, Some(oDataGolden)),
+    ("g_flagship_join", qFlagshipJoin, Some(oFlagshipJoin)),
+    ("g_flagship_broadcast", qFlagshipBroadcast, Some(oFlagshipJoin)),
+    ("t_xy", qScaleXy, Some(oScaleXy)),
+    ("t_wkt", qScaleWkt, Some(oScaleWkt)),
+    ("t_wkb", qScaleWkb, Some(oScaleWkb)),
+    ("t_validity", qScaleValidity, Some(oScaleValidity)),
+    ("t_isempty", qScaleIsempty, Some(oScaleIsempty)),
+    ("t_cells", qScaleCells, Some(oScaleCells)),
+    ("t_point_in_poly", qPointInPoly, Some(oPointInPoly)),
+    ("t_cover_refine_join", qCoverRefineJoin, Some(oCoverRefineJoin)),
+    ("t_dwithin", qDwithinScale, Some(oDwithinScale)),
+    ("t_distance", qDistanceScale, Some(oDistanceScale)),
+    ("t_covering", qCoveringScale, Some(oCoveringScale)),
+    ("t_prepare_join", qPrepareScale, Some(oPrepareScale)),
+    ("l_dedup_exact", qDedupExact, Some(oDedupExact)),
+    ("l_dedup_pairs", qDedupPairs, Some(oDedupPairs)),
+    ("l_dedup_minhash", qDedupMinhash, Some(oDedupMinhash)),
+    ("l_dedup_simhash", qDedupSimhash, Some(oDedupPairs)),
+    ("l_jaccard", qJaccard, Some(oJaccard)),
+    ("l_ann_top1", qAnnTop1, Some(oAnnTop1)),
+    ("l_embed_neardup", qEmbedNearDup, Some(oEmbedNearDup)),
+    ("l_text_tokens", qTextTokens, Some(oTextTokens)),
+    ("l_text_quality", qTextQuality, Some(oTextQuality)),
+    ("l_text_langid", qTextLangid, Some(oTextLangid)),
+    ("l_text_fingerprint", qTextFingerprint, Some(oTextFingerprint)),
+    ("l_multimodal", qMultimodal, Some(oMultimodal)),
+    ("l_frame_sample", qFrameSample, Some(oFrameSample)),
+    ("b_tpch_q1", qTpchQ1, Some(oTpchQ1)),
+    ("b_tpch_q6", qTpchQ6, Some(oTpchQ6)),
+    ("b_tpch_q3", qTpchQ3, Some(oTpchQ3)),
+    ("b_tpch_q5", qTpchQ5, Some(oTpchQ5)),
+    ("b_top_order", qTopOrderPerCustomer, Some(oTopOrderPerCustomer)),
+    ("b_events_hourly", qEventsHourly, Some(oEventsHourly)),
+    ("b_events_sessions", qEventsSessions, Some(oEventsSessions)))
+
+  /** Headline subset for BENCH (sf0.1). */
+  val benchNames: Seq[String] = Seq(
+    "t_point_in_poly", "t_cover_refine_join", "t_cells", "t_dwithin",
+    "g_flagship_join", "g_flagship_broadcast",
+    "l_dedup_minhash", "l_dedup_simhash", "l_ann_top1", "l_text_tokens",
+    "b_tpch_q1", "b_tpch_q3", "b_tpch_q5", "b_events_sessions")
+}

@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local replay of the driver's DuckDB-oracle correctness check.
+
+Usage: oracle_check.py <verify_out_dir> <sf_dir>
+
+Reads <verify_out_dir>/oracle_sql.json + the per-query parquet dumps
+written by graft.Verify, runs each oracle SQL in DuckDB with the sf
+parquet tables registered as views, and compares (rows sorted by all
+columns, column names sorted, values stringified with repr).
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_value(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    return repr(v)
+
+
+def norm_rows(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_value(r[i]) for i in idx) for r in rows]
+    out.sort()
+    return [cols[i] for i in idx], out
+
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            res = con.execute(sql)
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        try:
+            res2 = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            scols = [d[0] for d in res2.description]
+            srows = res2.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: spark result unreadable: {e}")
+            n_fail += 1
+            continue
+        oc, orn = norm_rows(ocols, orows)
+        sc, srn = norm_rows(scols, srows)
+        if oc != sc:
+            print(f"FAIL {name}: schema mismatch spark={sc} oracle={oc}")
+            n_fail += 1
+        elif orn != srn:
+            diffs = [(a, b) for a, b in zip(srn, orn) if a != b][:3]
+            extra_s = [r for r in srn if r not in orn][:3]
+            extra_o = [r for r in orn if r not in srn][:3]
+            print(f"FAIL {name}: rows spark={len(srn)} oracle={len(orn)}")
+            for a, b in diffs:
+                print(f"   spark={a}\n  oracle={b}")
+            if len(srn) != len(orn):
+                print(f"   only-spark={extra_s}\n  only-oracle={extra_o}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(srn)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
