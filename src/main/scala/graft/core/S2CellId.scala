@@ -269,10 +269,10 @@ object S2CellId {
     )
   }
 
-  private def fromFaceIJSame(f: Int, i: Int, j: Int, sameFace: Boolean): Long =
+  private[core] def fromFaceIJSame(f: Int, i: Int, j: Int, sameFace: Boolean): Long =
     if (sameFace) fromFaceIJ(f, i, j) else fromFaceIJWrap(f, i, j)
 
-  private def fromFaceIJWrap(f: Int, i0: Int, j0: Int): Long = {
+  private[core] def fromFaceIJWrap(f: Int, i0: Int, j0: Int): Long = {
     val i = Math.max(-1, Math.min(MaxSize, i0))
     val j = Math.max(-1, Math.min(MaxSize, j0))
     val kScale = 1.0 / MaxSize

@@ -24,21 +24,27 @@ final case class S2Point(x: Double, y: Double, z: Double) {
 
   def latRadians: Double = Math.atan2(z, Math.sqrt(x * x + y * y))
   def lngRadians: Double = Math.atan2(y, x)
-  def latDegrees: Double = Math.toDegrees(latRadians)
-  def lngDegrees: Double = Math.toDegrees(lngRadians)
+  def latDegrees: Double = S2Point.rad2deg(latRadians)
+  def lngDegrees: Double = S2Point.rad2deg(lngRadians)
 
   def approxEquals(o: S2Point, tol: Double = 1e-15): Boolean =
     angle(o) <= tol
 }
 
 object S2Point {
+  /** S1Angle::Degrees / S1Angle::degrees() operand order — differs from
+    * Java's Math.toRadians/toDegrees by up to 1 ulp, and the reference's
+    * fp goldens pin the S2 order. */
+  @inline def deg2rad(d: Double): Double = (Math.PI / 180.0) * d
+  @inline def rad2deg(r: Double): Double = (180.0 / Math.PI) * r
+
   /** Matches S2LatLng::ToPoint order of operations (lat/lng in radians). */
   def fromLatLngRadians(lat: Double, lng: Double): S2Point = {
     val cosLat = Math.cos(lat)
     S2Point(Math.cos(lng) * cosLat, Math.sin(lng) * cosLat, Math.sin(lat))
   }
   def fromLatLngDegrees(latDeg: Double, lngDeg: Double): S2Point =
-    fromLatLngRadians(Math.toRadians(latDeg), Math.toRadians(lngDeg))
+    fromLatLngRadians(deg2rad(latDeg), deg2rad(lngDeg))
 }
 
 /** Cube-face projection: the standard S2 face/(u,v)/(s,t) coordinate maps

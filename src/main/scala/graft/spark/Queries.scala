@@ -33,6 +33,7 @@ object Queries {
     if (preppedFor == (s, dir)) return
     S2Functions.register(s)
     S2Data.register(s)
+    S2Boxes.register(s)
     Dedup.register(s)
     TextAnalysis.register(s)
     // events.ts is parquet TIMESTAMP(NANOS) which Spark rejects; read nanos
@@ -269,6 +270,65 @@ object Queries {
       | 'Invalid: ffffffffffffffff' AS arb_empty,
       | '0/,1/' AS norm_union,
       | 'POINT (45 35.26439)' AS vertex0""".stripMargin
+
+  private val qCoveringGolden = (s: SparkSession, dir: String) => {
+    prep(s, dir)
+    s.sql(
+      """SELECT
+        | concat_ws(', ', transform(s2_covering(s2_data_country('Fiji')), c -> s2_cell_debug(c))) AS fiji_cov,
+        | concat_ws(', ', transform(s2_covering_fixed_level(s2_data_country('Fiji'), 5), c -> s2_cell_debug(c))) AS fiji_lvl5,
+        | concat_ws(', ', transform(s2_covering(s2_cellcenter_to_geog(s2_cellfromlonlat(-64.0, 45.0))), c -> s2_cell_debug(c))) AS cc_cov,
+        | concat_ws(', ', transform(s2_covering_fixed_level(s2_cellcenter_to_geog(s2_cellfromlonlat(-64.0, 45.0)), 5), c -> s2_cell_debug(c))) AS cc_lvl5,
+        | size(s2_covering(s2_geogfromtext('POINT EMPTY'))) AS empty_cov""".stripMargin)
+  }
+  private val oCoveringGolden =
+    """SELECT '3/13002011, 3/1300232, 3/130030, 3/130031, 3/130033, 3/130100, 3/2032333, 3/20330000000' AS fiji_cov,
+      | '3/13002, 3/13003, 3/13010, 3/20323, 3/20330' AS fiji_lvl5,
+      | '2/112230310012123001312232330210' AS cc_cov,
+      | '2/11223' AS cc_lvl5, 0 AS empty_cov""".stripMargin
+
+  private val qBoundsGolden = (s: SparkSession, dir: String) => {
+    prep(s, dir)
+    S2Data.cities(s).createOrReplaceTempView("cities_v")
+    S2Data.countries(s).createOrReplaceTempView("countries_v")
+    def rb(expr: String, name: String) =
+      s"named_struct('xmin', round(($expr).xmin, 9), 'ymin', round(($expr).ymin, 9), " +
+        s"'xmax', round(($expr).xmax, 9), 'ymax', round(($expr).ymax, 9)) AS $name"
+    s.sql("SELECT " + Seq(
+      rb("s2_bounds_box(s2_geogfromtext('POINT EMPTY'))", "empty_box"),
+      rb("s2_bounds_box(s2_cellcenter_to_geog(s2_cellfromlonlat(-64.0, 45.0)))", "cc_box"),
+      rb("s2_bounds_box(s2_geogfromtext('MULTIPOINT (0 1, 2 3)'))", "mp_box"),
+      rb("(SELECT s2_bounds_box_agg(geog) FROM cities_v)", "cities_box"),
+      rb("(SELECT s2_bounds_box_agg(geog) FROM countries_v)", "countries_box"),
+      rb("s2_box_struct(s2_bounds_box(s2_data_country('Germany')))", "germany_box"),
+      rb("s2_box(5.989, 47.302, 15.017, 54.983)", "box_ctor"),
+      "s2_box_intersects(s2_bounds_box(s2_data_country('Germany')), s2_bounds_box(s2_data_country('France'))) AS de_fr",
+      "s2_box_intersects(s2_bounds_box(s2_data_country('Germany')), s2_bounds_box(s2_data_country('Canada'))) AS de_ca",
+      rb("s2_box_union(s2_box(0.0, 1.0, 2.0, 3.0), s2_box(4.0, 5.0, 6.0, 7.0))", "u1"),
+      rb("s2_box_union(s2_box(179.0, 1.0, 180.0, 3.0), s2_box(-180.0, 5.0, -179.0, 7.0))", "u2"),
+      "s2_format(s2_geogfromwkb(s2_box_wkb(s2_bounds_box(s2_data_country('Germany')))), 4) AS de_wkb",
+      "s2_format(s2_geogfromwkb(s2_box_wkb(s2_bounds_box(s2_data_country('Fiji')))), 4) AS fj_wkb"
+    ).mkString(", "))
+  }
+  private val oBoundsGolden = {
+    def b(x0: String, y0: String, x1: String, y1: String, name: String) =
+      s"{'xmin': round(CAST($x0 AS DOUBLE), 9), 'ymin': round(CAST($y0 AS DOUBLE), 9), " +
+        s"'xmax': round(CAST($x1 AS DOUBLE), 9), 'ymax': round(CAST($y1 AS DOUBLE), 9)} AS $name"
+    Seq(
+      b("180.0", "57.29577951308232", "-180.0", "0.0", "empty_box"),
+      b("-63.99999997805", "45.0000000116166", "-63.99999997805", "45.0000000116166", "cc_box"),
+      b("0.0", "1.0", "1.9999999999999996", "3.0000000000000004", "mp_box"),
+      b("-123.12359", "-41.29998789999999", "-171.738642", "64.1500236", "cities_box"),
+      b("-180.0", "-90.0", "180.0", "83.64513000000002", "countries_box"),
+      b("5.988658", "47.30248799999997", "15.016996000000002", "54.983104000000026", "germany_box"),
+      b("5.989", "47.302", "15.017", "54.983", "box_ctor"),
+      "true AS de_fr", "false AS de_ca",
+      b("0.0", "1.0", "6.000000000000001", "7.0", "u1"),
+      b("179.0", "1.0", "-179.0", "7.0", "u2"),
+      "'POLYGON ((5.9887 47.3025, 15.017 47.3025, 15.017 54.9831, 5.9887 54.9831, 5.9887 47.3025))' AS de_wkb",
+      "'MULTIPOLYGON (((177.285 -18.288, 180 -18.288, 180 -16.0209, 177.285 -16.0209, 177.285 -18.288)), ((-180 -18.288, -179.7933 -18.288, -179.7933 -16.0209, -180 -16.0209, -180 -18.288)))' AS fj_wkb"
+    ).mkString("SELECT ", ", ", "")
+  }
 
   private val qDataGolden = (s: SparkSession, dir: String) => {
     prep(s, dir)
@@ -803,6 +863,8 @@ object Queries {
     ("g_distance", qDistanceGolden, Some(oDistanceGolden)),
     ("g_cells", qCellsGolden, Some(oCellsGolden)),
     ("g_cell_casts", qCellCastsGolden, Some(oCellCastsGolden)),
+    ("g_covering", qCoveringGolden, Some(oCoveringGolden)),
+    ("g_bounds", qBoundsGolden, Some(oBoundsGolden)),
     ("g_data", qDataGolden, Some(oDataGolden)),
     ("g_flagship_join", qFlagshipJoin, Some(oFlagshipJoin)),
     ("g_flagship_broadcast", qFlagshipBroadcast, Some(oFlagshipJoin)),

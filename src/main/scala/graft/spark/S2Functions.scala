@@ -87,10 +87,13 @@ object S2Functions {
       !GeoCodec.isEmptyBlob(a) && !GeoCodec.isEmptyBlob(b) &&
         Covering.unionsIntersect(GeoCodec.coveringOf(a), GeoCodec.coveringOf(b))
 
+  // public s2_covering uses real S2RegionCoverer semantics (matches the
+  // reference's exact cell goldens); the cheap greedy coverer stays internal
+  // for the inline blob-prefilter covering (GeoCodec.encode)
   val covering: Array[Byte] => Array[Long] =
-    (b: Array[Byte]) => Covering.cover(GeoCodec.decode(b))
+    (b: Array[Byte]) => RegionCoverer.cover(GeoCodec.decode(b))
   val coveringFixedLevel: (Array[Byte], Int) => Array[Long] =
-    (b: Array[Byte], lvl: Int) => Covering.coverFixedLevel(GeoCodec.decode(b), lvl)
+    (b: Array[Byte], lvl: Int) => RegionCoverer.coverFixedLevel(GeoCodec.decode(b), lvl)
 
   // ---- cell ops (pure long math; no geometry decode)
   val cellFromLonLat: (Double, Double) => Long =

@@ -54,3 +54,22 @@ object Scratch {
     println("dwithin empty inf: " + Relate.dwithin(e, tor, Double.PositiveInfinity) + " want false")
   }
 }
+object CoverScratch {
+  def main(args: Array[String]): Unit = {
+    def res(p: String) = {
+      val in = getClass.getResourceAsStream(p)
+      val src = scala.io.Source.fromInputStream(in, "UTF-8")
+      try src.getLines().drop(1).map(_.split('\t')).toList finally src.close()
+    }
+    val fiji = graft.core.Wkt.read(res("/graft/countries.tsv").find(_(0) == "Fiji").get(2))
+    val cov = graft.core.RegionCoverer.cover(fiji)
+    println("fiji cover: " + cov.map(graft.core.S2CellId.toDebugString).mkString(", "))
+    println("want      : 3/13002011, 3/1300232, 3/130030, 3/130031, 3/130033, 3/130100, 3/2032333, 3/20330000000")
+    val f5 = graft.core.RegionCoverer.coverFixedLevel(fiji, 5)
+    println("fiji lvl5 : " + f5.map(graft.core.S2CellId.toDebugString).mkString(", "))
+    println("want      : 3/13002, 3/13003, 3/13010, 3/20323, 3/20330")
+    val cc = graft.core.S2CellId.fromLonLatDegrees(-64, 45)
+    println("cc cover  : " + graft.core.RegionCoverer.cover(graft.core.Geography.CellCenter(cc)).map(graft.core.S2CellId.toDebugString).mkString(", "))
+    println("cc lvl5   : " + graft.core.RegionCoverer.coverFixedLevel(graft.core.Geography.CellCenter(cc), 5).map(graft.core.S2CellId.toDebugString).mkString(", "))
+  }
+}
