@@ -1,0 +1,300 @@
+package graft.core
+
+import scala.collection.mutable
+import Geography._
+
+/**
+ * Overlay operators: s2_intersection / s2_difference / s2_union
+ * (reference: src/s2_binary_index_ops.cpp:157-448).
+ *
+ * Empty/disjoint algebra mirrors the reference's tested short-circuits
+ * (binary_index_ops.test:64-128), including the deliberate quirk that
+ * s2_intersection with an empty side returns the NON-empty side
+ * (s2_binary_index_ops.cpp:341-350) — tested behavior, not set theory.
+ *
+ * Dimensioned cases: exact point handling, polyline clipping at polygon
+ * boundaries, and a spherical Weiler-Atherton polygon clipper over the
+ * exact predicates in S2Pred. Multi-ring groups are processed shell-wise
+ * (holes participate as reversed rings in containment tests via GeoShapes).
+ */
+object Overlay {
+
+  private def empty: Geography = Collection(Vector.empty)
+
+  private def disjointCoverings(a: Geography, b: Geography): Boolean = {
+    val ca = Covering.cover(a)
+    val cb = Covering.cover(b)
+    !Covering.unionsIntersect(ca, cb)
+  }
+
+  def intersection(a: Geography, b: Geography): Geography = {
+    if (a.isEmpty) return b // reference quirk: empty side -> other side
+    if (b.isEmpty) return a
+    if (disjointCoverings(a, b)) return empty
+    val sa = new GeoShapes(a); val sb = new GeoShapes(b)
+    val pts = mutable.ArrayBuffer[S2Point]()
+    pts ++= sa.points.filter(p => containsPoint(sb, p))
+    pts ++= sb.points.filter(p => containsPoint(sa, p) && !pts.contains(p))
+    val lines = mutable.ArrayBuffer[Vector[S2Point]]()
+    if (sb.hasPolygons) lines ++= clipLines(linesOf(a), sb, keepInside = true)
+    if (sa.hasPolygons) lines ++= clipLines(linesOf(b), sa, keepInside = true)
+    val polys = mutable.ArrayBuffer[Vector[Vector[S2Point]]]()
+    if (sa.hasPolygons && sb.hasPolygons)
+      polys ++= PolyClip.op(ringsOf(a), ringsOf(b), PolyClip.Intersection)
+    assemble(pts.toVector, lines.toVector, polys.toVector)
+  }
+
+  def difference(a: Geography, b: Geography): Geography = {
+    if (a.isEmpty) return empty
+    if (b.isEmpty) return a
+    if (disjointCoverings(a, b)) return a
+    val sa = new GeoShapes(a); val sb = new GeoShapes(b)
+    val pts = sa.points.filterNot(p => containsPoint(sb, p))
+    val lines = mutable.ArrayBuffer[Vector[S2Point]]()
+    if (sb.hasPolygons) lines ++= clipLines(linesOf(a), sb, keepInside = false)
+    else lines ++= linesOf(a)
+    val polys = mutable.ArrayBuffer[Vector[Vector[S2Point]]]()
+    if (sa.hasPolygons) {
+      if (sb.hasPolygons) polys ++= PolyClip.op(ringsOf(a), ringsOf(b), PolyClip.Difference)
+      else polys ++= ringsOf(a).map(Vector(_))
+    }
+    assemble(pts, lines.toVector, polys.toVector)
+  }
+
+  def union(a: Geography, b: Geography): Geography = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    val sa = new GeoShapes(a); val sb = new GeoShapes(b)
+    val pts = mutable.ArrayBuffer[S2Point]()
+    pts ++= sa.points.filterNot(p => containsPoint(sb, p, pointCounts = false))
+    pts ++= sb.points.filterNot(p => containsPoint(sa, p) || pts.contains(p))
+    // keep points of a that coincide with points of b exactly once
+    val dupAB = sa.points.filter(p => sb.points.contains(p))
+    pts ++= dupAB.filterNot(pts.contains)
+    val lines = mutable.ArrayBuffer[Vector[S2Point]]()
+    lines ++= clipLines(linesOf(a), sb, keepInside = false)
+    lines ++= clipLines(linesOf(b), sa, keepInside = false)
+    val polys = mutable.ArrayBuffer[Vector[Vector[S2Point]]]()
+    if (sa.hasPolygons || sb.hasPolygons) {
+      if (sa.hasPolygons && sb.hasPolygons)
+        polys ++= PolyClip.op(ringsOf(a), ringsOf(b), PolyClip.Union)
+      else polys ++= (ringsOf(a) ++ ringsOf(b)).map(Vector(_))
+    }
+    assemble(pts.toVector.distinct, lines.toVector, polys.toVector)
+  }
+
+  // ------------------------------------------------------------- helpers
+
+  /** Closed-model containment of a point in any component of g. */
+  private def containsPoint(s: GeoShapes, p: S2Point, pointCounts: Boolean = true): Boolean =
+    (pointCounts && s.hasPoint(p)) || s.onAnyLine(p) ||
+      (s.hasPolygons && s.polygonContains(p))
+
+  private def linesOf(g: Geography): Vector[Vector[S2Point]] = g match {
+    case Polylines(ls) => ls.filter(_.size >= 2)
+    case Collection(items) => items.flatMap(linesOf)
+    case _ => Vector.empty
+  }
+
+  private def ringsOf(g: Geography): Vector[Vector[S2Point]] = g match {
+    case p: Polygons => p.allRings
+    case Collection(items) => items.flatMap(ringsOf)
+    case _ => Vector.empty
+  }
+
+  private def assemble(pts: Vector[S2Point], lines: Vector[Vector[S2Point]],
+                       polys: Vector[Vector[Vector[S2Point]]]): Geography = {
+    val hasP = pts.nonEmpty; val hasL = lines.nonEmpty; val hasG = polys.nonEmpty
+    (hasP, hasL, hasG) match {
+      case (false, false, false) => empty
+      case (true, false, false) => Points(pts)
+      case (false, true, false) => Polylines(lines)
+      case (false, false, true) => Polygons(polys)
+      case _ =>
+        val items = mutable.ArrayBuffer[Geography]()
+        if (hasP) items += Points(pts)
+        if (hasL) items += Polylines(lines)
+        if (hasG) items += Polygons(polys)
+        Collection(items.toVector)
+    }
+  }
+
+  /** Split polylines at polygon-boundary crossings; keep the inside or
+    * outside parts (midpoint test per sub-segment). */
+  private def clipLines(lines: Vector[Vector[S2Point]], region: GeoShapes,
+                        keepInside: Boolean): Vector[Vector[S2Point]] = {
+    if (!region.hasPolygons)
+      return if (keepInside) Vector.empty else lines
+    val out = mutable.ArrayBuffer[Vector[S2Point]]()
+    for (line <- lines if line.size >= 2) {
+      var current = mutable.ArrayBuffer[S2Point]()
+      def flush(): Unit = {
+        if (current.size >= 2) out += current.toVector
+        current = mutable.ArrayBuffer[S2Point]()
+      }
+      var i = 0
+      while (i + 1 < line.size) {
+        val a = line(i); val b = line(i + 1)
+        // crossing points with every region edge, ordered along (a, b)
+        val cuts = mutable.ArrayBuffer[(Double, S2Point)]()
+        region.foreachEdge { (c, d) =>
+          if (S2Pred.crossingSign(a, b, c, d) > 0) {
+            val x = PolyClip.intersectionPoint(a, b, c, d)
+            cuts += ((a.angle(x), x))
+          }
+          true
+        }
+        val pieces = (Vector((0.0, a)) ++ cuts.sortBy(_._1) :+ ((a.angle(b), b)))
+          .map(_._2)
+        var k = 0
+        while (k + 1 < pieces.size) {
+          val p = pieces(k); val q = pieces(k + 1)
+          val mid = (p + q).normalize
+          val inside = region.polygonContains(mid) || region.onAnyLine(mid)
+          if (inside == keepInside) {
+            if (current.isEmpty || current.last != p) { flush(); current += p }
+            current += q
+          } else flush()
+          k += 1
+        }
+        i += 1
+      }
+      flush()
+    }
+    out.toVector
+  }
+}
+
+/** Spherical polygon clipping (Weiler-Atherton traversal with exact
+  * crossing predicates). Shell-level: each input is a set of rings; holes
+  * are not distinguished structurally (reference-quality hole support is
+  * future work — the tested overlay algebra does not exercise holes). */
+object PolyClip {
+  sealed trait Op
+  case object Intersection extends Op
+  case object Difference extends Op
+  case object Union extends Op
+
+  /** Robust-ish spherical edge intersection point of crossing edges. */
+  def intersectionPoint(a: S2Point, b: S2Point, c: S2Point, d: S2Point): S2Point = {
+    val x = a.cross(b).cross(c.cross(d))
+    val n = x.norm
+    val p = if (n < 1e-30) (a + b + c + d).normalize else x * (1.0 / n)
+    if (p.dot(a + b) < 0) -p else p
+  }
+
+  /**
+   * On the sphere every region's complement is bounded by the same ring
+   * reversed, so one intersection traversal covers all three ops:
+   *   A minus B  =  A  intersect  reverse(B)
+   *   A union B  =  reverse( reverse(A) intersect reverse(B) )
+   */
+  def op(ringsA: Vector[Vector[S2Point]], ringsB: Vector[Vector[S2Point]], kind: Op): Vector[Vector[Vector[S2Point]]] = {
+    val out = mutable.ArrayBuffer[Vector[Vector[S2Point]]]()
+    kind match {
+      case Intersection =>
+        for (ra <- ringsA; rb <- ringsB) {
+          val r = intersectPair(ra, rb)
+          if (r.nonEmpty) out += r
+        }
+      case Difference =>
+        var acc: Vector[Vector[Vector[S2Point]]] = ringsA.map(Vector(_))
+        for (rb <- ringsB) {
+          acc = acc.flatMap { group =>
+            val r = group.flatMap(ra => intersectPair(ra, rb.reverse))
+            if (r.nonEmpty) Some(r) else scala.None
+          }
+        }
+        out ++= acc
+      case Union =>
+        if (ringsA.size == 1 && ringsB.size == 1) {
+          val r = intersectPair(ringsA.head.reverse, ringsB.head.reverse)
+          if (r.nonEmpty) out += r.map(_.reverse)
+        } else out ++= (ringsA ++ ringsB).map(Vector(_))
+    }
+    out.toVector.filter(_.exists(_.size >= 3))
+  }
+
+  /** Intersection of two single rings (regions to the left of each ring's
+    * direction). Returns the boundary rings of the result region. */
+  private def intersectPair(ra: Vector[S2Point], rb: Vector[S2Point]): Vector[Vector[S2Point]] = {
+    val loopA = new S2Loop(ra.toArray)
+    val loopB = new S2Loop(rb.toArray)
+
+    final case class Cross(ai: Int, bi: Int, p: S2Point)
+    val crossings = mutable.ArrayBuffer[Cross]()
+    for (i <- ra.indices; j <- rb.indices) {
+      val a1 = ra(i); val a2 = ra((i + 1) % ra.size)
+      val b1 = rb(j); val b2 = rb((j + 1) % rb.size)
+      if (S2Pred.crossingSign(a1, a2, b1, b2) > 0)
+        crossings += Cross(i, j, intersectionPoint(a1, a2, b1, b2))
+    }
+
+    if (crossings.isEmpty) {
+      val aInB = loopB.contains(ra.head)
+      val bInA = loopA.contains(rb.head)
+      return if (aInB && bInA) Vector(ra, rb)
+      else if (aInB) Vector(ra)
+      else if (bInA) Vector(rb)
+      else Vector.empty
+    }
+
+    // augmented cycles: original vertices + crossing nodes in edge order
+    def augmented(ring: Vector[S2Point], edgeOf: Cross => Int): Vector[(S2Point, Cross)] = {
+      val buf = mutable.ArrayBuffer[(S2Point, Cross)]()
+      for (i <- ring.indices) {
+        buf += ((ring(i), null))
+        crossings.filter(c => edgeOf(c) == i)
+          .sortBy(c => ring(i).angle(c.p))
+          .foreach(c => buf += ((c.p, c)))
+      }
+      buf.toVector
+    }
+    val seqA = augmented(ra, _.ai)
+    val seqB = augmented(rb, _.bi)
+
+    def segMidInside(seq: Vector[(S2Point, Cross)], i: Int, other: S2Loop): Boolean = {
+      val p = seq(i)._1; val q = seq((i + 1) % seq.size)._1
+      other.contains((p + q).normalize)
+    }
+
+    val results = mutable.ArrayBuffer[Vector[S2Point]]()
+    val used = mutable.Set[Cross]()
+
+    for (startIdx <- seqA.indices; c0 = seqA(startIdx)._2; if c0 != null)
+      if (!used(c0) && segMidInside(seqA, startIdx, loopB)) {
+        // traverse: follow A while inside B; at each crossing switch loops
+        val ring = mutable.ArrayBuffer[S2Point](c0.p)
+        used += c0
+        var onA = true
+        var idx = startIdx
+        var done = false
+        var guard = 0
+        while (!done && guard < 100000) {
+          guard += 1
+          val seq = if (onA) seqA else seqB
+          idx = (idx + 1) % seq.size
+          val (p, cr) = seq(idx)
+          if (cr != null) {
+            if (cr == c0) done = true
+            else {
+              used += cr
+              ring += cr.p
+              val other = if (onA) seqB else seqA
+              idx = other.indexWhere(_._2 == cr)
+              onA = !onA
+            }
+          } else if (ring.isEmpty || ring.last != p) ring += p
+        }
+        if (ring.size >= 3) results += dedupeRing(ring.toVector)
+      }
+    results.toVector.filter(_.size >= 3)
+  }
+
+  private def dedupeRing(r: Vector[S2Point]): Vector[S2Point] = {
+    val out = mutable.ArrayBuffer[S2Point]()
+    for (p <- r) if (out.isEmpty || out.last != p) out += p
+    if (out.size > 1 && out.head == out.last) out.remove(out.size - 1)
+    out.toVector
+  }
+}

@@ -271,6 +271,40 @@ object Queries {
       | '0/,1/' AS norm_union,
       | 'POINT (45 35.26439)' AS vertex0""".stripMargin
 
+  private val qOverlayGolden = sqlQ(
+    """WITH sq AS (SELECT
+      |  s2_geogfromtext('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))') AS a,
+      |  s2_geogfromtext('POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))') AS b)
+      |SELECT
+      | s2_format(s2_intersection(s2_geogfromtext('POINT (-64 45)'), s2_geogfromtext('POINT (-64 46)')), 6) AS int_disjoint,
+      | s2_format(s2_intersection(s2_geogfromtext('POINT (-64 45)'), s2_geogfromtext('POINT EMPTY')), 6) AS int_rhs_empty,
+      | s2_format(s2_intersection(s2_geogfromtext('POINT EMPTY'), s2_geogfromtext('POINT (-64 45)')), 6) AS int_lhs_empty,
+      | s2_format(s2_intersection(s2_geogfromtext('POINT (-64 45)'), s2_geogfromtext('POINT (-64 45)')), 6) AS int_same,
+      | s2_format(s2_difference(s2_geogfromtext('POINT (-64 45)'), s2_geogfromtext('POINT (-64 46)')), 6) AS diff_disjoint,
+      | s2_format(s2_difference(s2_geogfromtext('POINT (-64 45)'), s2_geogfromtext('POINT EMPTY')), 6) AS diff_rhs_empty,
+      | s2_format(s2_difference(s2_geogfromtext('POINT EMPTY'), s2_geogfromtext('POINT (-64 45)')), 6) AS diff_lhs_empty,
+      | s2_format(s2_difference(s2_geogfromtext('POINT (-64 45)'), s2_geogfromtext('POINT (-64 45)')), 6) AS diff_same,
+      | s2_format(s2_union(s2_geogfromtext('POINT (-64 45)'), s2_geogfromtext('POINT EMPTY')), 6) AS un_rhs_empty,
+      | s2_format(s2_union(s2_geogfromtext('POINT EMPTY'), s2_geogfromtext('POINT (-64 45)')), 6) AS un_lhs_empty,
+      | s2_format(s2_union(s2_geogfromtext('POINT (-64 45)'), s2_geogfromtext('POINT (-64 46)')), 6) AS un_two,
+      | (SELECT abs(s2_area(s2_intersection(a, b)) + s2_area(s2_difference(a, b)) - s2_area(a)) / s2_area(a) < 1e-9 FROM sq) AS area_add,
+      | (SELECT abs(s2_area(s2_union(a, b)) - (s2_area(a) + s2_area(b) - s2_area(s2_intersection(a, b)))) / s2_area(a) < 1e-9 FROM sq) AS area_un,
+      | (SELECT s2_contains(s2_intersection(a, b), s2_geogfromtext('POINT (7 7)')) FROM sq) AS int_has_77,
+      | (SELECT NOT s2_contains(s2_intersection(a, b), s2_geogfromtext('POINT (3 3)')) FROM sq) AS int_not_33,
+      | (SELECT s2_contains(s2_difference(a, b), s2_geogfromtext('POINT (3 3)')) FROM sq) AS diff_has_33,
+      | (SELECT NOT s2_contains(s2_difference(a, b), s2_geogfromtext('POINT (7 7)')) FROM sq) AS diff_not_77,
+      | (SELECT s2_contains(s2_union(a, b), s2_geogfromtext('POINT (12 12)')) AND
+      |         s2_contains(s2_union(a, b), s2_geogfromtext('POINT (3 3)')) FROM sq) AS un_has_both""".stripMargin)
+  private val oOverlayGolden =
+    """SELECT 'GEOMETRYCOLLECTION EMPTY' AS int_disjoint, 'POINT (-64 45)' AS int_rhs_empty,
+      | 'POINT (-64 45)' AS int_lhs_empty, 'POINT (-64 45)' AS int_same,
+      | 'POINT (-64 45)' AS diff_disjoint, 'POINT (-64 45)' AS diff_rhs_empty,
+      | 'GEOMETRYCOLLECTION EMPTY' AS diff_lhs_empty, 'GEOMETRYCOLLECTION EMPTY' AS diff_same,
+      | 'POINT (-64 45)' AS un_rhs_empty, 'POINT (-64 45)' AS un_lhs_empty,
+      | 'MULTIPOINT ((-64 45), (-64 46))' AS un_two,
+      | true AS area_add, true AS area_un, true AS int_has_77, true AS int_not_33,
+      | true AS diff_has_33, true AS diff_not_77, true AS un_has_both""".stripMargin
+
   private val qCoveringGolden = (s: SparkSession, dir: String) => {
     prep(s, dir)
     s.sql(
@@ -864,6 +898,7 @@ object Queries {
     ("g_cells", qCellsGolden, Some(oCellsGolden)),
     ("g_cell_casts", qCellCastsGolden, Some(oCellCastsGolden)),
     ("g_covering", qCoveringGolden, Some(oCoveringGolden)),
+    ("g_overlay", qOverlayGolden, Some(oOverlayGolden)),
     ("g_bounds", qBoundsGolden, Some(oBoundsGolden)),
     ("g_data", qDataGolden, Some(oDataGolden)),
     ("g_flagship_join", qFlagshipJoin, Some(oFlagshipJoin)),

@@ -87,6 +87,16 @@ object S2Functions {
       !GeoCodec.isEmptyBlob(a) && !GeoCodec.isEmptyBlob(b) &&
         Covering.unionsIntersect(GeoCodec.coveringOf(a), GeoCodec.coveringOf(b))
 
+  val intersection: (Array[Byte], Array[Byte]) => Array[Byte] =
+    (a: Array[Byte], b: Array[Byte]) =>
+      GeoCodec.encode(Overlay.intersection(GeoCodec.decode(a), GeoCodec.decode(b)))
+  val difference: (Array[Byte], Array[Byte]) => Array[Byte] =
+    (a: Array[Byte], b: Array[Byte]) =>
+      GeoCodec.encode(Overlay.difference(GeoCodec.decode(a), GeoCodec.decode(b)))
+  val unionGeog: (Array[Byte], Array[Byte]) => Array[Byte] =
+    (a: Array[Byte], b: Array[Byte]) =>
+      GeoCodec.encode(Overlay.union(GeoCodec.decode(a), GeoCodec.decode(b)))
+
   // public s2_covering uses real S2RegionCoverer semantics (matches the
   // reference's exact cell goldens); the cheap greedy coverer stays internal
   // for the inline blob-prefilter covering (GeoCodec.encode)
@@ -242,6 +252,9 @@ object S2Functions {
     r.register("s2_contains", contains)
     r.register("s2_equals", equalsGeog)
     r.register("s2_mayintersect", mayIntersect)
+    r.register("s2_intersection", intersection)
+    r.register("s2_difference", difference)
+    r.register("s2_union", unionGeog)
     r.register("s2_covering", covering)
     r.register("s2_covering_fixed_level", coveringFixedLevel)
     r.register("s2_cellfromlonlat", cellFromLonLat)
