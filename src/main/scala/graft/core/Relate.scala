@@ -104,6 +104,15 @@ final class GeoShapes(val g: Geography) extends Serializable {
 
   def hasPolygons: Boolean = loops.exists(_.nonEmpty)
   def hasLines: Boolean = lines.exists(_.size >= 2)
+
+  lazy val numEdges: Int = {
+    var n = 0
+    foreachEdge { (_, _) => n += 1; true }
+    n
+  }
+
+  /** Prepared cell-bucketed edge index (lazy; see EdgeIndex). */
+  @transient lazy val edgeIndex: EdgeIndex = EdgeIndex.build(this)
 }
 
 /**
@@ -136,18 +145,9 @@ object Relate {
       b.foreachEdge { (p, _) => if (a.polygonContains(p)) { found = true; false } else true }
       if (found) return true
     }
-    // edge-edge crossings (proper or touching — CLOSED model)
-    var crossing = false
-    a.foreachEdge { (p1, p2) =>
-      b.foreachEdge { (q1, q2) =>
-        val s = S2Pred.crossingSign(p1, p2, q1, q2)
-        if (s > 0) { crossing = true; false }
-        else if (s == 0 && edgesTouch(p1, p2, q1, q2)) { crossing = true; false }
-        else true
-      }
-      !crossing
-    }
-    crossing
+    // edge-edge crossings (proper or touching — CLOSED model);
+    // cell-bucketed index replaces the O(E_a * E_b) scan for big inputs
+    EdgeIndex.anyCrossing(a, b)
   }
 
   private def pointIntersects(p: S2Point, other: GeoShapes): Boolean =
@@ -190,15 +190,8 @@ object Relate {
       var good = true
       b.foreachEdge { (p, _) => if (!a.polygonContains(p)) { good = false; false } else true }
       if (!good) return false
-      // no b edge may properly cross a's boundary
-      var crossed = false
-      a.foreachEdge { (q1, q2) =>
-        b.foreachEdge { (p1, p2) =>
-          if (S2Pred.crossingSign(p1, p2, q1, q2) > 0) { crossed = true; false } else true
-        }
-        !crossed
-      }
-      if (crossed) return false
+      // no b edge may properly cross a's boundary (index-accelerated)
+      if (EdgeIndex.anyProperCrossing(b, a)) return false
       // holes of a must not bite into b's interior: a hole vertex strictly
       // inside b's polygons disqualifies
       if (b.hasPolygons) {
