@@ -20,6 +20,9 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val qmap = Queries.all.map { case (n, q, _) => n -> q }.toMap
+    // warmup: JIT + parquet footer caches, so per-query times measure the
+    // query, not JVM cold start
+    try qmap("b_tpch_q1")(spark, sfDir).count() catch { case _: Throwable => () }
     val results = Queries.benchNames.map { name =>
       val t0 = System.nanoTime()
       val err: Option[String] =

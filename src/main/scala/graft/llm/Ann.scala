@@ -16,11 +16,27 @@ import org.apache.spark.sql.functions._
  */
 object Ann {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+  // JVM primitives for the hot pair loop: a single UDF call per pair is an
+  // order of magnitude faster than Catalyst higher-order lambda aggregates
+  // over arrays at bench scale.
+  private val dotFn: (Array[Float], Array[Float]) => Double =
+    (a: Array[Float], b: Array[Float]) => {
+      var s = 0.0
+      val n = Math.min(a.length, b.length)
+      var i = 0
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+  private val normFn: Array[Float] => Double = (a: Array[Float]) => {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i).toDouble * a(i).toDouble; i += 1 }
+    Math.sqrt(s)
+  }
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
+  def dot(a: Column, b: Column): Column = udf(dotFn).apply(a, b)
+
+  def norm(a: Column): Column = udf(normFn).apply(a)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -30,10 +46,14 @@ object Ann {
    */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+    // hoist norms out of the pair loop: |Q| + |C| norm computations
+    // instead of |Q| * |C|
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm"))
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+      norm(col(vecCol)).as("c_norm"))
     val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("sim", dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

@@ -35,15 +35,37 @@ object Dedup {
 
   // --------------------------------------------------------------- minhash
 
-  /** Word-set MinHash signature as an Array[Long] column (k hashes).
-    * Uses xxhash64 over (word, seed) — a built-in, codegen'd hash — and a
-    * sortless aggregate-min per seed: no UDF in the hot path. */
-  def minhashSignature(textCol: Column, numHashes: Int): Column = {
-    val words = array_distinct(split(trim(textCol), "\\s+"))
-    val seeds = sequence(lit(0), lit(numHashes - 1))
-    transform(seeds, seed =>
-      array_min(transform(words, w => xxhash64(w, seed))))
+  /** Word-set MinHash signature: k hashes per document in one JVM pass
+    * (double-hashing h1 + i*h2 over FNV-1a word hashes — one UDF call per
+    * row beats k nested Catalyst lambda aggregates by an order of
+    * magnitude at bench scale). */
+  private def minhashSignatureFn(numHashes: Int): String => Array[Long] = (text: String) => {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    if (text != null) {
+      val seen = new java.util.HashSet[String]()
+      for (w <- text.trim.split("\\s+") if w.nonEmpty && seen.add(w)) {
+        var h1 = 0xcbf29ce484222325L
+        var i = 0
+        while (i < w.length) { h1 ^= w.charAt(i); h1 *= 0x100000001b3L; i += 1 }
+        // second independent hash: murmur-style finalizer of h1
+        var h2 = h1
+        h2 ^= h2 >>> 33; h2 *= 0xff51afd7ed558ccdL
+        h2 ^= h2 >>> 33; h2 *= 0xc4ceb9fe1a85ec53L
+        h2 ^= h2 >>> 33
+        var k = 0
+        var h = h1
+        while (k < numHashes) {
+          if (h < sig(k)) sig(k) = h
+          h += h2
+          k += 1
+        }
+      }
+    }
+    sig
   }
+
+  def minhashSignature(textCol: Column, numHashes: Int): Column =
+    udf(minhashSignatureFn(numHashes)).apply(textCol)
 
   /** LSH band keys: split the signature into `bands` bands of
     * numHashes/bands rows each; each band hashes to one bucket key. */

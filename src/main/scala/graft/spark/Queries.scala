@@ -485,17 +485,32 @@ object Queries {
   /** s2_contains data-dependent check: arithmetic-inside-with-margin points
     * must be contained; arithmetic-outside-with-margin must not. The 0.5 deg
     * margin dominates the geodesic-vs-planar edge bulge for these box sizes. */
-  private val qPointInPoly = sqlQ(
+  /** The 6 test boxes pre-encoded driver-side: literal blobs in the plan,
+    * so the WKT parse/encode happens once, not per joined row (Catalyst
+    * collapses projections up through joins otherwise). */
+  private def boxBlobDf(s: SparkSession) = {
+    import s.implicits._
+    boxes.map { b =>
+      (b._1, graft.core.GeoCodec.prepare(graft.core.GeoCodec.encode(graft.core.Wkt.read(boxWkt(b)))),
+        b._2.toDouble, b._3.toDouble, b._4.toDouble, b._5.toDouble)
+    }.toDF("box_id", "bgeog", "xmin", "ymin", "xmax", "ymax")
+  }
+
+  private val qPointInPoly = (s: SparkSession, dir: String) => {
+    prep(s, dir)
+    boxBlobDf(s).createOrReplaceTempView("boxes")
+    s.sql(
     s"""SELECT b.box_id,
        | CAST(sum(CASE WHEN p.lon > b.xmin + 0.5 AND p.lon < b.xmax - 0.5
        |   AND p.lat > b.ymin + 0.5 AND p.lat < b.ymax - 0.5
-       |   AND s2_contains(s2_geogfromtext(b.wkt), s2_geogpoint(p.lon, p.lat)) THEN 1 ELSE 0 END) AS BIGINT) AS n_in,
+       |   AND s2_contains(b.bgeog, s2_geogpoint(p.lon, p.lat)) THEN 1 ELSE 0 END) AS BIGINT) AS n_in,
        | CAST(sum(CASE WHEN (p.lon < b.xmin - 0.5 OR p.lon > b.xmax + 0.5
        |   OR p.lat < b.ymin - 0.5 OR p.lat > b.ymax + 0.5)
-       |   AND s2_contains(s2_geogfromtext(b.wkt), s2_geogpoint(p.lon, p.lat)) THEN 1 ELSE 0 END) AS BIGINT) AS n_fp
-       |FROM (VALUES $boxValues) AS b(box_id, wkt, xmin, ymin, xmax, ymax)
+       |   AND s2_contains(b.bgeog, s2_geogpoint(p.lon, p.lat)) THEN 1 ELSE 0 END) AS BIGINT) AS n_fp
+       |FROM boxes b
        |CROSS JOIN pts p
        |GROUP BY b.box_id ORDER BY b.box_id""".stripMargin)
+  }
   private val oPointInPoly =
     s"""WITH $oraclePts
        |SELECT b.box_id,
@@ -511,9 +526,7 @@ object Queries {
   private val qCoverRefineJoin = (s: SparkSession, dir: String) => {
     prep(s, dir)
     import s.implicits._
-    val boxDf = s.sql(
-      s"""SELECT box_id, s2_geogfromtext(wkt) AS bgeog, xmin, ymin, xmax, ymax
-         |FROM (VALUES $boxValues) AS b(box_id, wkt, xmin, ymin, xmax, ymax)""".stripMargin)
+    val boxDf = boxBlobDf(s)
     val ptsDf = s.sql("SELECT id, lon, lat, s2_geogpoint(lon, lat) AS pgeog FROM pts")
     val joined = S2Join.contains(boxDf, "bgeog", ptsDf, "pgeog", level = 3)
     joined.where($"lon" > $"xmin" + 0.5 && $"lon" < $"xmax" - 0.5 &&

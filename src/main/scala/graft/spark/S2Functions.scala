@@ -26,7 +26,27 @@ object S2Functions {
   // Shared, stateless, serializable function values. Each closes over
   // nothing; the kernel objects are JVM singletons per executor.
 
-  private def shapes(b: Array[Byte]): GeoShapes = new GeoShapes(GeoCodec.decode(b))
+  /** Per-executor decode cache: repeated predicate evaluation against the
+    * same blob (broadcast build sides, VALUES-joined polygons) reuses the
+    * decoded shapes + lazy edge index instead of re-decoding per row —
+    * the Spark analogue of the reference's per-chunk decoder reuse
+    * (s2_binary_index_ops.cpp:290-292) + prepared-geometry dispatch. */
+  private final class BytesKey(val bytes: Array[Byte]) {
+    private val h = java.util.Arrays.hashCode(bytes)
+    override def hashCode: Int = h
+    override def equals(o: Any): Boolean = o match {
+      case k: BytesKey => java.util.Arrays.equals(bytes, k.bytes)
+      case _ => false
+    }
+  }
+  private val shapeCache = new java.util.concurrent.ConcurrentHashMap[BytesKey, GeoShapes]()
+
+  private def shapes(b: Array[Byte]): GeoShapes = {
+    // only cache blobs where decode+index clearly beats hashing the key
+    if (b.length < 4096) return new GeoShapes(GeoCodec.decode(b))
+    if (shapeCache.size > 512) shapeCache.clear()
+    shapeCache.computeIfAbsent(new BytesKey(b), k => new GeoShapes(GeoCodec.decode(k.bytes)))
+  }
 
   val geogFromText: String => Array[Byte] =
     (wkt: String) => if (wkt == null) null else GeoCodec.encode(Wkt.read(wkt, validate = true))
