@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Structured Streaming operators over the events stream shape
+ * (event_id, ts, user_id, event_type, value). The reference has no
+ * streaming engine; these are the Spark-native stream counterparts of the
+ * batch queries (b_events_hourly / b_events_sessions), built on watermarks
+ * + windowed aggregation and flatMapGroupsWithState.
+ *
+ * All scalar graft operators (geo, text, dedup signatures) are stateless
+ * expressions, so they compose with these streams unchanged.
+ */
+object Sessions {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Long)
+
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+                        session_end: Timestamp, n_events: Long)
+
+  /** Watermarked hourly rollup (same result as the batch b_events_hourly
+    * once the watermark closes each hour). */
+  def hourlyRollup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), approx_count_distinct("user_id").as("n_users_approx"))
+      .select(col("event_type"), col("window.start").as("hour"), col("n"), col("n_users_approx"))
+
+  /** Gap-based sessionization (30-min idle gap) with explicit state:
+    * one state record per user, timeout-driven emission. */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, new Timestamp(s.sessionStart),
+              new Timestamp(s.lastTs), s.nEvents))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val out = Seq.newBuilder[SessionOut]
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapSeconds * 1000 =>
+                  cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  out += SessionOut(userId, new Timestamp(s.sessionStart),
+                    new Timestamp(s.lastTs), s.nEvents)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapSeconds * 1000)
+            }
+            out.result().iterator
+          }
+      }
+  }
+}

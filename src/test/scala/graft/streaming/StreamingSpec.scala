@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.spark.S2Functions
+
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", 2)
+      .config("spark.ui.enabled", false)
+      .appName("graft-streaming-test").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    S2Functions.register(spark)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("sessionize splits on the idle gap") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val input = MemoryStream[Sessions.Event]
+    val out = Sessions.sessionize(input.toDS())
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    // user 1: two sessions separated by a 60-min gap; user 2: one session
+    input.addData(
+      Sessions.Event(1, ts(0), 1, "view", 1.0),
+      Sessions.Event(2, ts(10), 1, "view", 1.0),
+      Sessions.Event(3, ts(80), 1, "buy", 1.0),
+      Sessions.Event(4, ts(5), 2, "view", 1.0))
+    q.processAllAvailable()
+    // push the watermark far ahead so timeouts fire
+    input.addData(Sessions.Event(99, ts(10000), 3, "view", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("sessions").as[Sessions.SessionOut].collect()
+    q.stop()
+    val u1 = rows.filter(_.user_id == 1).sortBy(_.session_start.getTime)
+    assert(u1.length === 2)
+    assert(u1(0).n_events === 2)
+    assert(u1(1).n_events === 1)
+    assert(rows.count(_.user_id == 2) === 1)
+  }
+
+  test("hourly rollup with watermark") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val input = MemoryStream[Sessions.Event]
+    val out = Sessions.hourlyRollup(input.toDF())
+    val q = out.writeStream.format("memory").queryName("hourly")
+      .outputMode("append").start()
+    input.addData(
+      Sessions.Event(1, ts(0), 1, "view", 1.0),
+      Sessions.Event(2, ts(30), 2, "view", 1.0),
+      Sessions.Event(3, ts(61), 1, "buy", 1.0))
+    q.processAllAvailable()
+    input.addData(Sessions.Event(9, ts(10000), 9, "view", 1.0)) // close windows
+    q.processAllAvailable()
+    val rows = spark.table("hourly").collect()
+    q.stop()
+    assert(rows.exists(r => r.getAs[String]("event_type") == "view" && r.getAs[Long]("n") == 2))
+    assert(rows.exists(r => r.getAs[String]("event_type") == "buy" && r.getAs[Long]("n") == 1))
+  }
+
+  test("stateless geo expressions run on streams") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val input = MemoryStream[(Double, Double)]
+    val out = input.toDF().toDF("lon", "lat")
+      .selectExpr("s2_cell_token(s2_cellfromlonlat(lon, lat)) AS tok")
+    val q = out.writeStream.format("memory").queryName("geo_stream").start()
+    input.addData((-64.0, 45.0))
+    q.processAllAvailable()
+    val toks = spark.table("geo_stream").as[String].collect()
+    q.stop()
+    assert(toks.toSeq === Seq("4b59a0cd83b5de49"))
+  }
+}
