@@ -247,8 +247,40 @@ object Validation {
       p.allRings.flatMap { r =>
         checkChain(r :+ r.head, isRing = true).orElse(
           if (r.size < 3) Some("Loop with fewer than 3 vertices") else None)
-      }.headOption
+      }.headOption.orElse(findCrossingEdges(p))
     case Geography.Collection(items) => items.flatMap(findError).headOption
+  }
+
+  /** Self/cross-ring crossing-edge detection (reference validation catches
+    * crossing edges — docs/function-reference.md:222-225; the exact text is
+    * not pinned by tests, the S2-style "Edge i crosses edge j" is used). */
+  private def findCrossingEdges(p: Geography.Polygons): Option[String] = {
+    val edges = scala.collection.mutable.ArrayBuffer[(S2Point, S2Point, Int, Int)]()
+    var ringIdx = 0
+    for (ring <- p.allRings) {
+      var i = 0
+      while (i < ring.size) {
+        edges += ((ring(i), ring((i + 1) % ring.size), ringIdx, i))
+        i += 1
+      }
+      ringIdx += 1
+    }
+    var i = 0
+    while (i < edges.size) {
+      var j = i + 1
+      while (j < edges.size) {
+        val (a1, a2, ra, ia) = edges(i)
+        val (b1, b2, rb, ib) = edges(j)
+        // skip adjacent edges of the same ring (share a vertex by design)
+        val adjacent = ra == rb &&
+          (a2 == b1 || b2 == a1 || a1 == b1 || a2 == b2)
+        if (!adjacent && S2Pred.crossingSign(a1, a2, b1, b2) > 0)
+          return Some(s"Edge $ia crosses edge $ib")
+        j += 1
+      }
+      i += 1
+    }
+    None
   }
 
   private def checkChain(pts: Vector[S2Point], isRing: Boolean): Option[String] = {
