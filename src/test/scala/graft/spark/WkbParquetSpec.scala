@@ -1,0 +1,62 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GeoParquet-style interop: WKB BinaryType columns written to and read
+  * back from parquet round-trip losslessly through
+  * s2_aswkb / s2_geogfromwkb (the Spark-native equivalent of the
+  * reference's GeoArrow interchange, src/s2_geoarrow.cpp:87-93). */
+class WkbParquetSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", 2)
+      .config("spark.ui.enabled", false)
+      .appName("graft-wkb-parquet").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    S2Functions.register(spark)
+    S2Data.register(spark)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("countries WKB survives a parquet round trip, including areas") {
+    val dir = Files.createTempDirectory("graft_wkb").toString
+    val out = s"$dir/countries_wkb.parquet"
+    spark.sql(
+      """SELECT name, s2_aswkb(geog) AS wkb, s2_area(geog) AS area
+        |FROM s2_data_countries""".stripMargin)
+      .write.mode("overwrite").parquet(out)
+
+    val back = spark.read.parquet(out)
+    back.createOrReplaceTempView("countries_back")
+    val rows = spark.sql(
+      """SELECT count(*) AS n,
+        | sum(CASE WHEN abs(s2_area(s2_geogfromwkb(wkb)) - area) / area < 1e-9 THEN 1 ELSE 0 END) AS area_ok
+        |FROM countries_back""".stripMargin).collect().head
+    assert(rows.getLong(0) === 177)
+    assert(rows.getLong(1) === 177)
+  }
+
+  test("partitioned-by-cell parquet writes prune on read") {
+    val dir = Files.createTempDirectory("graft_cells").toString
+    val out = s"$dir/cities_by_cell"
+    spark.sql(
+      """SELECT name, s2_aswkb(geog) AS wkb,
+        | s2_cell_token(s2_cell_parent(s2_geog_to_cellcenter(geog), 2)) AS cell_l2
+        |FROM s2_data_cities""".stripMargin)
+      .write.mode("overwrite").partitionBy("cell_l2").parquet(out)
+
+    val all = spark.read.parquet(out)
+    val one = all.where("cell_l2 = '4c'") // some level-2 token bucket
+    val plan = one.queryExecution.executedPlan.toString
+    // partition pruning: the filter must reach PartitionFilters, not rows
+    assert(all.count() === 243)
+    assert(plan.contains("PartitionFilters") || one.count() < 243)
+  }
+}
