@@ -617,7 +617,7 @@ object Queries {
     * find every such pair (identical signatures collide in every band). */
   private val qDedupMinhash = dfQ { s =>
     val docs = s.table("docs_aug")
-    val cands = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+    val cands = Dedup.minhashCandidatePairs(docs, "doc_id", "text", numHashes = 64, bands = 4)
     val canon = docs.select(col("doc_id"),
       md5(array_join(array_sort(array_distinct(split(trim(col("text")), "\\s+"))), " ")).as("canon"))
     cands.join(canon.as("ca"), col("id_a") === col("ca.doc_id"))
