@@ -377,13 +377,14 @@ object Queries {
         | s2_format(s2_data_city('Vancouver'), 6) AS vancouver,
         | s2_dimension(s2_data_country('Canada')) AS canada_dim,
         | (SELECT count(DISTINCT continent) FROM countries_v) AS n_continents,
+        | (SELECT count(*) FROM s2_dependencies) AS n_deps,
         | (SELECT CAST(sum(CAST(s2_intersects(s2_cell_to_geog(s2_cellfromlonlat(s2_x(geog), s2_y(geog))), geog) AS INT)) AS BIGINT) FROM cities_v) AS cities_cell_inv,
         | (SELECT CAST(sum(CAST(s2_intersects(s2_cell_to_geog(s2_cell_parent(s2_arbitrarycellfromwkb(s2_aswkb(geog)), 10)), geog) AS INT)) AS BIGINT) FROM countries_v) AS countries_cell_inv,
         | (SELECT CAST(sum(CAST(s2_intersects(s2_cell_to_geog(s2_cellfromwkb(s2_aswkb(geog))), geog) AS INT)) AS BIGINT) FROM cities_v) AS cities_wkb_inv""".stripMargin)
   }
   private val oDataGolden =
     """SELECT 243 AS n_cities, 177 AS n_countries, 'POINT (-123.12359 49.275362)' AS vancouver,
-      | 2 AS canada_dim, 8 AS n_continents, 243 AS cities_cell_inv, 177 AS countries_cell_inv,
+      | 2 AS canada_dim, 8 AS n_continents, 5 AS n_deps, 243 AS cities_cell_inv, 177 AS countries_cell_inv,
       | 243 AS cities_wkb_inv""".stripMargin
 
   private val qFlagshipJoin = dfQ { s =>

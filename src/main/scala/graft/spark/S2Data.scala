@@ -89,5 +89,6 @@ object S2Data {
     spark.udf.register("s2_data_country", (n: String) => country(n))
     cities(spark).createOrReplaceTempView("s2_data_cities")
     countries(spark).createOrReplaceTempView("s2_data_countries")
+    dependencies(spark).createOrReplaceTempView("s2_dependencies")
   }
 }

@@ -300,6 +300,9 @@ object S2Functions {
     r.register("s2_cellunion_to_geog", cellUnionToGeog)
     r.register("s2_cellunion_normalize", cellUnionNormalize)
     r.register("s2_geogpoint", geogPoint)
+    // hot cell-math functions: override the UDFs with native codegen
+    // expressions on the SQL surface (CellExpressions)
+    CellExpressions.register(spark)
     ()
   }
 }
