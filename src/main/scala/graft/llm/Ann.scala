@@ -106,6 +106,46 @@ object Ann {
       .where(col("rank") <= k)
   }
 
+  /**
+   * IVF-style approximate top-k: a deterministic coarse quantizer
+   * (centroids sampled by id from the corpus itself) partitions the corpus;
+   * each query probes its `nprobe` nearest centroid cells only. The scale
+   * path when the corpus is huge and LSH bucket skew is a concern: the
+   * centroid assignment is one broadcast pass, the probe an equi-join on
+   * the cell id.
+   */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nlist: Int = 16,
+              nprobe: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    // deterministic "training": a hash-ordered pseudo-random sample of the
+    // corpus serves as the coarse centroids
+    val cents = corpus.select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
+      .orderBy(xxhash64(col("cent_id")))
+      .limit(nlist)
+      .withColumn("cent_no", row_number().over(Window.orderBy("cent_id")))
+      .select("cent_no", "cent_vec")
+    val centsB = broadcast(cents)
+
+    def assign(df: DataFrame, id: String, vec: String, n: Int, outCol: String): DataFrame = {
+      val scored = df.join(centsB)
+        .withColumn("d", dot(col(vec), col("cent_vec")) /
+          (norm(col(vec)) * norm(col("cent_vec"))))
+      val w = Window.partitionBy(id).orderBy(col("d").desc, col("cent_no"))
+      scored.withColumn("rk", row_number().over(w)).where(col("rk") <= n)
+        .select(col(id), col(vec), col("cent_no").as(outCol))
+    }
+
+    val c = assign(corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec")),
+      "c_id", "c_vec", 1, "cell")
+    val q = assign(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")),
+      "q_id", "q_vec", nprobe, "cell")
+    val scored = c.join(q, Seq("cell")).where(col("q_id") =!= col("c_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+      .select("q_id", "c_id", "sim").distinct()
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold via LSH buckets. */
   def cosineNearDupPairs(df: DataFrame, threshold: Double, bits: Int = 8,
                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

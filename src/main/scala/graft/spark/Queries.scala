@@ -670,6 +670,21 @@ object Queries {
       |FROM embeddings q JOIN embeddings c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id
       |GROUP BY q.vec_id ORDER BY q_id""".stripMargin
 
+  /** IVF path: a planted exact copy assigns to the same coarse centroid as
+    * its original, so top-1 through the IVF probe must recover it. */
+  private val qAnnIvf = dfQ { s =>
+    val emb = s.table("embeddings")
+    val copies = emb.where(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionAll(copies)
+    Ann.ivfTopK(copies, corpus, k = 1)
+      .select(col("q_id"), col("c_id"))
+      .orderBy("q_id")
+  }
+  private val oAnnIvf =
+    """SELECT vec_id + 100000 AS q_id, vec_id AS c_id FROM embeddings
+      |WHERE vec_id % 50 = 0 ORDER BY q_id""".stripMargin
+
   /** Embedding near-dup: planted exact copies must be recovered by the
     * SRP-LSH bucketed pair generator (cosine(v, v) = 1 >= threshold). */
   private val qEmbedNearDup = dfQ { s =>
@@ -689,6 +704,7 @@ object Queries {
     val docs = s.table("documents")
     docs.select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tok"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"),
         org.apache.spark.sql.functions.length(col("text")).as("n_len"),
         (org.apache.spark.sql.functions.length(col("text")) === col("n_chars")).as("len_ok"))
       .orderBy("doc_id")
@@ -697,6 +713,8 @@ object Queries {
     """SELECT doc_id,
       | CASE WHEN length(trim(text)) = 0 THEN 0
       |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+      | CAST(ceil(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / 4.0) AS BIGINT)
+      |   + length(regexp_replace(text, '[A-Za-z\s]', '', 'g')) AS n_bpeish,
       | length(text) AS n_len, length(text) = n_chars AS len_ok
       |FROM documents ORDER BY doc_id""".stripMargin
 
@@ -935,6 +953,7 @@ object Queries {
     ("l_dedup_simhash", qDedupSimhash, Some(oDedupPairs)),
     ("l_jaccard", qJaccard, Some(oJaccard)),
     ("l_ann_top1", qAnnTop1, Some(oAnnTop1)),
+    ("l_ann_ivf", qAnnIvf, Some(oAnnIvf)),
     ("l_embed_neardup", qEmbedNearDup, Some(oEmbedNearDup)),
     ("l_text_tokens", qTextTokens, Some(oTextTokens)),
     ("l_text_quality", qTextQuality, Some(oTextQuality)),
