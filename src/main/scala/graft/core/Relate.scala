@@ -175,7 +175,11 @@ object Relate {
     if (b.hasLines || b.hasPolygons) {
       if (!a.hasPolygons) {
         // only a polygon can contain 1D/2D content (line-in-line is the
-        // degenerate exception; handled as vertex+midpoint-on-line)
+        // degenerate exception; handled as vertex+midpoint-on-line).
+        // KNOWN APPROXIMATION (ADVICE r2): sampling endpoints + midpoint can
+        // false-positive when the container polyline covers those three
+        // points but has a gap elsewhere along the edge; exact collinear
+        // arc-interval overlap is future work.
         if (a.hasLines && !b.hasPolygons) {
           var good = true
           b.foreachEdge { (p, q) =>
