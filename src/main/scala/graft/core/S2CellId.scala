@@ -272,6 +272,30 @@ object S2CellId {
   private[core] def fromFaceIJSame(f: Int, i: Int, j: Int, sameFace: Boolean): Long =
     if (sameFace) fromFaceIJ(f, i, j) else fromFaceIJWrap(f, i, j)
 
+  /** All 8 same-level neighbors (edge + corner), deduped; cube-corner cells
+    * have 7 (public S2CellId::AppendAllNeighbors semantics at own level). */
+  def allNeighbors(id: Long): Array[Long] = {
+    val lvl = level(id)
+    val sz = ijSize(lvl)
+    val (f, i, j, _) = toFaceIJOrientation(id)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](8)
+    var di = -1
+    while (di <= 1) {
+      var dj = -1
+      while (dj <= 1) {
+        if (di != 0 || dj != 0) {
+          val ni = i + di * sz; val nj = j + dj * sz
+          val inBounds = ni >= 0 && ni < MaxSize && nj >= 0 && nj < MaxSize
+          val n = parent(fromFaceIJSame(f, ni, nj, inBounds), lvl)
+          if (isValid(n) && n != id && !out.contains(n)) out += n
+        }
+        dj += 1
+      }
+      di += 1
+    }
+    out.toArray
+  }
+
   private[core] def fromFaceIJWrap(f: Int, i0: Int, j0: Int): Long = {
     val i = Math.max(-1, Math.min(MaxSize, i0))
     val j = Math.max(-1, Math.min(MaxSize, j0))

@@ -147,6 +147,8 @@ object S2Functions {
     (id: Long) => if (S2CellId.isValid(id)) S2CellId.rangeMax(id) else S2CellId.Sentinel
   val cellSortKey: Long => Long = (id: Long) => S2CellId.sortKey(id)
   val cellDebug: Long => String = (id: Long) => S2CellId.toDebugString(id)
+  val cellAllNeighbors: Long => Array[Long] =
+    (id: Long) => if (S2CellId.isValid(id)) S2CellId.allNeighbors(id) else Array.empty[Long]
   val cellFromDebug: String => Long = (s: String) => S2CellId.fromDebugString(s)
   val cellVertex: (Long, Int) => Array[Byte] =
     (id: Long, k: Int) =>
@@ -226,6 +228,7 @@ object S2Functions {
     val s2_cell_child = udf(cellChild)
     val s2_cell_parent = udf(cellParent)
     val s2_cell_edge_neighbor = udf(cellEdgeNeighbor)
+    val s2_cell_all_neighbors = udf(cellAllNeighbors)
     val s2_cell_range_min = udf(cellRangeMin)
     val s2_cell_range_max = udf(cellRangeMax)
     val s2_cell_sortkey = udf(cellSortKey)
@@ -292,6 +295,7 @@ object S2Functions {
     r.register("s2_cell_range_max", cellRangeMax)
     r.register("s2_cell_sortkey", cellSortKey)
     r.register("s2_cell_debug", cellDebug)
+    r.register("s2_cell_all_neighbors", cellAllNeighbors)
     r.register("s2_cell_from_debug", cellFromDebug)
     r.register("s2_cell_vertex", cellVertex)
     r.register("s2_cellcenter_to_geog", cellCenterToGeog)

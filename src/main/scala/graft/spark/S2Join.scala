@@ -72,12 +72,11 @@ object S2Join {
   def dwithin(left: DataFrame, geogL: String, right: DataFrame, geogR: String,
               meters: Double): DataFrame = {
     val level = levelForDistance(meters)
+    // full 8-neighborhood: edge neighbors alone miss pairs that are close
+    // across a cell corner (diagonal adjacency)
     val l = withCells(left, geogL, level)
-      .withColumn("__cell", explode(array(col("__cell"),
-        S2.s2_cell_edge_neighbor(col("__cell"), lit(0)),
-        S2.s2_cell_edge_neighbor(col("__cell"), lit(1)),
-        S2.s2_cell_edge_neighbor(col("__cell"), lit(2)),
-        S2.s2_cell_edge_neighbor(col("__cell"), lit(3)))))
+      .withColumn("__cell", explode(concat(array(col("__cell")),
+        S2.s2_cell_all_neighbors(col("__cell")))))
     val r = withCells(right, geogR, level)
     l.join(r, "__cell")
       .where(S2.s2_dwithin(col(geogL), col(geogR), lit(meters)))
