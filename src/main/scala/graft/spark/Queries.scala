@@ -565,6 +565,26 @@ object Queries {
        |SELECT id, CAST(round(radians(abs(lon_i)) * 6371010.0 / 1000.0, 0) AS BIGINT) AS km
        |FROM pts ORDER BY id""".stripMargin
 
+  /** Distance join at scale: all point pairs within 300km through
+    * S2Join.dwithin (cell + 8-neighborhood buckets); the oracle recomputes
+    * with haversine (min boundary margin on this grid is ~150m, far above
+    * cross-engine fp noise). */
+  private val qDwithinJoin = (s: SparkSession, dir: String) => {
+    prep(s, dir)
+    import s.implicits._
+    val pts = s.sql("SELECT id, s2_geogpoint(lon, lat) AS g FROM pts")
+    S2Join.dwithin(
+        pts.select($"id".as("id_a"), $"g".as("ga")), "ga",
+        pts.select($"id".as("id_b"), $"g".as("gb")), "gb", 300000.0)
+      .where($"id_a" < $"id_b")
+      .agg(count(lit(1)).cast("long").as("n"))
+  }
+  private val oDwithinJoin =
+    s"""WITH $oraclePts
+       |SELECT CAST(count(*) AS BIGINT) AS n FROM pts a JOIN pts b ON a.id < b.id
+       |WHERE 2*6371010*asin(sqrt(sin(radians(b.lat-a.lat)/2)^2 +
+       |  cos(radians(a.lat))*cos(radians(b.lat))*sin(radians(b.lon-a.lon)/2)^2)) <= 300000""".stripMargin
+
   private val qCoveringScale = sqlQ(
     """SELECT id,
       | size(s2_covering(s2_geogpoint(lon, lat))) AS cov_size,
@@ -944,6 +964,7 @@ object Queries {
     ("t_point_in_poly", qPointInPoly, Some(oPointInPoly)),
     ("t_cover_refine_join", qCoverRefineJoin, Some(oCoverRefineJoin)),
     ("t_dwithin", qDwithinScale, Some(oDwithinScale)),
+    ("t_dwithin_join", qDwithinJoin, Some(oDwithinJoin)),
     ("t_distance", qDistanceScale, Some(oDistanceScale)),
     ("t_covering", qCoveringScale, Some(oCoveringScale)),
     ("t_prepare_join", qPrepareScale, Some(oPrepareScale)),
@@ -971,7 +992,7 @@ object Queries {
 
   /** Headline subset for BENCH (sf0.1). */
   val benchNames: Seq[String] = Seq(
-    "t_point_in_poly", "t_cover_refine_join", "t_cells", "t_dwithin",
+    "t_point_in_poly", "t_cover_refine_join", "t_cells", "t_dwithin", "t_dwithin_join",
     "g_flagship_join", "g_flagship_broadcast",
     "l_dedup_minhash", "l_dedup_simhash", "l_ann_top1", "l_ann_ivf", "l_text_tokens",
     "b_tpch_q1", "b_tpch_q3", "b_tpch_q5", "b_events_sessions")
