@@ -18,9 +18,23 @@ import S2Functions.S2
  */
 object S2Join {
 
-  /** Explode `level`-covering of geogCol into a `__cell` column. */
-  private def withCells(df: DataFrame, geogCol: String, level: Int): DataFrame =
-    df.withColumn("__cell", explode(S2.s2_covering_fixed_level(col(geogCol), lit(level))))
+  /** Tag rows with a stable id, then explode the `level`-covering of
+    * geogCol into a `__cell` column (id BEFORE explode — it identifies the
+    * original row across its cell copies). */
+  private def withCells(df: DataFrame, geogCol: String, level: Int, idName: String): DataFrame =
+    df.withColumn(idName, monotonically_increasing_id())
+      .withColumn("__cell", explode(S2.s2_covering_fixed_level(col(geogCol), lit(level))))
+
+  /** Join two cell-exploded sides, refine with `predicate`, and dedupe the
+    * multi-cell matches on the lightweight row ids (comparing long ids
+    * beats re-hashing whole rows with geography blobs in them). */
+  private def refineDedupe(l: DataFrame, r: DataFrame,
+                           predicate: org.apache.spark.sql.Column): DataFrame = {
+    l.join(r, "__cell")
+      .where(predicate)
+      .dropDuplicates("__lid", "__rid")
+      .drop("__cell", "__lid", "__rid")
+  }
 
   /**
    * Cover-then-refine intersects join. Every output row satisfies
@@ -32,23 +46,17 @@ object S2Join {
    */
   def intersects(left: DataFrame, geogL: String, right: DataFrame, geogR: String,
                  level: Int = 4): DataFrame = {
-    val l = withCells(left, geogL, level)
-    val r = withCells(right, geogR, level)
-    l.join(r, "__cell")
-      .where(S2.s2_intersects(col(geogL), col(geogR)))
-      .drop("__cell")
-      .distinct()
+    val l = withCells(left, geogL, level, "__lid")
+    val r = withCells(right, geogR, level, "__rid")
+    refineDedupe(l, r, S2.s2_intersects(col(geogL), col(geogR)))
   }
 
   /** Containment join: rows where left contains right. */
   def contains(left: DataFrame, geogL: String, right: DataFrame, geogR: String,
                level: Int = 4): DataFrame = {
-    val l = withCells(left, geogL, level)
-    val r = withCells(right, geogR, level)
-    l.join(r, "__cell")
-      .where(S2.s2_contains(col(geogL), col(geogR)))
-      .drop("__cell")
-      .distinct()
+    val l = withCells(left, geogL, level, "__lid")
+    val r = withCells(right, geogR, level, "__rid")
+    refineDedupe(l, r, S2.s2_contains(col(geogL), col(geogR)))
   }
 
   /**
@@ -74,14 +82,11 @@ object S2Join {
     val level = levelForDistance(meters)
     // full 8-neighborhood: edge neighbors alone miss pairs that are close
     // across a cell corner (diagonal adjacency)
-    val l = withCells(left, geogL, level)
+    val l = withCells(left, geogL, level, "__lid")
       .withColumn("__cell", explode(concat(array(col("__cell")),
         S2.s2_cell_all_neighbors(col("__cell")))))
-    val r = withCells(right, geogR, level)
-    l.join(r, "__cell")
-      .where(S2.s2_dwithin(col(geogL), col(geogR), lit(meters)))
-      .drop("__cell")
-      .distinct()
+    val r = withCells(right, geogR, level, "__rid")
+    refineDedupe(l, r, S2.s2_dwithin(col(geogL), col(geogR), lit(meters)))
   }
 
   /** Smallest level whose min cell edge still exceeds `meters` (so one
