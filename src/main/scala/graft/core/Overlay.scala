@@ -212,7 +212,33 @@ object PolyClip {
           if (r.nonEmpty) out += r.map(_.reverse)
         } else out ++= (ringsA ++ ringsB).map(Vector(_))
     }
-    out.toVector.filter(_.exists(_.size >= 3))
+    // Engine-wide ring convention (same as the WKT reader): every stored
+    // ring encloses its small (<= hemisphere) side; ring 0 of a group is the
+    // shell, later rings are holes. Traversal emits boundary-oriented rings
+    // (holes reversed) — normalize, then regroup into shell+holes.
+    val rings = out.toVector.flatten
+      .filter(_.size >= 3)
+      .map(r => if (new S2Loop(r.toArray).isInverted) r.reverse else r)
+    regroup(rings)
+  }
+
+  /** Group normalized rings into polygons: the largest containing ring of a
+    * ring is its shell (nested-ring holes); top-level rings are shells. */
+  private def regroup(rings: Vector[Vector[S2Point]]): Vector[Vector[Vector[S2Point]]] = {
+    if (rings.size <= 1) return rings.map(Vector(_))
+    val withLoops = rings.map(r => (r, new S2Loop(r.toArray)))
+      .sortBy { case (_, l) => -l.area }
+    val groups = mutable.ArrayBuffer[mutable.ArrayBuffer[Vector[S2Point]]]()
+    val shellLoops = mutable.ArrayBuffer[S2Loop]()
+    for ((r, _) <- withLoops) {
+      val shellIdx = shellLoops.indexWhere(_.contains(r.head))
+      if (shellIdx >= 0) groups(shellIdx) += r // hole of that shell
+      else {
+        groups += mutable.ArrayBuffer(r)
+        shellLoops += new S2Loop(r.toArray)
+      }
+    }
+    groups.map(_.toVector).toVector
   }
 
   /** Intersection of two single rings (regions to the left of each ring's
