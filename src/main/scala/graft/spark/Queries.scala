@@ -585,6 +585,30 @@ object Queries {
        |WHERE 2*6371010*asin(sqrt(sin(radians(b.lat-a.lat)/2)^2 +
        |  cos(radians(a.lat))*cos(radians(b.lat))*sin(radians(b.lon-a.lon)/2)^2)) <= 300000""".stripMargin
 
+  /** Pole triangles (0 0, n 0, 0 90) have closed-form spherical measures:
+    * area = R^2 * radians(n) (the spherical excess IS n at the pole) and
+    * perimeter = R * radians(n + 180) — an independent arithmetic oracle
+    * for s2_area / s2_perimeter over data-derived shapes. */
+  private val qMeasuresScale = sqlQ(
+    """SELECT id,
+      | CAST(round(s2_area(s2_geogfromtext(
+      |   concat('POLYGON ((0 0, ', CAST(id % 89 + 1 AS INT), ' 0, 0 90, 0 0))'))) / 1e6, 0) AS BIGINT) AS area_r,
+      | CAST(round(s2_perimeter(s2_geogfromtext(
+      |   concat('POLYGON ((0 0, ', CAST(id % 89 + 1 AS INT), ' 0, 0 90, 0 0))'))) / 1000.0, 0) AS BIGINT) AS perim_km,
+      | CAST(round(s2_length(s2_geogfromtext(
+      |   concat('LINESTRING (', lon_i, ' 0, ', lon_i, ' ', CAST(id % 80 + 1 AS INT), ')'))) / 1000.0, 0) AS BIGINT) AS merid_km,
+      | s2_dimension(s2_geogfromtext(concat('POLYGON ((0 0, ', CAST(id % 89 + 1 AS INT), ' 0, 0 90, 0 0))'))) AS dim,
+      | s2_num_points(s2_geogfromtext(concat('POLYGON ((0 0, ', CAST(id % 89 + 1 AS INT), ' 0, 0 90, 0 0))'))) AS np
+      |FROM pts ORDER BY id""".stripMargin)
+  private val oMeasuresScale =
+    s"""WITH $oraclePts
+       |SELECT id,
+       | CAST(round(6371010.0 * 6371010.0 * radians(id % 89 + 1) / 1e6, 0) AS BIGINT) AS area_r,
+       | CAST(round(6371010.0 * radians(id % 89 + 1 + 180) / 1000.0, 0) AS BIGINT) AS perim_km,
+       | CAST(round(6371010.0 * radians(id % 80 + 1) / 1000.0, 0) AS BIGINT) AS merid_km,
+       | 2 AS dim, 3 AS np
+       |FROM pts ORDER BY id""".stripMargin
+
   private val qCoveringScale = sqlQ(
     """SELECT id,
       | size(s2_covering(s2_geogpoint(lon, lat))) AS cov_size,
@@ -967,6 +991,7 @@ object Queries {
     ("t_dwithin_join", qDwithinJoin, Some(oDwithinJoin)),
     ("t_distance", qDistanceScale, Some(oDistanceScale)),
     ("t_covering", qCoveringScale, Some(oCoveringScale)),
+    ("t_measures", qMeasuresScale, Some(oMeasuresScale)),
     ("t_prepare_join", qPrepareScale, Some(oPrepareScale)),
     ("l_dedup_exact", qDedupExact, Some(oDedupExact)),
     ("l_dedup_pairs", qDedupPairs, Some(oDedupPairs)),
