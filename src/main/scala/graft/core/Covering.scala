@@ -26,41 +26,6 @@ object Covering {
       else coverShapes(shapes, maxCells)
   }
 
-  /** All cells at exactly `level` that may intersect the geography. */
-  def coverFixedLevel(g: Geography, level: Int): Array[Long] = g match {
-    case Geography.CellCenter(id) =>
-      if (S2CellId.isValid(id)) Array(S2CellId.parent(id, level)) else Array.empty
-    case Geography.Points(ps) if ps.nonEmpty =>
-      sortUnsignedDistinct(ps.map(p => S2CellId.parent(S2CellId.fromPoint(p.x, p.y, p.z), level)).toArray)
-    case _ =>
-      val shapes = new GeoShapes(g)
-      if (shapes.isEmpty) return Array.empty
-      val out = ArrayBuffer.empty[Long]
-      var queue = List.newBuilder[Long]
-      var faces = 0
-      while (faces < 6) {
-        val id = faceCell(faces)
-        if (mayIntersect(id, shapes)) queue += id
-        faces += 1
-      }
-      var work = queue.result()
-      while (work.nonEmpty) {
-        val id = work.head
-        work = work.tail
-        if (S2CellId.level(id) == level) out += id
-        else {
-          var c = S2CellId.child(id, 0)
-          var k = 0
-          while (k < 4) {
-            if (mayIntersect(c, shapes)) work = c :: work
-            c = if (k < 3) S2CellId.child(id, k + 1) else c
-            k += 1
-          }
-        }
-      }
-      sortUnsignedDistinct(out.toArray)
-  }
-
   private def coverShapes(shapes: GeoShapes, maxCells: Int): Array[Long] = {
     // Greedy largest-first subdivision, deterministic.
     implicit val ord: Ordering[Long] = (a: Long, b: Long) => {
