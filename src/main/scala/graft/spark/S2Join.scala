@@ -89,12 +89,14 @@ object S2Join {
     refineDedupe(l, r, S2.s2_dwithin(col(geogL), col(geogR), lit(meters)))
   }
 
-  /** Smallest level whose min cell edge still exceeds `meters` (so one
-    * neighbor ring is a sufficient buffer). Level edge ~ 8000km / 2^level. */
+  /** Largest level whose minimum cell width still exceeds `meters`, so the
+    * 8-neighbor ring is a sufficient buffer (S2 kMinWidth metric:
+    * ~0.9428 rad * 2^-level * R). Finer levels mean ~4x fewer candidate
+    * pairs per level step. */
   def levelForDistance(meters: Double): Int = {
+    val minWidthL0 = 0.9428090415820634 * 6371010.0 // meters at level 0
     var level = 0
-    var edge = 8.0e6
-    while (level < 12 && edge / 2 > meters * 2) { edge /= 2; level += 1 }
+    while (level < 14 && minWidthL0 / (1L << (level + 1)) >= meters) level += 1
     level
   }
 
