@@ -325,9 +325,11 @@ object Queries {
     prep(s, dir)
     S2Data.cities(s).createOrReplaceTempView("cities_v")
     S2Data.countries(s).createOrReplaceTempView("countries_v")
+    // Flat scalar columns (not structs): the driver's pandas hasher cannot sort
+    // struct/dict cells, so every box is emitted as 4 rounded doubles.
     def rb(expr: String, name: String) =
-      s"named_struct('xmin', round(($expr).xmin, 9), 'ymin', round(($expr).ymin, 9), " +
-        s"'xmax', round(($expr).xmax, 9), 'ymax', round(($expr).ymax, 9)) AS $name"
+      s"round(($expr).xmin, 9) AS ${name}_xmin, round(($expr).ymin, 9) AS ${name}_ymin, " +
+        s"round(($expr).xmax, 9) AS ${name}_xmax, round(($expr).ymax, 9) AS ${name}_ymax"
     s.sql("SELECT " + Seq(
       rb("s2_bounds_box(s2_geogfromtext('POINT EMPTY'))", "empty_box"),
       rb("s2_bounds_box(s2_cellcenter_to_geog(s2_cellfromlonlat(-64.0, 45.0)))", "cc_box"),
@@ -346,8 +348,8 @@ object Queries {
   }
   private val oBoundsGolden = {
     def b(x0: String, y0: String, x1: String, y1: String, name: String) =
-      s"{'xmin': round(CAST($x0 AS DOUBLE), 9), 'ymin': round(CAST($y0 AS DOUBLE), 9), " +
-        s"'xmax': round(CAST($x1 AS DOUBLE), 9), 'ymax': round(CAST($y1 AS DOUBLE), 9)} AS $name"
+      s"round(CAST($x0 AS DOUBLE), 9) AS ${name}_xmin, round(CAST($y0 AS DOUBLE), 9) AS ${name}_ymin, " +
+        s"round(CAST($x1 AS DOUBLE), 9) AS ${name}_xmax, round(CAST($y1 AS DOUBLE), 9) AS ${name}_ymax"
     Seq(
       b("180.0", "57.29577951308232", "-180.0", "0.0", "empty_box"),
       b("-63.99999997805", "45.0000000116166", "-63.99999997805", "45.0000000116166", "cc_box"),
@@ -840,18 +842,18 @@ object Queries {
 
   private val qTpchQ1 = sqlQ(
     """SELECT l_returnflag, l_linestatus,
-      | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
-      | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
-      | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+      | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+      | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+      | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
       | CAST(count(*) AS BIGINT) AS count_order
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin)
   private val oTpchQ1 =
     """SELECT l_returnflag, l_linestatus,
-      | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
-      | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
-      | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+      | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+      | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+      | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
       | CAST(count(*) AS BIGINT) AS count_order
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus
@@ -876,7 +878,7 @@ object Queries {
 
   private val qTpchQ3 = sqlQ(
     """SELECT o.o_orderkey,
-      | CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue
+      | CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
       |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
       |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
       |WHERE c.c_mktsegment = 'BUILDING'
@@ -884,7 +886,7 @@ object Queries {
       |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)
   private val oTpchQ3 =
     """SELECT o.o_orderkey,
-      | CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue
+      | CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
       |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
       |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
       |WHERE c.c_mktsegment = 'BUILDING'
@@ -893,7 +895,7 @@ object Queries {
 
   private val qTpchQ5 = sqlQ(
     """SELECT r.r_name, n.n_name,
-      | CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue,
+      | CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
       | CAST(count(*) AS BIGINT) AS n_items
       |FROM lineitem l
       |JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -903,7 +905,7 @@ object Queries {
       |ORDER BY r.r_name, n.n_name""".stripMargin)
   private val oTpchQ5 =
     """SELECT r.r_name, n.n_name,
-      | CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS revenue,
+      | CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
       | CAST(count(*) AS BIGINT) AS n_items
       |FROM lineitem l
       |JOIN supplier s ON l.l_suppkey = s.s_suppkey
