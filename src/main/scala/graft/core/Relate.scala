@@ -113,6 +113,9 @@ final class GeoShapes(val g: Geography) extends Serializable {
 
   /** Prepared cell-bucketed edge index (lazy; see EdgeIndex). */
   @transient lazy val edgeIndex: EdgeIndex = EdgeIndex.build(this)
+
+  /** Prepared distance index: cell buckets with bounding caps (ClosestEdge). */
+  @transient lazy val distIndex: DistIndex = DistIndex.build(this)
 }
 
 /**
@@ -236,72 +239,18 @@ object Relate {
   // ------------------------------------------------------------- distance
 
   /** Min distance in radians; +inf if either empty
-    * (reference: s2_binary_index_ops.cpp:628-631). */
+    * (reference: s2_binary_index_ops.cpp:628-631). Best-first search over
+    * the distance index replaces the O(E_a * E_b) scan (ClosestEdge). */
   def distanceAngle(a: GeoShapes, b: GeoShapes): Double = {
     if (a.isEmpty || b.isEmpty) return Double.PositiveInfinity
     if (intersects(a, b)) return 0.0
-    var best = Double.PositiveInfinity
-    // point-point / point-edge / edge-edge brute force
-    val aPts = a.points; val bPts = b.points
-    var i = 0
-    while (i < aPts.size) {
-      var j = 0
-      while (j < bPts.size) {
-        best = Math.min(best, S2EdgeDist.pointAngle(aPts(i), bPts(j)))
-        j += 1
-      }
-      b.foreachEdge { (q1, q2) =>
-        best = Math.min(best, S2EdgeDist.pointEdgeAngle(aPts(i), q1, q2)); true
-      }
-      i += 1
-    }
-    i = 0
-    while (i < bPts.size) {
-      a.foreachEdge { (q1, q2) =>
-        best = Math.min(best, S2EdgeDist.pointEdgeAngle(bPts(i), q1, q2)); true
-      }
-      i += 1
-    }
-    a.foreachEdge { (p1, p2) =>
-      b.foreachEdge { (q1, q2) =>
-        best = Math.min(best, S2EdgeDist.edgeEdgeAngle(p1, p2, q1, q2)); true
-      }
-      true
-    }
-    best
+    ClosestEdge.minAngle(a, b)
   }
 
   /** Max distance in radians; +inf if either empty. */
   def maxDistanceAngle(a: GeoShapes, b: GeoShapes): Double = {
     if (a.isEmpty || b.isEmpty) return Double.PositiveInfinity
-    var best = 0.0
-    val aPts = a.points; val bPts = b.points
-    var i = 0
-    while (i < aPts.size) {
-      var j = 0
-      while (j < bPts.size) {
-        best = Math.max(best, S2EdgeDist.pointAngle(aPts(i), bPts(j)))
-        j += 1
-      }
-      b.foreachEdge { (q1, q2) =>
-        best = Math.max(best, S2EdgeDist.pointEdgeMaxAngle(aPts(i), q1, q2)); true
-      }
-      i += 1
-    }
-    i = 0
-    while (i < bPts.size) {
-      a.foreachEdge { (q1, q2) =>
-        best = Math.max(best, S2EdgeDist.pointEdgeMaxAngle(bPts(i), q1, q2)); true
-      }
-      i += 1
-    }
-    a.foreachEdge { (p1, p2) =>
-      b.foreachEdge { (q1, q2) =>
-        best = Math.max(best, S2EdgeDist.edgeEdgeMaxAngle(p1, p2, q1, q2)); true
-      }
-      true
-    }
-    best
+    ClosestEdge.maxAngle(a, b)
   }
 
   def distanceMeters(a: GeoShapes, b: GeoShapes): Double = {
@@ -316,6 +265,13 @@ object Relate {
 
   def dwithin(a: GeoShapes, b: GeoShapes, meters: Double): Boolean = {
     if (a.isEmpty || b.isEmpty) return false // reference: false even for inf
-    distanceMeters(a, b) <= meters
+    if (intersects(a, b)) return true
+    // early exit: any distance at or below the threshold decides true, so the
+    // best-first search stops at the first such witness instead of refining
+    // to the exact minimum
+    // shrink the stop threshold a hair so an early exit can never flip the
+    // final *R <= meters comparison at an fp boundary
+    val ang = ClosestEdge.minAngle(a, b, stopBelow = (meters / S2EdgeDist.EarthRadiusMeters) * (1 - 1e-12))
+    ang * S2EdgeDist.EarthRadiusMeters <= meters
   }
 }

@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, LongType}
+import org.apache.spark.sql.catalyst.expressions.aggregate.First
+import org.apache.spark.sql.types.{ArrayType, LongType, MapType}
 
 /**
  * SparkSessionExtensions entry point:
@@ -38,8 +39,19 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** The rewrite hashes and groups whole rows; map columns are neither
+    * hashable nor groupable, so such joins keep the nested-loop plan. */
+  private def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: MapType => true
+    case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
+    case a: ArrayType => hasMap(a.elementType)
+    case _ => false
+  }
+
+  private def rewritable(j: Join): Boolean = j.output.forall(a => !hasMap(a.dataType))
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
-    case j @ Join(left, right, Inner, Some(cond), hint) =>
+    case j @ Join(left, right, Inner, Some(cond), hint) if rewritable(j) =>
       spatialPredicate(cond) match {
         case Some((g1, g2))
             if g1.references.subsetOf(left.outputSet) && g2.references.subsetOf(right.outputSet) =>
@@ -55,7 +67,11 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
                       cond: Expression, geogL: Expression, geogR: Expression): LogicalPlan = {
     def tagAndExplode(child: LogicalPlan, geog: Expression, side: String)
         : (LogicalPlan, Attribute, Attribute) = {
-      val rowId = Alias(MonotonicallyIncreasingID(), s"__${side}_rowid")()
+      // deterministic 128-bit content fingerprint (stable under stage retry,
+      // unlike MonotonicallyIncreasingID — see S2Join.withCells)
+      val rowId = Alias(CreateStruct(Seq(
+        new XxHash64(Literal(1L) +: child.output),
+        new XxHash64(Literal(2L) +: child.output))), s"__${side}_rowid")()
       val tagged = Project(child.output :+ rowId, child)
       val covering = ScalaUDF(
         function = S2Functions.coveringFixedLevel,
@@ -74,10 +90,13 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
 
     val cellJoin = Join(lPlan, rPlan, Inner, Some(EqualTo(lCell, rCell)), j.hint)
     val refined = Filter(cond, cellJoin)
-    // dedupe multi-cell matches per original row pair; grouping on the row
-    // ids (plus the functionally-dependent outputs) emits each pair once
+    // dedupe multi-cell matches per original row pair: group on the row-id
+    // pair only — every output column is functionally dependent on it, so
+    // first() recovers them without shuffling whole geography blobs as keys
     // (Deduplicate is not legal this late in the optimizer, Aggregate is)
-    val groupCols: Seq[Expression] = Seq(lId, rId) ++ j.output
-    Aggregate(groupCols, j.output.map(_.asInstanceOf[NamedExpression]), refined)
+    val aggs = j.output.map { a =>
+      Alias(First(a, ignoreNulls = false).toAggregateExpression(), a.name)(exprId = a.exprId)
+    }
+    Aggregate(Seq(lId, rId), aggs, refined)
   }
 }

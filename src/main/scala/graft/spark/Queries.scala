@@ -577,8 +577,8 @@ object Queries {
     val pts = s.sql("SELECT id, s2_geogpoint(lon, lat) AS g FROM pts")
     S2Join.dwithin(
         pts.select($"id".as("id_a"), $"g".as("ga")), "ga",
-        pts.select($"id".as("id_b"), $"g".as("gb")), "gb", 300000.0)
-      .where($"id_a" < $"id_b")
+        pts.select($"id".as("id_b"), $"g".as("gb")), "gb", 300000.0,
+        pairFilter = Some($"id_a" < $"id_b"))
       .agg(count(lit(1)).cast("long").as("n"))
   }
   private val oDwithinJoin =

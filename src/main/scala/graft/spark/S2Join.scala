@@ -18,20 +18,33 @@ import S2Functions.S2
  */
 object S2Join {
 
-  /** Tag rows with a stable id, then explode the `level`-covering of
+  /** Tag rows with a deterministic id, then explode the `level`-covering of
     * geogCol into a `__cell` column (id BEFORE explode — it identifies the
-    * original row across its cell copies). */
-  private def withCells(df: DataFrame, geogCol: String, level: Int, idName: String): DataFrame =
-    df.withColumn(idName, monotonically_increasing_id())
+    * original row across its cell copies).
+    *
+    * The id is a 128-bit content fingerprint (two seeded xxhash64 passes over
+    * every column): unlike monotonically_increasing_id it is stable under
+    * stage retry and speculative execution, so a recomputed partition can
+    * never produce duplicate or lost pairs. Fully identical input rows share
+    * a fingerprint and collapse to one output pair — consistent with the
+    * dedupe-on-row-identity contract. */
+  private def withCells(df: DataFrame, geogCol: String, level: Int, idName: String): DataFrame = {
+    val cols = df.columns.map(col).toSeq
+    df.withColumn(idName, struct(xxhash64((lit(1L) +: cols): _*), xxhash64((lit(2L) +: cols): _*)))
       .withColumn("__cell", explode(S2.s2_covering_fixed_level(col(geogCol), lit(level))))
+  }
 
   /** Join two cell-exploded sides, refine with `predicate`, and dedupe the
     * multi-cell matches on the lightweight row ids (comparing long ids
     * beats re-hashing whole rows with geography blobs in them). */
   private def refineDedupe(l: DataFrame, r: DataFrame,
-                           predicate: org.apache.spark.sql.Column): DataFrame = {
-    l.join(r, "__cell")
-      .where(predicate)
+                           predicate: org.apache.spark.sql.Column,
+                           prefilter: Option[Column] = None): DataFrame = {
+    val joined = l.join(r, "__cell")
+    // cheap pair prefilter (e.g. id_a < id_b for symmetric self-joins) runs
+    // before the exact-geometry predicate, halving the expensive refines
+    val pruned = prefilter.fold(joined)(joined.where)
+    pruned.where(predicate)
       .dropDuplicates("__lid", "__rid")
       .drop("__cell", "__lid", "__rid")
   }
@@ -78,7 +91,7 @@ object S2Join {
    * refined by exact s2_dwithin.
    */
   def dwithin(left: DataFrame, geogL: String, right: DataFrame, geogR: String,
-              meters: Double): DataFrame = {
+              meters: Double, pairFilter: Option[Column] = None): DataFrame = {
     val level = levelForDistance(meters)
     // full 8-neighborhood: edge neighbors alone miss pairs that are close
     // across a cell corner (diagonal adjacency)
@@ -86,7 +99,7 @@ object S2Join {
       .withColumn("__cell", explode(concat(array(col("__cell")),
         S2.s2_cell_all_neighbors(col("__cell")))))
     val r = withCells(right, geogR, level, "__rid")
-    refineDedupe(l, r, S2.s2_dwithin(col(geogL), col(geogR), lit(meters)))
+    refineDedupe(l, r, S2.s2_dwithin(col(geogL), col(geogR), lit(meters)), pairFilter)
   }
 
   /** Largest level whose minimum cell width still exceeds `meters`, so the
