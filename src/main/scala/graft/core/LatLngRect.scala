@@ -57,26 +57,17 @@ final case class LatLngRect(latLo: Double, latHi: Double, lngLo: Double, lngHi: 
     val yEmpty = yLo - yHi == 2 * Math.PI
     if (yEmpty) return (lngLo, lngHi)
     if (lngEmpty) return (yLo, yHi)
-    val yContainsThis = {
-      val c = (p: Double) => if (yLo > yHi) p >= yLo || p <= yHi else p >= yLo && p <= yHi
-      c(lngLo) && c(lngHi) && (lngHi - lngLo <= (if (yLo > yHi) yHi - yLo + 2 * Math.PI else yHi - yLo) ||
-        (yLo > yHi) || !(lngLo > lngHi))
-    }
     if (lngContains(yLo)) {
       if (lngContains(yHi)) {
-        // either this contains y, or union is full
+        // either this contains y, or union is full: y is contained iff
+        // walking forward from lo, y fits inside this interval's length
         val thisLen = if (lngInverted) lngHi - lngLo + 2 * Math.PI else lngHi - lngLo
         val yLen = if (yLo > yHi) yHi - yLo + 2 * Math.PI else yHi - yLo
-        val containsY =
-          if (lngInverted == (yLo > yHi)) yLen <= thisLen && yLo >= lngLo == (yLo > yHi)
-          else true
-        // robust check: y within [lo, hi] going forward
         if (posDist(lngLo, yLo) + yLen <= thisLen) (lngLo, lngHi)
         else (-Math.PI, Math.PI) // full
       } else (lngLo, yHi)
     } else if (lngContains(yHi)) (yLo, lngHi)
     else {
-      val _ = yContainsThis
       // disjoint or y contains this
       val yContains = {
         val c = (p: Double) => if (yLo > yHi) p >= yLo || p <= yHi else p >= yLo && p <= yHi
@@ -118,9 +109,12 @@ object LatLngRect {
     else LatLngRect(S2Point.deg2rad(ymin), S2Point.deg2rad(ymax),
       S2Point.deg2rad(xmin), S2Point.deg2rad(xmax))
 
-  /** Bound of a geography: union of vertex latitudes/longitudes (the
-    * reference's goldens for points/polygons pin vertex-extremes —
-    * bounds.test:48-82). */
+  /** Bound of a geography: union of vertex latitudes/longitudes, expanded
+    * to the latitude extrema reached in geodesic edge interiors —
+    * S2LatLngRectBounder semantics (a long east-west arc bulges poleward
+    * of its endpoints; reference bounds via S2Region::GetRectBound). The
+    * reference's goldens for points/polygons pin vertex-extremes
+    * (bounds.test:48-82) because their extreme points are vertices. */
   def bound(g: Geography): LatLngRect = {
     var r = Empty
     g.foreachVertex { p => r = r.addPoint(p.latRadians, p.lngRadians) }
@@ -128,10 +122,11 @@ object LatLngRect {
       case c: Geography.CellCenter if !c.isEmpty =>
         val p = c.point
         r = Empty.addPoint(p.latRadians, p.lngRadians)
-      case _: Geography.Polygons | _: Geography.Collection if !r.isEmpty =>
+      case _: Geography.Polylines | _: Geography.Polygons | _: Geography.Collection if !r.isEmpty =>
+        val shapes = new GeoShapes(g)
+        r = expandForEdgeInteriors(r, shapes)
         // a polygon enclosing a pole bounds to the pole with full longitude
         // (S2Polygon::GetRectBound pole handling)
-        val shapes = new GeoShapes(g)
         if (shapes.hasPolygons) {
           if (shapes.polygonContains(S2Point(0, 0, 1)))
             r = LatLngRect(r.latLo, Math.PI / 2, -Math.PI, Math.PI)
@@ -141,6 +136,36 @@ object LatLngRect {
       case _ => ()
     }
     r
+  }
+
+  /** Widen the latitude interval to cover geodesic edge interiors.
+    *
+    * For edge (a,b) with great-circle normal n = a x b, latitude along the
+    * arc is stationary where the direction vector dir = n x z (in the edge's
+    * plane, through the equator) is orthogonal to the position — so a
+    * min/max is interior iff (dir . a) and (dir . b) have opposite signs,
+    * and the extreme |latitude| of the full great circle is
+    * acos(|n_z| / |n|). dir . a < 0 means the arc tops out at +absLat,
+    * otherwise it bottoms out at -absLat (S2LatLngRectBounder::AddPoint). */
+  private def expandForEdgeInteriors(r0: LatLngRect, shapes: GeoShapes): LatLngRect = {
+    var latLo = r0.latLo
+    var latHi = r0.latHi
+    shapes.foreachEdge { (a, b) =>
+      val n = a.cross(b)
+      val n2 = n.norm2
+      if (n2 > 0) {
+        // dir = n x (0,0,1) = (n.y, -n.x, 0)
+        val da = n.y * a.x - n.x * a.y
+        val db = n.y * b.x - n.x * b.y
+        if (da * db < 0) {
+          val absLat = Math.acos(Math.min(1.0, Math.abs(n.z) / Math.sqrt(n2)))
+          if (da < 0) latHi = Math.max(latHi, absLat)
+          else latLo = Math.min(latLo, -absLat)
+        }
+      }
+      true
+    }
+    LatLngRect(latLo, latHi, r0.lngLo, r0.lngHi)
   }
 
   /** Box -> WKB polygon; antimeridian-crossing boxes split into a

@@ -131,7 +131,10 @@ object RegionCoverer {
 
     // --- seeding: small covering of the bounding cap
     val (center, radius) = capOf(shapes)
-    val seedLevel = Math.min(minWidthLevel(2 * radius), MaxLevel)
+    // clamp to MaxLevel - 1 (as C++ S2RegionCoverer does for the initial
+    // candidates): at level 30 vertexNeighbors' ijSize(31) shift wraps
+    // around and all four seeds collapse to the single center leaf
+    val seedLevel = Math.min(minWidthLevel(2 * radius), MaxLevel - 1)
     val seeds: Array[Long] =
       if (seedLevel == 0) Array.tabulate(6)(Covering.faceCell)
       else vertexNeighbors(S2CellId.fromPoint(center.x, center.y, center.z), seedLevel)

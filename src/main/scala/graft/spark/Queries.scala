@@ -342,6 +342,9 @@ object Queries {
       "s2_box_intersects(s2_bounds_box(s2_data_country('Germany')), s2_bounds_box(s2_data_country('Canada'))) AS de_ca",
       rb("s2_box_union(s2_box(0.0, 1.0, 2.0, 3.0), s2_box(4.0, 5.0, 6.0, 7.0))", "u1"),
       rb("s2_box_union(s2_box(179.0, 1.0, 180.0, 3.0), s2_box(-180.0, 5.0, -179.0, 7.0))", "u2"),
+      // sparse-vertex arc: the geodesic interior tops out at atan(sqrt 2) deg,
+      // poleward of both vertices (RectBounder edge expansion)
+      rb("s2_bounds_box(s2_geogfromtext('LINESTRING (-45 45, 45 45)'))", "arc_box"),
       "s2_format(s2_geogfromwkb(s2_box_wkb(s2_bounds_box(s2_data_country('Germany')))), 4) AS de_wkb",
       "s2_format(s2_geogfromwkb(s2_box_wkb(s2_bounds_box(s2_data_country('Fiji')))), 4) AS fj_wkb"
     ).mkString(", "))
@@ -361,6 +364,7 @@ object Queries {
       "true AS de_fr", "false AS de_ca",
       b("0.0", "1.0", "6.000000000000001", "7.0", "u1"),
       b("179.0", "1.0", "-179.0", "7.0", "u2"),
+      b("-44.99999999999999", "45.0", "45.0", "54.735610317245346", "arc_box"),
       "'POLYGON ((5.9887 47.3025, 15.017 47.3025, 15.017 54.9831, 5.9887 54.9831, 5.9887 47.3025))' AS de_wkb",
       "'MULTIPOLYGON (((177.285 -18.288, 180 -18.288, 180 -16.0209, 177.285 -16.0209, 177.285 -18.288)), ((-180 -18.288, -179.7933 -18.288, -179.7933 -16.0209, -180 -16.0209, -180 -18.288)))' AS fj_wkb"
     ).mkString("SELECT ", ", ", "")

@@ -62,6 +62,43 @@ class BoundsCoveringSpec extends AnyFunSuite {
     assert(r.xminDeg === -180.0 && r.xmaxDeg === 180.0)
   }
 
+  test("geodesic edge interior expands latitude (RectBounder semantics)") {
+    // LINESTRING (-45 45, 45 45): the arc bulges poleward of the vertices;
+    // great circle through both points peaks at atan(tan(45deg)*sqrt(2))
+    val r = LatLngRect.bound(Wkt.read("LINESTRING (-45 45, 45 45)"))
+    val expect = S2Point.rad2deg(Math.atan(Math.sqrt(2.0)))
+    assert(math.abs(r.ymaxDeg - expect) < 1e-9, s"ymax ${r.ymaxDeg} want $expect")
+    assert(math.abs(r.yminDeg - 45.0) < 1e-9)
+    // southern-hemisphere mirror hits the latLo branch
+    val s = LatLngRect.bound(Wkt.read("LINESTRING (-45 -45, 45 -45)"))
+    assert(math.abs(s.yminDeg + expect) < 1e-9)
+    assert(math.abs(s.ymaxDeg + 45.0) < 1e-9)
+    // polygon edges expand too
+    val p = LatLngRect.bound(Wkt.read("POLYGON ((-45 0, 45 0, 45 45, -45 45, -45 0))"))
+    assert(math.abs(p.ymaxDeg - expect) < 1e-9)
+    assert(math.abs(p.yminDeg - 0.0) < 1e-12)
+    // a short edge keeps its vertex bound (extremum not interior)
+    val q = LatLngRect.bound(Wkt.read("LINESTRING (0 10, 1 11)"))
+    assert(math.abs(q.ymaxDeg - 11.0) < 1e-9)
+  }
+
+  test("degenerate-radius covering still covers all points (seed clamp)") {
+    // sub-centimeter multipoint: cap radius ~0 drives seedLevel to the max;
+    // before the MaxLevel-1 clamp, ijSize(31) wrapped and seeds collapsed
+    // to one leaf, missing points across a leaf boundary
+    val g = Wkt.read("MULTIPOINT (10 10, 10.00000008 10.00000008)")
+    val cov = RegionCoverer.cover(g)
+    val shapes = new GeoShapes(g)
+    shapes.g.foreachVertex { p =>
+      val leaf = S2CellId.fromPoint(p.x, p.y, p.z)
+      assert(cov.exists(c => S2CellId.contains(c, leaf)), s"covering misses $p")
+    }
+    // exact duplicates: radius is exactly 0
+    val dup = Wkt.read("MULTIPOINT (10 10, 10 10)")
+    val covDup = RegionCoverer.cover(dup)
+    assert(covDup.nonEmpty)
+  }
+
   test("box intersects is antimeridian-aware") {
     val fiji = LatLngRect.fromDegrees(177, -19, -179, -16) // crosses
     val nearDateLineEast = LatLngRect.fromDegrees(-180, -18, -179.5, -17)
