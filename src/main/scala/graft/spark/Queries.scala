@@ -132,6 +132,75 @@ object Queries {
     """SELECT 'POINT (30 10)' AS small, false AS prepared_empty,
       | 'LINESTRING (0 0, 1 1, 2 2, 3 3, 4 4)' AS prepared_wkt""".stripMargin
 
+  /** Null propagation across the whole function surface (reference: DuckDB
+    * executors skip null rows for every scalar — null in, null out, for
+    * predicates too). Row 4 is the non-null control. */
+  private val qNullsGolden = sqlQ(
+    """WITH t AS (SELECT id, s2_geogfromtext(wkt) AS g, s2_geogfromtext(wkt2) AS g2 FROM
+      | (VALUES (1, 'POINT (0 1)', CAST(NULL AS STRING)),
+      |         (2, CAST(NULL AS STRING), 'LINESTRING (0 0, 0 2)'),
+      |         (3, CAST(NULL AS STRING), CAST(NULL AS STRING)),
+      |         (4, 'POINT (0 2)', 'LINESTRING (0 0, 0 2)')) AS v(id, wkt, wkt2))
+      |SELECT id,
+      | s2_astext(g) AS txt,
+      | s2_format(g, 6) IS NULL AS fmt_null,
+      | s2_aswkb(g) IS NULL AS wkb_null,
+      | s2_prepare(g) IS NULL AS prep_null,
+      | s2_isempty(g) AS empt,
+      | s2_is_valid(g) AS valid,
+      | s2_is_valid_reason(g) AS reason,
+      | CAST(round(s2_area(g), 0) AS BIGINT) AS area_r,
+      | CAST(round(s2_perimeter(g), 0) AS BIGINT) AS perim_r,
+      | CAST(round(s2_length(g), 0) AS BIGINT) AS len_r,
+      | CAST(round(s2_x(g), 0) AS BIGINT) AS gx,
+      | CAST(round(s2_y(g), 0) AS BIGINT) AS gy,
+      | s2_dimension(g) AS dim,
+      | s2_num_points(g) AS np,
+      | s2_distance(g, g2) IS NULL AS dist_null,
+      | s2_max_distance(g, g2) IS NULL AS maxdist_null,
+      | s2_dwithin(g, g2, 1000.0) AS dw,
+      | s2_intersects(g, g2) AS inter,
+      | s2_contains(g, g2) AS cont,
+      | s2_equals(g, g) AS eq_self,
+      | s2_mayintersect(g, g2) AS mayi,
+      | s2_astext(s2_intersection(g, g2)) AS inter_txt,
+      | s2_astext(s2_difference(g, g2)) AS diff_txt,
+      | s2_astext(s2_union(g, g2)) AS union_txt,
+      | s2_covering(g) IS NULL AS cov_null,
+      | s2_covering_fixed_level(g, 4) IS NULL AS covf_null,
+      | s2_cellfromwkb(s2_aswkb(g)) IS NULL AS cfw_null,
+      | s2_cell_from_token(CAST(NULL AS STRING)) IS NULL AS tok_null,
+      | s2_geog_to_cellcenter(g) IS NULL AS gcc_null,
+      | s2_cellunion_normalize(CAST(NULL AS ARRAY<BIGINT>)) IS NULL AS norm_null
+      |FROM t ORDER BY id""".stripMargin)
+  private val oNullsGolden =
+    """SELECT * FROM (VALUES
+      | (1, 'POINT (0 1)', false, false, false, false, true, '', 0, 0, 0, 0, 1, 0, 1,
+      |  true, true, CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN),
+      |  true, CAST(NULL AS BOOLEAN), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+      |  CAST(NULL AS VARCHAR), false, false, false, true, false, true),
+      | (2, CAST(NULL AS VARCHAR), true, true, true, CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN),
+      |  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+      |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS INT), CAST(NULL AS INT),
+      |  true, true, CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN),
+      |  CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+      |  CAST(NULL AS VARCHAR), true, true, true, true, true, true),
+      | (3, CAST(NULL AS VARCHAR), true, true, true, CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN),
+      |  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+      |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS INT), CAST(NULL AS INT),
+      |  true, true, CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN),
+      |  CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+      |  CAST(NULL AS VARCHAR), true, true, true, true, true, true),
+      | (4, 'POINT (0 2)', false, false, false, false, true, '', 0, 0, 0, 0, 2, 0, 1,
+      |  false, false, true, true, false, true, true, 'POINT (0 2)',
+      |  'GEOMETRYCOLLECTION EMPTY', 'LINESTRING (0 0, 0 2)', false, false, false, true,
+      |  false, true)
+      |) t(id, txt, fmt_null, wkb_null, prep_null, empt, valid, reason, area_r, perim_r,
+      |    len_r, gx, gy, dim, np, dist_null, maxdist_null, dw, inter, cont, eq_self, mayi,
+      |    inter_txt, diff_txt, union_txt, cov_null, covf_null, cfw_null, tok_null,
+      |    gcc_null, norm_null)
+      |ORDER BY id""".stripMargin
+
   private val qAccessorsGolden = sqlQ(
     """SELECT id,
       | CAST(round(s2_area(s2_geogfromtext(wkt)), 0) AS BIGINT) AS area_r,
@@ -973,6 +1042,7 @@ object Queries {
     ("g_io_wkb", qIoWkb, Some(oIoWkb)),
     ("g_io_novalidate", qIoNovalidate, Some(oIoNovalidate)),
     ("g_prepare", qPrepareGolden, Some(oPrepareGolden)),
+    ("g_nulls", qNullsGolden, Some(oNullsGolden)),
     ("g_accessors", qAccessorsGolden, Some(oAccessorsGolden)),
     ("g_xy", qXyGolden, Some(oXyGolden)),
     ("g_predicates", qPredicatesGolden, Some(oPredicatesGolden)),

@@ -65,73 +65,99 @@ object S2Functions {
   val prepare: Array[Byte] => Array[Byte] =
     (b: Array[Byte]) => if (b == null) null else GeoCodec.prepare(b)
 
-  val isEmpty: Array[Byte] => Boolean = (b: Array[Byte]) => GeoCodec.isEmptyBlob(b)
-  val isValid: Array[Byte] => Boolean =
-    (b: Array[Byte]) => Validation.findError(GeoCodec.decode(b)).isEmpty
+  // Null discipline (reference: DuckDB executors null-propagate for every
+  // scalar, src/s2_accessors.cpp:44 Execute templates): null in -> null out,
+  // for predicates too (null, not false). Primitive-returning functions wrap
+  // in Option so Spark surfaces a true SQL NULL; reference-returning ones
+  // return null directly.
+
+  val isEmpty: Array[Byte] => Option[Boolean] =
+    (b: Array[Byte]) => if (b == null) None else Some(GeoCodec.isEmptyBlob(b))
+  val isValid: Array[Byte] => Option[Boolean] =
+    (b: Array[Byte]) => if (b == null) None else Some(Validation.findError(GeoCodec.decode(b)).isEmpty)
   val isValidReason: Array[Byte] => String =
-    (b: Array[Byte]) => Validation.findError(GeoCodec.decode(b)).getOrElse("")
-  val area: Array[Byte] => Double = (b: Array[Byte]) => S2Measure.areaMeters2(GeoCodec.decode(b))
-  val perimeter: Array[Byte] => Double =
-    (b: Array[Byte]) => S2Measure.perimeterMeters(GeoCodec.decode(b))
-  val length: Array[Byte] => Double =
-    (b: Array[Byte]) => S2Measure.lengthMeters(GeoCodec.decode(b))
-  val x: Array[Byte] => Double = (b: Array[Byte]) => S2Measure.x(GeoCodec.decode(b))
-  val y: Array[Byte] => Double = (b: Array[Byte]) => S2Measure.y(GeoCodec.decode(b))
-  val dimension: Array[Byte] => Int = (b: Array[Byte]) => GeoCodec.decode(b).dimension
-  val numPoints: Array[Byte] => Int = (b: Array[Byte]) => GeoCodec.decode(b).numPoints
+    (b: Array[Byte]) => if (b == null) null else Validation.findError(GeoCodec.decode(b)).getOrElse("")
+  val area: Array[Byte] => Option[Double] =
+    (b: Array[Byte]) => if (b == null) None else Some(S2Measure.areaMeters2(GeoCodec.decode(b)))
+  val perimeter: Array[Byte] => Option[Double] =
+    (b: Array[Byte]) => if (b == null) None else Some(S2Measure.perimeterMeters(GeoCodec.decode(b)))
+  val length: Array[Byte] => Option[Double] =
+    (b: Array[Byte]) => if (b == null) None else Some(S2Measure.lengthMeters(GeoCodec.decode(b)))
+  val x: Array[Byte] => Option[Double] =
+    (b: Array[Byte]) => if (b == null) None else Some(S2Measure.x(GeoCodec.decode(b)))
+  val y: Array[Byte] => Option[Double] =
+    (b: Array[Byte]) => if (b == null) None else Some(S2Measure.y(GeoCodec.decode(b)))
+  val dimension: Array[Byte] => Option[Int] =
+    (b: Array[Byte]) => if (b == null) None else Some(GeoCodec.decode(b).dimension)
+  val numPoints: Array[Byte] => Option[Int] =
+    (b: Array[Byte]) => if (b == null) None else Some(GeoCodec.decode(b).numPoints)
 
-  val distance: (Array[Byte], Array[Byte]) => Double =
-    (a: Array[Byte], b: Array[Byte]) => Relate.distanceMeters(shapes(a), shapes(b))
-  val maxDistance: (Array[Byte], Array[Byte]) => Double =
-    (a: Array[Byte], b: Array[Byte]) => Relate.maxDistanceMeters(shapes(a), shapes(b))
-  val dwithin: (Array[Byte], Array[Byte], Double) => Boolean =
-    (a: Array[Byte], b: Array[Byte], m: Double) => Relate.dwithin(shapes(a), shapes(b), m)
+  val distance: (Array[Byte], Array[Byte]) => Option[Double] =
+    (a: Array[Byte], b: Array[Byte]) =>
+      if (a == null || b == null) None else Some(Relate.distanceMeters(shapes(a), shapes(b)))
+  val maxDistance: (Array[Byte], Array[Byte]) => Option[Double] =
+    (a: Array[Byte], b: Array[Byte]) =>
+      if (a == null || b == null) None else Some(Relate.maxDistanceMeters(shapes(a), shapes(b)))
+  val dwithin: (Array[Byte], Array[Byte], Double) => Option[Boolean] =
+    (a: Array[Byte], b: Array[Byte], m: Double) =>
+      if (a == null || b == null) None else Some(Relate.dwithin(shapes(a), shapes(b), m))
 
-  val intersects: (Array[Byte], Array[Byte]) => Boolean =
+  val intersects: (Array[Byte], Array[Byte]) => Option[Boolean] =
     (a: Array[Byte], b: Array[Byte]) => {
+      if (a == null || b == null) None
       // covering prefilter from the stored tags — no geometry decode when
       // coverings are disjoint (reference: s2_binary_index_ops.cpp:450-461)
-      if (GeoCodec.isEmptyBlob(a) || GeoCodec.isEmptyBlob(b)) false
-      else if (!Covering.unionsIntersect(GeoCodec.coveringOf(a), GeoCodec.coveringOf(b))) false
-      else Relate.intersects(shapes(a), shapes(b))
+      else if (GeoCodec.isEmptyBlob(a) || GeoCodec.isEmptyBlob(b)) Some(false)
+      else if (!Covering.unionsIntersect(GeoCodec.coveringOf(a), GeoCodec.coveringOf(b))) Some(false)
+      else Some(Relate.intersects(shapes(a), shapes(b)))
     }
-  val contains: (Array[Byte], Array[Byte]) => Boolean =
+  val contains: (Array[Byte], Array[Byte]) => Option[Boolean] =
     (a: Array[Byte], b: Array[Byte]) => {
-      if (GeoCodec.isEmptyBlob(a) || GeoCodec.isEmptyBlob(b)) false
-      else Relate.contains(shapes(a), shapes(b))
+      if (a == null || b == null) None
+      else if (GeoCodec.isEmptyBlob(a) || GeoCodec.isEmptyBlob(b)) Some(false)
+      else Some(Relate.contains(shapes(a), shapes(b)))
     }
-  val equalsGeog: (Array[Byte], Array[Byte]) => Boolean =
-    (a: Array[Byte], b: Array[Byte]) => Relate.equalsGeog(shapes(a), shapes(b))
-  val mayIntersect: (Array[Byte], Array[Byte]) => Boolean =
+  val equalsGeog: (Array[Byte], Array[Byte]) => Option[Boolean] =
     (a: Array[Byte], b: Array[Byte]) =>
-      !GeoCodec.isEmptyBlob(a) && !GeoCodec.isEmptyBlob(b) &&
-        Covering.unionsIntersect(GeoCodec.coveringOf(a), GeoCodec.coveringOf(b))
+      if (a == null || b == null) None else Some(Relate.equalsGeog(shapes(a), shapes(b)))
+  val mayIntersect: (Array[Byte], Array[Byte]) => Option[Boolean] =
+    (a: Array[Byte], b: Array[Byte]) =>
+      if (a == null || b == null) None
+      else Some(!GeoCodec.isEmptyBlob(a) && !GeoCodec.isEmptyBlob(b) &&
+        Covering.unionsIntersect(GeoCodec.coveringOf(a), GeoCodec.coveringOf(b)))
 
   val intersection: (Array[Byte], Array[Byte]) => Array[Byte] =
     (a: Array[Byte], b: Array[Byte]) =>
-      GeoCodec.encode(Overlay.intersection(GeoCodec.decode(a), GeoCodec.decode(b)))
+      if (a == null || b == null) null
+      else GeoCodec.encode(Overlay.intersection(GeoCodec.decode(a), GeoCodec.decode(b)))
   val difference: (Array[Byte], Array[Byte]) => Array[Byte] =
     (a: Array[Byte], b: Array[Byte]) =>
-      GeoCodec.encode(Overlay.difference(GeoCodec.decode(a), GeoCodec.decode(b)))
+      if (a == null || b == null) null
+      else GeoCodec.encode(Overlay.difference(GeoCodec.decode(a), GeoCodec.decode(b)))
   val unionGeog: (Array[Byte], Array[Byte]) => Array[Byte] =
     (a: Array[Byte], b: Array[Byte]) =>
-      GeoCodec.encode(Overlay.union(GeoCodec.decode(a), GeoCodec.decode(b)))
+      if (a == null || b == null) null
+      else GeoCodec.encode(Overlay.union(GeoCodec.decode(a), GeoCodec.decode(b)))
 
   // public s2_covering uses real S2RegionCoverer semantics (matches the
   // reference's exact cell goldens); the cheap greedy coverer stays internal
   // for the inline blob-prefilter covering (GeoCodec.encode)
   val covering: Array[Byte] => Array[Long] =
-    (b: Array[Byte]) => RegionCoverer.cover(GeoCodec.decode(b))
+    (b: Array[Byte]) => if (b == null) null else RegionCoverer.cover(GeoCodec.decode(b))
   val coveringFixedLevel: (Array[Byte], Int) => Array[Long] =
-    (b: Array[Byte], lvl: Int) => RegionCoverer.coverFixedLevel(GeoCodec.decode(b), lvl)
+    (b: Array[Byte], lvl: Int) =>
+      if (b == null) null else RegionCoverer.coverFixedLevel(GeoCodec.decode(b), lvl)
 
   // ---- cell ops (pure long math; no geometry decode)
   val cellFromLonLat: (Double, Double) => Long =
     (lon: Double, lat: Double) => S2CellId.fromLonLatDegrees(lon, lat)
-  val cellFromWkb: Array[Byte] => Long = (b: Array[Byte]) => Wkb.cellFromWkb(b)
-  val arbitraryCellFromWkb: Array[Byte] => Long = (b: Array[Byte]) => Wkb.arbitraryCellFromWkb(b)
+  val cellFromWkb: Array[Byte] => Option[Long] =
+    (b: Array[Byte]) => if (b == null) None else Some(Wkb.cellFromWkb(b))
+  val arbitraryCellFromWkb: Array[Byte] => Option[Long] =
+    (b: Array[Byte]) => if (b == null) None else Some(Wkb.arbitraryCellFromWkb(b))
   val cellToken: Long => String = (id: Long) => S2CellId.toToken(id)
-  val cellFromToken: String => Long = (s: String) => S2CellId.fromToken(s)
+  val cellFromToken: String => Option[Long] =
+    (s: String) => if (s == null) None else Some(S2CellId.fromToken(s))
   val cellLevel: Long => Int = (id: Long) => if (S2CellId.isValid(id)) S2CellId.level(id) else -1
   val cellContains: (Long, Long) => Boolean = (a: Long, b: Long) => S2CellId.contains(a, b)
   val cellIntersects: (Long, Long) => Boolean = (a: Long, b: Long) => S2CellId.intersects(a, b)
@@ -149,7 +175,8 @@ object S2Functions {
   val cellDebug: Long => String = (id: Long) => S2CellId.toDebugString(id)
   val cellAllNeighbors: Long => Array[Long] =
     (id: Long) => if (S2CellId.isValid(id)) S2CellId.allNeighbors(id) else Array.empty[Long]
-  val cellFromDebug: String => Long = (s: String) => S2CellId.fromDebugString(s)
+  val cellFromDebug: String => Option[Long] =
+    (s: String) => if (s == null) None else Some(S2CellId.fromDebugString(s))
   val cellVertex: (Long, Int) => Array[Byte] =
     (id: Long, k: Int) =>
       if (!S2CellId.isValid(id) || k < 0 || k > 3) GeoCodec.encode(Geography.emptyPoint)
@@ -162,25 +189,29 @@ object S2Functions {
     (id: Long) =>
       if (!S2CellId.isValid(id)) GeoCodec.encode(Geography.Polygons(Vector.empty))
       else GeoCodec.encode(Geography.Polygons(Vector(Vector(S2CellId.vertices(id).toVector))))
-  val geogToCellCenter: Array[Byte] => Long =
+  val geogToCellCenter: Array[Byte] => Option[Long] =
     (b: Array[Byte]) => {
-      if (GeoCodec.isEmptyBlob(b)) S2CellId.Sentinel
-      else if (GeoCodec.kindOf(b) == GeoCodec.KindCellCenter) GeoCodec.cellCenterIdOf(b)
+      if (b == null) None
+      else if (GeoCodec.isEmptyBlob(b)) Some(S2CellId.Sentinel)
+      else if (GeoCodec.kindOf(b) == GeoCodec.KindCellCenter) Some(GeoCodec.cellCenterIdOf(b))
       else S2Measure.singlePoint(GeoCodec.decode(b)) match {
-        case Some(p) => S2CellId.fromPoint(p.x, p.y, p.z)
+        case Some(p) => Some(S2CellId.fromPoint(p.x, p.y, p.z))
         case None => throw new IllegalArgumentException(
           "Can't convert geography that is not empty nor a single point to S2_CELL_CENTER")
       }
     }
   val cellUnionToGeog: Array[Long] => Array[Byte] =
     (ids: Array[Long]) => {
-      val valid = if (ids == null) Array.empty[Long] else ids.filter(S2CellId.isValid)
-      if (valid.isEmpty) GeoCodec.encode(Geography.Polygons(Vector.empty))
-      else GeoCodec.encode(Geography.Polygons(
-        valid.toVector.map(id => Vector(S2CellId.vertices(id).toVector))))
+      if (ids == null) null
+      else {
+        val valid = ids.filter(S2CellId.isValid)
+        if (valid.isEmpty) GeoCodec.encode(Geography.Polygons(Vector.empty))
+        else GeoCodec.encode(Geography.Polygons(
+          valid.toVector.map(id => Vector(S2CellId.vertices(id).toVector))))
+      }
     }
   val cellUnionNormalize: Array[Long] => Array[Long] =
-    (ids: Array[Long]) => if (ids == null) Array.empty[Long] else Covering.normalize(ids)
+    (ids: Array[Long]) => if (ids == null) null else Covering.normalize(ids)
 
   /** Point constructor (BigQuery ST_GEOGPOINT analogue; the reference reaches
     * points via WKT or cell casts — this is the Spark-friendly direct path). */
