@@ -5,19 +5,18 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.catalyst.expressions.aggregate.First
-import org.apache.spark.sql.types.{ArrayType, LongType, MapType}
+import org.apache.spark.sql.types.{ArrayType, LongType}
 
 /**
  * SparkSessionExtensions entry point:
  *   spark.sql.extensions=graft.spark.GraftExtensions
  *
  * Injects [[SpatialJoinRewrite]], which turns a theta join on
- * s2_intersects/s2_contains into the scalable cover-then-refine equi-join
- * (SURVEY §2.8). Without the rule such joins execute as
- * BroadcastNestedLoopJoin — O(|L|*|R|) predicate evaluations; with it they
- * shuffle once on covering cells and evaluate the exact predicate only on
- * cell-colocated candidates.
+ * s2_intersects / s2_contains / s2_dwithin(constant radius) into the
+ * scalable cover-then-refine equi-join (SURVEY §2.8). Without the rule such
+ * joins execute as BroadcastNestedLoopJoin — O(|L|*|R|) predicate
+ * evaluations; with it they shuffle once on covering cells and evaluate the
+ * exact predicate only on cell-colocated candidates.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
@@ -29,74 +28,91 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
 
   private val CoveringLevel = 4
 
+  private def isFn(u: ScalaUDF, fn: AnyRef, name: String): Boolean =
+    (u.function.asInstanceOf[AnyRef] eq fn) || u.udfName.contains(name)
+
   /** Recognize our registered predicate UDFs by function identity (Column
-    * DSL) or registered name (SQL surface). */
-  private def spatialPredicate(e: Expression): Option[(Expression, Expression)] = e match {
-    case u: ScalaUDF if u.children.size == 2 &&
-        ((u.function.asInstanceOf[AnyRef] eq S2Functions.intersects) ||
-          u.udfName.contains("s2_intersects")) =>
-      Some((u.children(0), u.children(1)))
-    case _ => None
-  }
-
-  /** The rewrite hashes and groups whole rows; map columns are neither
-    * hashable nor groupable, so such joins keep the nested-loop plan. */
-  private def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-    case _: MapType => true
-    case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
-    case a: ArrayType => hasMap(a.elementType)
-    case _ => false
-  }
-
-  private def rewritable(j: Join): Boolean = j.output.forall(a => !hasMap(a.dataType))
+    * DSL) or registered name (SQL surface). Returns (geogA, geogB,
+    * probeMeters): probeMeters is None for intersects/contains, the constant
+    * radius for dwithin. The predicate expression itself is reused verbatim
+    * as the refine filter, so argument order (contains is asymmetric) is
+    * never disturbed. */
+  private def spatialPredicate(e: Expression): Option[(Expression, Expression, Option[Double])] =
+    e match {
+      case u: ScalaUDF if u.children.size == 2 &&
+          (isFn(u, S2Functions.intersects, "s2_intersects") ||
+            isFn(u, S2Functions.contains, "s2_contains")) =>
+        Some((u.children(0), u.children(1), None))
+      case u: ScalaUDF if u.children.size == 3 && isFn(u, S2Functions.dwithin, "s2_dwithin") &&
+          u.children(2).foldable =>
+        u.children(2).eval() match {
+          case m: java.lang.Double if m > 0 => Some((u.children(0), u.children(1), Some(m)))
+          case _ => None
+        }
+      case _ => None
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
-    case j @ Join(left, right, Inner, Some(cond), hint) if rewritable(j) =>
+    case j @ Join(left, right, Inner, Some(cond), _) =>
       spatialPredicate(cond) match {
-        case Some((g1, g2))
+        case Some((g1, g2, meters))
             if g1.references.subsetOf(left.outputSet) && g2.references.subsetOf(right.outputSet) =>
-          rewrite(j, left, right, cond, g1, g2)
-        case Some((g1, g2))
+          rewrite(j, left, right, cond, g1, g2, meters)
+        case Some((g1, g2, meters))
             if g2.references.subsetOf(left.outputSet) && g1.references.subsetOf(right.outputSet) =>
-          rewrite(j, left, right, cond, g2, g1)
+          rewrite(j, left, right, cond, g2, g1, meters)
         case _ => j
       }
   }
 
-  private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
-                      cond: Expression, geogL: Expression, geogR: Expression): LogicalPlan = {
-    def tagAndExplode(child: LogicalPlan, geog: Expression, side: String)
-        : (LogicalPlan, Attribute, Attribute) = {
-      // deterministic 128-bit content fingerprint (stable under stage retry,
-      // unlike MonotonicallyIncreasingID — see S2Join.withCells)
-      val rowId = Alias(CreateStruct(Seq(
-        new XxHash64(Literal(1L) +: child.output),
-        new XxHash64(Literal(2L) +: child.output))), s"__${side}_rowid")()
-      val tagged = Project(child.output :+ rowId, child)
-      val covering = ScalaUDF(
-        function = S2Functions.coveringFixedLevel,
+  /**
+   * Cover-then-refine with smallest-common-cell reporting:
+   *
+   *   explode(covering(geog)) on each side, equi-join on the cell, then keep
+   *   a candidate pair only where the matched cell is the minimum cell the
+   *   two covering arrays share, and finally apply the exact predicate.
+   *
+   * Each qualifying row pair survives on exactly ONE cell, so the rewrite
+   * preserves inner-join multiplicity bit-for-bit (duplicate rows, rows
+   * differing only in null placement, map-typed columns — nothing is hashed
+   * or grouped) and needs no dedupe shuffle. Null geographies cover nothing
+   * and drop out of the explode, matching the null-predicate semantics of
+   * the plan being replaced.
+   *
+   * For dwithin the left side's cells are expanded to the full
+   * 8-neighborhood at a level whose min cell width exceeds the radius, so
+   * every within-radius pair shares a probe cell.
+   */
+  private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan, cond: Expression,
+                      geogL: Expression, geogR: Expression, meters: Option[Double]): LogicalPlan = {
+    val level = meters.fold(CoveringLevel)(S2Join.levelForDistance)
+
+    def covered(child: LogicalPlan, geog: Expression, side: String,
+                withNeighbors: Boolean): (LogicalPlan, Attribute, Attribute) = {
+      val cov = ScalaUDF(
+        function =
+          if (withNeighbors) S2Functions.coveringFixedLevelWithNeighbors
+          else S2Functions.coveringFixedLevel,
         dataType = ArrayType(LongType, containsNull = false),
-        children = Seq(geog, Literal(CoveringLevel)),
+        children = Seq(geog, Literal(level)),
         inputEncoders = Seq(scala.None, scala.None),
-        udfName = Some("s2_covering_fixed_level"))
+        udfName = Some(
+          if (withNeighbors) "s2_covering_fixed_level_with_neighbors"
+          else "s2_covering_fixed_level"))
+      val covAlias = Alias(cov, s"__${side}_cov")()
+      val tagged = Project(child.output :+ covAlias, child)
       val cellAttr = AttributeReference(s"__${side}_cell", LongType, nullable = false)()
-      val gen = Generate(Explode(covering), unrequiredChildIndex = Nil, outer = false,
-        qualifier = None, generatorOutput = Seq(cellAttr), child = tagged)
-      (gen, rowId.toAttribute, cellAttr)
+      val gen = Generate(Explode(covAlias.toAttribute), unrequiredChildIndex = Nil,
+        outer = false, qualifier = None, generatorOutput = Seq(cellAttr), child = tagged)
+      (gen, covAlias.toAttribute, cellAttr)
     }
 
-    val (lPlan, lId, lCell) = tagAndExplode(left, geogL, "l")
-    val (rPlan, rId, rCell) = tagAndExplode(right, geogR, "r")
+    val (lPlan, lCov, lCell) = covered(left, geogL, "l", withNeighbors = meters.isDefined)
+    val (rPlan, rCov, rCell) = covered(right, geogR, "r", withNeighbors = false)
 
     val cellJoin = Join(lPlan, rPlan, Inner, Some(EqualTo(lCell, rCell)), j.hint)
-    val refined = Filter(cond, cellJoin)
-    // dedupe multi-cell matches per original row pair: group on the row-id
-    // pair only — every output column is functionally dependent on it, so
-    // first() recovers them without shuffling whole geography blobs as keys
-    // (Deduplicate is not legal this late in the optimizer, Aggregate is)
-    val aggs = j.output.map { a =>
-      Alias(First(a, ignoreNulls = false).toAggregateExpression(), a.name)(exprId = a.exprId)
-    }
-    Aggregate(Seq(lId, rId), aggs, refined)
+    val smallestCommonCell = EqualTo(lCell, ArrayMin(ArrayIntersect(lCov, rCov)))
+    val refined = Filter(And(smallestCommonCell, cond), cellJoin)
+    Project(j.output, refined)
   }
 }

@@ -147,6 +147,12 @@ object S2Functions {
   val coveringFixedLevel: (Array[Byte], Int) => Array[Long] =
     (b: Array[Byte], lvl: Int) =>
       if (b == null) null else RegionCoverer.coverFixedLevel(GeoCodec.decode(b), lvl)
+  /** Fused covering + 8-neighborhood probe set (dwithin join left side);
+    * one UDF call so the catalyst rewrite needs no UDF-in-UDF nesting. */
+  val coveringFixedLevelWithNeighbors: (Array[Byte], Int) => Array[Long] =
+    (b: Array[Byte], lvl: Int) =>
+      if (b == null) null
+      else cellsWithNeighbors(RegionCoverer.coverFixedLevel(GeoCodec.decode(b), lvl))
 
   // ---- cell ops (pure long math; no geometry decode)
   val cellFromLonLat: (Double, Double) => Long =
@@ -175,6 +181,28 @@ object S2Functions {
   val cellDebug: Long => String = (id: Long) => S2CellId.toDebugString(id)
   val cellAllNeighbors: Long => Array[Long] =
     (id: Long) => if (S2CellId.isValid(id)) S2CellId.allNeighbors(id) else Array.empty[Long]
+  /** Distinct union of the input cells and each cell's 8-neighborhood —
+    * the probe set of the dwithin join (cells deduped across origins so the
+    * exploded candidate space stays minimal). */
+  val cellsWithNeighbors: Array[Long] => Array[Long] =
+    (ids: Array[Long]) =>
+      if (ids == null) null
+      else {
+        val out = new java.util.LinkedHashSet[java.lang.Long]()
+        var i = 0
+        while (i < ids.length) {
+          out.add(ids(i))
+          val nb = S2CellId.allNeighbors(ids(i))
+          var k = 0
+          while (k < nb.length) { out.add(nb(k)); k += 1 }
+          i += 1
+        }
+        val res = new Array[Long](out.size)
+        val it = out.iterator()
+        var j = 0
+        while (it.hasNext) { res(j) = it.next(); j += 1 }
+        res
+      }
   val cellFromDebug: String => Option[Long] =
     (s: String) => if (s == null) None else Some(S2CellId.fromDebugString(s))
   val cellVertex: (Long, Int) => Array[Byte] =
@@ -260,6 +288,7 @@ object S2Functions {
     val s2_cell_parent = udf(cellParent)
     val s2_cell_edge_neighbor = udf(cellEdgeNeighbor)
     val s2_cell_all_neighbors = udf(cellAllNeighbors)
+    val s2_cells_with_neighbors = udf(cellsWithNeighbors)
     val s2_cell_range_min = udf(cellRangeMin)
     val s2_cell_range_max = udf(cellRangeMax)
     val s2_cell_sortkey = udf(cellSortKey)

@@ -18,25 +18,25 @@ import S2Functions.S2
  */
 object S2Join {
 
-  /** Tag rows with a deterministic id, then explode the `level`-covering of
-    * geogCol into a `__cell` column (id BEFORE explode — it identifies the
-    * original row across its cell copies).
-    *
-    * The id is a 128-bit content fingerprint (two seeded xxhash64 passes over
-    * every column): unlike monotonically_increasing_id it is stable under
-    * stage retry and speculative execution, so a recomputed partition can
-    * never produce duplicate or lost pairs. Fully identical input rows share
-    * a fingerprint and collapse to one output pair — consistent with the
-    * dedupe-on-row-identity contract. */
-  private def withCells(df: DataFrame, geogCol: String, level: Int, idName: String): DataFrame = {
-    val cols = df.columns.map(col).toSeq
-    df.withColumn(idName, struct(xxhash64((lit(1L) +: cols): _*), xxhash64((lit(2L) +: cols): _*)))
-      .withColumn("__cell", explode(S2.s2_covering_fixed_level(col(geogCol), lit(level))))
-  }
+  /** Keep the `level`-covering of geogCol as an array column AND explode it
+    * into a `__cell` join key. The kept array drives the smallest-common-cell
+    * dedupe below. Null geographies cover nothing → their rows drop out of
+    * the explode, exactly like the vanilla predicate join drops them on a
+    * null predicate. */
+  private def withCells(df: DataFrame, geogCol: String, level: Int, covName: String): DataFrame =
+    df.withColumn(covName, S2.s2_covering_fixed_level(col(geogCol), lit(level)))
+      .withColumn("__cell", explode(col(covName)))
 
-  /** Join two cell-exploded sides, refine with `predicate`, and dedupe the
-    * multi-cell matches on the lightweight row ids (comparing long ids
-    * beats re-hashing whole rows with geography blobs in them). */
+  /** Join two cell-exploded sides and refine with `predicate`.
+    *
+    * Multi-cell matches are deduplicated by REPORTING, not by a distinct:
+    * a candidate pair is kept only when the matched cell is the smallest
+    * cell id the two coverings share (`__cell == array_min(array_intersect)`)
+    * — every pair survives on exactly one cell, so no dedupe shuffle, no row
+    * fingerprinting, and inner-join multiplicity (duplicate input rows,
+    * rows differing only in null placement, map-typed columns) is preserved
+    * exactly. Same reporting trick as distributed spatial joins use for
+    * grid-partitioned candidates. */
   private def refineDedupe(l: DataFrame, r: DataFrame,
                            predicate: org.apache.spark.sql.Column,
                            prefilter: Option[Column] = None): DataFrame = {
@@ -44,31 +44,33 @@ object S2Join {
     // cheap pair prefilter (e.g. id_a < id_b for symmetric self-joins) runs
     // before the exact-geometry predicate, halving the expensive refines
     val pruned = prefilter.fold(joined)(joined.where)
-    pruned.where(predicate)
-      .dropDuplicates("__lid", "__rid")
-      .drop("__cell", "__lid", "__rid")
+    pruned
+      .where(col("__cell") === array_min(array_intersect(col("__lcov"), col("__rcov"))))
+      .where(predicate)
+      .drop("__cell", "__lcov", "__rcov")
   }
 
   /**
    * Cover-then-refine intersects join. Every output row satisfies
-   * s2_intersects(left.geogL, right.geogR); duplicates from multi-cell
-   * coverings are removed via a final distinct on the input row identity.
+   * s2_intersects(left.geogL, right.geogR); multi-cell candidates are
+   * emitted once via smallest-common-cell reporting, so the result has
+   * exactly the multiplicity of the vanilla predicate join.
    *
    * At 100 TB: both sides shuffle once on the cell key; no broadcast
    * needed; AQE splits skewed cells (e.g. dense metro areas).
    */
   def intersects(left: DataFrame, geogL: String, right: DataFrame, geogR: String,
                  level: Int = 4): DataFrame = {
-    val l = withCells(left, geogL, level, "__lid")
-    val r = withCells(right, geogR, level, "__rid")
+    val l = withCells(left, geogL, level, "__lcov")
+    val r = withCells(right, geogR, level, "__rcov")
     refineDedupe(l, r, S2.s2_intersects(col(geogL), col(geogR)))
   }
 
   /** Containment join: rows where left contains right. */
   def contains(left: DataFrame, geogL: String, right: DataFrame, geogR: String,
                level: Int = 4): DataFrame = {
-    val l = withCells(left, geogL, level, "__lid")
-    val r = withCells(right, geogR, level, "__rid")
+    val l = withCells(left, geogL, level, "__lcov")
+    val r = withCells(right, geogR, level, "__rcov")
     refineDedupe(l, r, S2.s2_contains(col(geogL), col(geogR)))
   }
 
@@ -93,12 +95,12 @@ object S2Join {
   def dwithin(left: DataFrame, geogL: String, right: DataFrame, geogR: String,
               meters: Double, pairFilter: Option[Column] = None): DataFrame = {
     val level = levelForDistance(meters)
-    // full 8-neighborhood: edge neighbors alone miss pairs that are close
-    // across a cell corner (diagonal adjacency)
-    val l = withCells(left, geogL, level, "__lid")
-      .withColumn("__cell", explode(concat(array(col("__cell")),
-        S2.s2_cell_all_neighbors(col("__cell")))))
-    val r = withCells(right, geogR, level, "__rid")
+    // full 8-neighborhood probe set: edge neighbors alone miss pairs that
+    // are close across a cell corner (diagonal adjacency)
+    val l = left.withColumn("__lcov",
+        S2.s2_cells_with_neighbors(S2.s2_covering_fixed_level(col(geogL), lit(level))))
+      .withColumn("__cell", explode(col("__lcov")))
+    val r = withCells(right, geogR, level, "__rcov")
     refineDedupe(l, r, S2.s2_dwithin(col(geogL), col(geogR), lit(meters)), pairFilter)
   }
 

@@ -52,6 +52,20 @@ class S2JoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty)
   }
 
+  test("intersects join preserves duplicate-row multiplicity") {
+    val countries = res("/graft/countries.tsv").map(a => (a(0), GeoCodec.encode(Wkt.read(a(2)))))
+      .filter(c => c._1 == "Canada" || c._1 == "Chile")
+    val cities = res("/graft/cities.tsv").map(a => (a(0), GeoCodec.encode(Wkt.read(a(2)))))
+    val sp = spark
+    import sp.implicits._
+    val cdf = countries.toDF("country", "cgeog")
+    val tdf = cities.toDF("city", "geog")
+    val single = S2Join.intersects(cdf, "cgeog", tdf, "geog").count()
+    assert(single > 0)
+    val doubled = S2Join.intersects(cdf.union(cdf), "cgeog", tdf, "geog").count()
+    assert(doubled === 2 * single)
+  }
+
   test("contains join matches the broadcast predicate join") {
     val countries = res("/graft/countries.tsv").map(a => (a(0), GeoCodec.encode(Wkt.read(a(2)))))
     val cities = res("/graft/cities.tsv").map(a => (a(0), GeoCodec.encode(Wkt.read(a(2)))))

@@ -20,15 +20,77 @@ class SpatialJoinRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  private def assertRewritten(df: org.apache.spark.sql.DataFrame): Unit = {
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("BroadcastNestedLoopJoin"),
+      s"expected the spatial rewrite to remove the nested-loop join:\n$physical")
+  }
+
   test("theta join on s2_intersects is rewritten to a cell equi-join") {
     val df = spark.sql(
       """SELECT c.name AS country, t.name AS city
         |FROM s2_data_countries c JOIN s2_data_cities t
         |  ON s2_intersects(c.geog, t.geog)""".stripMargin)
-    val physical = df.queryExecution.executedPlan.toString
-    assert(!physical.contains("BroadcastNestedLoopJoin"),
-      s"expected the spatial rewrite to remove the nested-loop join:\n$physical")
+    assertRewritten(df)
     assert(df.count() === 210) // reference README.md:69
+  }
+
+  test("theta join on s2_contains is rewritten and matches the nested-loop result") {
+    val df = spark.sql(
+      """SELECT c.name AS country, t.name AS city
+        |FROM s2_data_countries c JOIN s2_data_cities t
+        |  ON s2_contains(c.geog, t.geog)""".stripMargin)
+    assertRewritten(df)
+    // containment of city points == intersects for point probes (210 rows)
+    assert(df.count() === 210)
+  }
+
+  test("theta join on s2_dwithin with constant radius is rewritten") {
+    val df = spark.sql(
+      """SELECT a.name, b.name
+        |FROM s2_data_cities a JOIN s2_data_cities b
+        |  ON s2_dwithin(a.geog, b.geog, 500000.0) AND a.name < b.name""".stripMargin)
+    // predicate is AND-ed: rule sees the conjunct via the join condition only
+    // when it is the whole condition; count correctness matters either way
+    val whole = spark.sql(
+      """SELECT a.name, b.name
+        |FROM s2_data_cities a JOIN s2_data_cities b
+        |  ON s2_dwithin(a.geog, b.geog, 500000.0)""".stripMargin)
+    assertRewritten(whole)
+    val n = whole.count()
+    // symmetric relation incl. self-pairs: n = 2*pairs + 243 selves
+    assert(n >= 243 && (n - 243) % 2 === 0)
+    assert(df.count() === (n - 243) / 2)
+  }
+
+  test("rewrite preserves duplicate-row multiplicity exactly") {
+    val single = spark.sql(
+      """SELECT count(*) AS n FROM
+        | (SELECT * FROM s2_data_countries WHERE name IN ('Canada', 'Chile')) c
+        | JOIN s2_data_cities t ON s2_intersects(c.geog, t.geog)""".stripMargin)
+      .collect().head.getLong(0)
+    assert(single > 0)
+    val doubled = spark.sql(
+      """WITH c AS (SELECT * FROM s2_data_countries WHERE name IN ('Canada', 'Chile')),
+        | cc AS (SELECT * FROM c UNION ALL SELECT * FROM c)
+        |SELECT count(*) AS n FROM cc JOIN s2_data_cities t
+        |  ON s2_intersects(cc.geog, t.geog)""".stripMargin)
+    assertRewritten(doubled)
+    assert(doubled.collect().head.getLong(0) === 2 * single)
+  }
+
+  test("null geographies and map-typed columns flow through the rewrite") {
+    val df = spark.sql(
+      """WITH c AS (
+        |  SELECT name, geog, map('k', name) AS meta FROM s2_data_countries
+        |  UNION ALL
+        |  SELECT 'nowhere', CAST(NULL AS BINARY), map('k', 'nowhere')
+        |)
+        |SELECT c.name, c.meta, t.name AS city
+        |FROM c JOIN s2_data_cities t ON s2_intersects(c.geog, t.geog)""".stripMargin)
+    assertRewritten(df)
+    assert(df.count() === 210)
+    assert(df.where("name = 'nowhere'").count() === 0)
   }
 
   test("non-spatial joins are untouched") {
