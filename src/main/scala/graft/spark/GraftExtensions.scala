@@ -111,8 +111,10 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
     val (rPlan, rCov, rCell) = covered(right, geogR, "r", withNeighbors = false)
 
     val cellJoin = Join(lPlan, rPlan, Inner, Some(EqualTo(lCell, rCell)), j.hint)
+    // exact predicate first (same per-candidate work as the replaced plan);
+    // the array reporting condition then touches only surviving pairs
     val smallestCommonCell = EqualTo(lCell, ArrayMin(ArrayIntersect(lCov, rCov)))
-    val refined = Filter(And(smallestCommonCell, cond), cellJoin)
+    val refined = Filter(And(cond, smallestCommonCell), cellJoin)
     Project(j.output, refined)
   }
 }

@@ -41,13 +41,19 @@ object S2Join {
                            predicate: org.apache.spark.sql.Column,
                            prefilter: Option[Column] = None): DataFrame = {
     val joined = l.join(r, "__cell")
-    // cheap pair prefilter (e.g. id_a < id_b for symmetric self-joins) runs
-    // before the exact-geometry predicate, halving the expensive refines
-    val pruned = prefilter.fold(joined)(joined.where)
-    pruned
-      .where(col("__cell") === array_min(array_intersect(col("__lcov"), col("__rcov"))))
-      .where(predicate)
-      .drop("__cell", "__lcov", "__rcov")
+    val reporting =
+      col("__cell") === array_min(array_intersect(col("__lcov"), col("__rcov")))
+    // Evaluation-order discipline: the optimizer reorders bare conjuncts when
+    // folding filters into the join condition, which can put the expensive
+    // exact-predicate UDF ahead of the cheap pair prefilter (id_a < id_b for
+    // symmetric self-joins — it halves the refine count). A `when` expression
+    // is a single non-splittable conjunct, so prefilter -> exact predicate ->
+    // reporting evaluate strictly in that order.
+    val full = prefilter match {
+      case Some(pf) => when(pf, predicate && reporting).otherwise(lit(false))
+      case scala.None => predicate && reporting
+    }
+    joined.where(full).drop("__cell", "__lcov", "__rcov")
   }
 
   /**
