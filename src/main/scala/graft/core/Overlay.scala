@@ -14,8 +14,11 @@ import Geography._
  *
  * Dimensioned cases: exact point handling, polyline clipping at polygon
  * boundaries, and a spherical Weiler-Atherton polygon clipper over the
- * exact predicates in S2Pred. Multi-ring groups are processed shell-wise
- * (holes participate as reversed rings in containment tests via GeoShapes).
+ * exact predicates in S2Pred. Polygon algebra is region-exact for
+ * multi-ring and hole-bearing inputs: regions decompose into disjoint
+ * shell+hole groups (PolyClip.intersectRegions / diffRegions /
+ * unionRegions), so areas and containment follow inclusion-exclusion
+ * exactly; only boundary seams between adjacent pieces are non-canonical.
  */
 object Overlay {
 
@@ -40,7 +43,7 @@ object Overlay {
     if (sa.hasPolygons) lines ++= clipLines(linesOf(b), sa, keepInside = true)
     val polys = mutable.ArrayBuffer[Vector[Vector[S2Point]]]()
     if (sa.hasPolygons && sb.hasPolygons)
-      polys ++= PolyClip.op(ringsOf(a), ringsOf(b), PolyClip.Intersection)
+      polys ++= toRingGroups(PolyClip.intersectRegions(groupsOf(a), groupsOf(b)))
     assemble(pts.toVector, lines.toVector, polys.toVector)
   }
 
@@ -55,8 +58,9 @@ object Overlay {
     else lines ++= linesOf(a)
     val polys = mutable.ArrayBuffer[Vector[Vector[S2Point]]]()
     if (sa.hasPolygons) {
-      if (sb.hasPolygons) polys ++= PolyClip.op(ringsOf(a), ringsOf(b), PolyClip.Difference)
-      else polys ++= ringsOf(a).map(Vector(_))
+      if (sb.hasPolygons)
+        polys ++= toRingGroups(PolyClip.diffRegions(groupsOf(a), groupsOf(b)))
+      else polys ++= toRingGroups(groupsOf(a))
     }
     assemble(pts, lines.toVector, polys.toVector)
   }
@@ -77,8 +81,8 @@ object Overlay {
     val polys = mutable.ArrayBuffer[Vector[Vector[S2Point]]]()
     if (sa.hasPolygons || sb.hasPolygons) {
       if (sa.hasPolygons && sb.hasPolygons)
-        polys ++= PolyClip.op(ringsOf(a), ringsOf(b), PolyClip.Union)
-      else polys ++= (ringsOf(a) ++ ringsOf(b)).map(Vector(_))
+        polys ++= toRingGroups(PolyClip.unionRegions(groupsOf(a), groupsOf(b)))
+      else polys ++= toRingGroups(groupsOf(a) ++ groupsOf(b))
     }
     assemble(pts.toVector.distinct, lines.toVector, polys.toVector)
   }
@@ -101,6 +105,19 @@ object Overlay {
     case Collection(items) => items.flatMap(ringsOf)
     case _ => Vector.empty
   }
+
+  /** Polygon content as shell+holes groups (the region representation the
+    * clip algebra operates on). */
+  private def groupsOf(g: Geography): Vector[PolyClip.Group] = g match {
+    case p: Polygons =>
+      p.ringGroups.filter(_.exists(_.size >= 3))
+        .map(rs => PolyClip.Group(rs.head, rs.tail.filter(_.size >= 3)))
+    case Collection(items) => items.flatMap(groupsOf)
+    case _ => Vector.empty
+  }
+
+  private def toRingGroups(gs: Vector[PolyClip.Group]): Vector[Vector[Vector[S2Point]]] =
+    gs.map(g => g.shell +: g.holes)
 
   private def assemble(pts: Vector[S2Point], lines: Vector[Vector[S2Point]],
                        polys: Vector[Vector[Vector[S2Point]]]): Geography = {
@@ -170,10 +187,11 @@ object Overlay {
   * are not distinguished structurally (reference-quality hole support is
   * future work — the tested overlay algebra does not exercise holes). */
 object PolyClip {
-  sealed trait Op
-  case object Intersection extends Op
-  case object Difference extends Op
-  case object Union extends Op
+  type Ring = Vector[S2Point]
+
+  /** One polygon piece: region = shell minus holes. Region = union of
+    * disjoint groups (boundaries may touch along seams — exact point set). */
+  final case class Group(shell: Ring, holes: Vector[Ring])
 
   /** Robust-ish spherical edge intersection point of crossing edges. */
   def intersectionPoint(a: S2Point, b: S2Point, c: S2Point, d: S2Point): S2Point = {
@@ -183,43 +201,64 @@ object PolyClip {
     if (p.dot(a + b) < 0) -p else p
   }
 
-  /**
-   * On the sphere every region's complement is bounded by the same ring
-   * reversed, so one intersection traversal covers all three ops:
-   *   A minus B  =  A  intersect  reverse(B)
-   *   A union B  =  reverse( reverse(A) intersect reverse(B) )
-   */
-  def op(ringsA: Vector[Vector[S2Point]], ringsB: Vector[Vector[S2Point]], kind: Op): Vector[Vector[Vector[S2Point]]] = {
-    val out = mutable.ArrayBuffer[Vector[Vector[S2Point]]]()
-    kind match {
-      case Intersection =>
-        for (ra <- ringsA; rb <- ringsB) {
-          val r = intersectPair(ra, rb)
-          if (r.nonEmpty) out += r
-        }
-      case Difference =>
-        var acc: Vector[Vector[Vector[S2Point]]] = ringsA.map(Vector(_))
-        for (rb <- ringsB) {
-          acc = acc.flatMap { group =>
-            val r = group.flatMap(ra => intersectPair(ra, rb.reverse))
-            if (r.nonEmpty) Some(r) else scala.None
-          }
-        }
-        out ++= acc
-      case Union =>
-        if (ringsA.size == 1 && ringsB.size == 1) {
-          val r = intersectPair(ringsA.head.reverse, ringsB.head.reverse)
-          if (r.nonEmpty) out += r.map(_.reverse)
-        } else out ++= (ringsA ++ ringsB).map(Vector(_))
-    }
-    // Engine-wide ring convention (same as the WKT reader): every stored
-    // ring encloses its small (<= hemisphere) side; ring 0 of a group is the
-    // shell, later rings are holes. Traversal emits boundary-oriented rings
-    // (holes reversed) — normalize, then regroup into shell+holes.
-    val rings = out.toVector.flatten
-      .filter(_.size >= 3)
+  /** Raw traversal output rings -> engine-convention groups: every stored
+    * ring encloses its small (<= hemisphere) side; shells first, nested
+    * rings become holes of their containing shell. */
+  private def rawToGroups(rings: Vector[Ring]): Vector[Group] = {
+    val norm = rings.filter(_.size >= 3)
       .map(r => if (new S2Loop(r.toArray).isInverted) r.reverse else r)
-    regroup(rings)
+    regroup(norm).map(g => Group(g.head, g.tail))
+  }
+
+  /** Recursion cap for pathological hole nesting (never hit by real data —
+    * each level consumes one hole ring of a finite input). */
+  private val MaxDepth = 64
+
+  /** Group minus the single-ring region r:  (s \ H) \ r = (s \ r) \ H.
+    * On the sphere \ r is intersection with the reversed ring. */
+  def diffGroupRing(g: Group, r: Ring, depth: Int = 0): Vector[Group] = {
+    if (depth > MaxDepth) return Vector(g)
+    val pieces = rawToGroups(intersectPair(g.shell, r.reverse))
+    g.holes.foldLeft(pieces)((acc, h) => acc.flatMap(p => diffGroupRing(p, h, depth + 1)))
+  }
+
+  /** Group intersected with the single-ring region r: (s ∩ r) \ H. */
+  def intersectGroupRing(g: Group, r: Ring, depth: Int = 0): Vector[Group] = {
+    if (depth > MaxDepth) return Vector(g)
+    val pieces = rawToGroups(intersectPair(g.shell, r))
+    g.holes.foldLeft(pieces)((acc, h) => acc.flatMap(p => diffGroupRing(p, h, depth + 1)))
+  }
+
+  /** A ∩ B = ∪_{ga, gb} ((ga ∩ shell_b) \ holes_b). */
+  def intersectRegions(a: Vector[Group], b: Vector[Group]): Vector[Group] =
+    for {
+      gb <- b
+      ga <- a
+      piece <- gb.holes.foldLeft(intersectGroupRing(ga, gb.shell))(
+        (acc, h) => acc.flatMap(p => diffGroupRing(p, h)))
+    } yield piece
+
+  /** A \ B, one group of B at a time:
+    * X \ (s \ H) = (X \ s) ∪ ∪_h (X ∩ h)  — disjoint pieces. */
+  def diffRegions(a: Vector[Group], b: Vector[Group]): Vector[Group] =
+    b.foldLeft(a) { (acc, gb) =>
+      acc.flatMap(g => diffGroupRing(g, gb.shell)) ++
+        gb.holes.flatMap(h => acc.flatMap(g => intersectGroupRing(g, h)))
+    }
+
+  /**
+   * A ∪ B. Single hole-free rings merge into one boundary via the
+   * complement identity (A ∪ B = ¬(¬A ∩ ¬B) — one traversal, no seams);
+   * the general multi-ring / hole-bearing case decomposes into the exact
+   * disjoint form A ⊎ (B \ A), whose pieces may share seam boundaries but
+   * whose point set (and so area / containment) is exact.
+   */
+  def unionRegions(a: Vector[Group], b: Vector[Group]): Vector[Group] = {
+    if (a.size == 1 && b.size == 1 && a.head.holes.isEmpty && b.head.holes.isEmpty) {
+      val r = intersectPair(a.head.shell.reverse, b.head.shell.reverse)
+      if (r.nonEmpty) return rawToGroups(r.map(_.reverse))
+    }
+    a ++ diffRegions(b, a)
   }
 
   /** Group normalized rings into polygons: the largest containing ring of a

@@ -343,7 +343,13 @@ object Queries {
   private val qOverlayGolden = sqlQ(
     """WITH sq AS (SELECT
       |  s2_geogfromtext('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))') AS a,
-      |  s2_geogfromtext('POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))') AS b)
+      |  s2_geogfromtext('POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))') AS b),
+      |mp AS (SELECT
+      |  s2_geogfromtext('MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0)), ((30 30, 40 30, 40 40, 30 40, 30 30)))') AS a,
+      |  s2_geogfromtext('MULTIPOLYGON (((5 5, 15 5, 15 15, 5 15, 5 5)), ((35 35, 45 35, 45 45, 35 45, 35 35)))') AS b),
+      |hp AS (SELECT
+      |  s2_geogfromtext('POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0), (5 5, 15 5, 15 15, 5 15, 5 5))') AS a,
+      |  s2_geogfromtext('POLYGON ((10 10, 30 10, 30 30, 10 30, 10 10))') AS b)
       |SELECT
       | s2_format(s2_intersection(s2_geogfromtext('POINT (-64 45)'), s2_geogfromtext('POINT (-64 46)')), 6) AS int_disjoint,
       | s2_format(s2_intersection(s2_geogfromtext('POINT (-64 45)'), s2_geogfromtext('POINT EMPTY')), 6) AS int_rhs_empty,
@@ -363,7 +369,14 @@ object Queries {
       | (SELECT s2_contains(s2_difference(a, b), s2_geogfromtext('POINT (3 3)')) FROM sq) AS diff_has_33,
       | (SELECT NOT s2_contains(s2_difference(a, b), s2_geogfromtext('POINT (7 7)')) FROM sq) AS diff_not_77,
       | (SELECT s2_contains(s2_union(a, b), s2_geogfromtext('POINT (12 12)')) AND
-      |         s2_contains(s2_union(a, b), s2_geogfromtext('POINT (3 3)')) FROM sq) AS un_has_both""".stripMargin)
+      |         s2_contains(s2_union(a, b), s2_geogfromtext('POINT (3 3)')) FROM sq) AS un_has_both,
+      | (SELECT abs(s2_area(s2_union(a, b)) - (s2_area(a) + s2_area(b) - s2_area(s2_intersection(a, b)))) / s2_area(a) < 1e-9 FROM mp) AS mp_un_ie,
+      | (SELECT s2_contains(s2_union(a, b), s2_geogfromtext('POINT (14 14)')) AND
+      |         s2_contains(s2_union(a, b), s2_geogfromtext('POINT (38 38)')) FROM mp) AS mp_un_has,
+      | (SELECT NOT s2_contains(s2_union(a, b), s2_geogfromtext('POINT (20 20)')) FROM mp) AS mp_un_not,
+      | (SELECT abs(s2_area(s2_union(a, b)) - (s2_area(a) + s2_area(b) - s2_area(s2_intersection(a, b)))) / s2_area(a) < 1e-9 FROM hp) AS hp_un_ie,
+      | (SELECT s2_contains(s2_union(a, b), s2_geogfromtext('POINT (12 12)')) FROM hp) AS hp_un_fill,
+      | (SELECT NOT s2_contains(s2_union(a, b), s2_geogfromtext('POINT (7 7)')) FROM hp) AS hp_un_hole""".stripMargin)
   private val oOverlayGolden =
     """SELECT 'GEOMETRYCOLLECTION EMPTY' AS int_disjoint, 'POINT (-64 45)' AS int_rhs_empty,
       | 'POINT (-64 45)' AS int_lhs_empty, 'POINT (-64 45)' AS int_same,
@@ -372,7 +385,9 @@ object Queries {
       | 'POINT (-64 45)' AS un_rhs_empty, 'POINT (-64 45)' AS un_lhs_empty,
       | 'MULTIPOINT ((-64 45), (-64 46))' AS un_two,
       | true AS area_add, true AS area_un, true AS int_has_77, true AS int_not_33,
-      | true AS diff_has_33, true AS diff_not_77, true AS un_has_both""".stripMargin
+      | true AS diff_has_33, true AS diff_not_77, true AS un_has_both,
+      | true AS mp_un_ie, true AS mp_un_has, true AS mp_un_not,
+      | true AS hp_un_ie, true AS hp_un_fill, true AS hp_un_hole""".stripMargin
 
   private val qCoveringGolden = (s: SparkSession, dir: String) => {
     prep(s, dir)

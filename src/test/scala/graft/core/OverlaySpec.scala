@@ -40,6 +40,59 @@ class OverlaySpec extends AnyFunSuite {
     assert(rel < 1e-12)
   }
 
+  test("union of two overlapping MULTIPOLYGONs is exact (inclusion-exclusion)") {
+    val a = g("MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0)), ((30 30, 40 30, 40 40, 30 40, 30 30)))")
+    val b = g("MULTIPOLYGON (((5 5, 15 5, 15 15, 5 15, 5 5)), ((35 35, 45 35, 45 45, 35 45, 35 35)))")
+    val aA = S2Measure.areaMeters2(a); val aB = S2Measure.areaMeters2(b)
+    val aI = S2Measure.areaMeters2(Overlay.intersection(a, b))
+    val aU = S2Measure.areaMeters2(Overlay.union(a, b))
+    assert(aI > 0)
+    assert(Math.abs(aU - (aA + aB - aI)) / aA < 1e-9,
+      s"union area $aU != $aA + $aB - $aI (ring-concat double-counts overlap)")
+    val su = new GeoShapes(Overlay.union(a, b))
+    assert(su.polygonContains(S2Point.fromLatLngDegrees(7, 7)))   // overlap zone once
+    assert(su.polygonContains(S2Point.fromLatLngDegrees(38, 38)))
+    assert(su.polygonContains(S2Point.fromLatLngDegrees(14, 14))) // b-only zone
+    assert(!su.polygonContains(S2Point.fromLatLngDegrees(20, 20)))
+  }
+
+  test("union of hole-bearing polygons is exact") {
+    // A: big square with a hole; B: square covering part of A's hole
+    val a = g("POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0), (5 5, 15 5, 15 15, 5 15, 5 5))")
+    val b = g("POLYGON ((10 10, 30 10, 30 30, 10 30, 10 10))")
+    val aA = S2Measure.areaMeters2(a); val aB = S2Measure.areaMeters2(b)
+    val aI = S2Measure.areaMeters2(Overlay.intersection(a, b))
+    val u = Overlay.union(a, b)
+    val aU = S2Measure.areaMeters2(u)
+    assert(aI > 0)
+    assert(Math.abs(aU - (aA + aB - aI)) / aA < 1e-9)
+    val su = new GeoShapes(u)
+    assert(su.polygonContains(S2Point.fromLatLngDegrees(12, 12))) // in A's hole but in B
+    assert(!su.polygonContains(S2Point.fromLatLngDegrees(7, 7)))  // hole area outside B
+    assert(su.polygonContains(S2Point.fromLatLngDegrees(3, 3)))   // A-only
+    assert(su.polygonContains(S2Point.fromLatLngDegrees(25, 25))) // B-only
+  }
+
+  test("intersection and difference respect holes in both inputs") {
+    val a = g("POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0), (8 8, 12 8, 12 12, 8 12, 8 8))")
+    val b = g("POLYGON ((10 0, 30 0, 30 20, 10 20, 10 0), (14 8, 18 8, 18 12, 14 12, 14 8))")
+    val i = new GeoShapes(Overlay.intersection(a, b))
+    assert(i.polygonContains(S2Point.fromLatLngDegrees(5, 13)))   // overlap, no holes (lon 13, lat 5)
+    assert(!i.polygonContains(S2Point.fromLatLngDegrees(10, 11))) // inside A's hole
+    assert(!i.polygonContains(S2Point.fromLatLngDegrees(10, 16))) // inside B's hole
+    assert(!i.polygonContains(S2Point.fromLatLngDegrees(10, 5)))  // outside B
+    val d = new GeoShapes(Overlay.difference(a, b))
+    assert(d.polygonContains(S2Point.fromLatLngDegrees(10, 5)))   // A-only zone
+    assert(!d.polygonContains(S2Point.fromLatLngDegrees(5, 13)))  // in B -> removed
+    assert(d.polygonContains(S2Point.fromLatLngDegrees(10, 16)))  // in B's hole -> kept
+    assert(!d.polygonContains(S2Point.fromLatLngDegrees(10, 11))) // A's own hole
+    // area algebra: |A| = |A∩B| + |A\B|
+    val aA = S2Measure.areaMeters2(a)
+    val rel = Math.abs(S2Measure.areaMeters2(Overlay.intersection(a, b)) +
+      S2Measure.areaMeters2(Overlay.difference(a, b)) - aA) / aA
+    assert(rel < 1e-9)
+  }
+
   test("line clipped by polygon") {
     val line = g("LINESTRING (-5 5, 15 5)")
     val poly = g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
