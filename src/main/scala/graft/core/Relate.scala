@@ -150,7 +150,23 @@ object Relate {
     }
     // edge-edge crossings (proper or touching — CLOSED model);
     // cell-bucketed index replaces the O(E_a * E_b) scan for big inputs
-    EdgeIndex.anyCrossing(a, b)
+    if (EdgeIndex.anyCrossing(a, b)) return true
+    // exactly-collinear 1-D overlaps are invisible to the perturbed
+    // crossing predicates; detect them directly so intersects stays
+    // consistent with the interval-cover containment below
+    a.hasLines && b.hasLines && anyCollinearOverlap(a, b)
+  }
+
+  /** Any b edge sharing a positive-length collinear sub-arc with an a edge. */
+  private def anyCollinearOverlap(a: GeoShapes, b: GeoShapes): Boolean = {
+    var found = false
+    b.foreachEdge { (p, q) =>
+      if (p != q && {
+        val (full, intervals) = collinearIntervals(p, q, a)
+        full || intervals.exists { case (s, e) => e - s > CoverEps }
+      }) { found = true; false } else true
+    }
+    found
   }
 
   private def pointIntersects(p: S2Point, other: GeoShapes): Boolean =
@@ -178,16 +194,13 @@ object Relate {
     if (b.hasLines || b.hasPolygons) {
       if (!a.hasPolygons) {
         // only a polygon can contain 1D/2D content (line-in-line is the
-        // degenerate exception; handled as vertex+midpoint-on-line).
-        // KNOWN APPROXIMATION (ADVICE r2): sampling endpoints + midpoint can
-        // false-positive when the container polyline covers those three
-        // points but has a gap elsewhere along the edge; exact collinear
-        // arc-interval overlap is future work.
+        // degenerate exception): every b edge must be covered by the union
+        // of a's exactly-collinear edge sub-arcs — exact interval cover,
+        // not sampling (a gapped container polyline correctly fails)
         if (a.hasLines && !b.hasPolygons) {
           var good = true
           b.foreachEdge { (p, q) =>
-            val mid = (p + q).normalize
-            if (!(a.onAnyLine(p) && a.onAnyLine(q) && a.onAnyLine(mid))) { good = false; false } else true
+            if (!edgeCoveredByLines(p, q, a)) { good = false; false } else true
           }
           return good
         }
@@ -234,6 +247,83 @@ object Relate {
     if (a.hasPolygons || b.hasPolygons || a.hasLines || b.hasLines)
       contains(a, b) && contains(b, a)
     else a.points.toSet == b.points.toSet
+  }
+
+  // -------------------------------------------- collinear interval cover
+
+  /** Slack for merging adjacent parameter intervals (radians; ~6 mm on
+    * Earth). Collinearity itself is exact — the slack only absorbs the fp
+    * error of the atan2 parameterization at interval junctions. */
+  private val CoverEps = 1e-9
+
+  /** Is the closed arc (p, q) fully covered by the union of a's
+    * exactly-collinear edge sub-arcs?
+    *
+    * Each a-edge on the same great circle (S2Pred.collinearExact, no
+    * symbolic perturbation) contributes the angular interval where it
+    * overlaps [p, q]; b's edge is contained iff the merged intervals cover
+    * [0, angle(p, q)]. */
+  private def edgeCoveredByLines(p: S2Point, q: S2Point, a: GeoShapes): Boolean = {
+    if (p == q || p.angle(q) <= 0) return a.onAnyLine(p) || vertexOfLines(p, a)
+    val total = p.angle(q)
+    val (fullyCovered, intervals) = collinearIntervals(p, q, a)
+    if (fullyCovered) return true
+    if (intervals.isEmpty) return false
+    val sorted = intervals.sortBy(_._1)
+    var reach = 0.0
+    var i = 0
+    while (i < sorted.size && reach < total - CoverEps) {
+      val (s, e) = sorted(i)
+      if (s > reach + CoverEps) return false // gap
+      if (e > reach) reach = e
+      i += 1
+    }
+    reach >= total - CoverEps
+  }
+
+  /** Angular sub-intervals of the arc [p, q] (parameter range [0, angle])
+    * covered by a's exactly-collinear edges. First element of the result is
+    * the identical-edge short-circuit. */
+  private def collinearIntervals(p: S2Point, q: S2Point, a: GeoShapes)
+      : (Boolean, Vector[(Double, Double)]) = {
+    val total = p.angle(q)
+    val n = p.cross(q)
+    val nn = n.norm
+    if (nn < 1e-30) return (false, Vector.empty) // antipodal: undefined circle
+    val nHat = n * (1.0 / nn)
+    val twoPi = 2 * Math.PI
+
+    // angular parameter of x (known collinear) from p, in (-pi, pi]
+    def theta(x: S2Point): Double = Math.atan2(x.cross(p).dot(nHat) * -1.0, p.dot(x))
+
+    val intervals = Vector.newBuilder[(Double, Double)]
+    var fullyCovered = false
+    a.foreachEdge { (c, d) =>
+      if ((c == p && d == q) || (c == q && d == p)) { fullyCovered = true; false }
+      else if (c != d && S2Pred.collinearExact(p, q, c) && S2Pred.collinearExact(p, q, d)) {
+        val tc = theta(c); val td = theta(d)
+        // the edge is the SHORT arc c->d; in unwrapped coords either
+        // [min,max] (span <= pi) or the wrap-around [max, min + 2pi]
+        val (lo, hi) =
+          if (Math.abs(tc - td) <= Math.PI) (Math.min(tc, td), Math.max(tc, td))
+          else (Math.max(tc, td), Math.min(tc, td) + twoPi)
+        var shift = -twoPi
+        while (shift <= twoPi) {
+          val s = Math.max(lo + shift, 0.0)
+          val e = Math.min(hi + shift, total)
+          if (e >= s - CoverEps) intervals += ((s, e))
+          shift += twoPi
+        }
+        true
+      } else true
+    }
+    (fullyCovered, intervals.result())
+  }
+
+  private def vertexOfLines(p: S2Point, a: GeoShapes): Boolean = {
+    var found = false
+    a.foreachEdge { (c, d) => if (c == p || d == p) { found = true; false } else true }
+    found
   }
 
   // ------------------------------------------------------------- distance

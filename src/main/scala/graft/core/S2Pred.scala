@@ -127,6 +127,17 @@ object S2Pred {
     S2Point(0.0045676207723, 0.9987317298375, 0.0502392510902).normalize
 
   /** True if point p is exactly on the closed edge ab (endpoints included). */
+  /** Non-perturbed collinearity: the exact determinant det(a, b, c) is
+    * EXACTLY zero (c lies on the great circle through a and b). Unlike
+    * sign(), no symbolic tie-break — used for collinear arc-interval
+    * overlap (line-in-line containment), where the perturbed model would
+    * declare every interior point "off" the edge. */
+  def collinearExact(a: S2Point, b: S2Point, c: S2Point): Boolean = {
+    val det = a.cross(b).dot(c)
+    if (Math.abs(det) > MaxDetError) false
+    else exactDet(a, b, c).signum == 0
+  }
+
   def pointOnEdge(p: S2Point, a: S2Point, b: S2Point): Boolean = {
     if (p == a || p == b) return true
     if (sign(a, b, p) != 0) return false

@@ -253,12 +253,17 @@ object Queries {
       |            s2_cellcenter_to_geog(s2_geog_to_cellcenter(s2_data_city('Toronto'))), 3000000.0) AS dw3m_cc,
       | s2_dwithin(s2_cellcenter_to_geog(s2_geog_to_cellcenter(s2_data_city('Vancouver'))),
       |            s2_cellcenter_to_geog(s2_geog_to_cellcenter(s2_data_city('Toronto'))), 4000000.0) AS dw4m_cc,
-      | s2_dwithin(s2_geogfromtext('POINT EMPTY'), s2_data_city('Toronto'), CAST('Infinity' AS DOUBLE)) AS dw_empty""".stripMargin)
+      | s2_dwithin(s2_geogfromtext('POINT EMPTY'), s2_data_city('Toronto'), CAST('Infinity' AS DOUBLE)) AS dw_empty,
+      | s2_contains(s2_geogfromtext('LINESTRING (0 0, 0 10)'), s2_geogfromtext('LINESTRING (0 2, 0 8)')) AS line_sub,
+      | s2_contains(s2_geogfromtext('MULTILINESTRING ((0 0, 0 4), (0 6, 0 10))'), s2_geogfromtext('LINESTRING (0 2, 0 8)')) AS line_gap,
+      | s2_equals(s2_geogfromtext('LINESTRING (0 0, 0 10)'), s2_geogfromtext('LINESTRING (0 0, 0 5, 0 10)')) AS line_eq_dense,
+      | s2_intersects(s2_geogfromtext('LINESTRING (0 0, 0 10)'), s2_geogfromtext('LINESTRING (0 2, 0 8)')) AS line_overlap_int""".stripMargin)
   private val oPredicatesGolden =
     """SELECT true AS van_can, true AS chi_may, false AS chi_can, false AS tor_contains_can,
       | true AS can_contains_tor, true AS can_eq, false AS may_far, true AS may_same,
       | false AS may_empty, false AS int_empty, false AS eq_empty,
-      | false AS dw3m, true AS dw4m, false AS dw3m_cc, true AS dw4m_cc, false AS dw_empty""".stripMargin
+      | false AS dw3m, true AS dw4m, false AS dw3m_cc, true AS dw4m_cc, false AS dw_empty,
+      | true AS line_sub, false AS line_gap, true AS line_eq_dense, true AS line_overlap_int""".stripMargin
 
   private val qDistanceGolden = sqlQ(
     """SELECT
