@@ -19,6 +19,33 @@ final class EdgeIndex private (val level: Int,
 
   def numEdges: Int = starts.length
 
+  /** Serialized form: level, numEdges, numBuckets, then per bucket
+    * (cellId, count, edge ordinals). Edge endpoints are NOT serialized —
+    * they are the geometry's own edges in foreachEdge order, rebuilt on
+    * decode (reference serializes the whole S2ShapeIndex,
+    * s2_functions_io.cpp:365-385; same effect: no index rebuild). */
+  def serializedSize: Int = {
+    var sz = 1 + 4 + 4
+    val it = buckets.values().iterator()
+    while (it.hasNext) sz += 12 + 4 * it.next().size
+    sz
+  }
+
+  def writeTo(buf: java.nio.ByteBuffer): Unit = {
+    buf.put(level.toByte)
+    buf.putInt(numEdges)
+    buf.putInt(buckets.size)
+    val it = buckets.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      buf.putLong(e.getKey)
+      val idxs = e.getValue
+      buf.putInt(idxs.size)
+      var i = 0
+      while (i < idxs.size) { buf.putInt(idxs(i)); i += 1 }
+    }
+  }
+
   /** Indices of edges that could cross (p, q); conservative superset. */
   def candidates(p: S2Point, q: S2Point): java.util.BitSet = {
     val out = new java.util.BitSet(numEdges)
@@ -53,6 +80,31 @@ object EdgeIndex {
         b += i
       }
       i += 1
+    }
+    new EdgeIndex(level, ss.toArray, es.toArray, buckets)
+  }
+
+  /** Inverse of writeTo: rebuild edge endpoints from the decoded geometry
+    * (same foreachEdge order as build) and attach the stored buckets.
+    * Falls back to a fresh build if the edge count disagrees. */
+  def readFrom(buf: java.nio.ByteBuffer, shapes: GeoShapes): EdgeIndex = {
+    val level = buf.get().toInt
+    val nEdges = buf.getInt()
+    val ss = mutable.ArrayBuffer[S2Point]()
+    val es = mutable.ArrayBuffer[S2Point]()
+    shapes.foreachEdge { (p, q) => ss += p; es += q; true }
+    if (ss.size != nEdges) return build(shapes)
+    val nBuckets = buf.getInt()
+    val buckets = new java.util.HashMap[Long, mutable.ArrayBuffer[Int]](nBuckets * 2)
+    var b = 0
+    while (b < nBuckets) {
+      val cell = buf.getLong()
+      val cnt = buf.getInt()
+      val idxs = new mutable.ArrayBuffer[Int](cnt)
+      var i = 0
+      while (i < cnt) { idxs += buf.getInt(); i += 1 }
+      buckets.put(cell, idxs)
+      b += 1
     }
     new EdgeIndex(level, ss.toArray, es.toArray, buckets)
   }

@@ -34,12 +34,24 @@ object GeoCodec {
 
   def encode(g: Geography): Array[Byte] = encodeImpl(g, prepared = false)
 
-  /** s2_prepare: mark blobs >= 64 bytes as prepared; smaller pass through
-    * (reference: s2_functions_io.cpp:373-379). The decoded form rebuilds its
-    * edge structures eagerly; the flag mostly signals "index on decode". */
+  /** s2_prepare: blobs >= 64 bytes get the cell-bucketed edge index BUILT
+    * and SERIALIZED into the blob (appended after the payload — structural
+    * decode never reads past the payload, so unprepared readers are
+    * unaffected); smaller blobs pass through (reference:
+    * s2_functions_io.cpp:373-379 encodes a ShapeIndexGeography). Decoding a
+    * prepared blob reattaches the index without rebuilding it. */
   def prepare(bytes: Array[Byte]): Array[Byte] = {
     if (bytes.length < 64 || bytes(0) == KindCellCenter || (bytes(1) & FlagPrepared) != 0) bytes
-    else { val out = bytes.clone(); out(1) = (out(1) | FlagPrepared).toByte; out }
+    else {
+      val idx = EdgeIndex.build(new GeoShapes(decode(bytes)))
+      val out = ByteBuffer.allocate(bytes.length + idx.serializedSize)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      out.put(bytes)
+      idx.writeTo(out)
+      val arr = out.array()
+      arr(1) = (arr(1) | FlagPrepared).toByte
+      arr
+    }
   }
 
   def isPrepared(bytes: Array[Byte]): Boolean =
@@ -149,6 +161,21 @@ object GeoCodec {
     val buf = ByteBuffer.wrap(bytes, 4 + 8 * n, bytes.length - 4 - 8 * n)
       .order(ByteOrder.LITTLE_ENDIAN)
     decodePayload(kind, buf)
+  }
+
+  /** Decode to the predicate-ready shape view; for prepared blobs the
+    * serialized edge index is reattached instead of rebuilt. */
+  def decodeShapes(bytes: Array[Byte]): GeoShapes = {
+    if (bytes == null || bytes.length < 4) throw DecodeException("GEOGRAPHY blob too short")
+    val kind = bytes(0)
+    val n = bytes(2) & 0xff
+    val buf = ByteBuffer.wrap(bytes, 4 + 8 * n, bytes.length - 4 - 8 * n)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    val g = decodePayload(kind, buf)
+    val shapes = new GeoShapes(g)
+    if ((bytes(1) & FlagPrepared) != 0 && buf.remaining() >= 9)
+      shapes.attachEdgeIndex(EdgeIndex.readFrom(buf, shapes))
+    shapes
   }
 
   private def decodePayload(kind: Byte, buf: ByteBuffer): Geography = kind match {

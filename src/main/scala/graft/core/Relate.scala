@@ -111,8 +111,14 @@ final class GeoShapes(val g: Geography) extends Serializable {
     n
   }
 
+  /** Deserialized index from a prepared blob (GeoCodec.decodeShapes); must
+    * be attached before the first edgeIndex access. */
+  @transient private var prebuiltEdgeIndex: EdgeIndex = null
+  private[core] def attachEdgeIndex(idx: EdgeIndex): Unit = prebuiltEdgeIndex = idx
+
   /** Prepared cell-bucketed edge index (lazy; see EdgeIndex). */
-  @transient lazy val edgeIndex: EdgeIndex = EdgeIndex.build(this)
+  @transient lazy val edgeIndex: EdgeIndex =
+    if (prebuiltEdgeIndex != null) prebuiltEdgeIndex else EdgeIndex.build(this)
 
   /** Prepared distance index: cell buckets with bounding caps (ClosestEdge). */
   @transient lazy val distIndex: DistIndex = DistIndex.build(this)

@@ -124,13 +124,23 @@ object Queries {
       | 'Vertices 0 and 1 are identical' AS reason,
       | 'LINESTRING (0 0, 0 0, 1 1)' AS wkb_out, true AS valid_ok, true AS reason_ok""".stripMargin
 
+  /** Prepared print parity (reference functions_io.test:43-52: small
+    * geographies pass through, bigger ones print the index form; the byte
+    * count is encoding-specific). Predicates on the prepared blob must
+    * still see the geometry through the attached index. */
   private val qPrepareGolden = sqlQ(
-    """SELECT s2_format(s2_prepare(s2_geogfromtext('POINT (30 10)')), 6) AS small,
-      | s2_isempty(s2_prepare(s2_geogfromtext('LINESTRING (0 0, 1 1, 2 2, 3 3, 4 4)'))) AS prepared_empty,
-      | s2_format(s2_prepare(s2_geogfromtext('LINESTRING (0 0, 1 1, 2 2, 3 3, 4 4)')), 6) AS prepared_wkt""".stripMargin)
+    """WITH p AS (SELECT s2_prepare(s2_geogfromtext('LINESTRING (0 0, 1 1, 2 2, 3 3, 4 4)')) AS g)
+      |SELECT s2_format(s2_prepare(s2_geogfromtext('POINT (30 10)')), 6) AS small,
+      | (SELECT s2_isempty(g) FROM p) AS prepared_empty,
+      | (SELECT s2_format(g, 6) FROM p) AS prepared_wkt,
+      | (SELECT s2_astext(s2_prepare(g)) FROM p) AS prepare_idempotent,
+      | (SELECT s2_intersects(g, s2_geogfromtext('LINESTRING (0 4, 4 0)')) FROM p) AS prep_int,
+      | (SELECT s2_intersects(g, s2_geogfromtext('LINESTRING (10 14, 14 10)')) FROM p) AS prep_far,
+      | (SELECT CAST(round(s2_length(g) / 1000.0, 0) AS BIGINT) FROM p) AS prep_len_km""".stripMargin)
   private val oPrepareGolden =
     """SELECT 'POINT (30 10)' AS small, false AS prepared_empty,
-      | 'LINESTRING (0 0, 1 1, 2 2, 3 3, 4 4)' AS prepared_wkt""".stripMargin
+      | '<S2ShapeIndex 233 b>' AS prepared_wkt, '<S2ShapeIndex 233 b>' AS prepare_idempotent,
+      | true AS prep_int, false AS prep_far, 629 AS prep_len_km""".stripMargin
 
   /** Null propagation across the whole function surface (reference: DuckDB
     * executors skip null rows for every scalar — null in, null out, for

@@ -42,10 +42,12 @@ object S2Functions {
   private val shapeCache = new java.util.concurrent.ConcurrentHashMap[BytesKey, GeoShapes]()
 
   private def shapes(b: Array[Byte]): GeoShapes = {
-    // only cache blobs where decode+index clearly beats hashing the key
-    if (b.length < 4096) return new GeoShapes(GeoCodec.decode(b))
+    // cache every PREPARED blob (the user explicitly asked for reuse —
+    // broadcast build sides under 4 KiB must not re-decode per row);
+    // unprepared blobs only when decode+index clearly beats hashing the key
+    if (!GeoCodec.isPrepared(b) && b.length < 4096) return GeoCodec.decodeShapes(b)
     if (shapeCache.size > 512) shapeCache.clear()
-    shapeCache.computeIfAbsent(new BytesKey(b), k => new GeoShapes(GeoCodec.decode(k.bytes)))
+    shapeCache.computeIfAbsent(new BytesKey(b), k => GeoCodec.decodeShapes(k.bytes))
   }
 
   val geogFromText: String => Array[Byte] =
@@ -56,10 +58,17 @@ object S2Functions {
     (b: Array[Byte]) => if (b == null) null else GeoCodec.encode(Wkb.read(b, validate = true))
   val geogFromWkbNoValidate: Array[Byte] => Array[Byte] =
     (b: Array[Byte]) => if (b == null) null else GeoCodec.encode(Wkb.read(b, validate = false))
+  /** Prepared blobs print their index form, not WKT (reference:
+    * s2_functions_io.cpp:188-192, functions_io.test:43-52). */
+  private def printBlob(b: Array[Byte], precision: Int): String =
+    if (GeoCodec.isPrepared(b)) s"<S2ShapeIndex ${b.length} b>"
+    else if (precision < 0) Wkt.write(GeoCodec.decode(b))
+    else Wkt.write(GeoCodec.decode(b), precision)
+
   val asText: Array[Byte] => String =
-    (b: Array[Byte]) => if (b == null) null else Wkt.write(GeoCodec.decode(b))
+    (b: Array[Byte]) => if (b == null) null else printBlob(b, -1)
   val format: (Array[Byte], Int) => String =
-    (b: Array[Byte], p: Int) => if (b == null) null else Wkt.write(GeoCodec.decode(b), p)
+    (b: Array[Byte], p: Int) => if (b == null) null else printBlob(b, p)
   val asWkb: Array[Byte] => Array[Byte] =
     (b: Array[Byte]) => if (b == null) null else Wkb.write(GeoCodec.decode(b))
   val prepare: Array[Byte] => Array[Byte] =

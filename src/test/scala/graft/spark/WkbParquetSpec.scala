@@ -43,6 +43,27 @@ class WkbParquetSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.getLong(1) === 177)
   }
 
+  test("prepared geography (serialized index) survives a parquet round trip") {
+    val dir = Files.createTempDirectory("graft_prep").toString
+    val out = s"$dir/prepared.parquet"
+    spark.sql(
+      """SELECT name, s2_prepare(geog) AS pg, s2_area(geog) AS area
+        |FROM s2_data_countries""".stripMargin)
+      .write.mode("overwrite").parquet(out)
+
+    spark.read.parquet(out).createOrReplaceTempView("prep_back")
+    val rows = spark.sql(
+      """SELECT count(*) AS n,
+        | sum(CASE WHEN s2_astext(pg) LIKE '<S2ShapeIndex %' THEN 1 ELSE 0 END) AS idx_form,
+        | sum(CASE WHEN abs(s2_area(pg) - area) / area < 1e-12 THEN 1 ELSE 0 END) AS area_ok,
+        | sum(CASE WHEN s2_intersects(pg, pg) THEN 1 ELSE 0 END) AS self_int
+        |FROM prep_back""".stripMargin).collect().head
+    assert(rows.getLong(0) === 177)
+    assert(rows.getLong(1) === 177, "prepared blobs must keep the index form after parquet")
+    assert(rows.getLong(2) === 177)
+    assert(rows.getLong(3) === 177)
+  }
+
   test("partitioned-by-cell parquet writes prune on read") {
     val dir = Files.createTempDirectory("graft_cells").toString
     val out = s"$dir/cities_by_cell"
