@@ -26,14 +26,23 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     for (n <- Seq("b_tpch_q1", "t_dwithin_join", "l_dedup_minhash", "t_cover_refine_join"))
       try qmap(n)(spark, warmDir).count() catch { case _: Throwable => () }
-    // prep() re-registers the temp views when the sfDir changes
+    // prep() re-registers the temp views when the sfDir changes.
+    // Median of 3 runs per query: this box has high single-run variance
+    // (a recorded 8.3 s that re-measured at 1.5 s cost round 3 a phantom
+    // regression hunt) — the median is stable within ~20%.
     val results = Queries.benchNames.map { name =>
-      val t0 = System.nanoTime()
-      val err: Option[String] =
-        try { qmap(name)(spark, sfDir).count(); None }
+      val times = scala.collection.mutable.ArrayBuffer[Double]()
+      var err: Option[String] = None
+      var rep = 0
+      while (rep < 3 && err.isEmpty) {
+        val t0 = System.nanoTime()
+        try { qmap(name)(spark, sfDir).count(); times += (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
-          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+          err = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
+        rep += 1
+      }
+      val median = if (times.isEmpty) 0.0 else times.sorted.apply(times.size / 2)
+      (name, median, err)
     }
 
     def esc(s: String): String =

@@ -117,13 +117,22 @@ object Ann {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nlist: Int = 16,
               nprobe: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
-    // deterministic "training": a hash-ordered pseudo-random sample of the
-    // corpus serves as the coarse centroids
-    val cents = corpus.select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
-      .orderBy(xxhash64(col("cent_id")))
+    import spark.implicits._
+    // deterministic "training": the nlist corpus rows with the smallest
+    // id-hash are the coarse centroids. orderBy+limit(nlist) executes as
+    // TakeOrderedAndProject (per-partition top-K heap + driver merge — one
+    // pass, NO global sort, no single-partition Window), and the bounded
+    // nlist-row result is materialized once to number the centroids and
+    // broadcast them — the standard shape for building a tiny quantizer.
+    val sampled = corpus
+      .select(col(idCol).cast("long").as("cent_id"), col(vecCol).as("cent_vec"))
+      .orderBy(xxhash64(col("cent_id")).asc, col("cent_id").asc)
       .limit(nlist)
-      .withColumn("cent_no", row_number().over(Window.orderBy("cent_id")))
-      .select("cent_no", "cent_vec")
+      .as[(Long, Array[Float])]
+      .collect()
+    val cents = sampled.sortBy(_._1).zipWithIndex
+      .map { case ((_, vec), i) => (i + 1, vec) }.toSeq
+      .toDF("cent_no", "cent_vec")
     val centsB = broadcast(cents)
 
     def assign(df: DataFrame, id: String, vec: String, n: Int, outCol: String): DataFrame = {
