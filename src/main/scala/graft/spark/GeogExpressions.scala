@@ -1,0 +1,149 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core._
+
+/**
+ * Static, primitive-typed kernel entry points for whole-stage codegen: the
+ * generated Java calls these directly (no Scala-function boxing, no
+ * Option allocation, no catalyst<->scala converters). Null handling stays in
+ * the expression layer (nullIntolerant), preserving the null-propagation
+ * contract of the UDF surface.
+ */
+object S2Native {
+  def intersects(a: Array[Byte], b: Array[Byte]): Boolean = {
+    if (GeoCodec.isEmptyBlob(a) || GeoCodec.isEmptyBlob(b)) false
+    else if (!Covering.unionsIntersect(GeoCodec.coveringOf(a), GeoCodec.coveringOf(b))) false
+    else Relate.intersects(S2Functions.shapesOf(a), S2Functions.shapesOf(b))
+  }
+
+  def dwithin(a: Array[Byte], b: Array[Byte], meters: Double): Boolean =
+    Relate.dwithin(S2Functions.shapesOf(a), S2Functions.shapesOf(b), meters)
+
+  def geogPoint(lon: Double, lat: Double): Array[Byte] =
+    GeoCodec.encode(graft.core.Geography.point(lon, lat))
+
+  def coveringFixedLevel(b: Array[Byte], level: Int): ArrayData =
+    new GenericArrayData(RegionCoverer.coverFixedLevel(GeoCodec.decode(b), level))
+
+  def formatBlob(b: Array[Byte], precision: Int): UTF8String =
+    UTF8String.fromString(S2Functions.printBlobPublic(b, precision))
+}
+
+/**
+ * Native Catalyst expressions for the hot geography predicates and
+ * constructors (SURVEY §2.4/§2.8 refine path): these sit inside every
+ * cover-then-refine join and every scan filter, so they get doGenCode and
+ * live inside WholeStageCodegen instead of breaking the span with a
+ * ScalaUDF. Installed over the UDF fallbacks on the SQL surface; the
+ * constant-argument contracts of the reference are enforced at build time
+ * with the reference's exact error messages
+ * (src/s2_functions_io.cpp:166-169, src/s2_bounds.cpp:91-99).
+ */
+object GeogExpressions {
+
+  case class S2IntersectsExpr(left: Expression, right: Expression) extends BinaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      S2Native.intersects(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.spark.S2Native.intersects($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+    override def prettyName: String = "s2_intersects"
+  }
+
+  case class S2DwithinExpr(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(a: Any, b: Any, m: Any): Any =
+      S2Native.dwithin(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]],
+        m.asInstanceOf[Double])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b, m) => s"graft.spark.S2Native.dwithin($a, $b, $m)")
+    override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+      copy(first = f, second = s, third = t)
+    override def prettyName: String = "s2_dwithin"
+  }
+
+  case class S2GeogPointExpr(left: Expression, right: Expression) extends BinaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(lon: Any, lat: Any): Any =
+      S2Native.geogPoint(lon.asInstanceOf[Double], lat.asInstanceOf[Double])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.spark.S2Native.geogPoint($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+    override def prettyName: String = "s2_geogpoint"
+  }
+
+  case class S2CoveringFixedLevelExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(b: Any, lvl: Any): Any =
+      S2Native.coveringFixedLevel(b.asInstanceOf[Array[Byte]], lvl.asInstanceOf[Int])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (b, l) => s"graft.spark.S2Native.coveringFixedLevel($b, $l)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+    override def prettyName: String = "s2_covering_fixed_level"
+  }
+
+  case class S2FormatExpr(left: Expression, right: Expression) extends BinaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = StringType
+    override def nullSafeEval(b: Any, p: Any): Any =
+      S2Native.formatBlob(b.asInstanceOf[Array[Byte]], p.asInstanceOf[Int])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (b, p) => s"graft.spark.S2Native.formatBlob($b, $p)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+    override def prettyName: String = "s2_format"
+  }
+
+  /** Install native builders over the UDF fallbacks on the SQL surface,
+    * enforcing the reference's constant-argument contracts. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def put(name: String, n: Int)(f: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, { args: Seq[Expression] =>
+        require(args.size == n, s"$name expects $n arguments")
+        f(args)
+      }, "built-in")
+    def bin(e: Expression) = if (e.dataType == BinaryType) e else Cast(e, BinaryType)
+    def d(e: Expression) = if (e.dataType == DoubleType) e else Cast(e, DoubleType)
+    def i(e: Expression) = if (e.dataType == IntegerType) e else Cast(e, IntegerType)
+
+    put("s2_intersects", 2)(a => S2IntersectsExpr(bin(a(0)), bin(a(1))))
+    put("s2_dwithin", 3)(a => S2DwithinExpr(bin(a(0)), bin(a(1)), d(a(2))))
+    put("s2_geogpoint", 2)(a => S2GeogPointExpr(d(a(0)), d(a(1))))
+    put("s2_covering_fixed_level", 2) { a =>
+      // reference contract: src/s2_bounds.cpp:91-99
+      if (!a(1).foldable)
+        throw new IllegalArgumentException("s2_covering_fixed_level(): level must be a constant")
+      val lvl = Cast(a(1), IntegerType).eval() match {
+        case x: java.lang.Integer => x.intValue
+        case _ => -1
+      }
+      if (lvl < 0 || lvl > 30)
+        throw new IllegalArgumentException("s2_covering_fixed_level(): level must be between 0 and 30")
+      S2CoveringFixedLevelExpr(bin(a(0)), i(a(1)))
+    }
+    put("s2_format", 2) { a =>
+      // reference contract: src/s2_functions_io.cpp:166-169
+      if (!a(1).foldable)
+        throw new IllegalArgumentException("Can't use s2_format() with non-constant precision")
+      S2FormatExpr(bin(a(0)), i(a(1)))
+    }
+  }
+}

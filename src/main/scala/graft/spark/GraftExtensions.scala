@@ -39,6 +39,12 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
     * never disturbed. */
   private def spatialPredicate(e: Expression): Option[(Expression, Expression, Option[Double])] =
     e match {
+      case GeogExpressions.S2IntersectsExpr(g1, g2) => Some((g1, g2, None))
+      case GeogExpressions.S2DwithinExpr(g1, g2, m) if m.foldable =>
+        m.eval() match {
+          case d: java.lang.Double if d > 0 => Some((g1, g2, Some(d)))
+          case _ => None
+        }
       case u: ScalaUDF if u.children.size == 2 &&
           (isFn(u, S2Functions.intersects, "s2_intersects") ||
             isFn(u, S2Functions.contains, "s2_contains")) =>
@@ -89,16 +95,14 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
 
     def covered(child: LogicalPlan, geog: Expression, side: String,
                 withNeighbors: Boolean): (LogicalPlan, Attribute, Attribute) = {
-      val cov = ScalaUDF(
-        function =
-          if (withNeighbors) S2Functions.coveringFixedLevelWithNeighbors
-          else S2Functions.coveringFixedLevel,
-        dataType = ArrayType(LongType, containsNull = false),
-        children = Seq(geog, Literal(level)),
-        inputEncoders = Seq(scala.None, scala.None),
-        udfName = Some(
-          if (withNeighbors) "s2_covering_fixed_level_with_neighbors"
-          else "s2_covering_fixed_level"))
+      val cov: Expression =
+        if (withNeighbors) ScalaUDF(
+          function = S2Functions.coveringFixedLevelWithNeighbors,
+          dataType = ArrayType(LongType, containsNull = false),
+          children = Seq(geog, Literal(level)),
+          inputEncoders = Seq(scala.None, scala.None),
+          udfName = Some("s2_covering_fixed_level_with_neighbors"))
+        else GeogExpressions.S2CoveringFixedLevelExpr(geog, Literal(level))
       val covAlias = Alias(cov, s"__${side}_cov")()
       val tagged = Project(child.output :+ covAlias, child)
       val cellAttr = AttributeReference(s"__${side}_cell", LongType, nullable = false)()

@@ -211,6 +211,48 @@ object Queries {
       |    gcc_null, norm_null)
       |ORDER BY id""".stripMargin
 
+  /** Reference error parity (FIXTURES §5): constant-argument contracts and
+    * per-cell cast validation raise the reference's exact messages
+    * (src/s2_functions_io.cpp:166-169, src/s2_bounds.cpp:91-99,
+    * src/s2_cell_ops.cpp:113-117). Error text checked as data. */
+  private val qErrorsGolden: Q = (s, dir) => {
+    prep(s, dir)
+    import s.implicits._
+    def msgOf(sql: String): String =
+      try { s.sql(sql).collect(); "NO ERROR" }
+      catch {
+        case e: Throwable =>
+          val sb = new StringBuilder
+          var t: Throwable = e
+          while (t != null) { sb.append(Option(t.getMessage).getOrElse("")).append(" | "); t = t.getCause }
+          sb.toString
+      }
+    val cases = Seq(
+      (1, "SELECT s2_format(s2_geogfromtext('POINT (0 1)'), CAST(id AS INT)) FROM range(3)",
+        "Can't use s2_format() with non-constant precision"),
+      (2, "SELECT s2_covering_fixed_level(s2_geogfromtext('POINT (0 1)'), CAST(id AS INT)) FROM range(3)",
+        "s2_covering_fixed_level(): level must be a constant"),
+      (3, "SELECT s2_covering_fixed_level(s2_geogfromtext('POINT (0 1)'), 31)",
+        "s2_covering_fixed_level(): level must be between 0 and 30"),
+      (4, "SELECT s2_covering_fixed_level(s2_geogfromtext('POINT (0 1)'), -1)",
+        "s2_covering_fixed_level(): level must be between 0 and 30"),
+      (5, "SELECT s2_cellunion_from_list(array(CAST(0 AS BIGINT)))",
+        "Cell not valid <Invalid: 0000000000000000>"),
+      (6, "SELECT s2_geog_to_cellcenter(s2_geogfromtext('LINESTRING (0 0, 1 1)'))",
+        "Can't convert geography that is not empty nor a single point to S2_CELL_CENTER"))
+    cases.map { case (id, sql, want) => (id, want, msgOf(sql).contains(want)) }
+      .toDF("id", "want", "ok").orderBy("id")
+  }
+  private val oErrorsGolden =
+    """SELECT * FROM (VALUES
+      | (1, 'Can''t use s2_format() with non-constant precision', true),
+      | (2, 's2_covering_fixed_level(): level must be a constant', true),
+      | (3, 's2_covering_fixed_level(): level must be between 0 and 30', true),
+      | (4, 's2_covering_fixed_level(): level must be between 0 and 30', true),
+      | (5, 'Cell not valid <Invalid: 0000000000000000>', true),
+      | (6, 'Can''t convert geography that is not empty nor a single point to S2_CELL_CENTER', true)
+      |) t(id, want, ok) ORDER BY id""".stripMargin
+
   private val qAccessorsGolden = sqlQ(
     """SELECT id,
       | CAST(round(s2_area(s2_geogfromtext(wkt)), 0) AS BIGINT) AS area_r,
@@ -341,6 +383,10 @@ object Queries {
       | s2_cell_debug(s2_arbitrarycellfromwkb(s2_aswkb(s2_geogfromtext('LINESTRING (-64 45, 0 0)')))) AS arb_cell,
       | s2_cell_debug(s2_arbitrarycellfromwkb(s2_aswkb(s2_geogfromtext('GEOMETRYCOLLECTION (POINT EMPTY, LINESTRING EMPTY, POLYGON EMPTY)')))) AS arb_empty,
       | concat_ws(',', transform(s2_cellunion_normalize(array(s2_cell_from_debug('1/'), s2_cell_from_debug('0/'))), c -> s2_cell_debug(c))) AS norm_union,
+      | concat_ws(',', transform(s2_cellunion_from_list(array(
+      |   s2_cell_child(s2_cell_from_debug('2/'), 0), s2_cell_child(s2_cell_from_debug('2/'), 1),
+      |   s2_cell_child(s2_cell_from_debug('2/'), 2), s2_cell_child(s2_cell_from_debug('2/'), 3))),
+      |   c -> s2_cell_debug(c))) AS from_list_merged,
       | s2_format(s2_cell_vertex(s2_cell_from_debug('2/0'), 0), 6) AS vertex0""".stripMargin)
   private val oCellCastsGolden =
     """SELECT 'POINT (-64 45)' AS cc_geog, '2/112230310012123001312232330210' AS geog_cc,
@@ -353,6 +399,7 @@ object Queries {
       | '2/112230310012123001312232330210' AS arb_cell,
       | 'Invalid: ffffffffffffffff' AS arb_empty,
       | '0/,1/' AS norm_union,
+      | '2/' AS from_list_merged,
       | 'POINT (45 35.26439)' AS vertex0""".stripMargin
 
   private val qOverlayGolden = sqlQ(
@@ -1073,6 +1120,7 @@ object Queries {
     ("g_io_novalidate", qIoNovalidate, Some(oIoNovalidate)),
     ("g_prepare", qPrepareGolden, Some(oPrepareGolden)),
     ("g_nulls", qNullsGolden, Some(oNullsGolden)),
+    ("g_errors", qErrorsGolden, Some(oErrorsGolden)),
     ("g_accessors", qAccessorsGolden, Some(oAccessorsGolden)),
     ("g_xy", qXyGolden, Some(oXyGolden)),
     ("g_predicates", qPredicatesGolden, Some(oPredicatesGolden)),

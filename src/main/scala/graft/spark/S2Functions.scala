@@ -41,6 +41,10 @@ object S2Functions {
   }
   private val shapeCache = new java.util.concurrent.ConcurrentHashMap[BytesKey, GeoShapes]()
 
+  /** Kernel-side access for the native codegen expressions (S2Native). */
+  private[spark] def shapesOf(b: Array[Byte]): GeoShapes = shapes(b)
+  private[spark] def printBlobPublic(b: Array[Byte], p: Int): String = printBlob(b, p)
+
   private def shapes(b: Array[Byte]): GeoShapes = {
     // cache every PREPARED blob (the user explicitly asked for reuse —
     // broadcast build sides under 4 KiB must not re-decode per row);
@@ -249,6 +253,22 @@ object S2Functions {
     }
   val cellUnionNormalize: Array[Long] => Array[Long] =
     (ids: Array[Long]) => if (ids == null) null else Covering.normalize(ids)
+  /** Typed LIST(BIGINT) -> S2_CELL_UNION cast: per-cell validation with the
+    * reference's error message, then S2CellUnion-style normalization
+    * (reference: src/s2_cell_ops.cpp:95-132, 1054-1061). */
+  val cellUnionFromList: Array[Long] => Array[Long] =
+    (ids: Array[Long]) =>
+      if (ids == null) null
+      else {
+        var i = 0
+        while (i < ids.length) {
+          if (!S2CellId.isValid(ids(i)))
+            throw new IllegalArgumentException(
+              s"Cell not valid <${S2CellId.toDebugString(ids(i))}>")
+          i += 1
+        }
+        Covering.normalize(ids)
+      }
 
   /** Point constructor (BigQuery ST_GEOGPOINT analogue; the reference reaches
     * points via WKT or cell casts — this is the Spark-friendly direct path). */
@@ -316,6 +336,16 @@ object S2Functions {
     def intersectsCol(a: Column, b: Column): Column = s2_intersects(a, b)
   }
 
+  private val registeredSessions =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Idempotent per-session registration — lets library entry points
+    * (S2Join) rely on the SQL registry without requiring an explicit
+    * register() call from the user. */
+  def ensureRegistered(spark: SparkSession): Unit =
+    if (registeredSessions.add(spark)) register(spark)
+
   /** Register every function under its reference-parity SQL name. */
   def register(spark: SparkSession): Unit = {
     val r = spark.udf
@@ -372,10 +402,13 @@ object S2Functions {
     r.register("s2_geog_to_cellcenter", geogToCellCenter)
     r.register("s2_cellunion_to_geog", cellUnionToGeog)
     r.register("s2_cellunion_normalize", cellUnionNormalize)
+    r.register("s2_cellunion_from_list", cellUnionFromList)
     r.register("s2_geogpoint", geogPoint)
-    // hot cell-math functions: override the UDFs with native codegen
-    // expressions on the SQL surface (CellExpressions)
+    // hot functions: override the UDFs with native codegen expressions on
+    // the SQL surface (cell math + geography predicates/constructors; the
+    // latter also enforce the reference's constant-argument contracts)
     CellExpressions.register(spark)
+    GeogExpressions.register(spark)
     ()
   }
 }

@@ -24,7 +24,7 @@ object S2Join {
     * the explode, exactly like the vanilla predicate join drops them on a
     * null predicate. */
   private def withCells(df: DataFrame, geogCol: String, level: Int, covName: String): DataFrame =
-    df.withColumn(covName, S2.s2_covering_fixed_level(col(geogCol), lit(level)))
+    df.withColumn(covName, call_function("s2_covering_fixed_level", col(geogCol), lit(level)))
       .withColumn("__cell", explode(col(covName)))
 
   /** Join two cell-exploded sides and refine with `predicate`.
@@ -67,14 +67,16 @@ object S2Join {
    */
   def intersects(left: DataFrame, geogL: String, right: DataFrame, geogR: String,
                  level: Int = 4): DataFrame = {
+    S2Functions.ensureRegistered(left.sparkSession)
     val l = withCells(left, geogL, level, "__lcov")
     val r = withCells(right, geogR, level, "__rcov")
-    refineDedupe(l, r, S2.s2_intersects(col(geogL), col(geogR)))
+    refineDedupe(l, r, call_function("s2_intersects", col(geogL), col(geogR)))
   }
 
   /** Containment join: rows where left contains right. */
   def contains(left: DataFrame, geogL: String, right: DataFrame, geogR: String,
                level: Int = 4): DataFrame = {
+    S2Functions.ensureRegistered(left.sparkSession)
     val l = withCells(left, geogL, level, "__lcov")
     val r = withCells(right, geogR, level, "__rcov")
     refineDedupe(l, r, S2.s2_contains(col(geogL), col(geogR)))
@@ -88,8 +90,9 @@ object S2Join {
    */
   def broadcastIntersects(small: DataFrame, geogS: String,
                           large: DataFrame, geogL: String): DataFrame = {
+    S2Functions.ensureRegistered(small.sparkSession)
     val prepped = small.withColumn(geogS, S2.s2_prepare(col(geogS)))
-    large.join(broadcast(prepped), S2.s2_intersects(col(geogS), col(geogL)))
+    large.join(broadcast(prepped), call_function("s2_intersects", col(geogS), col(geogL)))
   }
 
   /**
@@ -100,14 +103,15 @@ object S2Join {
    */
   def dwithin(left: DataFrame, geogL: String, right: DataFrame, geogR: String,
               meters: Double, pairFilter: Option[Column] = None): DataFrame = {
+    S2Functions.ensureRegistered(left.sparkSession)
     val level = levelForDistance(meters)
     // full 8-neighborhood probe set: edge neighbors alone miss pairs that
     // are close across a cell corner (diagonal adjacency)
     val l = left.withColumn("__lcov",
-        S2.s2_cells_with_neighbors(S2.s2_covering_fixed_level(col(geogL), lit(level))))
+        S2.s2_cells_with_neighbors(call_function("s2_covering_fixed_level", col(geogL), lit(level))))
       .withColumn("__cell", explode(col("__lcov")))
     val r = withCells(right, geogR, level, "__rcov")
-    refineDedupe(l, r, S2.s2_dwithin(col(geogL), col(geogR), lit(meters)), pairFilter)
+    refineDedupe(l, r, call_function("s2_dwithin", col(geogL), col(geogR), lit(meters)), pairFilter)
   }
 
   /** Largest level whose minimum cell width still exceeds `meters`, so the
