@@ -24,7 +24,8 @@ object Bench {
     // codegen compile before timing (a cold first query otherwise measures
     // the JVM, not the plan)
     val warmDir = "/root/testdata/sf0.001"
-    for (n <- Seq("b_tpch_q1", "t_dwithin_join", "l_dedup_minhash", "t_cover_refine_join"))
+    for (n <- Seq("b_tpch_q1", "t_dwithin_join", "l_dedup_minhash", "t_cover_refine_join",
+        "g_flagship_join", "g_flagship_broadcast"))
       try qmap(n)(spark, warmDir).count() catch { case _: Throwable => () }
     // prep() re-registers the temp views when the sfDir changes.
     // Median of 3 runs per query: this box has high single-run variance

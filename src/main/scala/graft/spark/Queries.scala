@@ -881,6 +881,19 @@ object Queries {
     """SELECT vec_id + 100000 AS q_id, vec_id AS c_id FROM embeddings
       |WHERE vec_id % 50 = 0 ORDER BY q_id""".stripMargin
 
+  /** LSH multiprobe path: an exact copy hashes to the same SRP signature
+    * bucket as its original, so top-1 through the bucketed join must
+    * recover it (same planted-copy oracle as IVF). */
+  private val qAnnLsh = dfQ { s =>
+    val emb = s.table("embeddings")
+    val copies = emb.where(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionAll(copies)
+    Ann.lshTopK(copies, corpus, k = 1)
+      .select(col("q_id"), col("c_id"))
+      .orderBy("q_id")
+  }
+
   /** Embedding near-dup: planted exact copies must be recovered by the
     * SRP-LSH bucketed pair generator (cosine(v, v) = 1 >= threshold). */
   private val qEmbedNearDup = dfQ { s =>
@@ -1154,6 +1167,7 @@ object Queries {
     ("l_jaccard", qJaccard, Some(oJaccard)),
     ("l_ann_top1", qAnnTop1, Some(oAnnTop1)),
     ("l_ann_ivf", qAnnIvf, Some(oAnnIvf)),
+    ("l_ann_lsh", qAnnLsh, Some(oAnnIvf)),
     ("l_embed_neardup", qEmbedNearDup, Some(oEmbedNearDup)),
     ("l_text_tokens", qTextTokens, Some(oTextTokens)),
     ("l_text_quality", qTextQuality, Some(oTextQuality)),
