@@ -159,8 +159,12 @@ object Relate {
     if (EdgeIndex.anyCrossing(a, b)) return true
     // exactly-collinear 1-D overlaps are invisible to the perturbed
     // crossing predicates; detect them directly so intersects stays
-    // consistent with the interval-cover containment below
-    a.hasLines && b.hasLines && anyCollinearOverlap(a, b)
+    // consistent with the interval-cover containment below. Polygon ring
+    // edges participate too (CLOSED model: the boundary belongs to the
+    // polygon, so a vertex-free shared boundary arc intersects). This scan
+    // only runs when no crossing/containment decided the answer already.
+    (a.hasLines || a.hasPolygons) && (b.hasLines || b.hasPolygons) &&
+      anyCollinearOverlap(a, b)
   }
 
   /** Any b edge sharing a positive-length collinear sub-arc with an a edge. */

@@ -26,6 +26,11 @@ object S2Native {
   def dwithin(a: Array[Byte], b: Array[Byte], meters: Double): Boolean =
     Relate.dwithin(S2Functions.shapesOf(a), S2Functions.shapesOf(b), meters)
 
+  def contains(a: Array[Byte], b: Array[Byte]): Boolean = {
+    if (GeoCodec.isEmptyBlob(a) || GeoCodec.isEmptyBlob(b)) false
+    else Relate.contains(S2Functions.shapesOf(a), S2Functions.shapesOf(b))
+  }
+
   def geogPoint(lon: Double, lat: Double): Array[Byte] =
     GeoCodec.encode(graft.core.Geography.point(lon, lat))
 
@@ -58,6 +63,18 @@ object GeogExpressions {
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
     override def prettyName: String = "s2_intersects"
+  }
+
+  case class S2ContainsExpr(left: Expression, right: Expression) extends BinaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      S2Native.contains(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.spark.S2Native.contains($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+    override def prettyName: String = "s2_contains"
   }
 
   case class S2DwithinExpr(first: Expression, second: Expression, third: Expression)
@@ -125,6 +142,7 @@ object GeogExpressions {
     def i(e: Expression) = if (e.dataType == IntegerType) e else Cast(e, IntegerType)
 
     put("s2_intersects", 2)(a => S2IntersectsExpr(bin(a(0)), bin(a(1))))
+    put("s2_contains", 2)(a => S2ContainsExpr(bin(a(0)), bin(a(1))))
     put("s2_dwithin", 3)(a => S2DwithinExpr(bin(a(0)), bin(a(1)), d(a(2))))
     put("s2_geogpoint", 2)(a => S2GeogPointExpr(d(a(0)), d(a(1))))
     put("s2_covering_fixed_level", 2) { a =>

@@ -40,6 +40,7 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
   private def spatialPredicate(e: Expression): Option[(Expression, Expression, Option[Double])] =
     e match {
       case GeogExpressions.S2IntersectsExpr(g1, g2) => Some((g1, g2, None))
+      case GeogExpressions.S2ContainsExpr(g1, g2) => Some((g1, g2, None))
       case GeogExpressions.S2DwithinExpr(g1, g2, m) if m.foldable =>
         m.eval() match {
           case d: java.lang.Double if d > 0 => Some((g1, g2, Some(d)))

@@ -79,7 +79,7 @@ object S2Join {
     S2Functions.ensureRegistered(left.sparkSession)
     val l = withCells(left, geogL, level, "__lcov")
     val r = withCells(right, geogR, level, "__rcov")
-    refineDedupe(l, r, S2.s2_contains(col(geogL), col(geogR)))
+    refineDedupe(l, r, call_function("s2_contains", col(geogL), col(geogR)))
   }
 
   /**

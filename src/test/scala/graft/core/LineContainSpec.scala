@@ -39,6 +39,17 @@ class LineContainSpec extends AnyFunSuite {
     // b edge spans a's vertex at 0 5: union of two a edges covers it
     assert(Relate.contains(densified, sub))
   }
+  test("vertex-free shared boundary arcs intersect (closed model)") {
+    // line lying on a polygon edge, sharing no vertex with the ring
+    val poly = sh("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    assert(Relate.intersects(poly, sh("LINESTRING (0 2, 0 8)")))
+    // two polygons whose boundaries share a collinear arc, no shared vertex
+    val neighbor = sh("POLYGON ((0 2, -10 2, -10 8, 0 8, 0 2))")
+    assert(Relate.intersects(poly, neighbor))
+    // strictly disjoint control
+    assert(!Relate.intersects(poly, sh("POLYGON ((20 2, 12 2, 12 8, 20 8, 20 2))")))
+  }
+
   test("collinear overlap counts as intersects (consistency with contains)") {
     assert(Relate.intersects(full, sub))
     assert(Relate.dwithin(full, sub, 1.0))
