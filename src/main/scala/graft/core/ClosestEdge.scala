@@ -114,20 +114,28 @@ object ClosestEdge {
     var done = false
     foreachElement(query) { (p, q) =>
       if (!done) {
+        // prune against the running best BEFORE sorting: once an earlier
+        // query element has tightened `best`, most buckets drop out here
+        // and the per-element sort shrinks to a handful of candidates
+        // (ADVICE r3: the full per-element sort approached brute-force
+        // cost for large query sides)
+        var cands = 0
         var bi = 0
         while (bi < nb) {
           val cd =
             if (p == q) S2EdgeDist.pointAngle(p, idx.capCenter(bi))
             else S2EdgeDist.pointEdgeAngle(idx.capCenter(bi), p, q)
-          lbs(bi) = Math.max(0.0, cd - idx.capRadius(bi))
-          order(bi) = bi
+          val lb = Math.max(0.0, cd - idx.capRadius(bi))
+          lbs(bi) = lb
+          if (lb < best) { order(cands) = bi; cands += 1 }
           bi += 1
         }
-        java.util.Arrays.sort(order, (x: Integer, y: Integer) => java.lang.Double.compare(lbs(x), lbs(y)))
+        java.util.Arrays.sort(order, 0, cands,
+          (x: Integer, y: Integer) => java.lang.Double.compare(lbs(x), lbs(y)))
         visited.clear()
         var oi = 0
         var stop = false
-        while (oi < nb && !stop) {
+        while (oi < cands && !stop) {
           val b = order(oi)
           if (lbs(b) >= best) stop = true
           else {
@@ -165,21 +173,26 @@ object ClosestEdge {
     val visited = new java.util.BitSet(idx.numItems)
     var best = 0.0
     foreachElement(query) { (p, q) =>
+      // candidates pruned against the running best before the sort (see
+      // minAngle — same ADVICE r3 fix, mirrored for the upper bound)
+      var cands = 0
       var bi = 0
       while (bi < nb) {
         // triangle inequality: angle(x, y) <= maxAngle(x, center) + radius
         val cd =
           if (p == q) S2EdgeDist.pointAngle(p, idx.capCenter(bi))
           else S2EdgeDist.pointEdgeMaxAngle(idx.capCenter(bi), p, q)
-        ubs(bi) = cd + idx.capRadius(bi)
-        order(bi) = bi
+        val ub = cd + idx.capRadius(bi)
+        ubs(bi) = ub
+        if (ub > best) { order(cands) = bi; cands += 1 }
         bi += 1
       }
-      java.util.Arrays.sort(order, (x: Integer, y: Integer) => java.lang.Double.compare(ubs(y), ubs(x)))
+      java.util.Arrays.sort(order, 0, cands,
+        (x: Integer, y: Integer) => java.lang.Double.compare(ubs(y), ubs(x)))
       visited.clear()
       var oi = 0
       var stop = false
-      while (oi < nb && !stop) {
+      while (oi < cands && !stop) {
         val b = order(oi)
         if (ubs(b) <= best) stop = true
         else {
