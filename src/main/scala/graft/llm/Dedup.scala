@@ -88,7 +88,10 @@ object Dedup {
         minhashSignature(col(textCol), numHashes).as("sig"))
       .withColumn("bk", explode(lshBandKeys(col("sig"), numHashes, bands)))
       .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    sigs.as("a").join(sigs.as("b"),
+    // shuffle-hash (not broadcast) self-join: both sides shuffle on the
+    // same (band, bucket) key from the same lineage, so ReuseExchange
+    // computes the signature stage ONCE and reads it twice — at any scale
+    sigs.as("a").hint("shuffle_hash").join(sigs.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -135,7 +138,8 @@ object Dedup {
           struct(lit(b).as("blk"),
             shiftright(col("sh"), b * 16).bitwiseAND(lit(0xffffL)).as("bucket"))): _*)).as("bk"))
       .select(col("id"), col("sh"), col("bk.blk").as("blk"), col("bk.bucket").as("bucket"))
-    blocks.as("a").join(blocks.as("b"),
+    // same ReuseExchange shape as the minhash self-join: simhash runs once
+    blocks.as("a").hint("shuffle_hash").join(blocks.as("b").hint("shuffle_hash"),
         col("a.blk") === col("b.blk") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
