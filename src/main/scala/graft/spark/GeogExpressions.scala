@@ -39,6 +39,23 @@ object S2Native {
 
   def formatBlob(b: Array[Byte], precision: Int): UTF8String =
     UTF8String.fromString(S2Functions.printBlobPublic(b, precision))
+
+  def asText(b: Array[Byte]): UTF8String =
+    UTF8String.fromString(S2Functions.printBlobPublic(b, -1))
+
+  def distance(a: Array[Byte], b: Array[Byte]): Double =
+    Relate.distanceMeters(S2Functions.shapesOf(a), S2Functions.shapesOf(b))
+
+  def area(b: Array[Byte]): Double = S2Measure.areaMeters2(GeoCodec.decode(b))
+
+  def equalsGeog(a: Array[Byte], b: Array[Byte]): Boolean =
+    Relate.equalsGeog(S2Functions.shapesOf(a), S2Functions.shapesOf(b))
+
+  def mayIntersect(a: Array[Byte], b: Array[Byte]): Boolean =
+    !GeoCodec.isEmptyBlob(a) && !GeoCodec.isEmptyBlob(b) &&
+      Covering.unionsIntersect(GeoCodec.coveringOf(a), GeoCodec.coveringOf(b))
+
+  def isEmptyBlob(b: Array[Byte]): Boolean = GeoCodec.isEmptyBlob(b)
 }
 
 /**
@@ -128,6 +145,38 @@ object GeogExpressions {
     override def prettyName: String = "s2_format"
   }
 
+  /** Generic unary native expression over a static S2Native method —
+    * mechanical accessors share one shape. */
+  case class S2Unary1(child: Expression, method: String, dataType: DataType)
+      extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(b: Any): Any = method match {
+      case "asText" => S2Native.asText(b.asInstanceOf[Array[Byte]])
+      case "area" => S2Native.area(b.asInstanceOf[Array[Byte]])
+      case "isEmptyBlob" => S2Native.isEmptyBlob(b.asInstanceOf[Array[Byte]])
+    }
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.spark.S2Native.$method($c)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "s2_" + method.toLowerCase
+  }
+
+  /** Generic binary geography->primitive native expression. */
+  case class S2Binary2(left: Expression, right: Expression, method: String,
+                       dataType: DataType) extends BinaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(a: Any, b: Any): Any = method match {
+      case "distance" => S2Native.distance(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+      case "equalsGeog" => S2Native.equalsGeog(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+      case "mayIntersect" => S2Native.mayIntersect(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    }
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.spark.S2Native.$method($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+    override def prettyName: String = "s2_" + method.toLowerCase
+  }
+
   /** Install native builders over the UDF fallbacks on the SQL surface,
     * enforcing the reference's constant-argument contracts. */
   def register(spark: SparkSession): Unit = {
@@ -143,6 +192,12 @@ object GeogExpressions {
 
     put("s2_intersects", 2)(a => S2IntersectsExpr(bin(a(0)), bin(a(1))))
     put("s2_contains", 2)(a => S2ContainsExpr(bin(a(0)), bin(a(1))))
+    put("s2_astext", 1)(a => S2Unary1(bin(a(0)), "asText", StringType))
+    put("s2_area", 1)(a => S2Unary1(bin(a(0)), "area", DoubleType))
+    put("s2_isempty", 1)(a => S2Unary1(bin(a(0)), "isEmptyBlob", BooleanType))
+    put("s2_distance", 2)(a => S2Binary2(bin(a(0)), bin(a(1)), "distance", DoubleType))
+    put("s2_equals", 2)(a => S2Binary2(bin(a(0)), bin(a(1)), "equalsGeog", BooleanType))
+    put("s2_mayintersect", 2)(a => S2Binary2(bin(a(0)), bin(a(1)), "mayIntersect", BooleanType))
     put("s2_dwithin", 3)(a => S2DwithinExpr(bin(a(0)), bin(a(1)), d(a(2))))
     put("s2_geogpoint", 2)(a => S2GeogPointExpr(d(a(0)), d(a(1))))
     put("s2_covering_fixed_level", 2) { a =>
