@@ -35,6 +35,19 @@ object Sessions {
       .agg(count(lit(1)).as("n"), approx_count_distinct("user_id").as("n_users_approx"))
       .select(col("event_type"), col("window.start").as("hour"), col("n"), col("n_users_approx"))
 
+  /** Streaming exact dedup for document ingest: first text per content
+    * fingerprint survives; duplicate-detection state is bounded by the
+    * watermark (dropDuplicatesWithinWatermark), so the operator runs
+    * forever without unbounded state — the streaming twin of
+    * llm.Dedup.exactDedup. `tsCol` is the event-time column the watermark
+    * rides on. */
+  def dedupStream(docs: DataFrame, textCol: String, tsCol: String = "ts",
+                  watermark: String = "1 hour"): DataFrame =
+    docs.withColumn("__h", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
+
   /** Gap-based sessionization (30-min idle gap) with explicit state:
     * one state record per user, timeout-driven emission. */
   def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[SessionOut] = {

@@ -74,6 +74,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.exists(r => r.getAs[String]("event_type") == "buy" && r.getAs[Long]("n") == 1))
   }
 
+  test("streaming dedup keeps first doc per content fingerprint") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val out = Sessions.dedupStream(
+      input.toDF().toDF("doc_id", "ts", "text"), "text")
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    input.addData(
+      (1L, ts(0), "the quick brown fox"),
+      (2L, ts(1), "the quick brown fox"), // dup within the watermark
+      (3L, ts(2), "something else"))
+    q.processAllAvailable()
+    val rows = spark.table("dedup_stream").select("doc_id").as[Long].collect().toSet
+    q.stop()
+    assert(rows === Set(1L, 3L))
+  }
+
   test("stateless geo expressions run on streams") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
