@@ -93,6 +93,38 @@ class OverlaySpec extends AnyFunSuite {
     assert(rel < 1e-9)
   }
 
+  test("area algebra holds over 40 deterministic random rectangle pairs") {
+    // fixed-seed pseudo-random lat/lon rectangles (always valid rings);
+    // checks the inclusion-exclusion identities and predicate consistency
+    val rng = new scala.util.Random(20260812L)
+    def rect(): Geography = {
+      val lon0 = rng.nextInt(300) - 150
+      val lat0 = rng.nextInt(120) - 60
+      val w = rng.nextInt(25) + 2
+      val h = rng.nextInt(25) + 2
+      g(s"POLYGON (($lon0 $lat0, ${lon0 + w} $lat0, ${lon0 + w} ${lat0 + h}, $lon0 ${lat0 + h}, $lon0 $lat0))")
+    }
+    var checked = 0
+    for (_ <- 1 to 40) {
+      val a = rect(); val b = rect()
+      val aA = S2Measure.areaMeters2(a); val aB = S2Measure.areaMeters2(b)
+      val aI = S2Measure.areaMeters2(Overlay.intersection(a, b))
+      val aD = S2Measure.areaMeters2(Overlay.difference(a, b))
+      val aU = S2Measure.areaMeters2(Overlay.union(a, b))
+      assert(Math.abs(aI + aD - aA) / aA < 1e-6, s"|A∩B|+|A\\B| != |A| for $a vs $b")
+      assert(Math.abs(aU - (aA + aB - aI)) / (aA + aB) < 1e-6, s"union area off for $a vs $b")
+      val sa = new GeoShapes(a); val sb = new GeoShapes(b)
+      val inter = Relate.intersects(sa, sb)
+      if (aI > 1e-6 * aA) assert(inter, s"positive overlap area but intersects=false: $a vs $b")
+      if (Relate.contains(sa, sb)) {
+        assert(inter)
+        assert(Math.abs(aI - aB) / aB < 1e-6, "contained B must have |A∩B| = |B|")
+      }
+      checked += 1
+    }
+    assert(checked === 40)
+  }
+
   test("line clipped by polygon") {
     val line = g("LINESTRING (-5 5, 15 5)")
     val poly = g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
