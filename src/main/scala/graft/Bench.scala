@@ -16,6 +16,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.spark.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

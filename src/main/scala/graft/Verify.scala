@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the correctness gate runs WITH the optimizer rule active, so the
+      // spatial-join rewrite itself is oracle-verified on every query
+      .config("spark.sql.extensions", "graft.spark.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

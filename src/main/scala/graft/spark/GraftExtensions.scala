@@ -24,7 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 }
 
-object SpatialJoinRewrite extends Rule[LogicalPlan] {
+object SpatialJoinRewrite extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
 
   private val CoveringLevel = 4
 
@@ -59,9 +60,26 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** The rewrite's own output (and S2Join's hand-built plans) carry these
+    * marker columns; matching them again would re-rewrite the refine filter
+    * after it gets pushed into the cell join — an unbounded loop across
+    * optimizer iterations. */
+  private def alreadyCellJoin(p: LogicalPlan): Boolean =
+    p.output.exists { a =>
+      a.name == "__l_cov" || a.name == "__r_cov" || a.name == "__l_cell" ||
+        a.name == "__r_cell" || a.name == "__lcov" || a.name == "__rcov" ||
+        a.name == "__cell"
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
-    case j @ Join(left, right, Inner, Some(cond), _) =>
-      spatialPredicate(cond) match {
+    case j @ Join(left, right, Inner, Some(cond), _)
+        if !alreadyCellJoin(left) && !alreadyCellJoin(right) =>
+      // a spatial predicate ANYWHERE among the conjuncts drives the rewrite
+      // (real joins carry extra conditions — id ordering, attribute
+      // filters); the FULL original condition stays as the refine filter,
+      // so semantics are independent of which conjunct was picked
+      val matched = splitConjunctivePredicates(cond).flatMap(spatialPredicate).headOption
+      matched match {
         case Some((g1, g2, meters))
             if g1.references.subsetOf(left.outputSet) && g2.references.subsetOf(right.outputSet) =>
           rewrite(j, left, right, cond, g1, g2, meters)

@@ -737,6 +737,15 @@ object Queries {
        |WHERE 2*6371010*asin(sqrt(sin(radians(b.lat-a.lat)/2)^2 +
        |  cos(radians(a.lat))*cos(radians(b.lat))*sin(radians(b.lon-a.lon)/2)^2)) <= 300000""".stripMargin
 
+  /** Same join THROUGH THE SQL SURFACE: a theta join on s2_dwithin with an
+    * extra conjunct — exercises SpatialJoinRewrite end-to-end against the
+    * DuckDB oracle (Verify runs with the extension installed). */
+  private val qDwithinJoinSql = sqlQ(
+    """SELECT CAST(count(*) AS BIGINT) AS n
+      |FROM (SELECT id, s2_geogpoint(lon, lat) AS g FROM pts) a
+      |JOIN (SELECT id, s2_geogpoint(lon, lat) AS g FROM pts) b
+      |  ON s2_dwithin(a.g, b.g, 300000.0) AND a.id < b.id""".stripMargin)
+
   /** Pole triangles (0 0, n 0, 0 90) have closed-form spherical measures:
     * area = R^2 * radians(n) (the spherical excess IS n at the pole) and
     * perimeter = R * radians(n + 180) — an independent arithmetic oracle
@@ -1156,6 +1165,7 @@ object Queries {
     ("t_cover_refine_join", qCoverRefineJoin, Some(oCoverRefineJoin)),
     ("t_dwithin", qDwithinScale, Some(oDwithinScale)),
     ("t_dwithin_join", qDwithinJoin, Some(oDwithinJoin)),
+    ("t_dwithin_join_sql", qDwithinJoinSql, Some(oDwithinJoin)),
     ("t_distance", qDistanceScale, Some(oDistanceScale)),
     ("t_covering", qCoveringScale, Some(oCoveringScale)),
     ("t_measures", qMeasuresScale, Some(oMeasuresScale)),

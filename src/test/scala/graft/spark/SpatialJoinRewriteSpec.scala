@@ -46,12 +46,13 @@ class SpatialJoinRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("theta join on s2_dwithin with constant radius is rewritten") {
+    // the spatial predicate is one conjunct among others — still rewritten,
+    // with the full condition kept as the refine filter
     val df = spark.sql(
       """SELECT a.name, b.name
         |FROM s2_data_cities a JOIN s2_data_cities b
         |  ON s2_dwithin(a.geog, b.geog, 500000.0) AND a.name < b.name""".stripMargin)
-    // predicate is AND-ed: rule sees the conjunct via the join condition only
-    // when it is the whole condition; count correctness matters either way
+    assertRewritten(df)
     val whole = spark.sql(
       """SELECT a.name, b.name
         |FROM s2_data_cities a JOIN s2_data_cities b
