@@ -78,14 +78,17 @@ object SpatialJoinRewrite extends Rule[LogicalPlan]
       // (real joins carry extra conditions — id ordering, attribute
       // filters); the FULL original condition stays as the refine filter,
       // so semantics are independent of which conjunct was picked
-      val matched = splitConjunctivePredicates(cond).flatMap(spatialPredicate).headOption
+      val conjuncts = splitConjunctivePredicates(cond)
+      val matched = conjuncts.iterator
+        .map(c => (c, spatialPredicate(c)))
+        .collectFirst { case (c, Some(m)) => (c, m) }
       matched match {
-        case Some((g1, g2, meters))
+        case Some((spatial, (g1, g2, meters)))
             if g1.references.subsetOf(left.outputSet) && g2.references.subsetOf(right.outputSet) =>
-          rewrite(j, left, right, cond, g1, g2, meters)
-        case Some((g1, g2, meters))
+          rewrite(j, left, right, spatial, conjuncts.filterNot(_ eq spatial), g1, g2, meters)
+        case Some((spatial, (g1, g2, meters)))
             if g2.references.subsetOf(left.outputSet) && g1.references.subsetOf(right.outputSet) =>
-          rewrite(j, left, right, cond, g2, g1, meters)
+          rewrite(j, left, right, spatial, conjuncts.filterNot(_ eq spatial), g2, g1, meters)
         case _ => j
       }
   }
@@ -108,7 +111,8 @@ object SpatialJoinRewrite extends Rule[LogicalPlan]
    * 8-neighborhood at a level whose min cell width exceeds the radius, so
    * every within-radius pair shares a probe cell.
    */
-  private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan, cond: Expression,
+  private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
+                      spatial: Expression, others: Seq[Expression],
                       geogL: Expression, geogR: Expression, meters: Option[Double]): LogicalPlan = {
     val level = meters.fold(CoveringLevel)(S2Join.levelForDistance)
 
@@ -134,10 +138,18 @@ object SpatialJoinRewrite extends Rule[LogicalPlan]
     val (rPlan, rCov, rCell) = covered(right, geogR, "r", withNeighbors = false)
 
     val cellJoin = Join(lPlan, rPlan, Inner, Some(EqualTo(lCell, rCell)), j.hint)
-    // exact predicate first (same per-candidate work as the replaced plan);
-    // the array reporting condition then touches only surviving pairs
+    // evaluation-order discipline (same as S2Join.refineDedupe): the cheap
+    // non-spatial conjuncts run first inside an If the optimizer cannot
+    // split or reorder, then the exact spatial predicate (same
+    // per-candidate work as the replaced plan), then the array reporting
+    // condition on surviving pairs only
     val smallestCommonCell = EqualTo(lCell, ArrayMin(ArrayIntersect(lCov, rCov)))
-    val refined = Filter(And(cond, smallestCommonCell), cellJoin)
+    val spatialThenReport = And(spatial, smallestCommonCell)
+    val refineCond = others.reduceOption(And) match {
+      case Some(cheap) => If(cheap, spatialThenReport, Literal.FalseLiteral)
+      case scala.None => spatialThenReport
+    }
+    val refined = Filter(refineCond, cellJoin)
     Project(j.output, refined)
   }
 }

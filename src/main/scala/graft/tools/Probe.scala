@@ -5,6 +5,7 @@ object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.extensions", "graft.spark.GraftExtensions")
       .config("spark.ui.enabled", false).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     S2Functions.register(spark); S2Data.register(spark)
