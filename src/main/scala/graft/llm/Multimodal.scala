@@ -78,6 +78,40 @@ object Multimodal {
     spark.createDataFrame(rdd, featureSchema)
   }
 
+  /** Image-resize shape: payload transformed per partition to the target
+    * dimensions, meta struct updated to match. The pixel resample is the
+    * same documented STUB as decodeStub (deterministic byte subsample /
+    * pad to targetW*targetH bytes); the Spark contract — binary in/out,
+    * meta rewrite, per-partition batching — is the production shape. */
+  def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = mediaSchema
+    val n = targetW * targetH
+    val rdd = media.select("media_id", "payload", "meta").rdd.mapPartitions { rows =>
+      // per-partition resampler init would go here (amortized, not per-row)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        val resized =
+          if (payload == null) null
+          else {
+            val out = new Array[Byte](n)
+            var i = 0
+            while (i < n) {
+              // nearest-neighbor byte subsample (stub for real resampling)
+              out(i) = if (payload.length == 0) 0
+                else payload(((i.toLong * payload.length) / n).toInt)
+              i += 1
+            }
+            out
+          }
+        val fmt = if (r.isNullAt(2)) null else r.getStruct(2).getString(0)
+        Row(id, resized, Row(fmt, targetW, targetH))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Frame-sampling shape for video-like payloads: split payload into
     * fixed-size "frames", keep every `stride`-th — pure built-ins. */
   def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame =

@@ -998,6 +998,22 @@ object Queries {
     """SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(length(text)) AS BIGINT) AS total_bytes,
       | 8 AS min_dim, 8 AS max_dim FROM documents""".stripMargin
 
+  /** Resize plumbing: every payload lands at exactly targetW*targetH bytes
+    * with the meta struct rewritten; content is the documented stub
+    * subsample, so only shape/meta invariants are oracle-checked. */
+  private val qMultimodalResize = dfQ { s =>
+    val docs = s.table("documents")
+    val media = Multimodal.fakeMediaFromText(docs, "doc_id", "text")
+    Multimodal.resize(media, targetW = 16, targetH = 12)
+      .agg(count(lit(1)).cast("long").as("n"),
+        min(org.apache.spark.sql.functions.length(col("payload"))).cast("long").as("min_len"),
+        max(org.apache.spark.sql.functions.length(col("payload"))).cast("long").as("max_len"),
+        min(col("meta.width")).as("w"), max(col("meta.height")).as("h"))
+  }
+  private val oMultimodalResize =
+    """SELECT CAST(count(*) AS BIGINT) AS n, CAST(192 AS BIGINT) AS min_len,
+      | CAST(192 AS BIGINT) AS max_len, 16 AS w, 12 AS h FROM documents""".stripMargin
+
   private val qFrameSample = dfQ { s =>
     val docs = s.table("documents")
     val media = Multimodal.fakeMediaFromText(docs, "doc_id", "text")
@@ -1184,6 +1200,7 @@ object Queries {
     ("l_text_langid", qTextLangid, Some(oTextLangid)),
     ("l_text_fingerprint", qTextFingerprint, Some(oTextFingerprint)),
     ("l_multimodal", qMultimodal, Some(oMultimodal)),
+    ("l_multimodal_resize", qMultimodalResize, Some(oMultimodalResize)),
     ("l_frame_sample", qFrameSample, Some(oFrameSample)),
     ("b_tpch_q1", qTpchQ1, Some(oTpchQ1)),
     ("b_tpch_q6", qTpchQ6, Some(oTpchQ6)),
