@@ -56,6 +56,17 @@ object S2Native {
       Covering.unionsIntersect(GeoCodec.coveringOf(a), GeoCodec.coveringOf(b))
 
   def isEmptyBlob(b: Array[Byte]): Boolean = GeoCodec.isEmptyBlob(b)
+
+  def perimeter(b: Array[Byte]): Double = S2Measure.perimeterMeters(GeoCodec.decode(b))
+  def lengthM(b: Array[Byte]): Double = S2Measure.lengthMeters(GeoCodec.decode(b))
+  def x(b: Array[Byte]): Double = S2Measure.x(GeoCodec.decode(b))
+  def y(b: Array[Byte]): Double = S2Measure.y(GeoCodec.decode(b))
+  def dimension(b: Array[Byte]): Int = GeoCodec.decode(b).dimension
+  def numPoints(b: Array[Byte]): Int = GeoCodec.decode(b).numPoints
+  def isValid(b: Array[Byte]): Boolean = Validation.findError(GeoCodec.decode(b)).isEmpty
+
+  def maxDistance(a: Array[Byte], b: Array[Byte]): Double =
+    Relate.maxDistanceMeters(S2Functions.shapesOf(a), S2Functions.shapesOf(b))
 }
 
 /**
@@ -150,10 +161,20 @@ object GeogExpressions {
   case class S2Unary1(child: Expression, method: String, dataType: DataType)
       extends UnaryExpression {
     override def nullIntolerant: Boolean = true
-    override def nullSafeEval(b: Any): Any = method match {
-      case "asText" => S2Native.asText(b.asInstanceOf[Array[Byte]])
-      case "area" => S2Native.area(b.asInstanceOf[Array[Byte]])
-      case "isEmptyBlob" => S2Native.isEmptyBlob(b.asInstanceOf[Array[Byte]])
+    override def nullSafeEval(b: Any): Any = {
+      val bytes = b.asInstanceOf[Array[Byte]]
+      method match {
+        case "asText" => S2Native.asText(bytes)
+        case "area" => S2Native.area(bytes)
+        case "isEmptyBlob" => S2Native.isEmptyBlob(bytes)
+        case "perimeter" => S2Native.perimeter(bytes)
+        case "lengthM" => S2Native.lengthM(bytes)
+        case "x" => S2Native.x(bytes)
+        case "y" => S2Native.y(bytes)
+        case "dimension" => S2Native.dimension(bytes)
+        case "numPoints" => S2Native.numPoints(bytes)
+        case "isValid" => S2Native.isValid(bytes)
+      }
     }
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev, c => s"graft.spark.S2Native.$method($c)")
@@ -165,10 +186,14 @@ object GeogExpressions {
   case class S2Binary2(left: Expression, right: Expression, method: String,
                        dataType: DataType) extends BinaryExpression {
     override def nullIntolerant: Boolean = true
-    override def nullSafeEval(a: Any, b: Any): Any = method match {
-      case "distance" => S2Native.distance(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
-      case "equalsGeog" => S2Native.equalsGeog(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
-      case "mayIntersect" => S2Native.mayIntersect(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val ab = a.asInstanceOf[Array[Byte]]; val bb = b.asInstanceOf[Array[Byte]]
+      method match {
+        case "distance" => S2Native.distance(ab, bb)
+        case "equalsGeog" => S2Native.equalsGeog(ab, bb)
+        case "mayIntersect" => S2Native.mayIntersect(ab, bb)
+        case "maxDistance" => S2Native.maxDistance(ab, bb)
+      }
     }
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev, (a, b) => s"graft.spark.S2Native.$method($a, $b)")
@@ -198,6 +223,14 @@ object GeogExpressions {
     put("s2_distance", 2)(a => S2Binary2(bin(a(0)), bin(a(1)), "distance", DoubleType))
     put("s2_equals", 2)(a => S2Binary2(bin(a(0)), bin(a(1)), "equalsGeog", BooleanType))
     put("s2_mayintersect", 2)(a => S2Binary2(bin(a(0)), bin(a(1)), "mayIntersect", BooleanType))
+    put("s2_max_distance", 2)(a => S2Binary2(bin(a(0)), bin(a(1)), "maxDistance", DoubleType))
+    put("s2_perimeter", 1)(a => S2Unary1(bin(a(0)), "perimeter", DoubleType))
+    put("s2_length", 1)(a => S2Unary1(bin(a(0)), "lengthM", DoubleType))
+    put("s2_x", 1)(a => S2Unary1(bin(a(0)), "x", DoubleType))
+    put("s2_y", 1)(a => S2Unary1(bin(a(0)), "y", DoubleType))
+    put("s2_dimension", 1)(a => S2Unary1(bin(a(0)), "dimension", IntegerType))
+    put("s2_num_points", 1)(a => S2Unary1(bin(a(0)), "numPoints", IntegerType))
+    put("s2_is_valid", 1)(a => S2Unary1(bin(a(0)), "isValid", BooleanType))
     put("s2_dwithin", 3)(a => S2DwithinExpr(bin(a(0)), bin(a(1)), d(a(2))))
     put("s2_geogpoint", 2)(a => S2GeogPointExpr(d(a(0)), d(a(1))))
     put("s2_covering_fixed_level", 2) { a =>
