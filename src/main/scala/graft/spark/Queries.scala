@@ -239,7 +239,11 @@ object Queries {
       (5, "SELECT s2_cellunion_from_list(array(CAST(0 AS BIGINT)))",
         "Cell not valid <Invalid: 0000000000000000>"),
       (6, "SELECT s2_geog_to_cellcenter(s2_geogfromtext('LINESTRING (0 0, 1 1)'))",
-        "Can't convert geography that is not empty nor a single point to S2_CELL_CENTER"))
+        "Can't convert geography that is not empty nor a single point to S2_CELL_CENTER"),
+      (7, "SELECT s2_cellfromwkb(s2_aswkb(s2_geogfromtext('MULTIPOINT ((-64 45), (0 0))')))",
+        "Can't parse WKB with more than one point to S2_CELL_CENTER"),
+      (8, "SELECT s2_cellfromwkb(s2_aswkb(s2_geogfromtext('LINESTRING (-64 45, 0 0)')))",
+        "Can't parse WKB with non-point input to S2_CELL_CENTER"))
     cases.map { case (id, sql, want) => (id, want, msgOf(sql).contains(want)) }
       .toDF("id", "want", "ok").orderBy("id")
   }
@@ -250,7 +254,9 @@ object Queries {
       | (3, 's2_covering_fixed_level(): level must be between 0 and 30', true),
       | (4, 's2_covering_fixed_level(): level must be between 0 and 30', true),
       | (5, 'Cell not valid <Invalid: 0000000000000000>', true),
-      | (6, 'Can''t convert geography that is not empty nor a single point to S2_CELL_CENTER', true)
+      | (6, 'Can''t convert geography that is not empty nor a single point to S2_CELL_CENTER', true),
+      | (7, 'Can''t parse WKB with more than one point to S2_CELL_CENTER', true),
+      | (8, 'Can''t parse WKB with non-point input to S2_CELL_CENTER', true)
       |) t(id, want, ok) ORDER BY id""".stripMargin
 
   private val qAccessorsGolden = sqlQ(
