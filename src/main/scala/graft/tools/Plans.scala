@@ -7,6 +7,7 @@ object Plans {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.extensions", "graft.spark.GraftExtensions")
       .config("spark.ui.enabled", false).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     S2Functions.register(spark); S2Data.register(spark)
