@@ -45,7 +45,26 @@ object S2Functions {
   private[spark] def shapesOf(b: Array[Byte]): GeoShapes = shapes(b)
   private[spark] def printBlobPublic(b: Array[Byte], p: Int): String = printBlob(b, p)
 
+  /** Two-slot per-thread identity cache in front of the value cache: in a
+    * broadcast nested-loop or hash join the STREAM side's blob is the same
+    * JVM array instance across the whole inner loop, so an `eq` check
+    * replaces a full-array hash+compare per build row. Two slots because a
+    * binary predicate alternates (streamGeog, buildGeog) lookups. */
+  private val identCache = new ThreadLocal[Array[AnyRef]] {
+    override def initialValue(): Array[AnyRef] = new Array[AnyRef](4)
+  }
+
   private def shapes(b: Array[Byte]): GeoShapes = {
+    val tl = identCache.get()
+    if (tl(0) eq b) return tl(1).asInstanceOf[GeoShapes]
+    if (tl(2) eq b) return tl(3).asInstanceOf[GeoShapes]
+    val s = shapesByValue(b)
+    tl(2) = tl(0); tl(3) = tl(1)
+    tl(0) = b; tl(1) = s
+    s
+  }
+
+  private def shapesByValue(b: Array[Byte]): GeoShapes = {
     // cache every PREPARED blob (the user explicitly asked for reuse —
     // broadcast build sides under 4 KiB must not re-decode per row);
     // unprepared blobs only when decode+index clearly beats hashing the key
