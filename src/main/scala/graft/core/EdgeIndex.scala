@@ -175,6 +175,33 @@ object EdgeIndex {
     } else false
   }
 
+  /** Like anyProperCrossing but probing only the RING edges of `probe`
+    * (containment checks for polygon content of a mixed collection). */
+  def anyProperCrossingRings(probe: GeoShapes, indexed: GeoShapes): Boolean = {
+    if (indexed.numEdges < MinEdges) {
+      var crossed = false
+      probe.foreachRingEdge { (p1, p2) =>
+        indexed.foreachEdge { (q1, q2) =>
+          if (S2Pred.crossingSign(p1, p2, q1, q2) > 0) { crossed = true; false } else true
+        }
+        !crossed
+      }
+      return crossed
+    }
+    val idx = indexed.edgeIndex
+    var crossed = false
+    probe.foreachRingEdge { (p1, p2) =>
+      val cands = idx.candidates(p1, p2)
+      var i = cands.nextSetBit(0)
+      while (i >= 0 && !crossed) {
+        if (S2Pred.crossingSign(p1, p2, idx.starts(i), idx.ends(i)) > 0) crossed = true
+        i = cands.nextSetBit(i + 1)
+      }
+      !crossed
+    }
+    crossed
+  }
+
   /** Index-accelerated "any edge of probe properly crosses any edge of
     * indexed" (strict crossings only — containment checks). */
   def anyProperCrossing(probe: GeoShapes, indexed: GeoShapes): Boolean = {

@@ -74,7 +74,11 @@ final class GeoShapes(val g: Geography) extends Serializable {
   def hasPoint(p: S2Point): Boolean = points.contains(p)
 
   /** All edges as (a, b) pairs: polyline edges + polygon ring edges. */
-  def foreachEdge(f: (S2Point, S2Point) => Boolean): Boolean = {
+  def foreachEdge(f: (S2Point, S2Point) => Boolean): Boolean =
+    foreachLineEdge(f) && foreachRingEdge(f)
+
+  /** Polyline edges only. */
+  def foreachLineEdge(f: (S2Point, S2Point) => Boolean): Boolean = {
     var i = 0
     while (i < lines.size) {
       val l = lines(i)
@@ -82,7 +86,12 @@ final class GeoShapes(val g: Geography) extends Serializable {
       while (j + 1 < l.size) { if (!f(l(j), l(j + 1))) return false; j += 1 }
       i += 1
     }
-    i = 0
+    true
+  }
+
+  /** Polygon ring edges only. */
+  def foreachRingEdge(f: (S2Point, S2Point) => Boolean): Boolean = {
+    var i = 0
     while (i < polyGroups.size) {
       val rings = polyGroups(i)
       var r = 0
@@ -189,7 +198,10 @@ object Relate {
       S2Pred.pointOnEdge(a, c, d) || S2Pred.pointOnEdge(b, c, d)
   }
 
-  /** a contains b (a ⊇ b), CLOSED model. */
+  /** a contains b (a ⊇ b), CLOSED model. Polygon content of b must sit in
+    * a's polygons; line content of b is covered by the union of a's polygon
+    * interiors and a's exactly-collinear edge sub-arcs (exact interval
+    * cover — mixed collections compose). */
   def contains(a: GeoShapes, b: GeoShapes): Boolean = {
     if (b.isEmpty) return false // reference: empty args -> false
     if (a.isEmpty) return false
@@ -201,50 +213,45 @@ object Relate {
       i += 1
     }
     if (!ok) return false
-    if (b.hasLines || b.hasPolygons) {
-      if (!a.hasPolygons) {
-        // only a polygon can contain 1D/2D content (line-in-line is the
-        // degenerate exception): every b edge must be covered by the union
-        // of a's exactly-collinear edge sub-arcs — exact interval cover,
-        // not sampling (a gapped container polyline correctly fails)
-        if (a.hasLines && !b.hasPolygons) {
-          var good = true
-          b.foreachEdge { (p, q) =>
-            if (!edgeCoveredByLines(p, q, a)) { good = false; false } else true
-          }
-          return good
-        }
-        return false
-      }
-      // all b vertices inside a's polygons
+
+    if (b.hasPolygons) {
+      if (!a.hasPolygons) return false // only polygons contain 2D content
+      // all b ring vertices inside a's polygons
       var good = true
-      b.foreachEdge { (p, _) => if (!a.polygonContains(p)) { good = false; false } else true }
+      b.foreachRingEdge { (p, _) => if (!a.polygonContains(p)) { good = false; false } else true }
       if (!good) return false
-      // no b edge may properly cross a's boundary (index-accelerated)
-      if (EdgeIndex.anyProperCrossing(b, a)) return false
+      // no b ring edge may properly cross a's boundary (index-accelerated)
+      if (EdgeIndex.anyProperCrossingRings(b, a)) return false
       // holes of a must not bite into b's interior: a hole vertex strictly
       // inside b's polygons disqualifies
-      if (b.hasPolygons) {
-        var holeBite = false
-        var gi = 0
-        while (gi < a.polyGroups.size && !holeBite) {
-          val rings = a.polyGroups(gi)
-          var r = 1 // holes only
-          while (r < rings.size && !holeBite) {
-            val ring = rings(r)
-            var v = 0
-            while (v < ring.size && !holeBite) {
-              if (b.polygonContainsInterior(ring(v))) holeBite = true
-              v += 1
-            }
-            r += 1
+      var holeBite = false
+      var gi = 0
+      while (gi < a.polyGroups.size && !holeBite) {
+        val rings = a.polyGroups(gi)
+        var r = 1 // holes only
+        while (r < rings.size && !holeBite) {
+          val ring = rings(r)
+          var v = 0
+          while (v < ring.size && !holeBite) {
+            if (b.polygonContainsInterior(ring(v))) holeBite = true
+            v += 1
           }
-          gi += 1
+          r += 1
         }
-        if (holeBite) return false
+        gi += 1
       }
-      true
-    } else true
+      if (holeBite) return false
+    }
+
+    if (b.hasLines) {
+      if (!a.hasPolygons && !a.hasLines) return false
+      var good = true
+      b.foreachLineEdge { (p, q) =>
+        if (!edgeCoveredByRegion(p, q, a)) { good = false; false } else true
+      }
+      if (!good) return false
+    }
+    true
   }
 
   /** Geometric equality: same closed point set (edge-set, order-insensitive;
@@ -273,11 +280,20 @@ object Relate {
     * symbolic perturbation) contributes the angular interval where it
     * overlaps [p, q]; b's edge is contained iff the merged intervals cover
     * [0, angle(p, q)]. */
-  private def edgeCoveredByLines(p: S2Point, q: S2Point, a: GeoShapes): Boolean = {
-    if (p == q || p.angle(q) <= 0) return a.onAnyLine(p) || vertexOfLines(p, a)
+  /** Is the closed arc (p, q) fully covered by a's REGION: the union of
+    * a's polygon interiors (closed) and a's exactly-collinear edge
+    * sub-arcs? Mixed containers compose — a line edge may run through a
+    * polygon, continue along a collinear polyline, and back. */
+  private def edgeCoveredByRegion(p: S2Point, q: S2Point, a: GeoShapes): Boolean = {
+    if (p == q || p.angle(q) <= 0)
+      return a.onAnyLine(p) || vertexOfLines(p, a) ||
+        (a.hasPolygons && a.polygonContains(p))
     val total = p.angle(q)
-    val (fullyCovered, intervals) = collinearIntervals(p, q, a)
+    val (fullyCovered, lineIntervals) = collinearIntervals(p, q, a)
     if (fullyCovered) return true
+    val intervals =
+      if (a.hasPolygons) lineIntervals ++ polygonIntervals(p, q, total, a)
+      else lineIntervals
     if (intervals.isEmpty) return false
     val sorted = intervals.sortBy(_._1)
     var reach = 0.0
@@ -289,6 +305,45 @@ object Relate {
       i += 1
     }
     reach >= total - CoverEps
+  }
+
+  /** Sub-intervals of the arc [p, q] lying inside a's polygons: cut the arc
+    * at every proper boundary crossing; between consecutive cuts
+    * containment is constant, so one interior point decides each span. */
+  private def polygonIntervals(p: S2Point, q: S2Point, total: Double,
+                               a: GeoShapes): Vector[(Double, Double)] = {
+    val n = p.cross(q)
+    val nn = n.norm
+    if (nn < 1e-30) return Vector.empty
+    val nHat = n * (1.0 / nn)
+    def theta(x: S2Point): Double = Math.atan2(x.cross(p).dot(nHat) * -1.0, p.dot(x))
+    val cuts = scala.collection.mutable.ArrayBuffer[Double](0.0, total)
+    a.foreachRingEdge { (c, d) =>
+      if (S2Pred.crossingSign(p, q, c, d) > 0) {
+        val t = theta(PolyClip.intersectionPoint(p, q, c, d))
+        if (t > CoverEps && t < total - CoverEps) cuts += t
+      }
+      true
+    }
+    val sortedCuts = cuts.sorted
+    val out = Vector.newBuilder[(Double, Double)]
+    var i = 0
+    while (i + 1 < sortedCuts.size) {
+      val t1 = sortedCuts(i); val t2 = sortedCuts(i + 1)
+      if (t2 - t1 > CoverEps) {
+        val mid = slerp(p, q, total, (t1 + t2) / 2)
+        if (a.polygonContains(mid)) out += ((t1, t2))
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Point at angular parameter t along the great-circle arc p -> q. */
+  private def slerp(p: S2Point, q: S2Point, theta: Double, t: Double): S2Point = {
+    val s = Math.sin(theta)
+    if (s < 1e-15) p
+    else ((p * Math.sin(theta - t)) + (q * Math.sin(t))) * (1.0 / s)
   }
 
   /** Angular sub-intervals of the arc [p, q] (parameter range [0, angle])

@@ -50,6 +50,23 @@ class LineContainSpec extends AnyFunSuite {
     assert(!Relate.intersects(poly, sh("POLYGON ((20 2, 12 2, 12 8, 20 8, 20 2))")))
   }
 
+  test("mixed collection containers compose: polygon + line covers a through-edge") {
+    // container: a square plus a "bridge" polyline continuing north along
+    // the lon-0 meridian (y = 0 exactly in fp, so the bridge is EXACTLY
+    // collinear with b edges on that meridian — the collinear-cover rule
+    // only fires for exactly-coplanar stored coordinates, like S2's exact
+    // predicates)
+    val mixed = sh("GEOMETRYCOLLECTION (POLYGON ((-5 0, 5 0, 5 10, -5 10, -5 0)), LINESTRING (0 10, 0 20))")
+    // b runs through the polygon interior then along the bridge line
+    assert(Relate.contains(mixed, sh("LINESTRING (0 2, 0 18)")))
+    // but not past the bridge's end
+    assert(!Relate.contains(mixed, sh("LINESTRING (0 2, 0 25)")))
+    // a meridian with no bridge leaves the polygon uncovered past the top
+    assert(!Relate.contains(mixed, sh("LINESTRING (3 2, 3 18)")))
+    // wholly inside the polygon still works
+    assert(Relate.contains(mixed, sh("LINESTRING (-4 1, 4 9)")))
+  }
+
   test("collinear overlap counts as intersects (consistency with contains)") {
     assert(Relate.intersects(full, sub))
     assert(Relate.dwithin(full, sub, 1.0))
