@@ -318,12 +318,20 @@ object Relate {
     val nHat = n * (1.0 / nn)
     def theta(x: S2Point): Double = Math.atan2(x.cross(p).dot(nHat) * -1.0, p.dot(x))
     val cuts = scala.collection.mutable.ArrayBuffer[Double](0.0, total)
-    a.foreachRingEdge { (c, d) =>
+    def addCut(c: S2Point, d: S2Point): Unit =
       if (S2Pred.crossingSign(p, q, c, d) > 0) {
         val t = theta(PolyClip.intersectionPoint(p, q, c, d))
         if (t > CoverEps && t < total - CoverEps) cuts += t
       }
-      true
+    if (a.numEdges >= EdgeIndex.MinEdges) {
+      // edge-index candidates include line edges too — extra cuts at
+      // non-boundary crossings only subdivide spans, never change coverage
+      val idx = a.edgeIndex
+      val cands = idx.candidates(p, q)
+      var i = cands.nextSetBit(0)
+      while (i >= 0) { addCut(idx.starts(i), idx.ends(i)); i = cands.nextSetBit(i + 1) }
+    } else {
+      a.foreachRingEdge { (c, d) => addCut(c, d); true }
     }
     val sortedCuts = cuts.sorted
     val out = Vector.newBuilder[(Double, Double)]
