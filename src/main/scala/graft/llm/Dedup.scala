@@ -67,6 +67,74 @@ object Dedup {
   def minhashSignature(textCol: Column, numHashes: Int): Column =
     udf(minhashSignatureFn(numHashes)).apply(textCol)
 
+  /** Word-SHINGLE MinHash (the canonical near-dup pipeline: shingle ->
+    * minhash -> band -> bucket-join): k hashes over the set of rolling
+    * `shingleLen`-word windows, so local word reorderings change far more
+    * shingles than single-word edits do — sharper than word-set MinHash
+    * for document near-duplication. One UDF pass, rolling FNV combine. */
+  private def minhashShingleFn(numHashes: Int, shingleLen: Int): String => Array[Long] =
+    (text: String) => {
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      if (text != null) {
+        val words = text.trim.split("\\s+").filter(_.nonEmpty)
+        val n = words.length
+        if (n > 0) {
+          val wordHash = new Array[Long](n)
+          var i = 0
+          while (i < n) {
+            var h = 0xcbf29ce484222325L
+            val w = words(i)
+            var j = 0
+            while (j < w.length) { h ^= w.charAt(j); h *= 0x100000001b3L; j += 1 }
+            wordHash(i) = h
+            i += 1
+          }
+          val last = Math.max(0, n - shingleLen)
+          i = 0
+          while (i <= last) {
+            // combine the window's word hashes order-sensitively
+            var h1 = 0x9e3779b97f4a7c15L
+            var j = 0
+            val end = Math.min(i + shingleLen, n)
+            var k = i
+            while (k < end) { h1 = (h1 ^ wordHash(k)) * 0x100000001b3L; k += 1; j += 1 }
+            var h2 = h1
+            h2 ^= h2 >>> 33; h2 *= 0xff51afd7ed558ccdL
+            h2 ^= h2 >>> 33; h2 *= 0xc4ceb9fe1a85ec53L
+            h2 ^= h2 >>> 33
+            var kk = 0
+            var h = h1
+            while (kk < numHashes) {
+              if (h < sig(kk)) sig(kk) = h
+              h += h2
+              kk += 1
+            }
+            i += 1
+          }
+        }
+      }
+      sig
+    }
+
+  def minhashShingleSignature(textCol: Column, numHashes: Int, shingleLen: Int = 3): Column =
+    udf(minhashShingleFn(numHashes, shingleLen)).apply(textCol)
+
+  /** Shingle-MinHash LSH candidate pairs — same band-bucket join shape as
+    * the word-set variant, over shingle signatures. */
+  def minhashShingleCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                                   numHashes: Int = 64, bands: Int = 8,
+                                   shingleLen: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+        minhashShingleSignature(col(textCol), numHashes, shingleLen).as("sig"))
+      .withColumn("bk", explode(lshBandKeys(col("sig"), numHashes, bands)))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    sigs.as("a").hint("shuffle_hash").join(sigs.as("b").hint("shuffle_hash"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
   /** LSH band keys: split the signature into `bands` bands of
     * numHashes/bands rows each; each band hashes to one bucket key. */
   def lshBandKeys(sig: Column, numHashes: Int, bands: Int): Column = {

@@ -846,6 +846,20 @@ object Queries {
        |FROM canon a JOIN canon b ON a.canon = b.canon AND a.doc_id < b.doc_id
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Shingle-MinHash candidates restricted to byte-identical pairs ==
+    * exact dup set (identical texts share every shingle, so every planted
+    * dup must surface as a candidate in all bands). */
+  private val qDedupMinhashShingle = dfQ { s =>
+    val docs = s.table("docs_aug")
+    val cands = Dedup.minhashShingleCandidatePairs(docs, "doc_id", "text",
+      numHashes = 64, bands = 4, shingleLen = 3)
+    val t = docs.select(col("doc_id"), col("text"))
+    cands.join(t.as("ta"), col("id_a") === col("ta.doc_id"))
+      .join(t.as("tb"), col("id_b") === col("tb.doc_id"))
+      .where(col("ta.text") === col("tb.text"))
+      .select("id_a", "id_b").orderBy("id_a", "id_b")
+  }
+
   /** SimHash candidates restricted to byte-identical pairs == exact dup set. */
   private val qDedupSimhash = dfQ { s =>
     val docs = s.table("docs_aug")
@@ -1195,6 +1209,7 @@ object Queries {
     ("l_dedup_exact", qDedupExact, Some(oDedupExact)),
     ("l_dedup_pairs", qDedupPairs, Some(oDedupPairs)),
     ("l_dedup_minhash", qDedupMinhash, Some(oDedupMinhash)),
+    ("l_dedup_minhash_shingle", qDedupMinhashShingle, Some(oDedupPairs)),
     ("l_dedup_simhash", qDedupSimhash, Some(oDedupPairs)),
     ("l_jaccard", qJaccard, Some(oJaccard)),
     ("l_ann_top1", qAnnTop1, Some(oAnnTop1)),
