@@ -175,13 +175,18 @@ object EdgeIndex {
     } else false
   }
 
-  /** Like anyProperCrossing but probing only the RING edges of `probe`
-    * (containment checks for polygon content of a mixed collection). */
+  /** Like anyProperCrossing but RING edges on BOTH sides: probe's ring
+    * edges against indexed's ring edges only (containment checks for
+    * polygon content of a mixed collection — indexed's polyline content
+    * cannot reduce its polygon coverage, so a line crossing a contained
+    * ring must not disqualify containment). Edge ordinals in the index
+    * follow foreachEdge order (lines first), so ring edges are exactly the
+    * ordinals >= indexed.numLineEdges. */
   def anyProperCrossingRings(probe: GeoShapes, indexed: GeoShapes): Boolean = {
     if (indexed.numEdges < MinEdges) {
       var crossed = false
       probe.foreachRingEdge { (p1, p2) =>
-        indexed.foreachEdge { (q1, q2) =>
+        indexed.foreachRingEdge { (q1, q2) =>
           if (S2Pred.crossingSign(p1, p2, q1, q2) > 0) { crossed = true; false } else true
         }
         !crossed
@@ -189,10 +194,11 @@ object EdgeIndex {
       return crossed
     }
     val idx = indexed.edgeIndex
+    val firstRing = indexed.numLineEdges
     var crossed = false
     probe.foreachRingEdge { (p1, p2) =>
       val cands = idx.candidates(p1, p2)
-      var i = cands.nextSetBit(0)
+      var i = cands.nextSetBit(firstRing)
       while (i >= 0 && !crossed) {
         if (S2Pred.crossingSign(p1, p2, idx.starts(i), idx.ends(i)) > 0) crossed = true
         i = cands.nextSetBit(i + 1)

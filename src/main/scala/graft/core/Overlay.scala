@@ -30,10 +30,14 @@ object Overlay {
     !Covering.unionsIntersect(ca, cb)
   }
 
-  def intersection(a: Geography, b: Geography): Geography = {
+  /** `disjointHint`: caller already knows whether the coverings are
+    * disjoint (the blob codec stores each geography's covering — reusing it
+    * skips a per-row re-cover of both operands). None -> compute here. */
+  def intersection(a: Geography, b: Geography,
+                   disjointHint: Option[Boolean] = None): Geography = {
     if (a.isEmpty) return b // reference quirk: empty side -> other side
     if (b.isEmpty) return a
-    if (disjointCoverings(a, b)) return empty
+    if (disjointHint.getOrElse(disjointCoverings(a, b))) return empty
     val sa = new GeoShapes(a); val sb = new GeoShapes(b)
     val pts = mutable.ArrayBuffer[S2Point]()
     pts ++= sa.points.filter(p => containsPoint(sb, p))
@@ -47,10 +51,11 @@ object Overlay {
     assemble(pts.toVector, lines.toVector, polys.toVector)
   }
 
-  def difference(a: Geography, b: Geography): Geography = {
+  def difference(a: Geography, b: Geography,
+                 disjointHint: Option[Boolean] = None): Geography = {
     if (a.isEmpty) return empty
     if (b.isEmpty) return a
-    if (disjointCoverings(a, b)) return a
+    if (disjointHint.getOrElse(disjointCoverings(a, b))) return a
     val sa = new GeoShapes(a); val sb = new GeoShapes(b)
     val pts = sa.points.filterNot(p => containsPoint(sb, p))
     val lines = mutable.ArrayBuffer[Vector[S2Point]]()
@@ -183,9 +188,11 @@ object Overlay {
 }
 
 /** Spherical polygon clipping (Weiler-Atherton traversal with exact
-  * crossing predicates). Shell-level: each input is a set of rings; holes
-  * are not distinguished structurally (reference-quality hole support is
-  * future work — the tested overlay algebra does not exercise holes). */
+  * crossing predicates). Regions are shell+holes [[PolyClip.Group]]s and
+  * the algebra is hole-aware: intersect/diff/union recurse through each
+  * group's holes ([[diffGroupRing]] / [[intersectGroupRing]]), so areas and
+  * containment follow inclusion-exclusion exactly. Only the seam boundaries
+  * between adjacent result pieces are non-canonical. */
 object PolyClip {
   type Ring = Vector[S2Point]
 

@@ -120,6 +120,15 @@ final class GeoShapes(val g: Geography) extends Serializable {
     n
   }
 
+  /** Count of polyline edges. foreachEdge enumerates line edges first, so
+    * ring edges occupy ordinals [numLineEdges, numEdges) in the edge index
+    * — the split lets ring-only scans skip line candidates. */
+  lazy val numLineEdges: Int = {
+    var n = 0
+    foreachLineEdge { (_, _) => n += 1; true }
+    n
+  }
+
   /** Deserialized index from a prepared blob (GeoCodec.decodeShapes); must
     * be attached before the first edgeIndex access. */
   @transient private var prebuiltEdgeIndex: EdgeIndex = null
@@ -318,11 +327,21 @@ object Relate {
     val nHat = n * (1.0 / nn)
     def theta(x: S2Point): Double = Math.atan2(x.cross(p).dot(nHat) * -1.0, p.dot(x))
     val cuts = scala.collection.mutable.ArrayBuffer[Double](0.0, total)
-    def addCut(c: S2Point, d: S2Point): Unit =
+    def vertexCut(v: S2Point): Unit =
+      // a ring vertex exactly on the arc can be a containment entry/exit
+      // with NO proper crossing (vertex-incident touch); without a cut
+      // there, one span midpoint would misclassify the whole span
+      if (v != p && v != q && S2Pred.pointOnEdge(v, p, q)) {
+        val t = theta(v)
+        if (t > CoverEps && t < total - CoverEps) cuts += t
+      }
+    def addCut(c: S2Point, d: S2Point): Unit = {
       if (S2Pred.crossingSign(p, q, c, d) > 0) {
         val t = theta(PolyClip.intersectionPoint(p, q, c, d))
         if (t > CoverEps && t < total - CoverEps) cuts += t
       }
+      vertexCut(c); vertexCut(d)
+    }
     if (a.numEdges >= EdgeIndex.MinEdges) {
       // edge-index candidates include line edges too — extra cuts at
       // non-boundary crossings only subdivide spans, never change coverage
@@ -371,7 +390,7 @@ object Relate {
 
     val intervals = Vector.newBuilder[(Double, Double)]
     var fullyCovered = false
-    a.foreachEdge { (c, d) =>
+    def visit(c: S2Point, d: S2Point): Boolean =
       if ((c == p && d == q) || (c == q && d == p)) { fullyCovered = true; false }
       else if (c != d && S2Pred.collinearExact(p, q, c) && S2Pred.collinearExact(p, q, d)) {
         val tc = theta(c); val td = theta(d)
@@ -389,6 +408,21 @@ object Relate {
         }
         true
       } else true
+    if (a.numEdges >= EdgeIndex.MinEdges) {
+      // a collinear edge contributing any overlap lies ON the arc, so it
+      // shares covering cells with (p, q): the index candidates are a true
+      // superset, and the O(E_a) scan per probe edge collapses to the few
+      // cell-colocated edges (or nothing — the common negative case on
+      // cover-refine join candidates)
+      val idx = a.edgeIndex
+      val cands = idx.candidates(p, q)
+      var i = cands.nextSetBit(0)
+      while (i >= 0 && !fullyCovered) {
+        visit(idx.starts(i), idx.ends(i))
+        i = cands.nextSetBit(i + 1)
+      }
+    } else {
+      a.foreachEdge(visit)
     }
     (fullyCovered, intervals.result())
   }

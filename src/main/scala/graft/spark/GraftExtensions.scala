@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, LongType}
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+import org.apache.spark.sql.types.{ArrayType, Decimal, LongType}
 
 /**
  * SparkSessionExtensions entry point:
@@ -27,10 +28,75 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object SpatialJoinRewrite extends Rule[LogicalPlan]
     with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
 
-  private val CoveringLevel = 4
+  /** Session override for the intersects/contains covering level:
+    * `SET spark.graft.join.coveringLevel=8`. The refine predicate makes ANY
+    * level correct; the level only tunes shuffle-key count vs per-row
+    * covering cost, so this is purely a plan-quality knob. Level 4 (~1536
+    * cells globally) suits polygon-heavy data; point-dominated workloads on
+    * big clusters want 6-10 for shuffle parallelism. */
+  val CoveringLevelConf = "spark.graft.join.coveringLevel"
+
+  /** Opt-in byte-stats level adaptivity (`=true`). Off by default: logical
+    * stats are UNRELIABLE for this decision — a join inside a side reports
+    * the PRODUCT of its children's sizes, and sentinel defaults report
+    * Long.MaxValue — while the cost of guessing too fine is 4^level
+    * per-polygon covering blowup (Russia at level 10 is ~200k exploded
+    * rows each carrying the full blob). A session that knows its data is
+    * point-dominated should set [[CoveringLevelConf]] directly instead. */
+  val AdaptiveLevelConf = "spark.graft.join.adaptiveLevel"
+
+  private val DefaultCoveringLevel = 4
+
+  /** Marks a join this rule already produced, so later optimizer
+    * iterations never re-match the refine filter once it gets pushed into
+    * the cell join (tags survive transform copies; column-NAME sniffing,
+    * the previous guard, broke on user tables that happen to carry a
+    * `__cell` column). */
+  private val RewrittenTag = TreeNodeTag[Boolean]("graft.spatialJoinRewritten")
+
+  /**
+   * Level for the cover-then-refine shuffle key: the conf wins; otherwise
+   * optional stats adaptivity (+1 per 16x past 256 MB — each level step
+   * quadruples cells and quarters per-cell candidates); otherwise 4.
+   *
+   * The adaptive path only trusts sizes that look like real scan stats:
+   * both sides below 1 PB (join sides report size PRODUCTS of their
+   * children; unknown plans report the Long.MaxValue sentinel — an r5
+   * Verify run OOM'd on exactly that before this guard), and the bump is
+   * capped at level 6 because fixed-level coverings of continent-sized
+   * polygons grow 4^level per row.
+   */
+  private def coveringLevel(left: LogicalPlan, right: LogicalPlan): Int = {
+    val explicit = conf.getConfString(CoveringLevelConf, "")
+    if (explicit.nonEmpty) return explicit.toInt.max(0).min(20)
+    if (!conf.getConfString(AdaptiveLevelConf, "false").toBoolean) return DefaultCoveringLevel
+    val plausible =
+      try Seq(left.stats.sizeInBytes, right.stats.sizeInBytes)
+        .filter(s => s >= 0 && s < (BigInt(1) << 50))
+      catch { case _: Throwable => Nil }
+    if (plausible.size < 2) return DefaultCoveringLevel
+    var lvl = DefaultCoveringLevel
+    var over = plausible.max / (BigInt(256) << 20)
+    while (over > 0 && lvl < 6) { lvl += 1; over /= 16 }
+    lvl
+  }
 
   private def isFn(u: ScalaUDF, fn: AnyRef, name: String): Boolean =
     (u.function.asInstanceOf[AnyRef] eq fn) || u.udfName.contains(name)
+
+  /** Constant radius of a dwithin conjunct: fold any numeric literal form
+    * (Double, Float, Int/Long, Decimal — `lit(300000)` reaches the UDF as
+    * an integer) to meters. Radius 0 is a legal dwithin (= intersects). */
+  private def foldedMeters(e: Expression): Option[Double] = {
+    if (!e.foldable) return scala.None
+    val v = e.eval() match {
+      case null => scala.None
+      case d: Decimal => Some(d.toDouble)
+      case n: java.lang.Number => Some(n.doubleValue())
+      case _ => scala.None
+    }
+    v.filter(d => d >= 0 && !d.isNaN)
+  }
 
   /** Recognize our registered predicate UDFs by function identity (Column
     * DSL) or registered name (SQL surface). Returns (geogA, geogB,
@@ -42,54 +108,58 @@ object SpatialJoinRewrite extends Rule[LogicalPlan]
     e match {
       case GeogExpressions.S2IntersectsExpr(g1, g2) => Some((g1, g2, None))
       case GeogExpressions.S2ContainsExpr(g1, g2) => Some((g1, g2, None))
-      case GeogExpressions.S2DwithinExpr(g1, g2, m) if m.foldable =>
-        m.eval() match {
-          case d: java.lang.Double if d > 0 => Some((g1, g2, Some(d)))
-          case _ => None
-        }
+      case GeogExpressions.S2DwithinExpr(g1, g2, m) =>
+        foldedMeters(m).map(d => (g1, g2, Some(d)))
       case u: ScalaUDF if u.children.size == 2 &&
           (isFn(u, S2Functions.intersects, "s2_intersects") ||
             isFn(u, S2Functions.contains, "s2_contains")) =>
         Some((u.children(0), u.children(1), None))
-      case u: ScalaUDF if u.children.size == 3 && isFn(u, S2Functions.dwithin, "s2_dwithin") &&
-          u.children(2).foldable =>
-        u.children(2).eval() match {
-          case m: java.lang.Double if m > 0 => Some((u.children(0), u.children(1), Some(m)))
-          case _ => None
-        }
+      case u: ScalaUDF if u.children.size == 3 && isFn(u, S2Functions.dwithin, "s2_dwithin") =>
+        foldedMeters(u.children(2)).map(d => (u.children(0), u.children(1), Some(d)))
       case _ => None
     }
 
-  /** The rewrite's own output (and S2Join's hand-built plans) carry these
-    * marker columns; matching them again would re-rewrite the refine filter
-    * after it gets pushed into the cell join — an unbounded loop across
-    * optimizer iterations. */
-  private def alreadyCellJoin(p: LogicalPlan): Boolean =
-    p.output.exists { a =>
-      a.name == "__l_cov" || a.name == "__r_cov" || a.name == "__l_cell" ||
-        a.name == "__r_cell" || a.name == "__lcov" || a.name == "__rcov" ||
-        a.name == "__cell"
+  /** An equality conjunct joining the two sides (a.id = b.id). When one is
+    * present Spark already plans a hash/sort-merge join on that key with
+    * the spatial predicate as a cheap post-filter — strictly better than a
+    * double-explode cell join, so the rewrite must stand down. This also
+    * makes re-rewriting impossible: the cell join this rule emits IS an
+    * equi-join on the cell attribute. */
+  private def hasEquiConjunct(conjuncts: Seq[Expression],
+                              left: LogicalPlan, right: LogicalPlan): Boolean = {
+    def spansSides(a: Expression, b: Expression): Boolean =
+      a.references.nonEmpty && b.references.nonEmpty &&
+        ((a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
+          (b.references.subsetOf(left.outputSet) && a.references.subsetOf(right.outputSet)))
+    conjuncts.exists {
+      case EqualTo(a, b) => spansSides(a, b)
+      case EqualNullSafe(a, b) => spansSides(a, b)
+      case _ => false
     }
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
     case j @ Join(left, right, Inner, Some(cond), _)
-        if !alreadyCellJoin(left) && !alreadyCellJoin(right) =>
+        if j.getTagValue(RewrittenTag).isEmpty =>
       // a spatial predicate ANYWHERE among the conjuncts drives the rewrite
       // (real joins carry extra conditions — id ordering, attribute
       // filters); the FULL original condition stays as the refine filter,
       // so semantics are independent of which conjunct was picked
       val conjuncts = splitConjunctivePredicates(cond)
-      val matched = conjuncts.iterator
-        .map(c => (c, spatialPredicate(c)))
-        .collectFirst { case (c, Some(m)) => (c, m) }
-      matched match {
-        case Some((spatial, (g1, g2, meters)))
-            if g1.references.subsetOf(left.outputSet) && g2.references.subsetOf(right.outputSet) =>
-          rewrite(j, left, right, spatial, conjuncts.filterNot(_ eq spatial), g1, g2, meters)
-        case Some((spatial, (g1, g2, meters)))
-            if g2.references.subsetOf(left.outputSet) && g1.references.subsetOf(right.outputSet) =>
-          rewrite(j, left, right, spatial, conjuncts.filterNot(_ eq spatial), g2, g1, meters)
-        case _ => j
+      if (hasEquiConjunct(conjuncts, left, right)) j
+      else {
+        val matched = conjuncts.iterator
+          .map(c => (c, spatialPredicate(c)))
+          .collectFirst { case (c, Some(m)) => (c, m) }
+        matched match {
+          case Some((spatial, (g1, g2, meters)))
+              if g1.references.subsetOf(left.outputSet) && g2.references.subsetOf(right.outputSet) =>
+            rewrite(j, left, right, spatial, conjuncts.filterNot(_ eq spatial), g1, g2, meters)
+          case Some((spatial, (g1, g2, meters)))
+              if g2.references.subsetOf(left.outputSet) && g1.references.subsetOf(right.outputSet) =>
+            rewrite(j, left, right, spatial, conjuncts.filterNot(_ eq spatial), g2, g1, meters)
+          case _ => j
+        }
       }
   }
 
@@ -114,7 +184,7 @@ object SpatialJoinRewrite extends Rule[LogicalPlan]
   private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
                       spatial: Expression, others: Seq[Expression],
                       geogL: Expression, geogR: Expression, meters: Option[Double]): LogicalPlan = {
-    val level = meters.fold(CoveringLevel)(S2Join.levelForDistance)
+    val level = meters.fold(coveringLevel(left, right))(S2Join.levelForDistance)
 
     def covered(child: LogicalPlan, geog: Expression, side: String,
                 withNeighbors: Boolean): (LogicalPlan, Attribute, Attribute) = {
@@ -138,6 +208,7 @@ object SpatialJoinRewrite extends Rule[LogicalPlan]
     val (rPlan, rCov, rCell) = covered(right, geogR, "r", withNeighbors = false)
 
     val cellJoin = Join(lPlan, rPlan, Inner, Some(EqualTo(lCell, rCell)), j.hint)
+    cellJoin.setTagValue(RewrittenTag, true)
     // evaluation-order discipline (same as S2Join.refineDedupe): the cheap
     // non-spatial conjuncts run first inside an If the optimizer cannot
     // split or reorder, then the exact spatial predicate (same

@@ -158,14 +158,22 @@ object S2Functions {
       else Some(!GeoCodec.isEmptyBlob(a) && !GeoCodec.isEmptyBlob(b) &&
         Covering.unionsIntersect(GeoCodec.coveringOf(a), GeoCodec.coveringOf(b)))
 
+  /** Overlay prefilter from the STORED blob coverings — skips the per-row
+    * re-cover of both operands inside Overlay (empty blobs don't matter:
+    * the empty-side short-circuits run before the hint is consulted). */
+  private def storedDisjoint(a: Array[Byte], b: Array[Byte]): Some[Boolean] =
+    Some(!Covering.unionsIntersect(GeoCodec.coveringOf(a), GeoCodec.coveringOf(b)))
+
   val intersection: (Array[Byte], Array[Byte]) => Array[Byte] =
     (a: Array[Byte], b: Array[Byte]) =>
       if (a == null || b == null) null
-      else GeoCodec.encode(Overlay.intersection(GeoCodec.decode(a), GeoCodec.decode(b)))
+      else GeoCodec.encode(Overlay.intersection(GeoCodec.decode(a), GeoCodec.decode(b),
+        storedDisjoint(a, b)))
   val difference: (Array[Byte], Array[Byte]) => Array[Byte] =
     (a: Array[Byte], b: Array[Byte]) =>
       if (a == null || b == null) null
-      else GeoCodec.encode(Overlay.difference(GeoCodec.decode(a), GeoCodec.decode(b)))
+      else GeoCodec.encode(Overlay.difference(GeoCodec.decode(a), GeoCodec.decode(b),
+        storedDisjoint(a, b)))
   val unionGeog: (Array[Byte], Array[Byte]) => Array[Byte] =
     (a: Array[Byte], b: Array[Byte]) =>
       if (a == null || b == null) null

@@ -18,6 +18,16 @@ import S2Functions.S2
  */
 object S2Join {
 
+  /** Sentinel: resolve the covering level from
+    * spark.graft.join.coveringLevel (default 4). Finer levels mean more
+    * shuffle keys and fewer candidates per cell — at cluster scale set the
+    * conf to 6-10; the refine predicate makes any level correct. */
+  val AutoLevel: Int = -1
+
+  private def resolveLevel(df: DataFrame, level: Int): Int =
+    if (level >= 0) level
+    else df.sparkSession.conf.get(SpatialJoinRewrite.CoveringLevelConf, "4").toInt
+
   /** Keep the `level`-covering of geogCol as an array column AND explode it
     * into a `__cell` join key. The kept array drives the smallest-common-cell
     * dedupe below. Null geographies cover nothing → their rows drop out of
@@ -66,19 +76,21 @@ object S2Join {
    * needed; AQE splits skewed cells (e.g. dense metro areas).
    */
   def intersects(left: DataFrame, geogL: String, right: DataFrame, geogR: String,
-                 level: Int = 4): DataFrame = {
+                 level: Int = AutoLevel): DataFrame = {
     S2Functions.ensureRegistered(left.sparkSession)
-    val l = withCells(left, geogL, level, "__lcov")
-    val r = withCells(right, geogR, level, "__rcov")
+    val lv = resolveLevel(left, level)
+    val l = withCells(left, geogL, lv, "__lcov")
+    val r = withCells(right, geogR, lv, "__rcov")
     refineDedupe(l, r, call_function("s2_intersects", col(geogL), col(geogR)))
   }
 
   /** Containment join: rows where left contains right. */
   def contains(left: DataFrame, geogL: String, right: DataFrame, geogR: String,
-               level: Int = 4): DataFrame = {
+               level: Int = AutoLevel): DataFrame = {
     S2Functions.ensureRegistered(left.sparkSession)
-    val l = withCells(left, geogL, level, "__lcov")
-    val r = withCells(right, geogR, level, "__rcov")
+    val lv = resolveLevel(left, level)
+    val l = withCells(left, geogL, lv, "__lcov")
+    val r = withCells(right, geogR, lv, "__rcov")
     refineDedupe(l, r, call_function("s2_contains", col(geogL), col(geogR)))
   }
 

@@ -99,4 +99,41 @@ class SpatialJoinRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       """SELECT count(*) FROM s2_data_cities a JOIN s2_data_cities b ON a.name = b.name""")
     assert(df.collect().head.getLong(0) === 243)
   }
+
+  test("an equi-join conjunct disables the rewrite (hash join + post-filter wins)") {
+    val df = spark.sql(
+      """SELECT count(*) AS n FROM s2_data_cities a JOIN s2_data_cities b
+        |  ON a.name = b.name AND s2_intersects(a.geog, b.geog)""".stripMargin)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("Generate"),
+      s"equi-join + spatial predicate must keep Spark's equi-join plan:\n$physical")
+    assert(df.collect().head.getLong(0) === 243) // every city intersects itself
+  }
+
+  test("integer-literal dwithin radius still triggers the rewrite") {
+    val int = spark.sql(
+      """SELECT count(*) AS n FROM s2_data_cities a JOIN s2_data_cities b
+        |  ON s2_dwithin(a.geog, b.geog, 500000)""".stripMargin)
+    assertRewritten(int)
+    val dbl = spark.sql(
+      """SELECT count(*) AS n FROM s2_data_cities a JOIN s2_data_cities b
+        |  ON s2_dwithin(a.geog, b.geog, 500000.0)""".stripMargin)
+    assert(int.collect().head.getLong(0) === dbl.collect().head.getLong(0))
+  }
+
+  test("coveringLevel conf changes the plan, not the result") {
+    val sql =
+      """SELECT c.name AS country, t.name AS city
+        |FROM (SELECT * FROM s2_data_countries
+        |      WHERE name IN ('Cuba', 'Jamaica', 'Haiti', 'Iceland')) c
+        |JOIN s2_data_cities t ON s2_intersects(c.geog, t.geog)""".stripMargin
+    val base = spark.sql(sql).collect().map(_.toString).sorted.toSeq
+    assert(base.nonEmpty)
+    spark.conf.set(SpatialJoinRewrite.CoveringLevelConf, "8")
+    try {
+      val fine = spark.sql(sql)
+      assertRewritten(fine)
+      assert(fine.collect().map(_.toString).sorted.toSeq === base)
+    } finally spark.conf.unset(SpatialJoinRewrite.CoveringLevelConf)
+  }
 }
