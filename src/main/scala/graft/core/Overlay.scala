@@ -257,15 +257,172 @@ object PolyClip {
    * A ∪ B. Single hole-free rings merge into one boundary via the
    * complement identity (A ∪ B = ¬(¬A ∩ ¬B) — one traversal, no seams);
    * the general multi-ring / hole-bearing case decomposes into the exact
-   * disjoint form A ⊎ (B \ A), whose pieces may share seam boundaries but
-   * whose point set (and so area / containment) is exact.
+   * disjoint form A ⊎ (B \ A) and then DISSOLVES the seam boundaries the
+   * pieces share (see [[dissolveSeams]]), so the output is one canonical
+   * boundary per connected region — same closed point set either way.
    */
   def unionRegions(a: Vector[Group], b: Vector[Group]): Vector[Group] = {
     if (a.size == 1 && b.size == 1 && a.head.holes.isEmpty && b.head.holes.isEmpty) {
       val r = intersectPair(a.head.shell.reverse, b.head.shell.reverse)
       if (r.nonEmpty) return rawToGroups(r.map(_.reverse))
     }
-    a ++ diffRegions(b, a)
+    dissolveSeams(a ++ diffRegions(b, a))
+  }
+
+  /** Distance-tolerant "w lies on the open arc (u, v)": within ~1e-12 rad
+    * of the great circle and inside the arc's wedge. Used only to ALIGN
+    * seam subdivisions (the crossing points stored in one piece's ring are
+    * only fp-close to the other piece's edge), never to decide topology. */
+  private def onArcTol(w: S2Point, u: S2Point, v: S2Point): Boolean = {
+    if (w == u || w == v) return false
+    val n = u.cross(v)
+    val nn = n.norm
+    if (nn < 1e-30) return false
+    if (Math.abs(w.dot(n)) / nn > 1e-12) return false
+    val uv = u.dot(v)
+    w.dot(u) > uv - 1e-15 && w.dot(v) > uv - 1e-15 && w.dot(u + v) > 0
+  }
+
+  /** Normalize a ring to enclose its small side (engine storage form). */
+  private def normRing(r: Ring): Ring =
+    if (r.size >= 3 && new S2Loop(r.toArray).isInverted) r.reverse else r
+
+  private def groupArea(g: Group): Double =
+    new S2Loop(normRing(g.shell).toArray).area -
+      g.holes.map(h => new S2Loop(normRing(h).toArray).area).sum
+
+  /**
+   * Merge seam-adjacent groups into canonical boundaries. The input is a
+   * DISJOINT decomposition of a region whose adjacent pieces may share
+   * boundary arcs (the A ⊎ (B \ A) union form). Steps:
+   *
+   *   1. orient every boundary edge region-on-the-LEFT (shells as stored,
+   *      holes reversed) — a shared seam arc is then traversed in opposite
+   *      directions by its two adjacent pieces;
+   *   2. split every edge at other rings' vertices lying on it (the two
+   *      sides of a seam subdivide it differently: one keeps the original
+   *      vertices, the other inserts crossing points);
+   *   3. cancel opposite directed edges — exactly the seams;
+   *   4. stitch what remains into closed rings and regroup shells/holes.
+   *
+   * Output rings are rotated to start at their lexicographically smallest
+   * vertex and groups are sorted, so the WKT of a union is deterministic
+   * (canonical for THIS engine; vertex order is not S2BooleanOperation's).
+   * If stitching fails or the merged area drifts, the seam-decomposed
+   * input is returned unchanged — correctness never regresses for the
+   * sake of boundary form.
+   */
+  def dissolveSeams(groups: Vector[Group]): Vector[Group] = {
+    if (groups.size <= 1) return groups
+    val edges = mutable.ArrayBuffer[(S2Point, S2Point)]()
+    for (g <- groups) {
+      val shell = normRing(g.shell)
+      if (shell.size >= 3) {
+        var i = 0
+        while (i < shell.size) {
+          edges += ((shell(i), shell((i + 1) % shell.size)))
+          i += 1
+        }
+      }
+      for (h0 <- g.holes; h = normRing(h0) if h.size >= 3) {
+        // region lies OUTSIDE the hole: reverse for region-left orientation
+        var i = h.size - 1
+        while (i >= 0) {
+          edges += ((h((i + 1) % h.size), h(i)))
+          i -= 1
+        }
+      }
+    }
+    // vertex registry for seam alignment
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val split = mutable.ArrayBuffer[(S2Point, S2Point)]()
+    for ((u, v) <- edges) {
+      val interior = verts.filter(w => onArcTol(w, u, v))
+      if (interior.isEmpty) split += ((u, v))
+      else {
+        val chain = (u +: interior.sortBy(w => u.angle(w))) :+ v
+        var i = 0
+        while (i + 1 < chain.size) {
+          if (chain(i) != chain(i + 1)) split += ((chain(i), chain(i + 1)))
+          i += 1
+        }
+      }
+    }
+    // cancel opposite directed edges (the seams), multiplicity-aware
+    val count = mutable.LinkedHashMap[(S2Point, S2Point), Int]()
+    for (e <- split) count(e) = count.getOrElse(e, 0) + 1
+    val kept = mutable.ArrayBuffer[(S2Point, S2Point)]()
+    for ((e @ (u, v), c) <- count) {
+      val opp = count.getOrElse((v, u), 0)
+      val survivors = c - Math.min(c, opp)
+      var i = 0
+      while (i < survivors) { kept += e; i += 1 }
+    }
+    if (kept.isEmpty) return groups
+    // stitch: successor edges by start vertex, consumed in insertion order
+    val bySrc = mutable.HashMap[S2Point, mutable.Queue[Int]]()
+    for (i <- kept.indices)
+      bySrc.getOrElseUpdate(kept(i)._1, mutable.Queue.empty) += i
+    val used = new Array[Boolean](kept.size)
+    val rings = mutable.ArrayBuffer[Ring]()
+    for (start <- kept.indices if !used(start)) {
+      val ring = mutable.ArrayBuffer[S2Point]()
+      var cur = start
+      var ok = true
+      var closed = false
+      while (ok && !closed) {
+        used(cur) = true
+        ring += kept(cur)._1
+        val nxt = kept(cur)._2
+        // closing wins over continuing: at a pinch vertex with another
+        // unused outgoing edge, preferring continuation would merge two
+        // rings into one non-simple ring
+        if (nxt == kept(start)._1) closed = true
+        else bySrc.get(nxt).flatMap(q => q.dequeueFirst(i => !used(i))) match {
+          case Some(i) => cur = i
+          case scala.None => ok = false // dangling boundary
+        }
+      }
+      if (!ok) return groups // dangling boundary: bail out, keep exact form
+      val dedup = dedupeRing(ring.toVector)
+      if (dedup.size >= 3) rings += dedup
+    }
+    if (rings.isEmpty) return groups
+    // store rings small-side-enclosing, rotate to a canonical start, group
+    val stored = rings.map(normRing).map { r =>
+      val k = r.indices.minBy(i => (r(i).x, r(i).y, r(i).z))
+      r.drop(k) ++ r.take(k)
+    }
+    val out = regroupNested(stored.toVector)
+      .sortBy(g => (g.shell.head.x, g.shell.head.y, g.shell.head.z))
+    // safety net: the dissolve is boundary-only — any area drift means a
+    // stitching defect, so fall back to the exact seam-decomposed form
+    val before = groups.map(groupArea).sum
+    val after = out.map(groupArea).sum
+    if (Math.abs(after - before) > Math.max(1e-12, before * 1e-9)) groups else out
+  }
+
+  /** Parity-aware nesting for dissolve output: a ring inside an EVEN
+    * number of other rings is a shell, odd makes it a hole of its
+    * innermost container — unlike [[regroup]], an island nested inside a
+    * hole becomes its own polygon, not a second hole of the outer shell. */
+  private def regroupNested(rings: Vector[Ring]): Vector[Group] = {
+    if (rings.size <= 1) return rings.map(r => Group(r, Vector.empty))
+    val loops = rings.map(r => new S2Loop(r.toArray))
+    val order = rings.indices.sortBy(i => -loops(i).area)
+    val holesOf = mutable.LinkedHashMap[Int, mutable.ArrayBuffer[Ring]]()
+    for ((i, k) <- order.zipWithIndex) {
+      val containers = order.take(k).filter(j => loops(j).contains(rings(i).head))
+      if (containers.size % 2 == 0) holesOf(i) = mutable.ArrayBuffer()
+      else {
+        val parent = containers.minBy(j => loops(j).area)
+        // in well-formed nesting the innermost container of an odd-depth
+        // ring is a shell; fall back to own-shell if it is not
+        if (holesOf.contains(parent)) holesOf(parent) += rings(i)
+        else holesOf(i) = mutable.ArrayBuffer()
+      }
+    }
+    holesOf.iterator.map { case (i, hs) => Group(rings(i), hs.toVector) }.toVector
   }
 
   /** Group normalized rings into polygons: the largest containing ring of a

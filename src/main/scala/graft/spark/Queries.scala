@@ -444,7 +444,13 @@ object Queries {
       | (SELECT NOT s2_contains(s2_union(a, b), s2_geogfromtext('POINT (20 20)')) FROM mp) AS mp_un_not,
       | (SELECT abs(s2_area(s2_union(a, b)) - (s2_area(a) + s2_area(b) - s2_area(s2_intersection(a, b)))) / s2_area(a) < 1e-9 FROM hp) AS hp_un_ie,
       | (SELECT s2_contains(s2_union(a, b), s2_geogfromtext('POINT (12 12)')) FROM hp) AS hp_un_fill,
-      | (SELECT NOT s2_contains(s2_union(a, b), s2_geogfromtext('POINT (7 7)')) FROM hp) AS hp_un_hole""".stripMargin)
+      | (SELECT NOT s2_contains(s2_union(a, b), s2_geogfromtext('POINT (7 7)')) FROM hp) AS hp_un_hole,
+      | (SELECT s2_format(s2_union(a, b), 6) FROM sq) AS un_sq_wkt,
+      | (SELECT s2_format(s2_union(a, b), 6) FROM mp) AS un_mp_wkt,
+      | (SELECT s2_format(s2_union(a, b), 6) FROM hp) AS un_hp_wkt,
+      | s2_format(s2_union(
+      |   s2_geogfromtext('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (3 3, 3 7, 7 7, 7 3, 3 3))'),
+      |   s2_geogfromtext('POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))')), 6) AS un_hf_wkt""".stripMargin)
   private val oOverlayGolden =
     """SELECT 'GEOMETRYCOLLECTION EMPTY' AS int_disjoint, 'POINT (-64 45)' AS int_rhs_empty,
       | 'POINT (-64 45)' AS int_lhs_empty, 'POINT (-64 45)' AS int_same,
@@ -455,7 +461,11 @@ object Queries {
       | true AS area_add, true AS area_un, true AS int_has_77, true AS int_not_33,
       | true AS diff_has_33, true AS diff_not_77, true AS un_has_both,
       | true AS mp_un_ie, true AS mp_un_has, true AS mp_un_not,
-      | true AS hp_un_ie, true AS hp_un_fill, true AS hp_un_hole""".stripMargin
+      | true AS hp_un_ie, true AS hp_un_fill, true AS hp_un_hole,
+      | 'POLYGON ((15 5, 15 15, 5 15, 5 10.037423, 0 10, 0 0, 10 0, 10 5.019002, 15 5))' AS un_sq_wkt,
+      | 'MULTIPOLYGON (((45 45, 35 45, 35 40.107598, 30 40, 30 30, 40 30, 40 35.102702, 45 35, 45 45)), ((15 15, 5 15, 5 10.037423, 0 10, 0 0, 10 0, 10 5.019002, 15 5, 15 15)))' AS un_mp_wkt,
+      | 'POLYGON ((30 30, 10 30, 10 20.283559, 0 20, 0 0, 20 0, 20 10.151082, 30 10, 30 30), (15 10.113253, 10 10, 10 15.054701, 5 15, 5 5, 15 5, 15 10.113253))' AS un_hp_wkt,
+      | 'MULTIPOLYGON (((10 10, 0 10, 0 0, 10 0, 10 10), (7 7, 3 7, 3 3, 7 3, 7 7)), ((6 6, 4 6, 4 4, 6 4, 6 6)))' AS un_hf_wkt""".stripMargin
 
   private val qCoveringGolden = (s: SparkSession, dir: String) => {
     prep(s, dir)
