@@ -101,6 +101,36 @@ object Queries {
       | (7,'MULTIPOLYGON (((0 0, 1 0, 0 1, 0 0)), ((10 10, 11 10, 10 11, 10 10)))'),
       | (8,'GEOMETRYCOLLECTION EMPTY')) t(id, out) ORDER BY id""".stripMargin
 
+  /** Unrounded `s2_astext` parity (SURVEY §7.5 #5): full-precision WKT
+    * after a blob round trip, no s2_format. The pinned values are this
+    * engine's deterministic outputs. Investigation note (r5): the
+    * reference's README golden `POINT (-64 44.99999999999999)` is NOT an
+    * op-order artifact — every lat/lng<->XYZ op-order variant round-trips
+    * (-64 45) exactly on the JVM; the reference's ulp loss comes from
+    * glibc-vs-JVM libm differences on sin/cos/atan2. The same artifact
+    * CLASS shows up here with JVM ulp placement (45 lng -> 44.99999999999999,
+    * 60.25 lat -> 60.25000000000001), and the cell-center chain is pinned at
+    * full precision. */
+  private val qIoExact = sqlQ(
+    """SELECT
+      | s2_astext(s2_geogfromtext('POINT (-64 45)')) AS p_exact,
+      | s2_astext(s2_geogfromtext('POINT (-30.5 60.25)')) AS p_ulp_lat,
+      | s2_astext(s2_geogfromtext('POINT (45 35.26439)')) AS p_ulp_lng,
+      | s2_astext(s2_geogfromtext('POINT EMPTY')) AS p_empty,
+      | s2_astext(s2_geogfromtext('LINESTRING (0 0, -64 45, 10 20)')) AS ln_exact,
+      | s2_astext(s2_geogfromtext('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))')) AS pg_ulp,
+      | s2_astext(s2_geogfromtext('MULTIPOINT ((1.5 2.25), (-179.99 -89.5))')) AS mp_exact,
+      | s2_astext(s2_cellcenter_to_geog(s2_cellfromlonlat(-64.0, 45.0))) AS cc_snap""".stripMargin)
+  private val oIoExact =
+    """SELECT 'POINT (-64 45)' AS p_exact,
+      | 'POINT (-30.5 60.25000000000001)' AS p_ulp_lat,
+      | 'POINT (44.99999999999999 35.26439)' AS p_ulp_lng,
+      | 'POINT EMPTY' AS p_empty,
+      | 'LINESTRING (0 0, -64 45, 10 20)' AS ln_exact,
+      | 'POLYGON ((0 0, 10 0, 9.999999999999998 10, 0 10, 0 0))' AS pg_ulp,
+      | 'MULTIPOINT ((1.5 2.25), (-179.99 -89.5))' AS mp_exact,
+      | 'POINT (-63.99999997805 45.00000001161659)' AS cc_snap""".stripMargin
+
   private val qIoWkb = sqlQ(
     s"""SELECT id, s2_format(s2_geogfromwkb(s2_aswkb(s2_geogfromtext(wkt))), 6) AS out
        |FROM (VALUES $fixtureValues) AS t(id, wkt) WHERE id <= 7 ORDER BY id""".stripMargin)
@@ -243,7 +273,18 @@ object Queries {
       (7, "SELECT s2_cellfromwkb(s2_aswkb(s2_geogfromtext('MULTIPOINT ((-64 45), (0 0))')))",
         "Can't parse WKB with more than one point to S2_CELL_CENTER"),
       (8, "SELECT s2_cellfromwkb(s2_aswkb(s2_geogfromtext('LINESTRING (-64 45, 0 0)')))",
-        "Can't parse WKB with non-point input to S2_CELL_CENTER"))
+        "Can't parse WKB with non-point input to S2_CELL_CENTER"),
+      // data-lookup misses pin the reference text exactly (data.test:8-11)
+      (9, "SELECT s2_data_city('Halifax')", "No entry for item 'Halifax'"),
+      (10, "SELECT s2_data_country('Atlantis')", "No entry for item 'Atlantis'"),
+      // WKT/WKB parse + validation errors (engine-deterministic texts; the
+      // reference's sqllogictests don't pin parser messages)
+      (11, "SELECT s2_geogfromtext('FOO (0 1)')", "Unsupported WKT tag: FOO"),
+      (12, "SELECT s2_geogfromtext('POINT (0 1) x')", "Trailing characters in WKT"),
+      (13, "SELECT s2_geogfromtext('LINESTRING (0 0, 0 0, 1 1)')",
+        "Vertices 0 and 1 are identical"),
+      (14, "SELECT s2_geogfromwkb(unhex('016300000000'))",
+        "Unsupported WKB geometry type: 99"))
     cases.map { case (id, sql, want) => (id, want, msgOf(sql).contains(want)) }
       .toDF("id", "want", "ok").orderBy("id")
   }
@@ -256,7 +297,13 @@ object Queries {
       | (5, 'Cell not valid <Invalid: 0000000000000000>', true),
       | (6, 'Can''t convert geography that is not empty nor a single point to S2_CELL_CENTER', true),
       | (7, 'Can''t parse WKB with more than one point to S2_CELL_CENTER', true),
-      | (8, 'Can''t parse WKB with non-point input to S2_CELL_CENTER', true)
+      | (8, 'Can''t parse WKB with non-point input to S2_CELL_CENTER', true),
+      | (9, 'No entry for item ''Halifax''', true),
+      | (10, 'No entry for item ''Atlantis''', true),
+      | (11, 'Unsupported WKT tag: FOO', true),
+      | (12, 'Trailing characters in WKT', true),
+      | (13, 'Vertices 0 and 1 are identical', true),
+      | (14, 'Unsupported WKB geometry type: 99', true)
       |) t(id, want, ok) ORDER BY id""".stripMargin
 
   private val qAccessorsGolden = sqlQ(
@@ -1184,6 +1231,7 @@ object Queries {
   /** name -> (query, oracle). Oracle None => rows-only check. */
   val all: Seq[(String, Q, Option[String])] = Seq(
     ("g_io_text", qIoText, Some(oIoText)),
+    ("g_io_exact", qIoExact, Some(oIoExact)),
     ("g_io_wkb", qIoWkb, Some(oIoWkb)),
     ("g_io_novalidate", qIoNovalidate, Some(oIoNovalidate)),
     ("g_prepare", qPrepareGolden, Some(oPrepareGolden)),
