@@ -10,11 +10,12 @@ import org.apache.spark.sql.types._
  * extraction runs per partition (the Scala analogue of `mapInPandas` —
  * one iterator per batch, decoder state amortized across the partition).
  *
- * The actual codec is STUBBED (no image/audio libraries in this
- * environment): `decodeStub` derives a deterministic fake feature vector
- * from the bytes. The Spark-side contract — schema, partitioning, batch
- * iteration, null behavior — is real and tested; swap `decodeStub` for a
- * JNI/library decoder in production.
+ * PNG/JPEG payloads get a REAL decode via the JDK's javax.imageio
+ * ([[decodeImage]] — magic-byte sniff, pixel means + quadrant luminance
+ * features, actual width/height). Payloads that are not decodable images
+ * (audio/video/unknown) fall back to [[decodeStub]]'s deterministic fake
+ * features, keeping the pipeline total; swap the stub for an
+ * ffmpeg/JNI decoder in production.
  */
 object Multimodal {
 
@@ -54,10 +55,88 @@ object Multimodal {
     out
   }
 
+  /** Real image decode (JDK javax.imageio, no external libs): PNG/JPEG by
+    * magic bytes -> (format, width, height, 8-dim features). Features are
+    * deterministic pixel statistics: mean R/G/B, global mean luminance,
+    * and the four quadrant mean luminances (Rec.601 weights). Returns None
+    * for anything that is not a decodable image, so callers can fall back
+    * to the stub and the pipeline stays total. */
+  def decodeImage(payload: Array[Byte]): Option[(String, Int, Int, Array[Float])] = {
+    if (payload == null || payload.length < 8) return scala.None
+    val png = (payload(0) & 0xff) == 0x89 && payload(1) == 'P'.toByte &&
+      payload(2) == 'N'.toByte && payload(3) == 'G'.toByte
+    val jpeg = (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8
+    if (!png && !jpeg) return scala.None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) return scala.None
+      val w = img.getWidth; val h = img.getHeight
+      if (w <= 0 || h <= 0) return scala.None
+      val sums = new Array[Double](3)
+      val quad = new Array[Double](4)
+      val quadN = new Array[Long](4)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+          sums(0) += r; sums(1) += g; sums(2) += b
+          val luma = 0.299 * r + 0.587 * g + 0.114 * b
+          val q = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
+          quad(q) += luma; quadN(q) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      val feats = new Array[Float](8)
+      feats(0) = (sums(0) / (255.0 * n)).toFloat
+      feats(1) = (sums(1) / (255.0 * n)).toFloat
+      feats(2) = (sums(2) / (255.0 * n)).toFloat
+      feats(3) = ((quad(0) + quad(1) + quad(2) + quad(3)) / (255.0 * n)).toFloat
+      var q = 0
+      while (q < 4) {
+        feats(4 + q) = if (quadN(q) == 0) 0f else (quad(q) / (255.0 * quadN(q))).toFloat
+        q += 1
+      }
+      Some((if (png) "image/png" else "image/jpeg", w, h, feats))
+    } catch { case _: Exception => scala.None }
+  }
+
   private val featureSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("n_bytes", IntegerType, nullable = false),
     StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+
+  private val describeSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+
+  /** Per-partition REAL decode: format/width/height come from the decoded
+    * image itself (not the caller-provided meta); non-image payloads keep
+    * the stub features with format 'unknown' and meta passthrough dims. */
+  def describeImages(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "payload", "meta").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        decodeImage(payload) match {
+          case Some((fmt, w, h, feats)) => Row(id, fmt, w, h, feats)
+          case scala.None =>
+            val meta = if (r.isNullAt(2)) null else r.getStruct(2)
+            val w = if (meta == null || meta.isNullAt(1)) null else Integer.valueOf(meta.getInt(1))
+            val h = if (meta == null || meta.isNullAt(2)) null else Integer.valueOf(meta.getInt(2))
+            Row(id, "unknown", w, h, decodeStub(payload))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, describeSchema)
+  }
 
   /**
    * Per-partition feature extraction (mapPartitions: decoder state built
@@ -78,11 +157,35 @@ object Multimodal {
     spark.createDataFrame(rdd, featureSchema)
   }
 
-  /** Image-resize shape: payload transformed per partition to the target
-    * dimensions, meta struct updated to match. The pixel resample is the
-    * same documented STUB as decodeStub (deterministic byte subsample /
-    * pad to targetW*targetH bytes); the Spark contract — binary in/out,
-    * meta rewrite, per-partition batching — is the production shape. */
+  /** Resample a decoded image to the target size (nearest-neighbor via
+    * Graphics2D, deterministic) and re-encode as PNG. */
+  private def resizeImage(payload: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] = {
+    if (payload == null) return scala.None
+    val png = payload.length >= 8 && (payload(0) & 0xff) == 0x89 && payload(1) == 'P'.toByte
+    val jpeg = payload.length >= 2 && (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8
+    if (!png && !jpeg) return scala.None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) return scala.None
+      val scaled = new java.awt.image.BufferedImage(
+        targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = scaled.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+      g.drawImage(img, 0, 0, targetW, targetH, null)
+      g.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(scaled, "png", out)
+      Some(out.toByteArray)
+    } catch { case _: Exception => scala.None }
+  }
+
+  /** Image resize: PNG/JPEG payloads are REALLY resampled (javax.imageio
+    * decode, nearest-neighbor scale, PNG re-encode) with meta rewritten to
+    * the actual output; non-image payloads keep the deterministic
+    * byte-subsample stub (targetW*targetH bytes). The Spark contract —
+    * binary in/out, meta rewrite, per-partition batching — is the
+    * production shape either way. */
   def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
     val spark = media.sparkSession
     val outSchema = mediaSchema
@@ -92,21 +195,25 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0)
         val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-        val resized =
-          if (payload == null) null
-          else {
-            val out = new Array[Byte](n)
-            var i = 0
-            while (i < n) {
-              // nearest-neighbor byte subsample (stub for real resampling)
-              out(i) = if (payload.length == 0) 0
-                else payload(((i.toLong * payload.length) / n).toInt)
-              i += 1
-            }
-            out
-          }
-        val fmt = if (r.isNullAt(2)) null else r.getStruct(2).getString(0)
-        Row(id, resized, Row(fmt, targetW, targetH))
+        resizeImage(payload, targetW, targetH) match {
+          case Some(bytes) => Row(id, bytes, Row("image/png", targetW, targetH))
+          case scala.None =>
+            val resized =
+              if (payload == null) null
+              else {
+                val out = new Array[Byte](n)
+                var i = 0
+                while (i < n) {
+                  // nearest-neighbor byte subsample (stub for non-images)
+                  out(i) = if (payload.length == 0) 0
+                    else payload(((i.toLong * payload.length) / n).toInt)
+                  i += 1
+                }
+                out
+              }
+            val fmt = if (r.isNullAt(2)) null else r.getStruct(2).getString(0)
+            Row(id, resized, Row(fmt, targetW, targetH))
+        }
       }
     }
     spark.createDataFrame(rdd, outSchema)

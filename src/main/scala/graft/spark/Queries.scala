@@ -1075,6 +1075,54 @@ object Queries {
     """SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(length(text)) AS BIGINT) AS total_bytes,
       | 8 AS min_dim, 8 AS max_dim FROM documents""".stripMargin
 
+  /** Deterministic in-memory PNG (JDK imageio encoder): the real-decode
+    * fixture for l_multimodal_decode. */
+  private def pngFixture(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** REAL image decode through the Spark pipeline: width/height/format come
+    * from javax.imageio reading actual PNG bytes (solid-color and
+    * half-black/half-white fixtures), and the resize path re-encodes a real
+    * PNG whose re-decode confirms the target dimensions and preserved pixel
+    * statistics (nearest-neighbor of a solid/half image is itself). */
+  private val qMultimodalDecode = dfQ { s =>
+    import s.implicits._
+    val solid = pngFixture(6, 4, (_, _) => 0xFF8000) // R=255 G=128 B=0
+    val halves = pngFixture(8, 8, (x, _) => if (x < 4) 0x000000 else 0xFFFFFF)
+    val media = Seq((1L, solid), (2L, halves)).toDF("media_id", "payload")
+      .withColumn("meta", struct(lit("image/png").as("format"),
+        lit(0).as("width"), lit(0).as("height")))
+    def shaped(df: org.apache.spark.sql.DataFrame, stage: String) =
+      df.select(col("media_id"), lit(stage).as("stage"), col("format"),
+        col("width"), col("height"),
+        round(element_at(col("features"), 1).cast("double"), 5).as("mean_r"),
+        round(element_at(col("features"), 2).cast("double"), 5).as("mean_g"),
+        round(element_at(col("features"), 3).cast("double"), 5).as("mean_b"),
+        round(element_at(col("features"), 4).cast("double"), 5).as("luma"),
+        round(element_at(col("features"), 5).cast("double"), 5).as("q_tl"),
+        round(element_at(col("features"), 6).cast("double"), 5).as("q_tr"))
+    shaped(Multimodal.describeImages(media), "orig")
+      .unionAll(shaped(Multimodal.describeImages(Multimodal.resize(media, 16, 12)), "resized"))
+      .orderBy("media_id", "stage")
+  }
+  private val oMultimodalDecode =
+    """SELECT media_id, stage, format, width, height,
+      | CAST(mean_r AS DOUBLE) AS mean_r, CAST(mean_g AS DOUBLE) AS mean_g,
+      | CAST(mean_b AS DOUBLE) AS mean_b, CAST(luma AS DOUBLE) AS luma,
+      | CAST(q_tl AS DOUBLE) AS q_tl, CAST(q_tr AS DOUBLE) AS q_tr
+      |FROM (VALUES
+      | (1, 'orig',    'image/png',  6,  4, 1.0, 0.50196, 0.0, 0.59365, 0.59365, 0.59365),
+      | (1, 'resized', 'image/png', 16, 12, 1.0, 0.50196, 0.0, 0.59365, 0.59365, 0.59365),
+      | (2, 'orig',    'image/png',  8,  8, 0.5, 0.5, 0.5, 0.5, 0.0, 1.0),
+      | (2, 'resized', 'image/png', 16, 12, 0.5, 0.5, 0.5, 0.5, 0.0, 1.0)
+      |) t(media_id, stage, format, width, height, mean_r, mean_g, mean_b, luma, q_tl, q_tr)
+      |ORDER BY media_id, stage""".stripMargin
+
   /** Resize plumbing: every payload lands at exactly targetW*targetH bytes
     * with the meta struct rewritten; content is the documented stub
     * subsample, so only shape/meta invariants are oracle-checked. */
@@ -1280,6 +1328,7 @@ object Queries {
     ("l_text_fingerprint", qTextFingerprint, Some(oTextFingerprint)),
     ("l_multimodal", qMultimodal, Some(oMultimodal)),
     ("l_multimodal_resize", qMultimodalResize, Some(oMultimodalResize)),
+    ("l_multimodal_decode", qMultimodalDecode, Some(oMultimodalDecode)),
     ("l_frame_sample", qFrameSample, Some(oFrameSample)),
     ("b_tpch_q1", qTpchQ1, Some(oTpchQ1)),
     ("b_tpch_q6", qTpchQ6, Some(oTpchQ6)),
