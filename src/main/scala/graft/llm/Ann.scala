@@ -84,19 +84,51 @@ object Ann {
     (0 until n).map(b => sig.bitwiseXOR(lit(1L << b)))
 
   /**
+   * Skew guard for SRP buckets: anisotropic embeddings pile up in a few
+   * signatures, and one giant bucket means one straggler task doing a
+   * quadratic chunk of the join. Buckets larger than `maxBucket` on the
+   * `buildId` side are split into ceil(n/maxBucket) salted sub-buckets
+   * (deterministic id-hash); the probe side REPLICATES across its bucket's
+   * sub-buckets, so the candidate pair set is EXACTLY preserved — this
+   * redistributes work, it never changes results. The per-bucket size map
+   * is at most 2^bits rows — broadcast. Returns both sides re-keyed to the
+   * salted bucket.
+   */
+  private def saltBuckets(build: DataFrame, buildId: String,
+                          probe: DataFrame, maxBucket: Int): (DataFrame, DataFrame) = {
+    if (maxBucket <= 0) return (build, probe)
+    val splits = build.groupBy("bucket")
+      .agg(ceil(count(lit(1)) / lit(maxBucket.toDouble)).cast("int").as("__nsplit"))
+      .where(col("__nsplit") > 1)
+    val b = build.join(broadcast(splits), Seq("bucket"), "left")
+      .withColumn("bucket",
+        col("bucket") * 65536 + when(col("__nsplit").isNull, lit(0))
+          .otherwise(pmod(xxhash64(col(buildId)), col("__nsplit").cast("long"))))
+      .drop("__nsplit")
+    val p = probe.join(broadcast(splits), Seq("bucket"), "left")
+      .withColumn("__salt",
+        explode(sequence(lit(0), coalesce(col("__nsplit"), lit(1)) - 1)))
+      .withColumn("bucket", col("bucket") * 65536 + col("__salt"))
+      .drop("__nsplit", "__salt")
+    (b, p)
+  }
+
+  /**
    * Approximate top-k: bucket queries and corpus by SRP signature, compare
    * only within buckets (plus single-bit-flip probing for recall), exact
    * rerank inside the bucket. Scale path: one equi-join shuffle.
    */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int = 8,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              maxBucket: Int = 4096): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       packBits(srpSignature(col(vecCol), bits), bits).as("sig"))
     // multiprobe: original bucket + each 1-bit flip
-    val probes = q.withColumn("bucket",
+    val probes0 = q.withColumn("bucket",
       explode(array(col("sig") +: flips(col("sig"), bits): _*)))
-    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+    val c0 = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
       packBits(srpSignature(col(vecCol), bits), bits).as("bucket"))
+    val (c, probes) = saltBuckets(c0, "c_id", probes0, maxBucket)
     val scored = c.join(probes.hint("shuffle_hash"), Seq("bucket"))
       .where(col("q_id") =!= col("c_id"))
       .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
@@ -155,15 +187,18 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
-  /** Embedding near-duplicate pairs: cosine >= threshold via LSH buckets. */
+  /** Embedding near-duplicate pairs: cosine >= threshold via LSH buckets,
+    * with oversized buckets salted (see [[saltBuckets]]). */
   def cosineNearDupPairs(df: DataFrame, threshold: Double, bits: Int = 8,
-                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         maxBucket: Int = 4096): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       packBits(srpSignature(col(vecCol), bits), bits).as("sig"))
-    val probes = v.withColumn("bucket",
+    val probes0 = v.withColumn("bucket",
       explode(array(col("sig") +: flips(col("sig"), bits): _*)))
       .select(col("id"), col("vec"), col("bucket"))
-    val base = v.select(col("id"), col("vec"), col("sig").as("bucket"))
+    val base0 = v.select(col("id"), col("vec"), col("sig").as("bucket"))
+    val (base, probes) = saltBuckets(base0, "id", probes0, maxBucket)
     base.as("a").join(probes.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .withColumn("sim", cosine(col("a.vec"), col("b.vec")))

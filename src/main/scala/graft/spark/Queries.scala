@@ -980,6 +980,36 @@ object Queries {
       .orderBy("q_id")
   }
 
+  /** Recall@10 of the approximate ANN paths against exact brute force —
+    * quality reported as DATA (deterministic hashing -> pinned values) plus
+    * a floor assertion, so an LSH/IVF regression trips the oracle. */
+  private val qAnnRecall = dfQ { s =>
+    val emb = s.table("embeddings")
+    val queries = emb.where(col("vec_id") % 50 === 0)
+    val exact = Ann.bruteForceTopK(queries, emb, 10).select("q_id", "c_id")
+    val lsh = Ann.lshTopK(queries, emb, 10).select("q_id", "c_id")
+    val ivf = Ann.ivfTopK(queries, emb, 10).select("q_id", "c_id")
+    val lshHits = exact.join(lsh, Seq("q_id", "c_id"), "left_semi")
+      .agg(count(lit(1)).cast("double").as("lsh_hits"))
+    val ivfHits = exact.join(ivf, Seq("q_id", "c_id"), "left_semi")
+      .agg(count(lit(1)).cast("double").as("ivf_hits"))
+    val total = exact.agg(count(lit(1)).cast("double").as("total"))
+    lshHits.crossJoin(ivfHits).crossJoin(total)
+      .select(
+        round(col("lsh_hits") / col("total"), 4).as("lsh_recall"),
+        round(col("ivf_hits") / col("total"), 4).as("ivf_recall"),
+        (col("lsh_hits") / col("total") >= 0.10).as("lsh_floor"),
+        (col("ivf_hits") / col("total") >= 0.30).as("ivf_floor"),
+        col("total").cast("long").as("n_pairs"))
+  }
+  // measured at sf0.01 (the correctness SF): near-random synthetic
+  // embeddings make SRP-LSH recall genuinely low (little cosine structure
+  // to hash); IVF's 4/16 probe scans ~25% of the corpus. The floors trip
+  // on regressions, the exact values pin determinism.
+  private val oAnnRecall =
+    """SELECT CAST(0.12 AS DOUBLE) AS lsh_recall, CAST(0.47 AS DOUBLE) AS ivf_recall,
+      | true AS lsh_floor, true AS ivf_floor, CAST(100 AS BIGINT) AS n_pairs""".stripMargin
+
   /** Embedding near-dup: planted exact copies must be recovered by the
     * SRP-LSH bucketed pair generator (cosine(v, v) = 1 >= threshold). */
   private val qEmbedNearDup = dfQ { s =>
@@ -1329,6 +1359,7 @@ object Queries {
     ("l_multimodal", qMultimodal, Some(oMultimodal)),
     ("l_multimodal_resize", qMultimodalResize, Some(oMultimodalResize)),
     ("l_multimodal_decode", qMultimodalDecode, Some(oMultimodalDecode)),
+    ("l_ann_recall", qAnnRecall, Some(oAnnRecall)),
     ("l_frame_sample", qFrameSample, Some(oFrameSample)),
     ("b_tpch_q1", qTpchQ1, Some(oTpchQ1)),
     ("b_tpch_q6", qTpchQ6, Some(oTpchQ6)),
