@@ -56,7 +56,28 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => "\"" + esc(k) + "\":\"" + esc(e) + "\"" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+
+    // Scale-up pass: the ~10x replica dataset (tools/ScaleUp) proves the
+    // fixed Spark overhead amortizes — single rep per query (the JVM is
+    // already warm from the main loop), reported under big_* keys.
+    val bigDir = sys.env.getOrElse("SPARK_GRAFT_BIG_DIR", "/root/repo/bigdata/sf1")
+    val bigPart =
+      if (!new java.io.File(s"$bigDir/lineitem.parquet").exists()) ""
+      else {
+        val bigResults = Queries.benchNames.map { name =>
+          val t0 = System.nanoTime()
+          try { qmap(name)(spark, bigDir).count(); (name, (System.nanoTime() - t0) / 1e9, None) }
+          catch { case e: Throwable =>
+            (name, 0.0, Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))) }
+        }
+        val bigOk = bigResults.filter(_._3.isEmpty)
+        val bq = bigOk.map { case (k, v, _) => "\"" + esc(k) + "\":" + v }.mkString("{", ",", "}")
+        val be = bigResults.collect { case (k, _, Some(e)) => "\"" + esc(k) + "\":\"" + esc(e) + "\"" }
+          .mkString("{", ",", "}")
+        s""","big_queries":$bq,"big_errors":$be,"big_total":${bigOk.map(_._2).sum},"big_sf":"$bigDir""""
+      }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"$bigPart}""")
     spark.stop()
   }
 }
