@@ -161,16 +161,20 @@ object Ann {
               idCol: String = "vec_id", vecCol: String = "embedding",
               maxBucket: Int = 4096): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm"),
       packBits(srpSignature(col(vecCol), bits), bits).as("sig"))
     // multiprobe: original bucket + each 1-bit flip
     val probes0 = q.withColumn("bucket",
       explode(array(col("sig") +: flips(col("sig"), bits): _*)))
     val c0 = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+      norm(col(vecCol)).as("c_norm"),
       packBits(srpSignature(col(vecCol), bits), bits).as("bucket"))
     val (c, probes) = saltBuckets(c0, "c_id", probes0, maxBucket)
+    // norms hoisted to one UDF per ROW above: each candidate pair pays a
+    // single dot-product call instead of dot + two norms
     val scored = c.join(probes.hint("shuffle_hash"), Seq("bucket"))
       .where(col("q_id") =!= col("c_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("sim", dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
       .select("q_id", "c_id", "sim").distinct()
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -202,25 +206,36 @@ object Ann {
       .as[(Long, Array[Float])]
       .collect()
     val cents = sampled.sortBy(_._1).zipWithIndex
-      .map { case ((_, vec), i) => (i + 1, vec) }.toSeq
-      .toDF("cent_no", "cent_vec")
-    val centsB = broadcast(cents)
+      .map { case ((_, vec), i) => (i + 1, vec, normFn(vec)) }
+    val centsB = spark.sparkContext.broadcast(cents)
 
-    def assign(df: DataFrame, id: String, vec: String, n: Int, outCol: String): DataFrame = {
-      val scored = df.join(centsB)
-        .withColumn("d", dot(col(vec), col("cent_vec")) /
-          (norm(col(vec)) * norm(col("cent_vec"))))
-      val w = Window.partitionBy(id).orderBy(col("d").desc, col("cent_no"))
-      scored.withColumn("rk", row_number().over(w)).where(col("rk") <= n)
-        .select(col(id), col(vec), col("cent_no").as(outCol))
-    }
+    // centroid assignment is a per-row argmax over <= nlist broadcast
+    // primitives — one mapPartitions pass, no per-pair row conversion, no
+    // Window (the r5 brute-force kernel lesson applied to the quantizer)
+    def assign(df: DataFrame, id: String, vec: String, n: Int, outCol: String): DataFrame =
+      df.select(col(id).cast("long"), col(vec)).as[(Long, Array[Float])]
+        .mapPartitions { rows =>
+          val cs = centsB.value
+          rows.flatMap { case (rid, rvec) =>
+            val rNorm = normFn(rvec)
+            // rank centroids by (cosine desc, cent_no asc); keep top n
+            val scored = cs.map { case (no, cvec, cNorm) =>
+              (no, dotFn(rvec, cvec) / (rNorm * cNorm))
+            }
+            scored.sortBy { case (no, d) => (-d, no) }.take(n)
+              .map { case (no, _) => (rid, rvec, no) }
+          }
+        }
+        .toDF(id, vec, outCol)
 
     val c = assign(corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec")),
       "c_id", "c_vec", 1, "cell")
+      .withColumn("c_norm", norm(col("c_vec")))
     val q = assign(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")),
       "q_id", "q_vec", nprobe, "cell")
+      .withColumn("q_norm", norm(col("q_vec")))
     val scored = c.join(q, Seq("cell")).where(col("q_id") =!= col("c_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("sim", dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
       .select("q_id", "c_id", "sim").distinct()
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
@@ -232,15 +247,16 @@ object Ann {
                          idCol: String = "vec_id", vecCol: String = "embedding",
                          maxBucket: Int = 4096): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      norm(col(vecCol)).as("nrm"),
       packBits(srpSignature(col(vecCol), bits), bits).as("sig"))
     val probes0 = v.withColumn("bucket",
       explode(array(col("sig") +: flips(col("sig"), bits): _*)))
-      .select(col("id"), col("vec"), col("bucket"))
-    val base0 = v.select(col("id"), col("vec"), col("sig").as("bucket"))
+      .select(col("id"), col("vec"), col("nrm"), col("bucket"))
+    val base0 = v.select(col("id"), col("vec"), col("nrm"), col("sig").as("bucket"))
     val (base, probes) = saltBuckets(base0, "id", probes0, maxBucket)
     base.as("a").join(probes.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("sim", cosine(col("a.vec"), col("b.vec")))
+      .withColumn("sim", dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
       .where(col("sim") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
       .distinct()
