@@ -165,6 +165,14 @@ object EdgeIndex {
     crossing
   }
 
+  /** Strict proper crossing for containment checks: the symbolic
+    * perturbation in crossingSign gives exactly-collinear overlapping
+    * edges a phantom +1, but a shared collinear arc never takes interior
+    * on both sides — it must not disqualify containment. */
+  @inline private def properCross(p1: S2Point, p2: S2Point, q1: S2Point, q2: S2Point): Boolean =
+    S2Pred.crossingSign(p1, p2, q1, q2) > 0 &&
+      !(S2Pred.nearCollinear(p1, p2, q1) && S2Pred.nearCollinear(p1, p2, q2))
+
   private def edgeCross(a: S2Point, b: S2Point, c: S2Point, d: S2Point): Boolean = {
     val s = S2Pred.crossingSign(a, b, c, d)
     if (s > 0) true
@@ -187,7 +195,7 @@ object EdgeIndex {
       var crossed = false
       probe.foreachRingEdge { (p1, p2) =>
         indexed.foreachRingEdge { (q1, q2) =>
-          if (S2Pred.crossingSign(p1, p2, q1, q2) > 0) { crossed = true; false } else true
+          if (properCross(p1, p2, q1, q2)) { crossed = true; false } else true
         }
         !crossed
       }
@@ -200,7 +208,7 @@ object EdgeIndex {
       val cands = idx.candidates(p1, p2)
       var i = cands.nextSetBit(firstRing)
       while (i >= 0 && !crossed) {
-        if (S2Pred.crossingSign(p1, p2, idx.starts(i), idx.ends(i)) > 0) crossed = true
+        if (properCross(p1, p2, idx.starts(i), idx.ends(i))) crossed = true
         i = cands.nextSetBit(i + 1)
       }
       !crossed
@@ -215,7 +223,7 @@ object EdgeIndex {
       var crossed = false
       indexed.foreachEdge { (q1, q2) =>
         probe.foreachEdge { (p1, p2) =>
-          if (S2Pred.crossingSign(p1, p2, q1, q2) > 0) { crossed = true; false } else true
+          if (properCross(p1, p2, q1, q2)) { crossed = true; false } else true
         }
         !crossed
       }
@@ -227,7 +235,7 @@ object EdgeIndex {
       val cands = idx.candidates(p1, p2)
       var i = cands.nextSetBit(0)
       while (i >= 0 && !crossed) {
-        if (S2Pred.crossingSign(p1, p2, idx.starts(i), idx.ends(i)) > 0) crossed = true
+        if (properCross(p1, p2, idx.starts(i), idx.ends(i))) crossed = true
         i = cands.nextSetBit(i + 1)
       }
       !crossed

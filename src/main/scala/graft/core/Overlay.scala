@@ -17,8 +17,17 @@ import Geography._
  * exact predicates in S2Pred. Polygon algebra is region-exact for
  * multi-ring and hole-bearing inputs: regions decompose into disjoint
  * shell+hole groups (PolyClip.intersectRegions / diffRegions /
- * unionRegions), so areas and containment follow inclusion-exclusion
- * exactly; only boundary seams between adjacent pieces are non-canonical.
+ * unionRegions); union output boundaries are canonical (seams dissolved).
+ *
+ * Degeneracy scope (r5): inputs whose boundaries properly cross or are
+ * disjoint are exact. Shared-boundary touches are handled when the shared
+ * arc is exactly coplanar in fp (equator, lon-0) or a same-meridian
+ * segment (crossing-collection guard + seam cancellation); a vertex
+ * landing ulp-NEAR the other ring's edge can still give the traversal an
+ * odd crossing count and corrupt that piece — full robustness needs snap
+ * rounding (S2BooleanOperation's model, reference
+ * src/s2_binary_index_ops.cpp). DissolveSpec's fuzz pins the supported
+ * space.
  */
 object Overlay {
 
@@ -160,7 +169,10 @@ object Overlay {
         // crossing points with every region edge, ordered along (a, b)
         val cuts = mutable.ArrayBuffer[(Double, S2Point)]()
         region.foreachEdge { (c, d) =>
-          if (S2Pred.crossingSign(a, b, c, d) > 0) {
+          // same phantom-crossing guard as intersectPair: a line segment
+          // exactly collinear with a region edge does not cross it
+          if (S2Pred.crossingSign(a, b, c, d) > 0 &&
+              !(S2Pred.nearCollinear(a, b, c) && S2Pred.nearCollinear(a, b, d))) {
             val x = PolyClip.intersectionPoint(a, b, c, d)
             cuts += ((a.angle(x), x))
           }
@@ -455,13 +467,44 @@ object PolyClip {
     for (i <- ra.indices; j <- rb.indices) {
       val a1 = ra(i); val a2 = ra((i + 1) % ra.size)
       val b1 = rb(j); val b2 = rb((j + 1) % rb.size)
-      if (S2Pred.crossingSign(a1, a2, b1, b2) > 0)
+      // Near-collinear overlapping edges get a PHANTOM +1 from the
+      // symbolic perturbation (their planes coincide to ulp, so the
+      // "intersection point" would be garbage, and a shared arc is not a
+      // transversal crossing) — skip those; the no-crossing containment
+      // logic and, for unions, seam cancellation handle shared arcs.
+      // Vertex-INCIDENT crossings (an edge passing through the other
+      // ring's vertex) are kept: the perturbed signs make them consistent
+      // entry/exit nodes, and rejecting them breaks hole traversals.
+      // Degenerate-overlap guard: edges whose planes are ulp-apart but NOT
+      // exactly coplanar (rounded same-meridian coordinates) really cross
+      // an ODD number of times, which breaks the traversal's node pairing
+      // — treat them as the shared arc they nominally are (no crossing;
+      // containment logic + union seam cancellation handle shared arcs).
+      // EXACTLY coplanar overlaps keep their perturbed crossing node: the
+      // symbolic tie-break resolves those consistently (S2's degeneracy
+      // model) and hole traversals depend on it.
+      if (S2Pred.crossingSign(a1, a2, b1, b2) > 0 &&
+          !(S2Pred.nearCollinear(a1, a2, b1) && S2Pred.nearCollinear(a1, a2, b2) &&
+            !(S2Pred.collinearExact(a1, a2, b1) && S2Pred.collinearExact(a1, a2, b2))))
         crossings += Cross(i, j, intersectionPoint(a1, a2, b1, b2))
     }
 
     if (crossings.isEmpty) {
-      val aInB = loopB.contains(ra.head)
-      val bInA = loopA.contains(rb.head)
+      // Representative-point containment must dodge the OTHER ring's
+      // boundary: externally-touching rings (a shared collinear arc on one
+      // meridian, no proper crossing) can have ring.head exactly ON the
+      // other boundary, where the parity walk's answer is arbitrary — an
+      // r5 fuzz case lost B \ A entirely that way. Prefer a vertex off the
+      // boundary, then an edge midpoint, before trusting parity.
+      def sideOf(ring: Vector[S2Point], other: S2Loop): Boolean =
+        ring.find(v => !other.onBoundary(v)).map(other.contains).getOrElse {
+          val mid = ring.indices.iterator
+            .map(i => (ring(i) + ring((i + 1) % ring.size)).normalize)
+            .find(m => !other.onBoundary(m))
+          mid.map(other.contains).getOrElse(true) // boundary-identical rings
+        }
+      val aInB = sideOf(ra, loopB)
+      val bInA = sideOf(rb, loopA)
       return if (aInB && bInA) Vector(ra, rb)
       else if (aInB) Vector(ra)
       else if (bInA) Vector(rb)
@@ -520,10 +563,15 @@ object PolyClip {
     results.toVector.filter(_.size >= 3)
   }
 
+  /** Drop consecutive (near-)duplicate vertices: crossings computed next
+    * to an existing vertex land within ulp of it, and a doubled vertex
+    * corrupts the turn-angle curvature sum (garbage loop areas). ~6 um
+    * tolerance on Earth. */
   private def dedupeRing(r: Vector[S2Point]): Vector[S2Point] = {
+    @inline def near(a: S2Point, b: S2Point): Boolean = a == b || a.angle(b) < 1e-12
     val out = mutable.ArrayBuffer[S2Point]()
-    for (p <- r) if (out.isEmpty || out.last != p) out += p
-    if (out.size > 1 && out.head == out.last) out.remove(out.size - 1)
+    for (p <- r) if (out.isEmpty || !near(out.last, p)) out += p
+    while (out.size > 1 && near(out.head, out.last)) out.remove(out.size - 1)
     out.toVector
   }
 }

@@ -138,6 +138,18 @@ object S2Pred {
     else exactDet(a, b, c).signum == 0
   }
 
+  /** Tolerant near-collinearity: c within ~1e-12 rad of the great circle
+    * through a and b. Rounded lon/lat->XYZ coordinates put nominally
+    * collinear points (same meridian/segment) a few ulp off the plane, so
+    * overlap-degeneracy guards (overlay crossing collection, proper-cross
+    * containment checks) need a tolerance where the line-containment
+    * algebra deliberately uses [[collinearExact]]. */
+  def nearCollinear(a: S2Point, b: S2Point, c: S2Point): Boolean = {
+    val n = a.cross(b)
+    val nn = n.norm
+    nn < 1e-30 || Math.abs(c.dot(n)) / nn <= 1e-12
+  }
+
   def pointOnEdge(p: S2Point, a: S2Point, b: S2Point): Boolean = {
     if (p == a || p == b) return true
     if (sign(a, b, p) != 0) return false
