@@ -172,10 +172,14 @@ object Ann {
     val (c, probes) = saltBuckets(c0, "c_id", probes0, maxBucket)
     // norms hoisted to one UDF per ROW above: each candidate pair pays a
     // single dot-product call instead of dot + two norms
+    // no pair dedupe needed: each corpus row lives in exactly ONE bucket and
+    // a query's probe buckets (sig + its 1-bit flips, sub-bucket replicas
+    // included) are pairwise-distinct values, so every (q,c) pair joins at
+    // most once — a distinct here would be a pure extra shuffle
     val scored = c.join(probes.hint("shuffle_hash"), Seq("bucket"))
       .where(col("q_id") =!= col("c_id"))
       .withColumn("sim", dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
-      .select("q_id", "c_id", "sim").distinct()
+      .select("q_id", "c_id", "sim")
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -234,9 +238,12 @@ object Ann {
     val q = assign(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")),
       "q_id", "q_vec", nprobe, "cell")
       .withColumn("q_norm", norm(col("q_vec")))
+    // each corpus row is in exactly one cell and a query's nprobe cells are
+    // distinct centroid numbers, so every (q,c) pair joins at most once —
+    // no pair dedupe, the rank window below is the only shuffle
     val scored = c.join(q, Seq("cell")).where(col("q_id") =!= col("c_id"))
       .withColumn("sim", dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
-      .select("q_id", "c_id", "sim").distinct()
+      .select("q_id", "c_id", "sim")
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -258,7 +265,8 @@ object Ann {
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .withColumn("sim", dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
       .where(col("sim") >= threshold)
+      // at most one match per pair: the base side carries only its own sig
+      // bucket (one row per id) and the probe side's buckets are distinct
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
-      .distinct()
   }
 }

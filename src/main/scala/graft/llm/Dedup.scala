@@ -124,46 +124,54 @@ object Dedup {
   def minhashShingleCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                                    numHashes: Int = 64, bands: Int = 8,
                                    shingleLen: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"),
-        minhashShingleSignature(col(textCol), numHashes, shingleLen).as("sig"))
-      .withColumn("bk", explode(lshBandKeys(col("sig"), numHashes, bands)))
-      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    sigs.as("a").hint("shuffle_hash").join(sigs.as("b").hint("shuffle_hash"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    bandedPairs(df.select(col(idCol).as("id"),
+      minhashShingleSignature(col(textCol), numHashes, shingleLen).as("sig")), numHashes, bands)
   }
 
-  /** LSH band keys: split the signature into `bands` bands of
-    * numHashes/bands rows each; each band hashes to one bucket key. */
-  def lshBandKeys(sig: Column, numHashes: Int, bands: Int): Column = {
+  /** Per-band bucket keys: split the signature into `bands` bands of
+    * numHashes/bands rows each; band b's bucket is the 64-bit hash of its
+    * sub-signature (xxhash64 hashes the array column directly — no string
+    * materialization), seeded by b so equal sub-signatures in different
+    * bands land in unrelated buckets. */
+  def lshBandBuckets(sig: Column, numHashes: Int, bands: Int): Column = {
     val rows = numHashes / bands
     transform(sequence(lit(0), lit(bands - 1)), b =>
-      struct(b.as("band"),
-        xxhash64(concat_ws(",", slice(sig, b * rows + 1, lit(rows))), b).as("bucket")))
+      xxhash64(slice(sig, b * rows + 1, lit(rows)), b))
+  }
+
+  /** Band-bucket self-join with FIRST-COLLISION REPORTING: each side keeps
+    * its full per-band bucket array, and a candidate pair is emitted only
+    * from the first band whose buckets agree — every colliding pair
+    * survives on exactly one band, so no distinct over the pair set. Same
+    * multiplicity trick as the spatial join's smallest-common-cell
+    * reporting: the dedupe becomes a per-row predicate instead of a
+    * full shuffle of all candidate pairs. */
+  private def bandedPairs(sigs0: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val sigs = sigs0
+      .select(col("id"), lshBandBuckets(col("sig"), numHashes, bands).as("bks"))
+      .select(col("id"), col("bks"), posexplode(col("bks")).as(Seq("band", "bucket")))
+    // shuffle-hash (not broadcast) self-join: both sides shuffle on the
+    // same (band, bucket) key from the same lineage, so ReuseExchange
+    // computes the signature stage ONCE and reads it twice — at any scale
+    val firstMatch =
+      array_position(zip_with(col("a.bks"), col("b.bks"), (x, y) => x === y), lit(true))
+    sigs.as("a").hint("shuffle_hash").join(sigs.as("b").hint("shuffle_hash"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id") && firstMatch === col("a.band") + 1)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
   }
 
   /**
    * MinHash-LSH candidate pairs: explode band keys, self-join per
-   * (band, bucket), distinct pairs. Identical word sets collide in every
-   * band (guaranteed); with 64 hashes / 8 bands (r=8), jaccard 0.9 pairs
-   * collide w.p. ~0.99 while jaccard 0.5 pairs stay under ~3%.
+   * (band, bucket), first-collision reporting (no pair-set distinct).
+   * Identical word sets collide in every band (guaranteed); with 64
+   * hashes / 8 bands (r=8), jaccard 0.9 pairs collide w.p. ~0.99 while
+   * jaccard 0.5 pairs stay under ~3%.
    */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             numHashes: Int = 64, bands: Int = 8): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"),
-        minhashSignature(col(textCol), numHashes).as("sig"))
-      .withColumn("bk", explode(lshBandKeys(col("sig"), numHashes, bands)))
-      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    // shuffle-hash (not broadcast) self-join: both sides shuffle on the
-    // same (band, bucket) key from the same lineage, so ReuseExchange
-    // computes the signature stage ONCE and reads it twice — at any scale
-    sigs.as("a").hint("shuffle_hash").join(sigs.as("b").hint("shuffle_hash"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    bandedPairs(df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), numHashes).as("sig")), numHashes, bands)
   }
 
   /** Estimated jaccard from two signatures (fraction of equal components). */
@@ -198,7 +206,10 @@ object Dedup {
 
   /** SimHash candidate pairs: bucket-join on the four 16-bit sub-blocks
     * (any pair within hamming distance 3 shares at least one exact 16-bit
-    * block — the classic block-permutation LSH). */
+    * block — the classic block-permutation LSH). A pair sharing several
+    * blocks is emitted only from the FIRST equal block — the first-
+    * collision reporting trick again, derived from the two simhash values
+    * already carried, so no distinct over the pair set. */
   def simhashCandidatePairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val sh = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
     val blocks = sh.select(col("id"), col("sh"),
@@ -206,13 +217,16 @@ object Dedup {
           struct(lit(b).as("blk"),
             shiftright(col("sh"), b * 16).bitwiseAND(lit(0xffffL)).as("bucket"))): _*)).as("bk"))
       .select(col("id"), col("sh"), col("bk.blk").as("blk"), col("bk.bucket").as("bucket"))
+    def blockEq(b: Int): Column =
+      shiftright(col("a.sh"), b * 16).bitwiseAND(lit(0xffffL)) ===
+        shiftright(col("b.sh"), b * 16).bitwiseAND(lit(0xffffL))
+    val firstBlk = when(blockEq(0), 0).when(blockEq(1), 1).when(blockEq(2), 2).otherwise(3)
     // same ReuseExchange shape as the minhash self-join: simhash runs once
     blocks.as("a").hint("shuffle_hash").join(blocks.as("b").hint("shuffle_hash"),
         col("a.blk") === col("b.blk") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
+          col("a.id") < col("b.id") && col("a.blk") === firstBlk)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
-      .distinct()
   }
 
   /** Hamming distance between two 64-bit simhashes (built-in bit_count). */
