@@ -132,6 +132,13 @@ object Ann {
    * redistributes work, it never changes results. The per-bucket size map
    * is at most 2^bits rows — broadcast. Returns both sides re-keyed to the
    * salted bucket.
+   *
+   * Salted key layout: `bucket << 32 | salt`. Signatures use `bits` <= 31
+   * hyperplanes (callers pass 8), so the shifted bucket never collides with
+   * another bucket's salt range, and a salt needs __nsplit > 2^32 (i.e.
+   * > ~17e12 rows in ONE bucket at maxBucket=4096) before it could wrap —
+   * unreachable, so distinct (bucket, salt) pairs stay distinct keys and the
+   * "probe buckets are pairwise-distinct" no-dedupe arguments below hold.
    */
   private def saltBuckets(build: DataFrame, buildId: String,
                           probe: DataFrame, maxBucket: Int): (DataFrame, DataFrame) = {
@@ -141,13 +148,13 @@ object Ann {
       .where(col("__nsplit") > 1)
     val b = build.join(broadcast(splits), Seq("bucket"), "left")
       .withColumn("bucket",
-        col("bucket") * 65536 + when(col("__nsplit").isNull, lit(0))
+        shiftleft(col("bucket"), 32) + when(col("__nsplit").isNull, lit(0))
           .otherwise(pmod(xxhash64(col(buildId)), col("__nsplit").cast("long"))))
       .drop("__nsplit")
     val p = probe.join(broadcast(splits), Seq("bucket"), "left")
       .withColumn("__salt",
         explode(sequence(lit(0), coalesce(col("__nsplit"), lit(1)) - 1)))
-      .withColumn("bucket", col("bucket") * 65536 + col("__salt"))
+      .withColumn("bucket", shiftleft(col("bucket"), 32) + col("__salt"))
       .drop("__nsplit", "__salt")
     (b, p)
   }
@@ -156,6 +163,12 @@ object Ann {
    * Approximate top-k: bucket queries and corpus by SRP signature, compare
    * only within buckets (plus single-bit-flip probing for recall), exact
    * rerank inside the bucket. Scale path: one equi-join shuffle.
+   *
+   * Precondition: `idCol` is unique per row on BOTH sides. Candidates are
+   * bag-semantic (no distinct — each join match scores and ranks once), so a
+   * duplicated id would emit duplicate neighbor rows and displace real ones
+   * from the top-k. Callers that count pair rows (Drive/Queries) rely on
+   * unique ids.
    */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int = 8,
               idCol: String = "vec_id", vecCol: String = "embedding",
@@ -192,6 +205,9 @@ object Ann {
    * path when the corpus is huge and LSH bucket skew is a concern: the
    * centroid assignment is one broadcast pass, the probe an equi-join on
    * the cell id.
+   *
+   * Precondition: unique `idCol` per row (see [[lshTopK]] — same
+   * bag-semantic candidate generation, no dedupe).
    */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nlist: Int = 16,
               nprobe: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -249,7 +265,9 @@ object Ann {
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold via LSH buckets,
-    * with oversized buckets salted (see [[saltBuckets]]). */
+    * with oversized buckets salted (see [[saltBuckets]]). Precondition:
+    * unique `idCol` — output is bag-semantic (one row per join match), so
+    * duplicate ids would emit duplicate pair rows (see [[lshTopK]]). */
   def cosineNearDupPairs(df: DataFrame, threshold: Double, bits: Int = 8,
                          idCol: String = "vec_id", vecCol: String = "embedding",
                          maxBucket: Int = 4096): DataFrame = {

@@ -145,7 +145,11 @@ object Dedup {
     * survives on exactly one band, so no distinct over the pair set. Same
     * multiplicity trick as the spatial join's smallest-common-cell
     * reporting: the dedupe becomes a per-row predicate instead of a
-    * full shuffle of all candidate pairs. */
+    * full shuffle of all candidate pairs.
+    *
+    * Precondition: unique `id` per input row — output is bag-semantic (one
+    * row per qualifying join match, no distinct), so a duplicated id emits
+    * duplicate pair rows. Callers (Queries/Drive) count pair rows directly. */
   private def bandedPairs(sigs0: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val sigs = sigs0
       .select(col("id"), lshBandBuckets(col("sig"), numHashes, bands).as("bks"))

@@ -1,7 +1,7 @@
 package graft.spark
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Add, And, BinaryExpression, CaseWhen, Cast, EqualTo, Expression, GetArrayItem, GreaterThan, If, LessThanOrEqual, Literal, Multiply, Size, Subtract, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -67,6 +67,21 @@ object S2Native {
 
   def maxDistance(a: Array[Byte], b: Array[Byte]): Double =
     Relate.maxDistanceMeters(S2Functions.shapesOf(a), S2Functions.shapesOf(b))
+
+  private val EmptyXyz = new GenericArrayData(Array.emptyDoubleArray)
+
+  /** Unit vector [x,y,z] of a SINGLE plain point geography; empty array for
+    * anything else (empty, multipoint, lines, polygons, collections — those
+    * take the exact-kernel path in the dwithin chord-band refine). Decoded
+    * once per INPUT row by the join builders, before the covering explode,
+    * so the per-candidate-pair refine never re-decodes point blobs. */
+  def pointXyz(b: Array[Byte]): ArrayData = {
+    val s = S2Functions.shapesOf(b)
+    if (s.points.size == 1 && s.lines.isEmpty && s.polyGroups.isEmpty) {
+      val p = s.points(0)
+      new GenericArrayData(Array(p.x, p.y, p.z))
+    } else EmptyXyz
+  }
 }
 
 /**
@@ -154,6 +169,58 @@ object GeogExpressions {
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
     override def prettyName: String = "s2_format"
+  }
+
+  case class S2PointXyzExpr(child: Expression) extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullSafeEval(b: Any): Any = S2Native.pointXyz(b.asInstanceOf[Array[Byte]])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.spark.S2Native.pointXyz($c)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "s2_point_xyz"
+  }
+
+  /**
+   * Chord-band dwithin refine over hoisted unit vectors: when BOTH sides
+   * are single plain points (xyz arrays of length 3 from [[S2PointXyzExpr]],
+   * computed once per input row), the pair is decided by comparing the
+   * squared chord length against constants for radius*(1∓1e-9) — pure
+   * codegen arithmetic, no blob decode, no kernel call. Only pairs inside
+   * that ±1e-9 relative band (none in practice: fp divergence between this
+   * chord and the kernel's atan2 angle is ~1e-15 relative) or with a
+   * non-point side fall back to the exact [[S2DwithinExpr]] kernel, so the
+   * result is bit-identical to s2_dwithin on every input. Null semantics
+   * match s2_dwithin: xyz is null iff its blob is null, and every null
+   * route lands in the nullIntolerant exact expression.
+   */
+  def dwithinXyzTree(lxyz: Expression, rxyz: Expression,
+                     ga: Expression, gb: Expression, meters: Double): Expression = {
+    val exact: Expression = S2DwithinExpr(ga, gb, Literal(meters))
+    // chord length caps at 2 (antipodal): beyond ~pi*R the band mapping is
+    // no longer monotone, and radius 0 pins the band to a single fp value —
+    // both take the kernel directly
+    if (!(meters > 0.0) || meters >= 1.9e7) return exact
+    def chord2(f: Double): Double = {
+      val half = Math.min((meters * f) / S2EdgeDist.EarthRadiusMeters, Math.PI) / 2.0
+      val c = 2.0 * Math.sin(half)
+      c * c
+    }
+    val lo2 = chord2(1.0 - 1e-9)
+    val hi2 = chord2(1.0 + 1e-9)
+    def it(a: Expression, i: Int) = GetArrayItem(a, Literal(i))
+    def sq(e: Expression) = Multiply(e, e)
+    val dxyz2 = Add(
+      Add(
+        sq(Subtract(it(lxyz, 0), it(rxyz, 0))),
+        sq(Subtract(it(lxyz, 1), it(rxyz, 1)))),
+      sq(Subtract(it(lxyz, 2), it(rxyz, 2))))
+    val bothPoints = And(EqualTo(Size(lxyz), Literal(3)), EqualTo(Size(rxyz), Literal(3)))
+    If(bothPoints,
+      CaseWhen(Seq(
+        (LessThanOrEqual(dxyz2, Literal(lo2)), Literal.TrueLiteral),
+        (GreaterThan(dxyz2, Literal(hi2)), Literal.FalseLiteral)), exact),
+      exact)
   }
 
   /** Generic unary native expression over a static S2Native method —
@@ -244,6 +311,17 @@ object GeogExpressions {
       if (lvl < 0 || lvl > 30)
         throw new IllegalArgumentException("s2_covering_fixed_level(): level must be between 0 and 30")
       S2CoveringFixedLevelExpr(bin(a(0)), i(a(1)))
+    }
+    put("s2_point_xyz", 1)(a => S2PointXyzExpr(bin(a(0))))
+    put("s2_dwithin_xyz", 5) { a =>
+      // internal join-refine surface: meters must fold so the chord-band
+      // constants are computed once at plan time
+      if (!a(4).foldable)
+        throw new IllegalArgumentException("s2_dwithin_xyz(): meters must be a constant")
+      Cast(a(4), DoubleType).eval() match {
+        case m: java.lang.Double => dwithinXyzTree(a(0), a(1), bin(a(2)), bin(a(3)), m.doubleValue)
+        case _ => throw new IllegalArgumentException("s2_dwithin_xyz(): meters must be a constant")
+      }
     }
     put("s2_format", 2) { a =>
       // reference contract: src/s2_functions_io.cpp:166-169

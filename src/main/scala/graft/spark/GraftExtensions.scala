@@ -187,7 +187,8 @@ object SpatialJoinRewrite extends Rule[LogicalPlan]
     val level = meters.fold(coveringLevel(left, right))(S2Join.levelForDistance)
 
     def covered(child: LogicalPlan, geog: Expression, side: String,
-                withNeighbors: Boolean): (LogicalPlan, Attribute, Attribute) = {
+                withNeighbors: Boolean, withXyz: Boolean)
+        : (LogicalPlan, Attribute, Attribute, Option[Attribute]) = {
       val cov: Expression =
         if (withNeighbors) ScalaUDF(
           function = S2Functions.coveringFixedLevelWithNeighbors,
@@ -197,15 +198,22 @@ object SpatialJoinRewrite extends Rule[LogicalPlan]
           udfName = Some("s2_covering_fixed_level_with_neighbors"))
         else GeogExpressions.S2CoveringFixedLevelExpr(geog, Literal(level))
       val covAlias = Alias(cov, s"__${side}_cov")()
-      val tagged = Project(child.output :+ covAlias, child)
+      // dwithin only: hoist the point unit vector once per INPUT row so the
+      // per-candidate refine is chord arithmetic, not a blob decode
+      val xyzAlias =
+        if (withXyz) Some(Alias(GeogExpressions.S2PointXyzExpr(geog), s"__${side}_xyz")())
+        else scala.None
+      val tagged = Project(child.output ++ (covAlias +: xyzAlias.toSeq), child)
       val cellAttr = AttributeReference(s"__${side}_cell", LongType, nullable = false)()
       val gen = Generate(Explode(covAlias.toAttribute), unrequiredChildIndex = Nil,
         outer = false, qualifier = None, generatorOutput = Seq(cellAttr), child = tagged)
-      (gen, covAlias.toAttribute, cellAttr)
+      (gen, covAlias.toAttribute, cellAttr, xyzAlias.map(_.toAttribute))
     }
 
-    val (lPlan, lCov, lCell) = covered(left, geogL, "l", withNeighbors = meters.isDefined)
-    val (rPlan, rCov, rCell) = covered(right, geogR, "r", withNeighbors = false)
+    val (lPlan, lCov, lCell, lXyz) =
+      covered(left, geogL, "l", withNeighbors = meters.isDefined, withXyz = meters.isDefined)
+    val (rPlan, rCov, rCell, rXyz) =
+      covered(right, geogR, "r", withNeighbors = false, withXyz = meters.isDefined)
 
     val cellJoin = Join(lPlan, rPlan, Inner, Some(EqualTo(lCell, rCell)), j.hint)
     cellJoin.setTagValue(RewrittenTag, true)
@@ -214,8 +222,21 @@ object SpatialJoinRewrite extends Rule[LogicalPlan]
     // split or reorder, then the exact spatial predicate (same
     // per-candidate work as the replaced plan), then the array reporting
     // condition on surviving pairs only
-    val smallestCommonCell = EqualTo(lCell, ArrayMin(ArrayIntersect(lCov, rCov)))
-    val spatialThenReport = And(spatial, smallestCommonCell)
+    //
+    // dwithin refines through the chord-band tree (bit-identical to the
+    // matched s2_dwithin — see GeogExpressions.dwithinXyzTree)
+    val refineSpatial = meters match {
+      case Some(m) => GeogExpressions.dwithinXyzTree(lXyz.get, rXyz.get, geogL, geogR, m)
+      case scala.None => spatial
+    }
+    // single-cell shortcut: exploded cells are distinct per row, so a
+    // one-cell side means a pair meets on at most one cell and the array
+    // reporting arithmetic can be skipped (mirrors S2Join.refineDedupe)
+    val smallestCommonCell = Or(
+      EqualTo(Size(rCov), Literal(1)),
+      Or(EqualTo(Size(lCov), Literal(1)),
+        EqualTo(lCell, ArrayMin(ArrayIntersect(lCov, rCov)))))
+    val spatialThenReport = And(refineSpatial, smallestCommonCell)
     val refineCond = others.reduceOption(And) match {
       case Some(cheap) => If(cheap, spatialThenReport, Literal.FalseLiteral)
       case scala.None => spatialThenReport

@@ -51,8 +51,15 @@ object S2Join {
                            predicate: org.apache.spark.sql.Column,
                            prefilter: Option[Column] = None): DataFrame = {
     val joined = l.join(r, "__cell")
+    // single-cell shortcut: exploded cell values are DISTINCT per row
+    // (coverings are canonical; the dwithin probe set dedupes through a
+    // LinkedHashSet), so when either side's kept array has exactly one cell
+    // a pair can meet on at most one cell — reporting is vacuously true and
+    // the per-pair array_intersect/array_min allocation is skipped. Point
+    // sides (the dominant case in distance joins) always hit this.
     val reporting =
-      col("__cell") === array_min(array_intersect(col("__lcov"), col("__rcov")))
+      size(col("__rcov")) === 1 || size(col("__lcov")) === 1 ||
+        col("__cell") === array_min(array_intersect(col("__lcov"), col("__rcov")))
     // Evaluation-order discipline: the optimizer reorders bare conjuncts when
     // folding filters into the join condition, which can put the expensive
     // exact-predicate UDF ahead of the cheap pair prefilter (id_a < id_b for
@@ -111,7 +118,14 @@ object S2Join {
    * Distance join: pairs within `meters`. The covering level is chosen so
    * a cell diagonal comfortably exceeds `meters`, then each left cell
    * probes its own cell plus edge neighbors (covers the `meters` buffer),
-   * refined by exact s2_dwithin.
+   * refined by exact s2_dwithin semantics.
+   *
+   * The refine runs through the chord-band fast path
+   * ([[GeogExpressions.dwithinXyzTree]]): each side's unit vector is
+   * extracted ONCE per input row (before the covering explode), and
+   * point-point candidate pairs — the dominant shape of a distance join —
+   * are decided by ~10 codegen flops instead of a per-pair blob decode +
+   * kernel search. Results are bit-identical to s2_dwithin.
    */
   def dwithin(left: DataFrame, geogL: String, right: DataFrame, geogR: String,
               meters: Double, pairFilter: Option[Column] = None): DataFrame = {
@@ -119,11 +133,19 @@ object S2Join {
     val level = levelForDistance(meters)
     // full 8-neighborhood probe set: edge neighbors alone miss pairs that
     // are close across a cell corner (diagonal adjacency)
-    val l = left.withColumn("__lcov",
+    val l = left
+      .withColumn("__lxyz", call_function("s2_point_xyz", col(geogL)))
+      .withColumn("__lcov",
         S2.s2_cells_with_neighbors(call_function("s2_covering_fixed_level", col(geogL), lit(level))))
       .withColumn("__cell", explode(col("__lcov")))
-    val r = withCells(right, geogR, level, "__rcov")
-    refineDedupe(l, r, call_function("s2_dwithin", col(geogL), col(geogR), lit(meters)), pairFilter)
+    val r = withCells(
+      right.withColumn("__rxyz", call_function("s2_point_xyz", col(geogR))),
+      geogR, level, "__rcov")
+    refineDedupe(l, r,
+      call_function("s2_dwithin_xyz",
+        col("__lxyz"), col("__rxyz"), col(geogL), col(geogR), lit(meters)),
+      pairFilter)
+      .drop("__lxyz", "__rxyz")
   }
 
   /** Largest level whose minimum cell width still exceeds `meters`, so the

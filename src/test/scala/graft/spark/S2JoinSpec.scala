@@ -52,6 +52,53 @@ class S2JoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty)
   }
 
+  test("dwithin chord-band boundary pairs match the kernel bit-for-bit") {
+    // pairs engineered to straddle the 300 km radius by ~1 mm: meridian
+    // points at latitude d/R radians have geodesic distance exactly d, so
+    // the chord-band refine must agree with Relate.dwithin on both sides
+    // of the threshold (and the band's ±1e-9 slack must not flip either)
+    val meters = 300000.0
+    val R = 6371010.0
+    def latAt(d: Double): Double = Math.toDegrees(d / R)
+    val deltas = Seq(-1000.0, -1.0, -0.001, 0.0, 0.001, 1.0, 1000.0)
+    val rows = deltas.zipWithIndex.map { case (d, i) =>
+      (s"p$i", GeoCodec.encode(Wkt.read(s"POINT (10 ${latAt(meters + d)})")), meters + d)
+    }
+    val origin = ("o", GeoCodec.encode(Wkt.read("POINT (10 0)")), 0.0)
+    val sp = spark
+    import sp.implicits._
+    val probes = rows.toDF("name_a", "ga", "dist")
+    val base = Seq(origin).toDF("name_b", "gb", "d0")
+    val got = S2Join.dwithin(probes, "ga", base, "gb", meters)
+      .select("name_a").collect().map(_.getString(0)).toSet
+    val expected = rows.filter { case (_, blob, _) =>
+      Relate.dwithin(new GeoShapes(GeoCodec.decode(blob)),
+        new GeoShapes(Wkt.read("POINT (10 0)")), meters)
+    }.map(_._1).toSet
+    assert(got === expected)
+    // sanity: the threshold actually separates the probes
+    assert(expected.nonEmpty && expected.size < rows.size)
+  }
+
+  test("dwithin join with a polygon side falls back to the exact kernel") {
+    val meters = 200000.0
+    val cityList = res("/graft/cities.tsv").map(a => (a(0), a(2)))
+    val poly = "POLYGON ((5 45, 15 45, 15 55, 5 55, 5 45))" // central Europe box
+    val polyShapes = new GeoShapes(Wkt.read(poly))
+    val expected = cityList.filter { case (_, w) =>
+      Relate.dwithin(new GeoShapes(Wkt.read(w)), polyShapes, meters)
+    }.map(_._1).toSet
+    val sp = spark
+    import sp.implicits._
+    val cities = cityList.map { case (n, w) => (n, GeoCodec.encode(Wkt.read(w))) }
+      .toDF("city", "geog")
+    val polyDf = Seq(("box", GeoCodec.encode(Wkt.read(poly)))).toDF("pname", "pgeog")
+    val got = S2Join.dwithin(cities, "geog", polyDf, "pgeog", meters)
+      .select("city").collect().map(_.getString(0)).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("intersects join preserves duplicate-row multiplicity") {
     val countries = res("/graft/countries.tsv").map(a => (a(0), GeoCodec.encode(Wkt.read(a(2)))))
       .filter(c => c._1 == "Canada" || c._1 == "Chile")
