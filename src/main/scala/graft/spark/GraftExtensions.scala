@@ -45,6 +45,17 @@ object SpatialJoinRewrite extends Rule[LogicalPlan]
     * point-dominated should set [[CoveringLevelConf]] directly instead. */
   val AdaptiveLevelConf = "spark.graft.join.adaptiveLevel"
 
+  /** Dwithin shuffle-key cardinality knob: `SET
+    * spark.graft.join.dwithinLevelOffset=k` covers at kMinWidth-level + k
+    * with a ring of 2^k neighbors, which keeps the distance buffer exact
+    * (crossing r rings takes > r·minWidth of distance) while multiplying
+    * the global shuffle-key space by 4^k. A 300 km radius at offset 0 has
+    * only ~384 level-3 cells worldwide — fine on local[32], a parallelism
+    * cap on a 1000-executor cluster; offsets 1-2 trade a (2^k+... wider
+    * probe explode (ring (2·2^k+1)² vs 9 cells) for 4^k more keys and
+    * ~4^k/ring² fewer candidates per key. Default 0. */
+  val DwithinLevelOffsetConf = "spark.graft.join.dwithinLevelOffset"
+
   private val DefaultCoveringLevel = 4
 
   /** Marks a join this rule already produced, so later optimizer
@@ -184,18 +195,22 @@ object SpatialJoinRewrite extends Rule[LogicalPlan]
   private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
                       spatial: Expression, others: Seq[Expression],
                       geogL: Expression, geogR: Expression, meters: Option[Double]): LogicalPlan = {
-    val level = meters.fold(coveringLevel(left, right))(S2Join.levelForDistance)
+    val dwithinOffset = meters.fold(0)(_ =>
+      conf.getConfString(DwithinLevelOffsetConf, "0").toInt.max(0).min(6))
+    val level = meters.fold(coveringLevel(left, right))(m =>
+      Math.min(S2Join.levelForDistance(m) + dwithinOffset, 30))
+    val ring = 1 << dwithinOffset
 
     def covered(child: LogicalPlan, geog: Expression, side: String,
                 withNeighbors: Boolean, withXyz: Boolean)
         : (LogicalPlan, Attribute, Attribute, Option[Attribute]) = {
       val cov: Expression =
         if (withNeighbors) ScalaUDF(
-          function = S2Functions.coveringFixedLevelWithNeighbors,
+          function = S2Functions.coveringFixedLevelWithRing,
           dataType = ArrayType(LongType, containsNull = false),
-          children = Seq(geog, Literal(level)),
-          inputEncoders = Seq(scala.None, scala.None),
-          udfName = Some("s2_covering_fixed_level_with_neighbors"))
+          children = Seq(geog, Literal(level), Literal(ring)),
+          inputEncoders = Seq(scala.None, scala.None, scala.None),
+          udfName = Some("s2_covering_fixed_level_with_ring"))
         else GeogExpressions.S2CoveringFixedLevelExpr(geog, Literal(level))
       val covAlias = Alias(cov, s"__${side}_cov")()
       // dwithin only: hoist the point unit vector once per INPUT row so the

@@ -39,7 +39,23 @@ object S2Functions {
       case _ => false
     }
   }
-  private val shapeCache = new java.util.concurrent.ConcurrentHashMap[BytesKey, GeoShapes]()
+  /** Per-thread LRU of decoded shapes. Thread-local on purpose: a shared
+    * map is contended by every executor thread on every predicate call, and
+    * the previous clear-on-overflow policy turned >cap distinct blobs into
+    * a cache-clear storm (observed: a 2880-distinct-point grid against a
+    * 512 cap). An access-ordered LinkedHashMap evicts one entry at a time
+    * and is touched by exactly one thread, so the hot path is a plain hash
+    * lookup with no synchronization. Worst case per executor thread is
+    * cap × largest-prepared-blob decoded size — bounded, and duplicated
+    * decode across threads is the accepted cost of zero contention. */
+  private val ShapeCacheCap = 512
+  private val shapeCache = new ThreadLocal[java.util.LinkedHashMap[BytesKey, GeoShapes]] {
+    override def initialValue(): java.util.LinkedHashMap[BytesKey, GeoShapes] =
+      new java.util.LinkedHashMap[BytesKey, GeoShapes](64, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[BytesKey, GeoShapes]): Boolean =
+          size() > ShapeCacheCap
+      }
+  }
 
   /** Kernel-side access for the native codegen expressions (S2Native). */
   private[spark] def shapesOf(b: Array[Byte]): GeoShapes = shapes(b)
@@ -69,8 +85,15 @@ object S2Functions {
     // broadcast build sides under 4 KiB must not re-decode per row);
     // unprepared blobs only when decode+index clearly beats hashing the key
     if (!GeoCodec.isPrepared(b) && b.length < 4096) return GeoCodec.decodeShapes(b)
-    if (shapeCache.size > 512) shapeCache.clear()
-    shapeCache.computeIfAbsent(new BytesKey(b), k => GeoCodec.decodeShapes(k.bytes))
+    val cache = shapeCache.get()
+    val key = new BytesKey(b)
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else {
+      val s = GeoCodec.decodeShapes(b)
+      cache.put(key, s)
+      s
+    }
   }
 
   val geogFromText: String => Array[Byte] =
@@ -187,12 +210,16 @@ object S2Functions {
   val coveringFixedLevel: (Array[Byte], Int) => Array[Long] =
     (b: Array[Byte], lvl: Int) =>
       if (b == null) null else RegionCoverer.coverFixedLevel(GeoCodec.decode(b), lvl)
-  /** Fused covering + 8-neighborhood probe set (dwithin join left side);
-    * one UDF call so the catalyst rewrite needs no UDF-in-UDF nesting. */
-  val coveringFixedLevelWithNeighbors: (Array[Byte], Int) => Array[Long] =
-    (b: Array[Byte], lvl: Int) =>
+  /** Fused covering + ring-`r` probe set (dwithin join left side); one UDF
+    * call so the catalyst rewrite needs no UDF-in-UDF nesting. */
+  val coveringFixedLevelWithRing: (Array[Byte], Int, Int) => Array[Long] =
+    (b: Array[Byte], lvl: Int, ring: Int) =>
       if (b == null) null
-      else cellsWithNeighbors(RegionCoverer.coverFixedLevel(GeoCodec.decode(b), lvl))
+      else cellsWithNeighborsRing(RegionCoverer.coverFixedLevel(GeoCodec.decode(b), lvl), ring)
+
+  /** Ring-1 form (8-neighborhood), the offset-0 default. */
+  val coveringFixedLevelWithNeighbors: (Array[Byte], Int) => Array[Long] =
+    (b: Array[Byte], lvl: Int) => coveringFixedLevelWithRing(b, lvl, 1)
 
   // ---- cell ops (pure long math; no geometry decode)
   val cellFromLonLat: (Double, Double) => Long =
@@ -221,21 +248,40 @@ object S2Functions {
   val cellDebug: Long => String = (id: Long) => S2CellId.toDebugString(id)
   val cellAllNeighbors: Long => Array[Long] =
     (id: Long) => if (S2CellId.isValid(id)) S2CellId.allNeighbors(id) else Array.empty[Long]
-  /** Distinct union of the input cells and each cell's 8-neighborhood —
-    * the probe set of the dwithin join (cells deduped across origins so the
-    * exploded candidate space stays minimal). */
-  val cellsWithNeighbors: Array[Long] => Array[Long] =
-    (ids: Array[Long]) =>
+  /** Distinct union of the input cells and their ring-`r` neighborhoods
+    * (BFS over 8-neighbor steps) — the probe set of the dwithin join.
+    * Crossing `r` rings of level-l cells takes more than r × kMinWidth(l)
+    * of distance, so a ring chosen with r·minWidth >= radius is a
+    * sufficient buffer at ANY level — that is what lets the join trade a
+    * finer level (more shuffle keys) against a wider ring while staying
+    * exact. Cells are deduped across origins so the exploded candidate
+    * space stays minimal. */
+  val cellsWithNeighborsRing: (Array[Long], Int) => Array[Long] =
+    (ids: Array[Long], ring: Int) =>
       if (ids == null) null
       else {
         val out = new java.util.LinkedHashSet[java.lang.Long]()
+        var frontier = new java.util.ArrayList[java.lang.Long]()
         var i = 0
         while (i < ids.length) {
-          out.add(ids(i))
-          val nb = S2CellId.allNeighbors(ids(i))
-          var k = 0
-          while (k < nb.length) { out.add(nb(k)); k += 1 }
+          if (out.add(ids(i))) frontier.add(ids(i))
           i += 1
+        }
+        var step = 0
+        while (step < ring) {
+          val next = new java.util.ArrayList[java.lang.Long]()
+          var f = 0
+          while (f < frontier.size()) {
+            val nb = S2CellId.allNeighbors(frontier.get(f))
+            var k = 0
+            while (k < nb.length) {
+              if (out.add(nb(k))) next.add(nb(k))
+              k += 1
+            }
+            f += 1
+          }
+          frontier = next
+          step += 1
         }
         val res = new Array[Long](out.size)
         val it = out.iterator()
@@ -243,6 +289,10 @@ object S2Functions {
         while (it.hasNext) { res(j) = it.next(); j += 1 }
         res
       }
+
+  /** 8-neighborhood probe set (ring 1) — kept as the common-case surface. */
+  val cellsWithNeighbors: Array[Long] => Array[Long] =
+    (ids: Array[Long]) => cellsWithNeighborsRing(ids, 1)
   val cellFromDebug: String => Option[Long] =
     (s: String) => if (s == null) None else Some(S2CellId.fromDebugString(s))
   val cellVertex: (Long, Int) => Array[Byte] =
@@ -345,6 +395,7 @@ object S2Functions {
     val s2_cell_edge_neighbor = udf(cellEdgeNeighbor)
     val s2_cell_all_neighbors = udf(cellAllNeighbors)
     val s2_cells_with_neighbors = udf(cellsWithNeighbors)
+    val s2_cells_with_ring = udf(cellsWithNeighborsRing)
     val s2_cell_range_min = udf(cellRangeMin)
     val s2_cell_range_max = udf(cellRangeMax)
     val s2_cell_sortkey = udf(cellSortKey)

@@ -28,6 +28,12 @@ object S2Join {
     if (level >= 0) level
     else df.sparkSession.conf.get(SpatialJoinRewrite.CoveringLevelConf, "4").toInt
 
+  /** Session knob for dwithin shuffle-key cardinality (see
+    * [[SpatialJoinRewrite.DwithinLevelOffsetConf]]). */
+  private def dwithinLevelOffset(df: DataFrame): Int =
+    df.sparkSession.conf.get(SpatialJoinRewrite.DwithinLevelOffsetConf, "0")
+      .toInt.max(0).min(6)
+
   /** Keep the `level`-covering of geogCol as an array column AND explode it
     * into a `__cell` join key. The kept array drives the smallest-common-cell
     * dedupe below. Null geographies cover nothing → their rows drop out of
@@ -130,13 +136,18 @@ object S2Join {
   def dwithin(left: DataFrame, geogL: String, right: DataFrame, geogR: String,
               meters: Double, pairFilter: Option[Column] = None): DataFrame = {
     S2Functions.ensureRegistered(left.sparkSession)
-    val level = levelForDistance(meters)
-    // full 8-neighborhood probe set: edge neighbors alone miss pairs that
-    // are close across a cell corner (diagonal adjacency)
+    val offset = dwithinLevelOffset(left)
+    val level = Math.min(levelForDistance(meters) + offset, 30)
+    val ring = 1 << offset
+    // full ring probe set: edge neighbors alone miss pairs that are close
+    // across a cell corner (diagonal adjacency); ring 2^offset keeps the
+    // distance buffer exact at the offset-finer level (see
+    // S2Functions.cellsWithNeighborsRing)
     val l = left
       .withColumn("__lxyz", call_function("s2_point_xyz", col(geogL)))
       .withColumn("__lcov",
-        S2.s2_cells_with_neighbors(call_function("s2_covering_fixed_level", col(geogL), lit(level))))
+        S2.s2_cells_with_ring(
+          call_function("s2_covering_fixed_level", col(geogL), lit(level)), lit(ring)))
       .withColumn("__cell", explode(col("__lcov")))
     val r = withCells(
       right.withColumn("__rxyz", call_function("s2_point_xyz", col(geogR))),

@@ -99,6 +99,28 @@ class S2JoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty)
   }
 
+  test("dwithinLevelOffset changes the plan's key space, not the result") {
+    val meters = 500000.0
+    val cityList = res("/graft/cities.tsv").map(a => (a(0), GeoCodec.encode(Wkt.read(a(2)))))
+    val sp = spark
+    import sp.implicits._
+    val df = cityList.toDF("name", "geog")
+    def run(): Set[(String, String)] =
+      S2Join.dwithin(
+          df.select($"name".as("name_a"), $"geog".as("ga")), "ga",
+          df.select($"name".as("name_b"), $"geog".as("gb")), "gb", meters,
+          pairFilter = Some($"name_a" < $"name_b"))
+        .select("name_a", "name_b").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    val base = run()
+    assert(base.nonEmpty)
+    for (off <- Seq(1, 2)) {
+      spark.conf.set(SpatialJoinRewrite.DwithinLevelOffsetConf, off.toString)
+      try assert(run() === base, s"offset $off changed the result")
+      finally spark.conf.unset(SpatialJoinRewrite.DwithinLevelOffsetConf)
+    }
+  }
+
   test("intersects join preserves duplicate-row multiplicity") {
     val countries = res("/graft/countries.tsv").map(a => (a(0), GeoCodec.encode(Wkt.read(a(2)))))
       .filter(c => c._1 == "Canada" || c._1 == "Chile")

@@ -64,6 +64,20 @@ class SpatialJoinRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() === (n - 243) / 2)
   }
 
+  test("dwithinLevelOffset conf changes the SQL plan's key space, not the result") {
+    val q =
+      """SELECT a.name, b.name
+        |FROM s2_data_cities a JOIN s2_data_cities b
+        |  ON s2_dwithin(a.geog, b.geog, 500000.0) AND a.name < b.name""".stripMargin
+    val base = spark.sql(q).count()
+    spark.conf.set(SpatialJoinRewrite.DwithinLevelOffsetConf, "2")
+    try {
+      val df = spark.sql(q)
+      assertRewritten(df)
+      assert(df.count() === base)
+    } finally spark.conf.unset(SpatialJoinRewrite.DwithinLevelOffsetConf)
+  }
+
   test("rewrite preserves duplicate-row multiplicity exactly") {
     val single = spark.sql(
       """SELECT count(*) AS n FROM
