@@ -266,6 +266,70 @@ object Dedup {
     inter / (size(wa) + size(wb) - inter)
   }
 
+  // ---------------------------------------------------- cluster resolution
+
+  /**
+   * Connected components over a dup-pair graph — the stage that turns
+   * candidate PAIRS into dedup CLUSTERS (a transitively-closed group of
+   * near-identical docs from which one representative survives).
+   *
+   * Algorithm: iterative min-label propagation (hash-to-min). Every round
+   * each node adopts the minimum label in its closed neighborhood; after
+   * O(component diameter) rounds every node carries the component's
+   * minimum id. Dup graphs from exact/LSH detection are unions of
+   * near-cliques (diameter 1-2), so 2-3 rounds in practice; `maxIter`
+   * bounds adversarial chains. Per round: one join shuffle (labels to
+   * edge endpoints) + one groupBy shuffle (min per node), both on the id
+   * key — no all-pairs stage, scales with |E|. `localCheckpoint` cuts
+   * lineage each round so round N's plan does not replay rounds 1..N-1
+   * (on a real cluster prefer `df.checkpoint()` with a reliable
+   * checkpoint dir so a lost executor cannot drop cached rounds).
+   *
+   * Input: (id_a, id_b) pair rows, any multiplicity, either order.
+   * Output: (id, cluster_id) for every id appearing in `pairs`, where
+   * cluster_id is the minimum id of the node's component.
+   */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint() // reread every round; materialize once
+    // round 0: label = min(id, min neighbor)
+    var labels = edges.select(col("src").as("id"), col("dst").as("label"))
+      .union(edges.select(col("src").as("id"), col("src").as("label")))
+      .groupBy("id").agg(min("label").as("label"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // push each node's label to its neighbors, keep the per-node min
+      val pushed = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = pushed.union(labels)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .where(col("n.label") < col("o.label"))
+        .count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** End-to-end dedup resolve: given docs and dup pairs, keep ONE
+    * representative per connected dup cluster (the minimum id) plus every
+    * unpaired doc. The drop set is tiny relative to the corpus (only
+    * non-representative cluster members), so the anti-join broadcasts
+    * when it fits and shuffles on id otherwise. */
+  def dedupByPairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val drop = connectedComponents(pairs)
+      .where(col("id") =!= col("cluster_id"))
+      .select(col("id").as("__drop_id"))
+    df.join(drop, df(idCol) === col("__drop_id"), "left_anti")
+  }
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.udf.register("ngram_jaccard", ngramJaccardFn)
     spark.udf.register("simhash", simhashFn)

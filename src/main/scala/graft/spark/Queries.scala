@@ -928,6 +928,54 @@ object Queries {
       .select("id_a", "id_b").orderBy("id_a", "id_b")
   }
 
+  /** Cluster resolution: connected components over the exact-dup pair
+    * graph (pairs -> transitively-closed clusters, cluster id = min id of
+    * the component). Oracle: DuckDB recursive-CTE transitive closure over
+    * the identical pair set. */
+  private val qDedupClusters = dfQ { s =>
+    val pairs = Dedup.exactDupPairs(s.table("docs_aug"), "doc_id", "text")
+    Dedup.connectedComponents(pairs).orderBy("id")
+  }
+  private val oDedupClusters =
+    s"""WITH RECURSIVE $oracleDocsAug,
+       |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM docs_aug a JOIN docs_aug b
+       |    ON md5(a.text) = md5(b.text) AND a.text = b.text AND a.doc_id < b.doc_id),
+       |edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (SELECT s AS id, d AS r FROM edges
+       |  UNION
+       |  SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id)
+       |SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id ORDER BY id""".stripMargin
+
+  /** End-to-end dedup resolve: corpus size before/after keeping exactly
+    * one representative per dup cluster, plus cluster-shape stats. */
+  private val qDedupResolve = dfQ { s =>
+    val docs = s.table("docs_aug")
+    val pairs = Dedup.exactDupPairs(docs, "doc_id", "text")
+    val kept = Dedup.dedupByPairs(docs, "doc_id", pairs)
+    val clusterSizes = Dedup.connectedComponents(pairs)
+      .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+    docs.agg(count(lit(1)).cast("long").as("n_docs"))
+      .crossJoin(kept.agg(count(lit(1)).cast("long").as("n_kept")))
+      .crossJoin(clusterSizes.agg(count(lit(1)).cast("long").as("n_clusters"),
+        max("sz").cast("long").as("max_cluster")))
+  }
+  private val oDedupResolve =
+    s"""WITH RECURSIVE $oracleDocsAug,
+       |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM docs_aug a JOIN docs_aug b
+       |    ON md5(a.text) = md5(b.text) AND a.text = b.text AND a.doc_id < b.doc_id),
+       |edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (SELECT s AS id, d AS r FROM edges
+       |  UNION
+       |  SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id),
+       |comp AS (SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id)
+       |SELECT (SELECT count(*) FROM docs_aug) AS n_docs,
+       |       (SELECT count(*) FROM docs_aug)
+       |         - (SELECT count(*) FROM comp WHERE id <> cluster_id) AS n_kept,
+       |       (SELECT count(DISTINCT cluster_id) FROM comp) AS n_clusters,
+       |       (SELECT max(c) FROM (SELECT count(*) AS c FROM comp GROUP BY cluster_id)) AS max_cluster""".stripMargin
+
   private val qJaccard = dfQ { s =>
     val docs = s.table("documents")
     docs.select(col("doc_id"),
@@ -1347,6 +1395,8 @@ object Queries {
     ("l_dedup_minhash", qDedupMinhash, Some(oDedupMinhash)),
     ("l_dedup_minhash_shingle", qDedupMinhashShingle, Some(oDedupPairs)),
     ("l_dedup_simhash", qDedupSimhash, Some(oDedupPairs)),
+    ("l_dedup_clusters", qDedupClusters, Some(oDedupClusters)),
+    ("l_dedup_resolve", qDedupResolve, Some(oDedupResolve)),
     ("l_jaccard", qJaccard, Some(oJaccard)),
     ("l_ann_top1", qAnnTop1, Some(oAnnTop1)),
     ("l_ann_ivf", qAnnIvf, Some(oAnnIvf)),

@@ -1,0 +1,94 @@
+package graft.llm
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Connected-components cluster resolution over dup-pair graphs:
+  * transitive closure, min-id labels, representative selection. */
+class DedupClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", false)
+      .appName("graft-dedup-cluster-test").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def pairsDf(pairs: (Long, Long)*) = {
+    val s = spark; import s.implicits._
+    pairs.toDF("id_a", "id_b")
+  }
+
+  private def components(pairs: (Long, Long)*): Map[Long, Long] =
+    Dedup.connectedComponents(pairsDf(pairs: _*)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("a chain propagates the min label across its full diameter") {
+    // 9-8, 8-7, ..., 1-0: diameter 9 forces multiple propagation rounds
+    val chain = (1L to 9L).map(i => (i - 1, i))
+    val got = components(chain: _*)
+    assert(got === (0L to 9L).map(_ -> 0L).toMap)
+  }
+
+  test("two cliques merge through a single bridge edge") {
+    val cliqueA = Seq((10L, 11L), (10L, 12L), (11L, 12L))
+    val cliqueB = Seq((20L, 21L), (20L, 22L), (21L, 22L))
+    val separate = components(cliqueA ++ cliqueB: _*)
+    assert(separate === Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+    val bridged = components(cliqueA ++ cliqueB :+ ((12L, 20L)): _*)
+    assert(bridged === Seq(10L, 11L, 12L, 20L, 21L, 22L).map(_ -> 10L).toMap)
+  }
+
+  test("pair order and multiplicity do not matter") {
+    val got = components((5L, 3L), (3L, 5L), (5L, 3L), (4L, 5L))
+    assert(got === Map(3L -> 3L, 4L -> 3L, 5L -> 3L))
+  }
+
+  test("dedupByPairs keeps one representative per cluster plus all singletons") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "c"), (6L, "c"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.exactDupPairs(docs, "doc_id", "text")
+    val kept = Dedup.dedupByPairs(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(1L, 4L, 5L)) // min of {1,2,3}, singleton 4, min of {5,6}
+  }
+
+  test("random graphs match an in-memory union-find (deterministic seed)") {
+    val rnd = new scala.util.Random(0xD5EF)
+    for (_ <- 1 to 3) {
+      val n = 80
+      val edges = Seq.fill(100)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // in-memory union-find oracle
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(Math.max(ra, rb)) = Math.min(ra, rb)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => id -> {
+          // component min among nodes that appear in edges
+          val root = find(id.toInt)
+          edges.flatMap(e => Seq(e._1, e._2)).filter(v => find(v.toInt) == root).min
+        }).toMap
+      assert(components(edges: _*) === want)
+    }
+  }
+
+  test("empty pair set resolves to an empty label table and keeps every doc") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val noPairs = pairsDf()
+    assert(Dedup.connectedComponents(noPairs).count() === 0)
+    assert(Dedup.dedupByPairs(docs, "doc_id", noPairs).count() === 2)
+  }
+}

@@ -107,4 +107,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
     assert(toks.toSeq === Seq("4b59a0cd83b5de49"))
   }
+
+  test("stream-static spatial enrichment tags points with their country") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val input = MemoryStream[(Long, Double, Double)]
+    val regions = graft.spark.S2Data.countries(s).select($"name", $"geog")
+    val out = GeoEnrich.enrichPoints(
+      input.toDF().toDF("event_id", "lon", "lat"), "lon", "lat", regions, "geog")
+    val q = out.writeStream.format("memory").queryName("geo_enrich").start()
+    input.addData(
+      (1L, 2.35, 48.86),    // Paris
+      (2L, -77.04, 38.90),  // Washington DC
+      (3L, 139.77, 35.68),  // Tokyo
+      (4L, -30.0, 0.0))     // mid-Atlantic: matches nothing, dropped by inner join
+    q.processAllAvailable()
+    val rows = spark.table("geo_enrich")
+      .select("event_id", "name").as[(Long, String)].collect().toSet
+    q.stop()
+    assert(rows === Set((1L, "France"), (2L, "United States of America"), (3L, "Japan")))
+  }
 }
