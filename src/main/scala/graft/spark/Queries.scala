@@ -952,9 +952,12 @@ object Queries {
   private val qDedupResolve = dfQ { s =>
     val docs = s.table("docs_aug")
     val pairs = Dedup.exactDupPairs(docs, "doc_id", "text")
-    val kept = Dedup.dedupByPairs(docs, "doc_id", pairs)
-    val clusterSizes = Dedup.connectedComponents(pairs)
-      .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+    // resolve components ONCE (label propagation runs eager jobs), then
+    // derive both the surviving corpus and the cluster-shape stats from it
+    val cc = Dedup.connectedComponents(pairs)
+    val drop = cc.where(col("id") =!= col("cluster_id")).select(col("id").as("__drop_id"))
+    val kept = docs.join(drop, docs("doc_id") === col("__drop_id"), "left_anti")
+    val clusterSizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
     docs.agg(count(lit(1)).cast("long").as("n_docs"))
       .crossJoin(kept.agg(count(lit(1)).cast("long").as("n_kept")))
       .crossJoin(clusterSizes.agg(count(lit(1)).cast("long").as("n_clusters"),
@@ -975,6 +978,47 @@ object Queries {
        |         - (SELECT count(*) FROM comp WHERE id <> cluster_id) AS n_kept,
        |       (SELECT count(DISTINCT cluster_id) FROM comp) AS n_clusters,
        |       (SELECT max(c) FROM (SELECT count(*) AS c FROM comp GROUP BY cluster_id)) AS max_cluster""".stripMargin
+
+  /** End-to-end training-data pipeline: quality gate (token count +
+    * integer-exact alpha-ratio threshold — no float boundary risk) →
+    * exact-dup pairs → cluster resolution → representative-only corpus →
+    * corpus stats. Every stage is the production operator; the oracle
+    * replays the whole pipeline in SQL with a recursive-CTE closure. */
+  private val qPipeline = dfQ { s =>
+    val docs = s.table("docs_aug")
+    val alphaLen = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+    val filtered = docs.where(TextAnalysis.tokenCount(col("text")) >= lit(20) &&
+      alphaLen * 11 >= length(col("text")) * 9)
+    val pairs = Dedup.exactDupPairs(filtered, "doc_id", "text")
+    val cc = Dedup.connectedComponents(pairs)
+    val drop = cc.where(col("id") =!= col("cluster_id")).select(col("id").as("__drop_id"))
+    val kept = filtered.join(drop, col("doc_id") === col("__drop_id"), "left_anti")
+    filtered.agg(count(lit(1)).cast("long").as("n_filtered"))
+      .crossJoin(kept.agg(count(lit(1)).cast("long").as("n_kept"),
+        sum(TextAnalysis.tokenCount(col("text"))).cast("long").as("n_tokens")))
+  }
+  private val oPipeline =
+    s"""WITH RECURSIVE $oracleDocsAug,
+       |filtered AS (SELECT doc_id, text,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok
+       |  FROM docs_aug
+       |  WHERE (CASE WHEN length(trim(text)) = 0 THEN 0
+       |              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) >= 20
+       |    AND 11 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')) >= 9 * length(text)),
+       |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM filtered a JOIN filtered b
+       |    ON md5(a.text) = md5(b.text) AND a.text = b.text AND a.doc_id < b.doc_id),
+       |edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (SELECT s AS id, d AS r FROM edges
+       |  UNION
+       |  SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id),
+       |comp AS (SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id),
+       |kept AS (SELECT f.* FROM filtered f
+       |  WHERE f.doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster_id))
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM filtered) AS n_filtered,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_kept,
+       |       (SELECT CAST(sum(n_tok) AS BIGINT) FROM kept) AS n_tokens""".stripMargin
 
   private val qJaccard = dfQ { s =>
     val docs = s.table("documents")
@@ -1397,6 +1441,7 @@ object Queries {
     ("l_dedup_simhash", qDedupSimhash, Some(oDedupPairs)),
     ("l_dedup_clusters", qDedupClusters, Some(oDedupClusters)),
     ("l_dedup_resolve", qDedupResolve, Some(oDedupResolve)),
+    ("l_pipeline", qPipeline, Some(oPipeline)),
     ("l_jaccard", qJaccard, Some(oJaccard)),
     ("l_ann_top1", qAnnTop1, Some(oAnnTop1)),
     ("l_ann_ivf", qAnnIvf, Some(oAnnIvf)),
