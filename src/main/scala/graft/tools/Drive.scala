@@ -59,6 +59,15 @@ object Drive {
     val sh = Dedup.simhashCandidatePairs(docs, "doc_id", "text")
     println("simhash candidate pairs = " + sh.count())
 
+    // pairs -> clusters -> representative-only corpus (union with a shifted
+    // copy so exact dups actually exist in the drive corpus)
+    val aug = docs.select($"doc_id", $"text")
+      .union(docs.where($"doc_id" % 10 === 0).select($"doc_id" + 1000000, $"text"))
+    val ccPairs = Dedup.exactDupPairs(aug, "doc_id", "text")
+    val resolved = Dedup.dedupByPairs(aug, "doc_id", ccPairs)
+    println("dedup resolve: " + aug.count() + " docs -> " + resolved.count() +
+      " after cluster resolution")
+
     val top1 = Ann.bruteForceTopK(emb.where($"vec_id" % 100 === 0), emb, 1)
     top1.orderBy("q_id").show(5)
     val lsh = Ann.lshTopK(emb.where($"vec_id" % 100 === 0), emb, 1)

@@ -28,6 +28,16 @@ object ScaleUp {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, dst, copies)
+    spark.stop()
+  }
+
+  /** Callable from an existing session (Bench regenerates the big dataset
+    * when it is missing — bigdata/ is gitignored and does not survive
+    * between rounds). */
+  def run(spark: SparkSession, src: String = "/root/testdata/sf0.1",
+          dst: String = "/root/repo/bigdata/sf1", copies: Int = 10): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def keyMax(df: DataFrame, c: String): Long =
       df.agg(max(col(c))).collect()(0).getLong(0) + 1
@@ -92,6 +102,5 @@ object ScaleUp {
         transform(col("embedding"), x => (x + (pmod(col("vec_id"), lit(97)) * lit(1e-3f) * lit(i))).cast("float")))))
 
     println(f"[scaleup] all tables written to $dst in ${(System.nanoTime() - t0) / 1e9}%.1f s")
-    spark.stop()
   }
 }
