@@ -3,7 +3,7 @@ package graft.spark
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Ann, Dedup, Multimodal, TextAnalysis}
+import graft.llm.{Ann, Dedup, Multimodal, Sampling, TextAnalysis}
 import S2Functions.S2
 
 /**
@@ -1020,6 +1020,51 @@ object Queries {
        |       (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_kept,
        |       (SELECT CAST(sum(n_tok) AS BIGINT) FROM kept) AS n_tokens""".stripMargin
 
+  /** Deterministic hash split + sample: assignment depends only on the
+    * key's md5, so both engines compute the identical row sets. */
+  private val qSample = dfQ { s =>
+    val docs = s.table("documents")
+    val split = Sampling.assignSplit(docs, "doc_id", valPermille = 50, testPermille = 50)
+      .groupBy("split").agg(count(lit(1)).cast("long").as("n"))
+    val sampled = Sampling.sampleByHash(docs, "doc_id", 1, 10)
+      .agg(count(lit(1)).cast("long").as("n_sampled"))
+    split.crossJoin(sampled).orderBy("split")
+  }
+  private val oSample =
+    """WITH b AS (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT AS h
+      |  FROM documents)
+      |SELECT split, CAST(count(*) AS BIGINT) AS n,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM b WHERE h % 10 < 1) AS n_sampled
+      |FROM (SELECT CASE WHEN h % 1000 < 50 THEN 'test'
+      |                  WHEN h % 1000 < 100 THEN 'val'
+      |                  ELSE 'train' END AS split FROM b)
+      |GROUP BY split ORDER BY split""".stripMargin
+
+  /** Per-group token-budget cap (data mixing): docs kept in id order
+    * until each group's cumulative token count reaches the budget. */
+  private val qTokenBudget = dfQ { s =>
+    val docs = s.table("documents")
+    val toks = docs.select(col("doc_id"),
+      Sampling.hashBucket(col("doc_id"), 4).as("grp"),
+      TextAnalysis.tokenCount(col("text")).as("n_tok"))
+    Sampling.capTokenBudget(toks, "grp", "doc_id", "n_tok", 2000L)
+      .groupBy("grp").agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("n_tok").cast("long").as("tok"))
+      .orderBy("grp")
+  }
+  private val oTokenBudget =
+    """WITH toks AS (SELECT doc_id,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 4 AS grp,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
+      |  FROM documents),
+      |capped AS (SELECT * FROM (
+      |    SELECT grp, doc_id, n_tok,
+      |           sum(n_tok) OVER (PARTITION BY grp ORDER BY doc_id) AS cum
+      |    FROM toks) WHERE cum <= 2000)
+      |SELECT grp, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tok
+      |FROM capped GROUP BY grp ORDER BY grp""".stripMargin
+
   private val qJaccard = dfQ { s =>
     val docs = s.table("documents")
     docs.select(col("doc_id"),
@@ -1442,6 +1487,8 @@ object Queries {
     ("l_dedup_clusters", qDedupClusters, Some(oDedupClusters)),
     ("l_dedup_resolve", qDedupResolve, Some(oDedupResolve)),
     ("l_pipeline", qPipeline, Some(oPipeline)),
+    ("l_sample", qSample, Some(oSample)),
+    ("l_token_budget", qTokenBudget, Some(oTokenBudget)),
     ("l_jaccard", qJaccard, Some(oJaccard)),
     ("l_ann_top1", qAnnTop1, Some(oAnnTop1)),
     ("l_ann_ivf", qAnnIvf, Some(oAnnIvf)),

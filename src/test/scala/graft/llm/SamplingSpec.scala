@@ -1,0 +1,66 @@
+package graft.llm
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic hash sampling / split / token-budget primitives. */
+class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", false)
+      .appName("graft-sampling-test").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("hash sample is deterministic and partitioning-independent") {
+    val s = spark; import s.implicits._
+    val df = (1L to 2000L).toDF("id")
+    val a = Sampling.sampleByHash(df, "id", 1, 10).as[Long].collect().sorted
+    val b = Sampling.sampleByHash(df.repartition(7), "id", 1, 10).as[Long].collect().sorted
+    assert(a sameElements b)
+    // ~10% with hash-level tolerance
+    assert(a.length > 120 && a.length < 280)
+    // complement partitions the corpus exactly
+    val rest = df.where(Sampling.hashBucket($"id", 10) >= 1).as[Long].collect()
+    assert(a.length + rest.length === 2000)
+  }
+
+  test("md5 bucket agrees with a reference computation") {
+    val s = spark; import s.implicits._
+    // first 7 hex chars of md5("42") = a1d0c6e = 169675886
+    val got = Seq(42L).toDF("id")
+      .select(Sampling.hashBucket($"id", 1000)).as[Long].head()
+    assert(got === 169675886L % 1000)
+  }
+
+  test("split shares are stable when the corpus grows") {
+    val s = spark; import s.implicits._
+    val small = Sampling.assignSplit((1L to 1000L).toDF("id"), "id")
+      .where($"split" =!= "train").select("id", "split").as[(Long, String)].collect().toMap
+    val grown = Sampling.assignSplit((1L to 5000L).toDF("id"), "id")
+      .where($"id" <= 1000 && $"split" =!= "train")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(small === grown) // no doc ever migrates between splits
+  }
+
+  test("token budget cap matches a per-group prefix scan") {
+    val s = spark; import s.implicits._
+    val rows = Seq((1L, 0, 40L), (2L, 0, 50L), (3L, 0, 20L), (4L, 0, 100L),
+                   (5L, 1, 90L), (6L, 1, 15L), (7L, 1, 1L))
+    val df = rows.toDF("id", "grp", "n_tok")
+    val kept = Sampling.capTokenBudget(df, "grp", "id", "n_tok", 100L)
+      .select("id").as[Long].collect().sorted
+    // grp 0: 40, 90, 110 stop -> {1,2}; grp 1: 90, 105 stop -> {5}
+    assert(kept === Array(1L, 2L, 5L))
+    // schema passes through unchanged (no helper columns leak)
+    assert(Sampling.capTokenBudget(df, "grp", "id", "n_tok", 100L).columns.toSeq
+      === Seq("id", "grp", "n_tok"))
+  }
+}
