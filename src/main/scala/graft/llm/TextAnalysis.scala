@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -121,6 +121,37 @@ object TextAnalysis {
   }
 
   val fingerprint: org.apache.spark.sql.expressions.UserDefinedFunction = udf(fingerprintFn)
+
+  // ------------------------------------------------------- decontamination
+
+  /** Rolling word n-grams as strings, pure built-ins (codegen; no UDF).
+    * Empty / too-short texts yield an empty array. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val w = split(trim(text), "\\s+")
+    when(length(trim(text)) === 0 || size(w) < n,
+        array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(w) - (n - 1)), i =>
+        array_join(slice(w, i, lit(n)), " ")))
+  }
+
+  /** Benchmark-contamination report: one row per (train doc, eval doc)
+    * pair sharing at least one word n-gram, with the shared-gram count —
+    * the standard "decontaminate training data against eval sets" check.
+    *
+    * Scale shape: both sides explode to (id, gram) and meet in ONE
+    * equi-join on the gram string — never all-pairs. Eval sets are small,
+    * so Catalyst broadcasts that side; at 100 TB the train side streams
+    * through map-side broadcast probes with no shuffle at all. Drop
+    * contaminated docs with an anti-join of `train` against the distinct
+    * train_id of this result. */
+  def contaminationPairs(train: DataFrame, eval: DataFrame, idCol: String,
+                         textCol: String, n: Int = 8): DataFrame = {
+    def grams(df: DataFrame, as: String) =
+      df.select(col(idCol).as(as), explode(wordNgrams(col(textCol), n)).as("g"))
+    grams(train, "train_id").join(grams(eval, "eval_id"), "g")
+      .groupBy("train_id", "eval_id")
+      .agg(count_distinct(col("g")).as("n_shared"))
+  }
 
   def register(spark: SparkSession): Unit = {
     spark.udf.register("doc_lang_id", langIdFn)

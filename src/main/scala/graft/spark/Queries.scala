@@ -1065,6 +1065,28 @@ object Queries {
       |SELECT grp, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tok
       |FROM capped GROUP BY grp ORDER BY grp""".stripMargin
 
+  /** Decontamination: 8-gram overlap between a train half and an eval
+    * half of the corpus — exact pair set and shared-gram counts. */
+  private val qDecontam = dfQ { s =>
+    val docs = s.table("documents")
+    val train = docs.where(col("doc_id") % 2 === 1)
+    val ev = docs.where(col("doc_id") % 2 === 0)
+    TextAnalysis.contaminationPairs(train, ev, "doc_id", "text", n = 8)
+      .select(col("train_id"), col("eval_id"), col("n_shared").cast("long").as("n_shared"))
+      .orderBy("train_id", "eval_id")
+  }
+  private val oDecontam =
+    """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |grams AS (SELECT doc_id, array_to_string(words[i:i+7], ' ') AS g
+      |  FROM w, LATERAL unnest(generate_series(1, greatest(len(words) - 7, 0))) t(i)),
+      |train AS (SELECT * FROM grams WHERE doc_id % 2 = 1),
+      |ev    AS (SELECT * FROM grams WHERE doc_id % 2 = 0)
+      |SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+      |       CAST(count(DISTINCT t.g) AS BIGINT) AS n_shared
+      |FROM train t JOIN ev e ON t.g = e.g
+      |GROUP BY 1, 2 ORDER BY train_id, eval_id""".stripMargin
+
   private val qJaccard = dfQ { s =>
     val docs = s.table("documents")
     docs.select(col("doc_id"),
@@ -1489,6 +1511,7 @@ object Queries {
     ("l_pipeline", qPipeline, Some(oPipeline)),
     ("l_sample", qSample, Some(oSample)),
     ("l_token_budget", qTokenBudget, Some(oTokenBudget)),
+    ("l_decontam", qDecontam, Some(oDecontam)),
     ("l_jaccard", qJaccard, Some(oJaccard)),
     ("l_ann_top1", qAnnTop1, Some(oAnnTop1)),
     ("l_ann_ivf", qAnnIvf, Some(oAnnIvf)),
