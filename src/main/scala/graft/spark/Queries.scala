@@ -1342,11 +1342,21 @@ object Queries {
 
   // ================================================== relational / bench
 
+  // TPC-H money sums run as SCALED-INTEGER arithmetic: a 2-decimal price
+  // is exact cents (BIGINT) and a discount an exact percent, so the
+  // per-row work is one codegen long multiply-add — what DuckDB's decimal
+  // engine does internally and an order of magnitude faster than Spark's
+  // checked per-row DecimalType path (q3 at 30x SF: 18.8 s -> decimal tax
+  // gone). ONE decimal division per GROUP converts the exact integer sum
+  // back: CAST(sum AS DECIMAL(38,0))/10^s is exact at any corpus size (no
+  // 2^53 double ceiling), and the final value/type is identical to the
+  // oracle's DECIMAL path — the driver hash-compare pins that identity.
   private val qTpchQ1 = sqlQ(
     """SELECT l_returnflag, l_linestatus,
-      | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
-      | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
-      | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
+      | CAST(CAST(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DECIMAL(38,0)) / 100 AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+      | CAST(CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DECIMAL(38,0)) / 100 AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+      | CAST(CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |   * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DECIMAL(38,0)) / 10000 AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
       | CAST(count(*) AS BIGINT) AS count_order
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus
@@ -1362,7 +1372,8 @@ object Queries {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   private val qTpchQ6 = sqlQ(
-    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS revenue,
+    """SELECT CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |   * CAST(round(l_discount * 100) AS BIGINT)) AS DECIMAL(38,0)) / 10000 AS DECIMAL(18,4)) AS revenue,
       | CAST(count(*) AS BIGINT) AS n
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -1378,13 +1389,23 @@ object Queries {
       |  AND l_discount >= 0.05 AND l_discount <= 0.07
       |  AND l_quantity < 24""".stripMargin
 
+  // q3 pre-aggregates lineitem per orderkey BEFORE the join: the group key
+  // is the join key, so revenue-per-order is exact, the map-side partial
+  // agg collapses the lineitem shuffle from |lineitem| raw rows to
+  // |orders| pre-summed ones, and the post-join aggregation disappears —
+  // the join output IS the final row set. Scale-safe at any SF (strictly
+  // less shuffle volume than joining raw rows); Catalyst/AQE still picks
+  // the join strategy.
   private val qTpchQ3 = sqlQ(
-    """SELECT o.o_orderkey,
-      | CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+    """WITH lrev AS (
+      |  SELECT l_orderkey, sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS cents
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT o.o_orderkey,
+      | CAST(CAST(CAST(r.cents AS DECIMAL(38,0)) / 10000 AS DECIMAL(18,4)) AS DOUBLE) AS revenue
       |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
-      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |JOIN lrev r ON r.l_orderkey = o.o_orderkey
       |WHERE c.c_mktsegment = 'BUILDING'
-      |GROUP BY o.o_orderkey
       |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)
   private val oTpchQ3 =
     """SELECT o.o_orderkey,
@@ -1397,7 +1418,8 @@ object Queries {
 
   private val qTpchQ5 = sqlQ(
     """SELECT r.r_name, n.n_name,
-      | CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+      | CAST(CAST(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      |   * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS DECIMAL(38,0)) / 10000 AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
       | CAST(count(*) AS BIGINT) AS n_items
       |FROM lineitem l
       |JOIN supplier s ON l.l_suppkey = s.s_suppkey
