@@ -277,45 +277,78 @@ object Dedup {
    * each node adopts the minimum label in its closed neighborhood; after
    * O(component diameter) rounds every node carries the component's
    * minimum id. Dup graphs from exact/LSH detection are unions of
-   * near-cliques (diameter 1-2), so 2-3 rounds in practice; `maxIter`
-   * bounds adversarial chains. Per round: one join shuffle (labels to
-   * edge endpoints) + one groupBy shuffle (min per node), both on the id
-   * key — no all-pairs stage, scales with |E|. `localCheckpoint` cuts
-   * lineage each round so round N's plan does not replay rounds 1..N-1
-   * (on a real cluster prefer `df.checkpoint()` with a reliable
-   * checkpoint dir so a lost executor cannot drop cached rounds).
+   * near-cliques (diameter 1-2), so 2-3 rounds in practice. Each round
+   * ALSO pointer-jumps (label(v) <- label(label(v))), which halves the
+   * remaining hop distance to the component minimum — convergence is
+   * O(log diameter) rounds, so the default `maxIter` = 20 covers chains
+   * ~2^20 hops long. If a graph still has not converged at `maxIter`
+   * the function THROWS rather than silently returning wrong labels
+   * (dedupByPairs would otherwise keep duplicates with no error).
+   * Per round: two join shuffles + one groupBy shuffle, all on the id
+   * key — no all-pairs stage, scales with |E|. `checkpointer` cuts
+   * lineage each round so round N's plan does not replay rounds 1..N-1;
+   * the default `localCheckpoint` is right for single-JVM runs, but on a
+   * real cluster pass `_.checkpoint()` (with a reliable checkpoint dir)
+   * so a lost executor cannot drop cached rounds. Each round's retired
+   * label cache is unpersisted once its successor materializes, so
+   * block-manager storage stays O(|V|), not O(rounds * |V|).
    *
    * Input: (id_a, id_b) pair rows, any multiplicity, either order.
    * Output: (id, cluster_id) for every id appearing in `pairs`, where
    * cluster_id is the minimum id of the node's component.
    */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint() // reread every round; materialize once
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      checkpointer: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    val edges = checkpointer(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
     // round 0: label = min(id, min neighbor)
-    var labels = edges.select(col("src").as("id"), col("dst").as("label"))
-      .union(edges.select(col("src").as("id"), col("src").as("label")))
-      .groupBy("id").agg(min("label").as("label"))
-      .localCheckpoint()
+    var labels = checkpointer(
+      edges.select(col("src").as("id"), col("dst").as("label"))
+        .union(edges.select(col("src").as("id"), col("src").as("label")))
+        .groupBy("id").agg(min("label").as("label")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       // push each node's label to its neighbors, keep the per-node min
       val pushed = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
-      val next = pushed.union(labels)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint()
+      // pointer jumping: adopt the label of your label's node, collapsing
+      // long chains exponentially (the doubling trick from PRAM CC)
+      val jumped = labels.as("a")
+        .join(labels.as("b"), col("a.label") === col("b.id"))
+        .select(col("a.id").as("id"), col("b.label").as("label"))
+      val next = checkpointer(pushed.union(jumped).union(labels)
+        .groupBy("id").agg(min("label").as("label")))
       val changed = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
         .where(col("n.label") < col("o.label"))
         .count()
+      unpersistCheckpointed(labels)
       labels = next
       converged = changed == 0
       iter += 1
     }
+    unpersistCheckpointed(edges)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds; " +
+        "labels would be WRONG (components larger than their computed clusters). " +
+        "Raise maxIter — with pointer jumping each round doubles reach, so " +
+        "maxIter=20 already covers ~2^20-hop chains.")
     labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Free the block-manager storage behind a (local)checkpointed frame by
+    * walking its physical RDD lineage to the first persisted ancestor.
+    * A reliable `checkpoint()` stores to the checkpoint dir instead of the
+    * block manager, so this is a harmless no-op there. */
+  private def unpersistCheckpointed(df: DataFrame): Unit = {
+    def walk(r: org.apache.spark.rdd.RDD[_]): Unit =
+      if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE) {
+        r.unpersist(blocking = false); ()
+      } else r.dependencies.foreach(d => walk(d.rdd))
+    try walk(df.queryExecution.toRdd) catch { case _: Throwable => () }
   }
 
   /** End-to-end dedup resolve: given docs and dup pairs, keep ONE

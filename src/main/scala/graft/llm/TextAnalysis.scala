@@ -125,10 +125,13 @@ object TextAnalysis {
   // ------------------------------------------------------- decontamination
 
   /** Rolling word n-grams as strings, pure built-ins (codegen; no UDF).
-    * Empty / too-short texts yield an empty array. */
+    * NULL / empty / too-short texts all yield an empty array (the NULL
+    * guard must come first: a null text makes the length/size comparisons
+    * null, which `when` treats as false and falls through to the
+    * otherwise branch). */
   def wordNgrams(text: Column, n: Int): Column = {
     val w = split(trim(text), "\\s+")
-    when(length(trim(text)) === 0 || size(w) < n,
+    when(text.isNull || length(trim(text)) === 0 || size(w) < n,
         array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(w) - (n - 1)), i =>
         array_join(slice(w, i, lit(n)), " ")))

@@ -1347,18 +1347,31 @@ object Queries {
   // per-row work is one codegen long multiply-add — what DuckDB's decimal
   // engine does internally and an order of magnitude faster than Spark's
   // checked per-row DecimalType path (q3 at 30x SF: 18.8 s -> decimal tax
-  // gone). ONE decimal division per GROUP converts the exact integer sum
-  // back: CAST(sum AS DECIMAL(38,0))/10^s is exact at any corpus size (no
-  // 2^53 double ceiling), and the final value/type is identical to the
+  // gone). A raw BIGINT sum would overflow 2^63 at ~9e9 rows per group
+  // (cents*percent products reach ~1e9), so the sum is TWO-LEVEL: a salt
+  // key (pmod(l_orderkey, 1024)) splits each group's integer partials
+  // across 1024 cells — the hot loop stays pure long codegen, each cell
+  // stays far below 2^63 until ~4e13 rows PER GROUP (petabyte scale), and
+  // only the <=4096 cell partials are re-summed as DECIMAL(38,0), which
+  // is overflow-free outright. ONE decimal division per group converts
+  // the exact integer sum back; the final value/type is identical to the
   // oracle's DECIMAL path — the driver hash-compare pins that identity.
   private val qTpchQ1 = sqlQ(
-    """SELECT l_returnflag, l_linestatus,
-      | CAST(CAST(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DECIMAL(38,0)) / 100 AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
-      | CAST(CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DECIMAL(38,0)) / 100 AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
-      | CAST(CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-      |   * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DECIMAL(38,0)) / 10000 AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
-      | CAST(count(*) AS BIGINT) AS count_order
-      |FROM lineitem
+    """WITH p AS (
+      | SELECT l_returnflag, l_linestatus, pmod(l_orderkey, 1024) AS s,
+      |  sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_c,
+      |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_c,
+      |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS disc_c,
+      |  count(*) AS n
+      | FROM lineitem
+      | GROUP BY l_returnflag, l_linestatus, s)
+      |SELECT l_returnflag, l_linestatus,
+      | CAST(CAST(sum(CAST(qty_c AS DECIMAL(38,0))) / 100 AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+      | CAST(CAST(sum(CAST(price_c AS DECIMAL(38,0))) / 100 AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+      | CAST(CAST(sum(CAST(disc_c AS DECIMAL(38,0))) / 10000 AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
+      | CAST(sum(n) AS BIGINT) AS count_order
+      |FROM p
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin)
   private val oTpchQ1 =
@@ -1371,15 +1384,24 @@ object Queries {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  // Same salted two-level sum as q1 (see comment there): exact far past
+  // the 2^63 single-level BIGINT bound. coalesce keeps the empty-match
+  // case identical to the single-level global agg (one row, n = 0).
   private val qTpchQ6 = sqlQ(
-    """SELECT CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-      |   * CAST(round(l_discount * 100) AS BIGINT)) AS DECIMAL(38,0)) / 10000 AS DECIMAL(18,4)) AS revenue,
-      | CAST(count(*) AS BIGINT) AS n
-      |FROM lineitem
-      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-      |  AND l_discount >= 0.05 AND l_discount <= 0.07
-      |  AND l_quantity < 24""".stripMargin)
+    """WITH p AS (
+      | SELECT pmod(l_orderkey, 1024) AS s,
+      |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |    * CAST(round(l_discount * 100) AS BIGINT)) AS rev_c,
+      |  count(*) AS n
+      | FROM lineitem
+      | WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |   AND l_discount >= 0.05 AND l_discount <= 0.07
+      |   AND l_quantity < 24
+      | GROUP BY s)
+      |SELECT CAST(sum(CAST(rev_c AS DECIMAL(38,0))) / 10000 AS DECIMAL(18,4)) AS revenue,
+      | CAST(coalesce(sum(n), 0) AS BIGINT) AS n
+      |FROM p""".stripMargin)
   private val oTpchQ6 =
     """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS revenue,
       | CAST(count(*) AS BIGINT) AS n
@@ -1395,7 +1417,8 @@ object Queries {
   // |orders| pre-summed ones, and the post-join aggregation disappears —
   // the join output IS the final row set. Scale-safe at any SF (strictly
   // less shuffle volume than joining raw rows); Catalyst/AQE still picks
-  // the join strategy.
+  // the join strategy. No salt needed here: a group is ONE order (<= 7
+  // lineitems in TPC-H), so the BIGINT partial never nears 2^63.
   private val qTpchQ3 = sqlQ(
     """WITH lrev AS (
       |  SELECT l_orderkey, sum(CAST(round(l_extendedprice * 100) AS BIGINT)
@@ -1416,17 +1439,26 @@ object Queries {
       |GROUP BY o.o_orderkey
       |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
 
+  // Salted two-level sum like q1: 25 (region, nation) groups would hit
+  // the 2^63 single-level BIGINT bound at large SF; the salt defers that
+  // to petabyte-per-group scale with the hot loop still pure long codegen.
   private val qTpchQ5 = sqlQ(
-    """SELECT r.r_name, n.n_name,
-      | CAST(CAST(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-      |   * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS DECIMAL(38,0)) / 10000 AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
-      | CAST(count(*) AS BIGINT) AS n_items
-      |FROM lineitem l
-      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
-      |JOIN nation n ON s.s_nationkey = n.n_nationkey
-      |JOIN region r ON n.n_regionkey = r.r_regionkey
-      |GROUP BY r.r_name, n.n_name
-      |ORDER BY r.r_name, n.n_name""".stripMargin)
+    """WITH p AS (
+      | SELECT r.r_name, n.n_name, pmod(l.l_orderkey, 1024) AS salt,
+      |  sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      |    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS rev_c,
+      |  count(*) AS n
+      | FROM lineitem l
+      | JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      | JOIN nation n ON s.s_nationkey = n.n_nationkey
+      | JOIN region r ON n.n_regionkey = r.r_regionkey
+      | GROUP BY r.r_name, n.n_name, salt)
+      |SELECT r_name, n_name,
+      | CAST(CAST(sum(CAST(rev_c AS DECIMAL(38,0))) / 10000 AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+      | CAST(sum(n) AS BIGINT) AS n_items
+      |FROM p
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin)
   private val oTpchQ5 =
     """SELECT r.r_name, n.n_name,
       | CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
