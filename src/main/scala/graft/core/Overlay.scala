@@ -55,8 +55,11 @@ object Overlay {
     if (sb.hasPolygons) lines ++= clipLines(linesOf(a), sb, keepInside = true)
     if (sa.hasPolygons) lines ++= clipLines(linesOf(b), sa, keepInside = true)
     val polys = mutable.ArrayBuffer[Vector[Vector[S2Point]]]()
-    if (sa.hasPolygons && sb.hasPolygons)
-      polys ++= toRingGroups(PolyClip.intersectRegions(groupsOf(a), groupsOf(b)))
+    if (sa.hasPolygons && sb.hasPolygons) {
+      val ga = groupsOf(a); val gb = groupsOf(b)
+      polys ++= toRingGroups(PolyOverlay.intersect(ga, gb)
+        .getOrElse(PolyClip.intersectRegions(ga, gb)))
+    }
     assemble(pts.toVector, lines.toVector, polys.toVector)
   }
 
@@ -72,9 +75,11 @@ object Overlay {
     else lines ++= linesOf(a)
     val polys = mutable.ArrayBuffer[Vector[Vector[S2Point]]]()
     if (sa.hasPolygons) {
-      if (sb.hasPolygons)
-        polys ++= toRingGroups(PolyClip.diffRegions(groupsOf(a), groupsOf(b)))
-      else polys ++= toRingGroups(groupsOf(a))
+      if (sb.hasPolygons) {
+        val ga = groupsOf(a); val gb = groupsOf(b)
+        polys ++= toRingGroups(PolyOverlay.diff(ga, gb)
+          .getOrElse(PolyClip.diffRegions(ga, gb)))
+      } else polys ++= toRingGroups(groupsOf(a))
     }
     assemble(pts, lines.toVector, polys.toVector)
   }
@@ -94,9 +99,11 @@ object Overlay {
     lines ++= clipLines(linesOf(b), sa, keepInside = false)
     val polys = mutable.ArrayBuffer[Vector[Vector[S2Point]]]()
     if (sa.hasPolygons || sb.hasPolygons) {
-      if (sa.hasPolygons && sb.hasPolygons)
-        polys ++= toRingGroups(PolyClip.unionRegions(groupsOf(a), groupsOf(b)))
-      else polys ++= toRingGroups(groupsOf(a) ++ groupsOf(b))
+      if (sa.hasPolygons && sb.hasPolygons) {
+        val ga = groupsOf(a); val gb = groupsOf(b)
+        polys ++= toRingGroups(PolyOverlay.union(ga, gb)
+          .getOrElse(PolyClip.unionRegions(ga, gb)))
+      } else polys ++= toRingGroups(groupsOf(a) ++ groupsOf(b))
     }
     assemble(pts.toVector.distinct, lines.toVector, polys.toVector)
   }
@@ -212,12 +219,44 @@ object PolyClip {
     * disjoint groups (boundaries may touch along seams — exact point set). */
   final case class Group(shell: Ring, holes: Vector[Ring])
 
-  /** Robust-ish spherical edge intersection point of crossing edges. */
+  /** Robust spherical edge intersection point of crossing edges. The
+    * double-precision cross-product chain has direction error ~eps/|x|
+    * where |x| ~ sin(crossing angle): near-PARALLEL crossings (shared
+    * borders digitized twice with ulp drift cross at ~1e-11 rad) would be
+    * off by meters. Below a safe norm threshold the direction is recomputed
+    * with exact BigDecimal arithmetic (doubles are exact in BigDecimal, so
+    * (a x b) x (c x d) is exact; only the final normalize rounds), keeping
+    * the error ~1 ulp at ANY crossing angle. */
   def intersectionPoint(a: S2Point, b: S2Point, c: S2Point, d: S2Point): S2Point = {
     val x = a.cross(b).cross(c.cross(d))
     val n = x.norm
-    val p = if (n < 1e-30) (a + b + c + d).normalize else x * (1.0 / n)
+    val p =
+      if (n >= 1e-6) x * (1.0 / n)
+      else exactIntersectionDir(a, b, c, d).getOrElse((a + b + c + d).normalize)
     if (p.dot(a + b) < 0) -p else p
+  }
+
+  private def exactIntersectionDir(a: S2Point, b: S2Point,
+                                   c: S2Point, d: S2Point): Option[S2Point] = {
+    import java.math.{BigDecimal => BD}
+    def bd(v: Double) = new BD(v)
+    def cross(x1: BD, y1: BD, z1: BD, x2: BD, y2: BD, z2: BD): (BD, BD, BD) =
+      (y1.multiply(z2).subtract(z1.multiply(y2)),
+       z1.multiply(x2).subtract(x1.multiply(z2)),
+       x1.multiply(y2).subtract(y1.multiply(x2)))
+    val (n1x, n1y, n1z) = cross(bd(a.x), bd(a.y), bd(a.z), bd(b.x), bd(b.y), bd(b.z))
+    val (n2x, n2y, n2z) = cross(bd(c.x), bd(c.y), bd(c.z), bd(d.x), bd(d.y), bd(d.z))
+    val (xx, xy, xz) = cross(n1x, n1y, n1z, n2x, n2y, n2z)
+    val m = xx.abs.max(xy.abs).max(xz.abs)
+    if (m.signum == 0) return scala.None
+    // rescale so the largest component is O(1) before the double convert
+    // (|x| can underflow a double for femto-angle crossings)
+    val shift = -(m.precision - m.scale - 1)
+    val v = S2Point(xx.scaleByPowerOfTen(shift).doubleValue,
+      xy.scaleByPowerOfTen(shift).doubleValue,
+      xz.scaleByPowerOfTen(shift).doubleValue)
+    val nn = v.norm
+    if (nn == 0.0 || nn.isNaN || nn.isInfinite) scala.None else Some(v * (1.0 / nn))
   }
 
   /** Raw traversal output rings -> engine-convention groups: every stored
@@ -296,10 +335,10 @@ object PolyClip {
   }
 
   /** Normalize a ring to enclose its small side (engine storage form). */
-  private def normRing(r: Ring): Ring =
+  private[core] def normRing(r: Ring): Ring =
     if (r.size >= 3 && new S2Loop(r.toArray).isInverted) r.reverse else r
 
-  private def groupArea(g: Group): Double =
+  private[core] def groupArea(g: Group): Double =
     new S2Loop(normRing(g.shell).toArray).area -
       g.holes.map(h => new S2Loop(normRing(h).toArray).area).sum
 
@@ -418,7 +457,7 @@ object PolyClip {
     * number of other rings is a shell, odd makes it a hole of its
     * innermost container — unlike [[regroup]], an island nested inside a
     * hole becomes its own polygon, not a second hole of the outer shell. */
-  private def regroupNested(rings: Vector[Ring]): Vector[Group] = {
+  private[core] def regroupNested(rings: Vector[Ring]): Vector[Group] = {
     if (rings.size <= 1) return rings.map(r => Group(r, Vector.empty))
     val loops = rings.map(r => new S2Loop(r.toArray))
     val order = rings.indices.sortBy(i => -loops(i).area)
@@ -567,7 +606,7 @@ object PolyClip {
     * to an existing vertex land within ulp of it, and a doubled vertex
     * corrupts the turn-angle curvature sum (garbage loop areas). ~6 um
     * tolerance on Earth. */
-  private def dedupeRing(r: Vector[S2Point]): Vector[S2Point] = {
+  private[core] def dedupeRing(r: Vector[S2Point]): Vector[S2Point] = {
     @inline def near(a: S2Point, b: S2Point): Boolean = a == b || a.angle(b) < 1e-12
     val out = mutable.ArrayBuffer[S2Point]()
     for (p <- r) if (out.isEmpty || !near(out.last, p)) out += p

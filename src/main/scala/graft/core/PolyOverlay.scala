@@ -1,0 +1,298 @@
+package graft.core
+
+import scala.collection.mutable
+
+/**
+ * Planar-graph polygon overlay — the robust core behind s2_intersection /
+ * s2_difference / s2_union on polygon inputs (reference semantics:
+ * src/s2_binary_index_ops.cpp:157-448, whose S2BooleanOperation gets its
+ * degenerate-input robustness from S2Builder snap rounding).
+ *
+ * The Weiler-Atherton ring-pair traversal in [[PolyClip]] is exact for
+ * cleanly crossing / disjoint boundaries but corrupts pieces when a
+ * vertex lands ulp-NEAR the other ring's edge (the crossing-node pairing
+ * sees an odd count). This engine removes that failure class the way
+ * S2BooleanOperation does — make near-incidences EXACT, then operate on
+ * a planar subdivision where edges meet only at shared endpoints:
+ *
+ *   1. SNAP-ALIGN (~[[SnapTol]] = 1e-12 rad ≈ 6 µm): merge cross-input
+ *      vertex pairs within tolerance to one canonical point, and reroute
+ *      every edge through canonical vertices lying within tolerance of
+ *      it. Clean inputs are untouched (nothing is within tolerance), so
+ *      exact results and pinned goldens do not move.
+ *   2. SUBDIVIDE: split every edge at its proper crossings with the
+ *      other input's edges (crossing points computed once per pair and
+ *      themselves snapped to nearby canonical vertices). Near-collinear
+ *      edge pairs are shared arcs, not crossings — after step 1 both
+ *      sides subdivide a shared arc at the SAME canonical vertex chain,
+ *      so shared sub-edges match EXACTLY, no tolerance needed.
+ *   3. CLASSIFY each directed region-left sub-edge: exact shared-arc
+ *      match against the other side (same or opposite direction), else
+ *      parity containment of its midpoint in the other (snapped) region.
+ *   4. SELECT boundary edges per op (∩ / ∪ / \) and STITCH them into
+ *      rings, preferring ring closure, then continuation on the same
+ *      source ring (keeps corner-touching rings separate), then any
+ *      unused successor.
+ *
+ * All three ops are selected from ONE subdivision, which makes the
+ * self-check nearly free: |A∩B|+|A\B| must equal |A|, |A∩B|+|B\A| = |B|,
+ * and |A∪B| = |A|+|B|-|A∩B|. Any violation (or a stitching failure)
+ * returns None and the caller falls back to the legacy exact clipper —
+ * robustness never regresses below the r5-r7 behavior.
+ */
+object PolyOverlay {
+  import PolyClip.{Group, Ring}
+
+  /** Snap-alignment tolerance in radians (~6 µm on Earth): generous for
+    * ulp-scale degeneracy, far below any real-data feature size. */
+  private val SnapTol = 1e-12
+
+  def intersect(a: Vector[Group], b: Vector[Group]): Option[Vector[Group]] =
+    run(a, b).map(_.and)
+  def union(a: Vector[Group], b: Vector[Group]): Option[Vector[Group]] =
+    run(a, b).map(_.or)
+  def diff(a: Vector[Group], b: Vector[Group]): Option[Vector[Group]] =
+    run(a, b).map(_.minus)
+
+  private final case class Results(and: Vector[Group], or: Vector[Group],
+                                   minus: Vector[Group])
+
+  /** Directed sub-edge: region on the LEFT walking u -> v; `ring` is a
+    * global ring index (source-qualified) used for stitch preference. */
+  private final case class DEdge(u: S2Point, v: S2Point, ring: Int)
+
+  private def run(a: Vector[Group], b: Vector[Group]): Option[Results] =
+    try runImpl(a, b) catch { case _: Exception => None }
+
+  private def runImpl(aIn: Vector[Group], bIn: Vector[Group]): Option[Results] = {
+    // ---- region-left ring chains (shells as stored small-side = CCW;
+    // holes reversed), keeping group structure for the per-source areas
+    def leftRings(gs: Vector[Group]): Vector[Ring] = gs.flatMap { g =>
+      val rs = PolyClip.normRing(g.shell) +: g.holes.map(h => PolyClip.normRing(h).reverse)
+      rs.filter(_.size >= 3)
+    }
+    val aRings0 = leftRings(aIn)
+    val bRings0 = leftRings(bIn)
+    if (aRings0.isEmpty || bRings0.isEmpty) return None
+
+    // ---- 1. snap-align: canonicalize B vertices onto A vertices within tol
+    val aVerts: Vector[S2Point] = aRings0.flatten.distinct
+    val bVertsRaw: Vector[S2Point] = bRings0.flatten.distinct
+    val canon = mutable.HashMap[S2Point, S2Point]()
+    for (w <- bVertsRaw; if !canon.contains(w)) {
+      var best: S2Point = null
+      var bestD = SnapTol
+      for (u <- aVerts) {
+        val d = w.angle(u)
+        if (d <= bestD) { best = u; bestD = d }
+      }
+      if (best != null && best != w) canon(w) = best
+    }
+    def canonChain(r: Ring): Ring = dedupCycle(r.map(p => canon.getOrElse(p, p)))
+    val aRings = aRings0 // A vertices are already canonical
+    val bRings = bRings0.map(canonChain).filter(_.size >= 3)
+    if (bRings.isEmpty) return None
+    val bVerts: Vector[S2Point] = bRings.flatten.distinct
+
+    // ---- 2. subdivision: per-edge cut lists
+    // edge id space: rings flattened; cuts(ringIdx)(edgeIdx) = points
+    type Cuts = Array[Array[mutable.ArrayBuffer[S2Point]]]
+    def newCuts(rings: Vector[Ring]): Cuts =
+      rings.map(r => Array.fill(r.size)(mutable.ArrayBuffer[S2Point]())).toArray
+    val aCuts = newCuts(aRings)
+    val bCuts = newCuts(bRings)
+
+    // 2a. vertex-on-edge incidences (the ulp-degenerate class): reroute
+    // each edge through canonical vertices of the OTHER input within tol
+    def cutAtVertices(rings: Vector[Ring], cuts: Cuts, verts: Vector[S2Point]): Unit =
+      for (ri <- rings.indices; r = rings(ri); i <- r.indices) {
+        val u = r(i); val v = r((i + 1) % r.size)
+        for (w <- verts; if w != u && w != v && onArcWithin(w, u, v, SnapTol))
+          cuts(ri)(i) += w
+      }
+    cutAtVertices(aRings, aCuts, bVerts)
+    cutAtVertices(bRings, bCuts, aVerts)
+
+    // 2b. proper crossings between A and B edges; crossing points snapped
+    // to nearby canonical vertices, then to previously seen crossings
+    val seenCrossings = mutable.ArrayBuffer[S2Point]()
+    def canonPoint(p: S2Point, near: Seq[S2Point]): S2Point = {
+      for (q <- near) if (p == q || p.angle(q) <= SnapTol) return q
+      for (q <- seenCrossings) if (p.angle(q) <= SnapTol) return q
+      seenCrossings += p
+      p
+    }
+    for (ai <- aRings.indices; ra = aRings(ai); i <- ra.indices) {
+      val a1 = ra(i); val a2 = ra((i + 1) % ra.size)
+      for (bi <- bRings.indices; rb = bRings(bi); j <- rb.indices) {
+        val b1 = rb(j); val b2 = rb((j + 1) % rb.size)
+        // near-collinear pairs are shared arcs (subdivided identically by
+        // step 2a), never transversal crossings — same guard as PolyClip
+        if (S2Pred.crossingSign(a1, a2, b1, b2) > 0 &&
+            !(S2Pred.nearCollinear(a1, a2, b1) && S2Pred.nearCollinear(a1, a2, b2))) {
+          val p = canonPoint(PolyClip.intersectionPoint(a1, a2, b1, b2),
+            Seq(a1, a2, b1, b2))
+          if (p != a1 && p != a2) aCuts(ai)(i) += p
+          if (p != b1 && p != b2) bCuts(bi)(j) += p
+        }
+      }
+    }
+
+    def subdivide(rings: Vector[Ring], cuts: Cuts, ringBase: Int): Vector[DEdge] = {
+      val out = mutable.ArrayBuffer[DEdge]()
+      for (ri <- rings.indices; r = rings(ri)) {
+        val chain = mutable.ArrayBuffer[S2Point]()
+        for (i <- r.indices) {
+          chain += r(i)
+          val u = r(i)
+          chain ++= cuts(ri)(i).distinct.sortBy(p => u.angle(p))
+        }
+        val cyc = dedupCycle(chain.toVector)
+        for (i <- cyc.indices)
+          out += DEdge(cyc(i), cyc((i + 1) % cyc.size), ringBase + ri)
+      }
+      out.toVector
+    }
+    val aEdges = subdivide(aRings, aCuts, 0)
+    val bEdges = subdivide(bRings, bCuts, aRings.size)
+
+    // subdivided chains per ring (for the parity containment index — the
+    // classification must test against the SNAPPED geometry, and using
+    // identical chains keeps both sides of a shared arc consistent)
+    def chainsOf(edges: Vector[DEdge]): Vector[Ring] =
+      edges.groupBy(_.ring).toVector.sortBy(_._1).map(_._2.map(_.u))
+    val aChains = chainsOf(aEdges)
+    val bChains = chainsOf(bEdges)
+    val aLoops = aChains.map(r => new S2Loop(r.toArray))
+    val bLoops = bChains.map(r => new S2Loop(r.toArray))
+    def parityContains(loops: Vector[S2Loop], p: S2Point): Boolean =
+      loops.foldLeft(false)((acc, l) => acc ^ l.contains(p))
+
+    // ---- 3. classify + 4. select
+    val bSet = bEdges.iterator.map(e => (e.u, e.v)).toSet
+    val aSet = aEdges.iterator.map(e => (e.u, e.v)).toSet
+    val andSel = mutable.ArrayBuffer[DEdge]()
+    val orSel = mutable.ArrayBuffer[DEdge]()
+    val minusSel = mutable.ArrayBuffer[DEdge]()
+    for (e <- aEdges) {
+      if (bSet.contains((e.u, e.v))) { // shared, same direction (A copy)
+        andSel += e; orSel += e
+      } else if (bSet.contains((e.v, e.u))) { // shared, opposite direction
+        minusSel += e
+      } else {
+        val mid = (e.u + e.v).normalize
+        if (parityContains(bLoops, mid)) andSel += e
+        else { orSel += e; minusSel += e }
+      }
+    }
+    for (e <- bEdges) {
+      if (!aSet.contains((e.u, e.v)) && !aSet.contains((e.v, e.u))) {
+        val mid = (e.u + e.v).normalize
+        if (parityContains(aLoops, mid)) { andSel += e; minusSel += DEdge(e.v, e.u, e.ring) }
+        else orSel += e
+      }
+    }
+
+    val dbg = sys.env.contains("GRAFT_OVERLAY_DEBUG")
+    val andG = stitch(andSel.toVector).getOrElse {
+      if (dbg) System.err.println(s"[polyoverlay] AND stitch failed (${andSel.size} edges)")
+      return None }
+    val orG = stitch(orSel.toVector).getOrElse {
+      if (dbg) System.err.println(s"[polyoverlay] OR stitch failed (${orSel.size} edges)")
+      return None }
+    val minusG = stitch(minusSel.toVector).getOrElse {
+      if (dbg) System.err.println(s"[polyoverlay] MINUS stitch failed (${minusSel.size} edges)")
+      return None }
+
+    // ---- self-check: exact area algebra on the snapped geometry
+    def regionArea(gs: Vector[Group]): Double = gs.map(PolyClip.groupArea).sum
+    val aArea = aIn.map(PolyClip.groupArea).sum
+    val bArea = bIn.map(PolyClip.groupArea).sum
+    val i = regionArea(andG); val u = regionArea(orG); val m = regionArea(minusG)
+    // gross-corruption tripwire, not an exactness proof: sliver-laden
+    // outputs carry curvature-area noise ~eps/edge_len at tiny edges, so
+    // the tolerance sits at snap-sliver scale; real corruption (a lost or
+    // double-counted piece) is orders of magnitude above it
+    val tol = Math.max(1e-10, 1e-7 * (aArea + bArea))
+    val ok = Math.abs(i + m - aArea) <= tol &&
+      Math.abs(u - (aArea + bArea - i)) <= tol
+    if (!ok) {
+      if (dbg) System.err.println(
+        s"[polyoverlay] area check failed: i=$i u=$u m=$m aArea=$aArea bArea=$bArea tol=$tol")
+      None
+    } else Some(Results(andG, orG, minusG))
+  }
+
+  /** Stitch directed boundary edges into rings: prefer closing the ring,
+    * then continuing on the same source ring (keeps corner-touching rings
+    * separate instead of producing a figure-eight), then any unused
+    * successor. None on a dangling boundary. */
+  private def stitch(edges: Vector[DEdge]): Option[Vector[Group]] = {
+    if (edges.isEmpty) return Some(Vector.empty)
+    val bySrc = mutable.HashMap[S2Point, mutable.ArrayBuffer[Int]]()
+    for (i <- edges.indices)
+      bySrc.getOrElseUpdate(edges(i).u, mutable.ArrayBuffer.empty) += i
+    val used = new Array[Boolean](edges.size)
+    val rings = mutable.ArrayBuffer[Ring]()
+    for (start <- edges.indices if !used(start)) {
+      val ring = mutable.ArrayBuffer[S2Point]()
+      val startVertex = edges(start).u
+      var cur = start
+      var closed = false
+      while (!closed) {
+        used(cur) = true
+        ring += edges(cur).u
+        val nxt = edges(cur).v
+        if (nxt == startVertex) closed = true
+        else {
+          val cands = bySrc.getOrElse(nxt, mutable.ArrayBuffer.empty)
+            .filter(i => !used(i))
+          if (cands.isEmpty) return None // dangling boundary
+          val sameRing = cands.find(i => edges(i).ring == edges(cur).ring)
+          cur = sameRing.getOrElse(cands.head)
+        }
+      }
+      // output hygiene at 4x the snap tolerance: a pair of corners just
+      // OUTSIDE vertex-merge range (e.g. 1.02e-12 rad apart) leaves a stub
+      // edge whose turn-angle curvature is fp noise — collapse it here
+      // (changes the boundary by <= 4e-12 rad, well inside snap semantics)
+      val cyc = dedupeTol(PolyClip.dedupeRing(ring.toVector), 4 * SnapTol)
+      if (cyc.size >= 3) rings += cyc
+    }
+    // canonical storage: small-side rings rotated to lex-min start,
+    // parity-nested groups sorted — same form as PolyClip.dissolveSeams
+    val stored = rings.toVector.map(PolyClip.normRing).map { r =>
+      val k = r.indices.minBy(i => (r(i).x, r(i).y, r(i).z))
+      r.drop(k) ++ r.take(k)
+    }
+    Some(PolyClip.regroupNested(stored)
+      .sortBy(g => (g.shell.head.x, g.shell.head.y, g.shell.head.z)))
+  }
+
+  /** Drop consecutive vertices within `tol` radians in a cyclic chain. */
+  private def dedupeTol(r: Ring, tol: Double): Ring = {
+    val out = mutable.ArrayBuffer[S2Point]()
+    for (p <- r) if (out.isEmpty || (out.last != p && out.last.angle(p) > tol)) out += p
+    while (out.size > 1 && out.head.angle(out.last) <= tol) out.remove(out.size - 1)
+    out.toVector
+  }
+
+  /** Drop consecutive exact duplicates in a cyclic chain (including the
+    * wrap-around pair). */
+  private def dedupCycle(r: Ring): Ring = {
+    val out = mutable.ArrayBuffer[S2Point]()
+    for (p <- r) if (out.isEmpty || out.last != p) out += p
+    while (out.size > 1 && out.head == out.last) out.remove(out.size - 1)
+    out.toVector
+  }
+
+  /** w lies within `tol` of the INTERIOR of arc (u, v): within tol of the
+    * great circle and projecting strictly inside the arc's wedge. */
+  private def onArcWithin(w: S2Point, u: S2Point, v: S2Point, tol: Double): Boolean = {
+    val n = u.cross(v)
+    val nn = n.norm
+    if (nn < 1e-30) return false
+    if (Math.abs(w.dot(n)) / nn > tol) return false
+    w.dot(n.cross(u)) > 0 && w.dot(v.cross(n)) > 0
+  }
+}

@@ -509,10 +509,35 @@ object Queries {
       | true AS diff_has_33, true AS diff_not_77, true AS un_has_both,
       | true AS mp_un_ie, true AS mp_un_has, true AS mp_un_not,
       | true AS hp_un_ie, true AS hp_un_fill, true AS hp_un_hole,
-      | 'POLYGON ((15 5, 15 15, 5 15, 5 10.037423, 0 10, 0 0, 10 0, 10 5.019002, 15 5))' AS un_sq_wkt,
+      | 'POLYGON ((15 15, 5 15, 5 10.037423, 0 10, 0 0, 10 0, 10 5.019002, 15 5, 15 15))' AS un_sq_wkt,
       | 'MULTIPOLYGON (((45 45, 35 45, 35 40.107598, 30 40, 30 30, 40 30, 40 35.102702, 45 35, 45 45)), ((15 15, 5 15, 5 10.037423, 0 10, 0 0, 10 0, 10 5.019002, 15 5, 15 15)))' AS un_mp_wkt,
       | 'POLYGON ((30 30, 10 30, 10 20.283559, 0 20, 0 0, 20 0, 20 10.151082, 30 10, 30 30), (15 10.113253, 10 10, 10 15.054701, 5 15, 5 5, 15 5, 15 10.113253))' AS un_hp_wkt,
       | 'MULTIPOLYGON (((10 10, 0 10, 0 0, 10 0, 10 10), (7 7, 3 7, 3 3, 7 3, 7 7)), ((6 6, 4 6, 4 4, 6 4, 6 6)))' AS un_hf_wkt""".stripMargin
+
+  // Degenerate-input overlay golden (VERDICT r7 item 1): B re-digitizes
+  // A's right border with sub-snap-tolerance drift (1e-13..5e-14 deg ~
+  // 1e-15 rad) and carries a midpoint vertex ulp-near the interior of A's
+  // edge — the exact class the legacy clipper corrupted. The snap-aligned
+  // planar overlay must dissolve the border cleanly: area identities,
+  // containment probes, and a pinned canonical union WKT.
+  private val qOverlaySnap = sqlQ(
+    """WITH d AS (SELECT
+      |  s2_geogfromtext('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))') AS a,
+      |  s2_geogfromtext('POLYGON ((10.0000000000001 0, 20 0, 20 10, 9.9999999999999 10, 10.00000000000005 5, 10.0000000000001 0))') AS b)
+      |SELECT
+      | (SELECT abs(s2_area(s2_union(a, b)) - (s2_area(a) + s2_area(b) - s2_area(s2_intersection(a, b)))) / (s2_area(a) + s2_area(b)) < 1e-6 FROM d) AS snap_un_ie,
+      | (SELECT abs(s2_area(s2_intersection(a, b)) + s2_area(s2_difference(a, b)) - s2_area(a)) / s2_area(a) < 1e-6 FROM d) AS snap_area_add,
+      | (SELECT abs(s2_area(s2_intersection(a, b)) + s2_area(s2_difference(b, a)) - s2_area(b)) / s2_area(b) < 1e-6 FROM d) AS snap_area_add_b,
+      | (SELECT s2_contains(s2_union(a, b), s2_geogfromtext('POINT (5 5)')) AND
+      |         s2_contains(s2_union(a, b), s2_geogfromtext('POINT (15 5)')) FROM d) AS snap_un_has,
+      | (SELECT NOT s2_contains(s2_union(a, b), s2_geogfromtext('POINT (25 5)')) FROM d) AS snap_un_not,
+      | (SELECT s2_contains(s2_difference(a, b), s2_geogfromtext('POINT (5 5)')) AND
+      |         NOT s2_contains(s2_difference(a, b), s2_geogfromtext('POINT (15 5)')) FROM d) AS snap_diff_ok,
+      | (SELECT s2_format(s2_union(a, b), 6) FROM d) AS snap_un_wkt""".stripMargin)
+  private val oOverlaySnap =
+    """SELECT true AS snap_un_ie, true AS snap_area_add, true AS snap_area_add_b,
+      | true AS snap_un_has, true AS snap_un_not, true AS snap_diff_ok,
+      | 'POLYGON ((20 10, 10 10, 0 10, 0 0, 10 0, 20 0, 20 10))' AS snap_un_wkt""".stripMargin
 
   private val qCoveringGolden = (s: SparkSession, dir: String) => {
     prep(s, dir)
@@ -1536,6 +1561,7 @@ object Queries {
     ("g_cell_casts", qCellCastsGolden, Some(oCellCastsGolden)),
     ("g_covering", qCoveringGolden, Some(oCoveringGolden)),
     ("g_overlay", qOverlayGolden, Some(oOverlayGolden)),
+    ("g_overlay_snap", qOverlaySnap, Some(oOverlaySnap)),
     ("g_bounds", qBoundsGolden, Some(oBoundsGolden)),
     ("g_data", qDataGolden, Some(oDataGolden)),
     ("g_flagship_join", qFlagshipJoin, Some(oFlagshipJoin)),
