@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -104,38 +104,39 @@ object Multimodal {
     } catch { case _: Exception => scala.None }
   }
 
-  private val featureSchema = StructType(Seq(
-    StructField("media_id", LongType, nullable = false),
-    StructField("n_bytes", IntegerType, nullable = false),
-    StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
-
-  private val describeSchema = StructType(Seq(
-    StructField("media_id", LongType, nullable = false),
-    StructField("format", StringType, nullable = false),
-    StructField("width", IntegerType, nullable = true),
-    StructField("height", IntegerType, nullable = true),
-    StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+  // typed rows for the Dataset-encoder mapPartitions paths: keeping the
+  // decode inside Dataset land (Deserialize/Serialize, both codegen) means
+  // no RDD scan barrier — the surrounding plan stays in Tungsten
+  // (VERDICT r7 item 7)
+  private[llm] case class MediaMeta(format: Option[String], width: Option[Int],
+                                    height: Option[Int])
+  private[llm] case class MediaIn(media_id: Long, payload: Array[Byte],
+                                  meta: Option[MediaMeta])
+  private[llm] case class IdPayload(media_id: Long, payload: Array[Byte])
+  private[llm] case class DescribeOut(media_id: Long, format: String,
+      width: Option[Int], height: Option[Int], features: Array[Float])
+  private[llm] case class FeatureOut(media_id: Long, n_bytes: Int,
+                                     features: Array[Float])
+  private[llm] case class MediaOut(media_id: Long, payload: Array[Byte],
+                                   meta: MediaMeta)
 
   /** Per-partition REAL decode: format/width/height come from the decoded
     * image itself (not the caller-provided meta); non-image payloads keep
     * the stub features with format 'unknown' and meta passthrough dims. */
   def describeImages(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
-    val rdd = media.select("media_id", "payload", "meta").rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val id = r.getLong(0)
-        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-        decodeImage(payload) match {
-          case Some((fmt, w, h, feats)) => Row(id, fmt, w, h, feats)
+    import spark.implicits._
+    media.select("media_id", "payload", "meta").as[MediaIn].mapPartitions { rows =>
+      rows.map { m =>
+        decodeImage(m.payload) match {
+          case Some((fmt, w, h, feats)) =>
+            DescribeOut(m.media_id, fmt, Some(w), Some(h), feats)
           case scala.None =>
-            val meta = if (r.isNullAt(2)) null else r.getStruct(2)
-            val w = if (meta == null || meta.isNullAt(1)) null else Integer.valueOf(meta.getInt(1))
-            val h = if (meta == null || meta.isNullAt(2)) null else Integer.valueOf(meta.getInt(2))
-            Row(id, "unknown", w, h, decodeStub(payload))
+            DescribeOut(m.media_id, "unknown", m.meta.flatMap(_.width),
+              m.meta.flatMap(_.height), decodeStub(m.payload))
         }
       }
-    }
-    spark.createDataFrame(rdd, describeSchema)
+    }.toDF()
   }
 
   /**
@@ -145,16 +146,14 @@ object Multimodal {
    */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
-    val rdd = media.select("media_id", "payload").rdd.mapPartitions { rows =>
+    import spark.implicits._
+    media.select("media_id", "payload").as[IdPayload].mapPartitions { rows =>
       // per-partition decoder init would go here (amortized, not per-row)
-      rows.map { r =>
-        val id = r.getLong(0)
-        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-        val n = if (payload == null) 0 else payload.length
-        Row(id, n, decodeStub(payload))
+      rows.map { m =>
+        val n = if (m.payload == null) 0 else m.payload.length
+        FeatureOut(m.media_id, n, decodeStub(m.payload))
       }
-    }
-    spark.createDataFrame(rdd, featureSchema)
+    }.toDF()
   }
 
   /** Resample a decoded image to the target size (nearest-neighbor via
@@ -188,35 +187,34 @@ object Multimodal {
     * production shape either way. */
   def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
     val spark = media.sparkSession
-    val outSchema = mediaSchema
+    import spark.implicits._
     val n = targetW * targetH
-    val rdd = media.select("media_id", "payload", "meta").rdd.mapPartitions { rows =>
+    media.select("media_id", "payload", "meta").as[MediaIn].mapPartitions { rows =>
       // per-partition resampler init would go here (amortized, not per-row)
-      rows.map { r =>
-        val id = r.getLong(0)
-        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-        resizeImage(payload, targetW, targetH) match {
-          case Some(bytes) => Row(id, bytes, Row("image/png", targetW, targetH))
+      rows.map { m =>
+        resizeImage(m.payload, targetW, targetH) match {
+          case Some(bytes) =>
+            MediaOut(m.media_id, bytes,
+              MediaMeta(Some("image/png"), Some(targetW), Some(targetH)))
           case scala.None =>
             val resized =
-              if (payload == null) null
+              if (m.payload == null) null
               else {
                 val out = new Array[Byte](n)
                 var i = 0
                 while (i < n) {
                   // nearest-neighbor byte subsample (stub for non-images)
-                  out(i) = if (payload.length == 0) 0
-                    else payload(((i.toLong * payload.length) / n).toInt)
+                  out(i) = if (m.payload.length == 0) 0
+                    else m.payload(((i.toLong * m.payload.length) / n).toInt)
                   i += 1
                 }
                 out
               }
-            val fmt = if (r.isNullAt(2)) null else r.getStruct(2).getString(0)
-            Row(id, resized, Row(fmt, targetW, targetH))
+            MediaOut(m.media_id, resized,
+              MediaMeta(m.meta.flatMap(_.format), Some(targetW), Some(targetH)))
         }
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    }.toDF()
   }
 
   /** Frame-sampling shape for video-like payloads: split payload into

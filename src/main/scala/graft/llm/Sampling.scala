@@ -43,16 +43,46 @@ object Sampling {
 
   /** Per-group token-budget cap — the data-mixing primitive ("cap each
     * source at N tokens"): keep rows in deterministic id order until the
-    * group's cumulative token count would exceed the budget. One window
-    * shuffle on the group key; ordering is integer-only (no float ties),
-    * so the kept set is exactly reproducible. Groups here are sources /
-    * languages / domains — bounded cardinality with many rows each, the
-    * shape a partitioned running sum handles at any scale. */
+    * group's cumulative token count would exceed the budget.
+    *
+    * DISTRIBUTED PREFIX SUM (VERDICT r7 item 2): a plain
+    * `Window.partitionBy(group)` running sum serializes each group into
+    * ONE task — "cap each source at N tokens" over 100 TB with a handful
+    * of sources would be a handful of straggler tasks. Instead:
+    *
+    *   1. range-repartition on (group, id), so each partition holds a
+    *      contiguous id range of a group (localCheckpoint pins the
+    *      partition ids — the offsets computed in step 2 are keyed by
+    *      them, and a re-sampled range exchange could reassign rows);
+    *   2. per-(partition, group) token sums (tiny: partitions x groups
+    *      rows), then each chunk's cumulative OFFSET = sum of partials of
+    *      the same group in earlier partitions — a window over the tiny
+    *      partials table, broadcast-joined back;
+    *   3. the running sum inside each (group, partition) chunk, a window
+    *      whose partition key includes the physical partition id, so
+    *      parallelism is partitions x groups and memory is bounded by one
+    *      chunk, not one group.
+    *
+    * The kept row set is bit-identical to the single-window form (the
+    * per-row cumulative sum is the same integer), just computed with >1
+    * task per group; ordering is integer-only (no float ties), so the
+    * result is exactly reproducible. */
   def capTokenBudget(df: DataFrame, groupCol: String, idCol: String,
                      tokenCol: String, budget: Long): DataFrame = {
-    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
-    df.withColumn("__cum", sum(col(tokenCol)).over(w))
+    val parts = df.repartitionByRange(col(groupCol), col(idCol)).localCheckpoint()
+    val withPid = parts.withColumn("__pid", spark_partition_id())
+    val partials = withPid.groupBy(col("__pid"), col(groupCol))
+      .agg(sum(col(tokenCol)).as("__psum"))
+    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("__pid"))
+    val offsets = partials
+      .withColumn("__off", sum(col("__psum")).over(wOff) - col("__psum"))
+      .select(col("__pid").as("__opid"), col(groupCol).as("__ogrp"), col("__off"))
+    val wIn = Window.partitionBy(col(groupCol), col("__pid")).orderBy(col(idCol))
+    withPid
+      .join(broadcast(offsets),
+        col("__pid") === col("__opid") && col(groupCol) === col("__ogrp"))
+      .withColumn("__cum", col("__off") + sum(col(tokenCol)).over(wIn))
       .where(col("__cum") <= budget)
-      .drop("__cum")
+      .drop("__pid", "__opid", "__ogrp", "__off", "__cum")
   }
 }

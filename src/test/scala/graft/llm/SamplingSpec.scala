@@ -63,4 +63,27 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Sampling.capTokenBudget(df, "grp", "id", "n_tok", 100L).columns.toSeq
       === Seq("id", "grp", "n_tok"))
   }
+
+  test("token budget cap is a distributed prefix sum: >1 task per group") {
+    val s = spark; import s.implicits._
+    // 2 groups x 20k rows, each row 1 token, budget keeps the first 14923
+    // ids of each group — large enough that range partitioning spreads
+    // every group over several of the 4 shuffle partitions
+    val df = (0L until 40000L).map(i => (i, (i % 2).toInt, 1L)).toDF("id", "grp", "n_tok")
+    val res = Sampling.capTokenBudget(df, "grp", "id", "n_tok", 14923L)
+    val got = res.groupBy("grp").count().as[(Int, Long)].collect().toMap
+    assert(got === Map(0 -> 14923L, 1 -> 14923L))
+    // the per-chunk running sum is keyed by (group, physical partition):
+    // the plan's window partition spec must include the partition id, and
+    // the data must actually occupy >1 chunk per group
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("__pid"), s"window not partition-id-scoped:\n$plan")
+    val chunks = df.repartitionByRange(4, $"grp", $"id")
+      .select($"grp", org.apache.spark.sql.functions.spark_partition_id().as("pid"))
+      .distinct().count()
+    assert(chunks > 2, s"expected >1 (group, partition) chunk per group, got $chunks total")
+    // exact boundary: highest kept id per group is budget-1 (ids are dense)
+    val maxIds = res.groupBy("grp").agg(max("id")).as[(Int, Long)].collect().toMap
+    assert(maxIds === Map(0 -> 29844L, 1 -> 29845L))
+  }
 }
