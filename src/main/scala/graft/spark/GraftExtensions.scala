@@ -31,19 +31,13 @@ object SpatialJoinRewrite extends Rule[LogicalPlan]
   /** Session override for the intersects/contains covering level:
     * `SET spark.graft.join.coveringLevel=8`. The refine predicate makes ANY
     * level correct; the level only tunes shuffle-key count vs per-row
-    * covering cost, so this is purely a plan-quality knob. Level 4 (~1536
-    * cells globally) suits polygon-heavy data; point-dominated workloads on
-    * big clusters want 6-10 for shuffle parallelism. */
+    * covering cost, so this is purely a plan-quality knob. When unset the
+    * level comes from the parallelism-and-count heuristic below. */
   val CoveringLevelConf = "spark.graft.join.coveringLevel"
 
-  /** Opt-in byte-stats level adaptivity (`=true`). Off by default: logical
-    * stats are UNRELIABLE for this decision — a join inside a side reports
-    * the PRODUCT of its children's sizes, and sentinel defaults report
-    * Long.MaxValue — while the cost of guessing too fine is 4^level
-    * per-polygon covering blowup (Russia at level 10 is ~200k exploded
-    * rows each carrying the full blob). A session that knows its data is
-    * point-dominated should set [[CoveringLevelConf]] directly instead. */
-  val AdaptiveLevelConf = "spark.graft.join.adaptiveLevel"
+  /** Opt-out for the parallelism-and-count default-level heuristic
+    * (`=false` pins the floors: covering level 4, dwithin offset 0). */
+  val LevelHeuristicConf = "spark.graft.join.levelHeuristic"
 
   /** Dwithin shuffle-key cardinality knob: `SET
     * spark.graft.join.dwithinLevelOffset=k` covers at kMinWidth-level + k
@@ -53,10 +47,86 @@ object SpatialJoinRewrite extends Rule[LogicalPlan]
     * only ~384 level-3 cells worldwide — fine on local[32], a parallelism
     * cap on a 1000-executor cluster; offsets 1-2 trade a (2^k+... wider
     * probe explode (ring (2·2^k+1)² vs 9 cells) for 4^k more keys and
-    * ~4^k/ring² fewer candidates per key. Default 0. */
+    * ~4^k/ring² fewer candidates per key. When unset the offset comes
+    * from the parallelism-and-count heuristic below. */
   val DwithinLevelOffsetConf = "spark.graft.join.dwithinLevelOffset"
 
   private val DefaultCoveringLevel = 4
+  // heuristic caps: fixed-level coverings of continent-sized polygons grow
+  // 4^level per row (Russia at level 10 is ~200k exploded rows each carrying
+  // the full blob), and each dwithin offset step widens the probe ring
+  // (2·2^k+1)² — at the caps the worst-case input blowup is 16x / 2.8x.
+  private val MaxHeuristicCoveringLevel = 6
+  private val MaxHeuristicDwithinOffset = 2
+  private val KeysPerPartition = 2
+
+  /** Global S2 cell count at a level: 6 * 4^level. */
+  private def cellsAtLevel(level: Int): BigInt = BigInt(6) << (2 * level)
+
+  /** Row-count estimate for one join side. Uses rowCount stats when the
+    * session provides them (CBO, Range, analyzed tables); otherwise each
+    * LEAF's scan bytes over its schema row width. Leaf sizeInBytes are real
+    * file sizes — unlike join-OUTPUT sizeInBytes (child-size products) and
+    * unknown-plan sentinels (Long.MaxValue), the r5 failure modes — and
+    * any implausible (≥1 PB) leaf marks the side unknown rather than
+    * poisoning the estimate. None = unknown. */
+  def estimatedRows(plan: LogicalPlan): Option[BigInt] =
+    try {
+      plan.stats.rowCount.orElse {
+        val perLeaf = plan.collectLeaves().map { leaf =>
+          val bytes = leaf.stats.sizeInBytes
+          if (bytes < 0 || bytes >= (BigInt(1) << 50)) scala.None
+          else leaf.stats.rowCount.orElse {
+            val rowWidth = 8L + leaf.output.map(_.dataType.defaultSize).sum
+            Some(bytes / rowWidth)
+          }
+        }
+        if (perLeaf.isEmpty || perLeaf.exists(_.isEmpty)) scala.None
+        else Some(perLeaf.flatten.max)
+      }
+    } catch { case _: Throwable => scala.None }
+
+  /** Shuffle-key target for the heuristic: the shuffle partition count is
+    * the one cluster-profile signal every deployment tunes (local[32] runs
+    * 32, a 1000-executor cluster runs thousands), so the default aims for
+    * [[KeysPerPartition]] keys per partition — and never more keys than the
+    * larger side has rows to fill them with (finer is pure covering cost
+    * once keys outnumber rows). Unknown rows trust the partition count:
+    * the refine keeps any level correct, and a high-parallelism session is
+    * strong evidence of cluster-scale data. */
+  private def targetKeys(sqlConf: org.apache.spark.sql.internal.SQLConf,
+                         left: LogicalPlan, right: LogicalPlan): BigInt = {
+    val fromParallelism = BigInt(sqlConf.numShufflePartitions.max(1)) * KeysPerPartition
+    Seq(estimatedRows(left), estimatedRows(right)).flatten
+      .maxOption.fold(fromParallelism)(_.min(fromParallelism))
+  }
+
+  private def bumpLevel(floor: Int, cap: Int, target: BigInt): Int = {
+    var lvl = floor
+    while (lvl < cap && cellsAtLevel(lvl) < target) lvl += 1
+    lvl
+  }
+
+  /** Default covering level for a cover-then-refine join (explicit conf
+    * handled by callers): floor 4, bumped while the global cell count at
+    * the level undershoots the shuffle-key target, capped at 6. On
+    * local[32] this always returns 4 (1536 cells ≥ 2·32); a
+    * 4096-partition cluster session gets 6. */
+  def defaultCoveringLevel(sqlConf: org.apache.spark.sql.internal.SQLConf,
+                           left: LogicalPlan, right: LogicalPlan): Int =
+    if (!sqlConf.getConfString(LevelHeuristicConf, "true").toBoolean) DefaultCoveringLevel
+    else bumpLevel(DefaultCoveringLevel, MaxHeuristicCoveringLevel,
+      targetKeys(sqlConf, left, right))
+
+  /** Default dwithin level offset: 0, bumped while the cell count at
+    * (radius level + offset) undershoots the shuffle-key target, capped at
+    * 2. A 300 km radius (level 3, 384 cells) stays 0 on local[32] and
+    * reaches 2 (6144 cells) on a 4096-partition session. */
+  def defaultDwithinOffset(sqlConf: org.apache.spark.sql.internal.SQLConf, baseLevel: Int,
+                           left: LogicalPlan, right: LogicalPlan): Int =
+    if (!sqlConf.getConfString(LevelHeuristicConf, "true").toBoolean) 0
+    else bumpLevel(baseLevel, baseLevel + MaxHeuristicDwithinOffset,
+      targetKeys(sqlConf, left, right)) - baseLevel
 
   /** Marks a join this rule already produced, so later optimizer
     * iterations never re-match the refine filter once it gets pushed into
@@ -65,31 +135,12 @@ object SpatialJoinRewrite extends Rule[LogicalPlan]
     * `__cell` column). */
   private val RewrittenTag = TreeNodeTag[Boolean]("graft.spatialJoinRewritten")
 
-  /**
-   * Level for the cover-then-refine shuffle key: the conf wins; otherwise
-   * optional stats adaptivity (+1 per 16x past 256 MB — each level step
-   * quadruples cells and quarters per-cell candidates); otherwise 4.
-   *
-   * The adaptive path only trusts sizes that look like real scan stats:
-   * both sides below 1 PB (join sides report size PRODUCTS of their
-   * children; unknown plans report the Long.MaxValue sentinel — an r5
-   * Verify run OOM'd on exactly that before this guard), and the bump is
-   * capped at level 6 because fixed-level coverings of continent-sized
-   * polygons grow 4^level per row.
-   */
+  /** Level for the cover-then-refine shuffle key: the conf wins; otherwise
+    * the parallelism-and-count heuristic ([[defaultCoveringLevel]]). */
   private def coveringLevel(left: LogicalPlan, right: LogicalPlan): Int = {
     val explicit = conf.getConfString(CoveringLevelConf, "")
-    if (explicit.nonEmpty) return explicit.toInt.max(0).min(20)
-    if (!conf.getConfString(AdaptiveLevelConf, "false").toBoolean) return DefaultCoveringLevel
-    val plausible =
-      try Seq(left.stats.sizeInBytes, right.stats.sizeInBytes)
-        .filter(s => s >= 0 && s < (BigInt(1) << 50))
-      catch { case _: Throwable => Nil }
-    if (plausible.size < 2) return DefaultCoveringLevel
-    var lvl = DefaultCoveringLevel
-    var over = plausible.max / (BigInt(256) << 20)
-    while (over > 0 && lvl < 6) { lvl += 1; over /= 16 }
-    lvl
+    if (explicit.nonEmpty) explicit.toInt.max(0).min(20)
+    else defaultCoveringLevel(conf, left, right)
   }
 
   private def isFn(u: ScalaUDF, fn: AnyRef, name: String): Boolean =
@@ -195,8 +246,11 @@ object SpatialJoinRewrite extends Rule[LogicalPlan]
   private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
                       spatial: Expression, others: Seq[Expression],
                       geogL: Expression, geogR: Expression, meters: Option[Double]): LogicalPlan = {
-    val dwithinOffset = meters.fold(0)(_ =>
-      conf.getConfString(DwithinLevelOffsetConf, "0").toInt.max(0).min(6))
+    val dwithinOffset = meters.fold(0) { m =>
+      val explicit = conf.getConfString(DwithinLevelOffsetConf, "")
+      if (explicit.nonEmpty) explicit.toInt.max(0).min(6)
+      else defaultDwithinOffset(conf, S2Join.levelForDistance(m), left, right)
+    }
     val level = meters.fold(coveringLevel(left, right))(m =>
       Math.min(S2Join.levelForDistance(m) + dwithinOffset, 30))
     val ring = 1 << dwithinOffset

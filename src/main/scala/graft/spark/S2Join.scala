@@ -19,20 +19,32 @@ import S2Functions.S2
 object S2Join {
 
   /** Sentinel: resolve the covering level from
-    * spark.graft.join.coveringLevel (default 4). Finer levels mean more
-    * shuffle keys and fewer candidates per cell — at cluster scale set the
-    * conf to 6-10; the refine predicate makes any level correct. */
+    * spark.graft.join.coveringLevel when set, otherwise the
+    * parallelism-and-count heuristic
+    * ([[SpatialJoinRewrite.defaultCoveringLevel]]: floor 4, bumped toward
+    * the session's shuffle-partition count, bounded by the sides' row-count
+    * estimates, capped at 6). Finer levels mean more shuffle keys and fewer
+    * candidates per cell; the refine predicate makes any level correct. */
   val AutoLevel: Int = -1
 
-  private def resolveLevel(df: DataFrame, level: Int): Int =
+  private def resolveLevel(left: DataFrame, right: DataFrame, level: Int): Int =
     if (level >= 0) level
-    else df.sparkSession.conf.get(SpatialJoinRewrite.CoveringLevelConf, "4").toInt
+    else {
+      val explicit = left.sparkSession.conf.get(SpatialJoinRewrite.CoveringLevelConf, "")
+      if (explicit.nonEmpty) explicit.toInt.max(0).min(20)
+      else SpatialJoinRewrite.defaultCoveringLevel(left.sparkSession.sessionState.conf,
+        left.queryExecution.optimizedPlan, right.queryExecution.optimizedPlan)
+    }
 
-  /** Session knob for dwithin shuffle-key cardinality (see
-    * [[SpatialJoinRewrite.DwithinLevelOffsetConf]]). */
-  private def dwithinLevelOffset(df: DataFrame): Int =
-    df.sparkSession.conf.get(SpatialJoinRewrite.DwithinLevelOffsetConf, "0")
-      .toInt.max(0).min(6)
+  /** Dwithin shuffle-key cardinality: the conf when set
+    * ([[SpatialJoinRewrite.DwithinLevelOffsetConf]]), otherwise the
+    * parallelism-and-count heuristic. */
+  private def dwithinLevelOffset(left: DataFrame, right: DataFrame, baseLevel: Int): Int = {
+    val explicit = left.sparkSession.conf.get(SpatialJoinRewrite.DwithinLevelOffsetConf, "")
+    if (explicit.nonEmpty) explicit.toInt.max(0).min(6)
+    else SpatialJoinRewrite.defaultDwithinOffset(left.sparkSession.sessionState.conf,
+      baseLevel, left.queryExecution.optimizedPlan, right.queryExecution.optimizedPlan)
+  }
 
   /** Keep the `level`-covering of geogCol as an array column AND explode it
     * into a `__cell` join key. The kept array drives the smallest-common-cell
@@ -91,7 +103,7 @@ object S2Join {
   def intersects(left: DataFrame, geogL: String, right: DataFrame, geogR: String,
                  level: Int = AutoLevel): DataFrame = {
     S2Functions.ensureRegistered(left.sparkSession)
-    val lv = resolveLevel(left, level)
+    val lv = resolveLevel(left, right, level)
     val l = withCells(left, geogL, lv, "__lcov")
     val r = withCells(right, geogR, lv, "__rcov")
     refineDedupe(l, r, call_function("s2_intersects", col(geogL), col(geogR)))
@@ -101,7 +113,7 @@ object S2Join {
   def contains(left: DataFrame, geogL: String, right: DataFrame, geogR: String,
                level: Int = AutoLevel): DataFrame = {
     S2Functions.ensureRegistered(left.sparkSession)
-    val lv = resolveLevel(left, level)
+    val lv = resolveLevel(left, right, level)
     val l = withCells(left, geogL, lv, "__lcov")
     val r = withCells(right, geogR, lv, "__rcov")
     refineDedupe(l, r, call_function("s2_contains", col(geogL), col(geogR)))
@@ -136,7 +148,7 @@ object S2Join {
   def dwithin(left: DataFrame, geogL: String, right: DataFrame, geogR: String,
               meters: Double, pairFilter: Option[Column] = None): DataFrame = {
     S2Functions.ensureRegistered(left.sparkSession)
-    val offset = dwithinLevelOffset(left)
+    val offset = dwithinLevelOffset(left, right, levelForDistance(meters))
     val level = Math.min(levelForDistance(meters) + offset, 30)
     val ring = 1 << offset
     // full ring probe set: edge neighbors alone miss pairs that are close

@@ -135,6 +135,36 @@ class SpatialJoinRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(int.collect().head.getLong(0) === dbl.collect().head.getLong(0))
   }
 
+  test("level heuristic: floors locally, bumps with cluster parallelism, bounded by rows") {
+    import org.apache.spark.sql.internal.SQLConf
+    // Range reports exact rowCount stats — synthetic sizes for the heuristic
+    val big = spark.range(2000000000L).queryExecution.optimizedPlan
+    val small = spark.range(100).queryExecution.optimizedPlan
+
+    val local = new SQLConf
+    local.setConfString("spark.sql.shuffle.partitions", "32")
+    // local[32] profile: floors hold regardless of data size (1536 cells at
+    // level 4 and 384 at dwithin base 3 already exceed 2 keys/partition)
+    assert(SpatialJoinRewrite.defaultCoveringLevel(local, big, big) === 4)
+    assert(SpatialJoinRewrite.defaultDwithinOffset(local, 3, big, big) === 0)
+
+    val cluster = new SQLConf
+    cluster.setConfString("spark.sql.shuffle.partitions", "4096")
+    // cluster profile + big data: bump to the caps (8192-key target)
+    assert(SpatialJoinRewrite.defaultCoveringLevel(cluster, big, big) === 6)
+    assert(SpatialJoinRewrite.defaultDwithinOffset(cluster, 3, big, big) === 2)
+    // row guard: a 100-row join cannot fill more keys — floors hold even at
+    // cluster parallelism (finer would be pure covering cost)
+    assert(SpatialJoinRewrite.defaultCoveringLevel(cluster, small, small) === 4)
+    assert(SpatialJoinRewrite.defaultDwithinOffset(cluster, 3, small, small) === 0)
+    // one big side is enough to justify the finer key space
+    assert(SpatialJoinRewrite.defaultCoveringLevel(cluster, small, big) === 6)
+    // opt-out pins the floors
+    cluster.setConfString(SpatialJoinRewrite.LevelHeuristicConf, "false")
+    assert(SpatialJoinRewrite.defaultCoveringLevel(cluster, big, big) === 4)
+    assert(SpatialJoinRewrite.defaultDwithinOffset(cluster, 3, big, big) === 0)
+  }
+
   test("coveringLevel conf changes the plan, not the result") {
     val sql =
       """SELECT c.name AS country, t.name AS city
