@@ -834,6 +834,37 @@ object Queries {
       |JOIN (SELECT id, s2_geogpoint(lon, lat) AS g FROM pts) b
       |  ON s2_dwithin(a.g, b.g, 300000.0) AND a.id < b.id""".stripMargin)
 
+  /** Batch twin of the STREAM-STREAM distance join
+    * (graft.streaming.GeoEnrich.dwithinJoin): on batch frames the
+    * watermark nodes fold away and the identical plan runs — cell-ring
+    * equi-join + two-sided event-time range + chord-band refine. Points
+    * derive deterministically from event_id (same grid as `pts`); pairs
+    * must be within 300 km AND 1 hour of event time. The oracle recomputes
+    * with haversine + exact microsecond arithmetic. */
+  private val qStreamDwithin = (s: SparkSession, dir: String) => {
+    prep(s, dir)
+    val ev = s.table("events")
+    def side(tag: String): DataFrame = ev.select(
+      col("event_id").as(s"id_$tag"),
+      (col("event_id") % 360 - 180 + 0.25).cast("double").as(s"lon_$tag"),
+      (col("event_id") % 160 - 80 + 0.25).cast("double").as(s"lat_$tag"),
+      col("ts").as(s"ts_$tag"))
+    graft.streaming.GeoEnrich.dwithinJoin(
+        side("a"), "lon_a", "lat_a", "ts_a",
+        side("b"), "lon_b", "lat_b", "ts_b",
+        meters = 300000.0, windowSeconds = 3600L,
+        pairFilter = Some(col("id_a") < col("id_b")))
+      .agg(count(lit(1)).cast("long").as("n"))
+  }
+  private val oStreamDwithin =
+    """WITH epts AS (SELECT event_id AS id, ts,
+      |  CAST((event_id % 360) - 180 + 0.25 AS DOUBLE) AS lon,
+      |  CAST((event_id % 160) - 80 + 0.25 AS DOUBLE) AS lat FROM events)
+      |SELECT CAST(count(*) AS BIGINT) AS n FROM epts a JOIN epts b ON a.id < b.id
+      |WHERE abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 3600000000
+      |  AND 2*6371010*asin(sqrt(sin(radians(b.lat-a.lat)/2)^2 +
+      |    cos(radians(a.lat))*cos(radians(b.lat))*sin(radians(b.lon-a.lon)/2)^2)) <= 300000""".stripMargin
+
   /** Pole triangles (0 0, n 0, 0 90) have closed-form spherical measures:
     * area = R^2 * radians(n) (the spherical excess IS n at the pole) and
     * perimeter = R * radians(n + 180) — an independent arithmetic oracle
@@ -1617,6 +1648,7 @@ object Queries {
     ("t_dwithin", qDwithinScale, Some(oDwithinScale)),
     ("t_dwithin_join", qDwithinJoin, Some(oDwithinJoin)),
     ("t_dwithin_join_sql", qDwithinJoinSql, Some(oDwithinJoin)),
+    ("b_stream_dwithin", qStreamDwithin, Some(oStreamDwithin)),
     ("t_distance", qDistanceScale, Some(oDistanceScale)),
     ("t_covering", qCoveringScale, Some(oCoveringScale)),
     ("t_measures", qMeasuresScale, Some(oMeasuresScale)),

@@ -27,23 +27,32 @@ object S2Join {
     * candidates per cell; the refine predicate makes any level correct. */
   val AutoLevel: Int = -1
 
+  /** Heuristic input plan: the optimized plan for batch frames (best
+    * stats), the analyzed plan for streaming frames — forcing optimization
+    * on a streaming frame trips the batch-mode UnsupportedOperationChecker,
+    * and streaming leaves report sentinel sizes either way (the heuristic
+    * then falls back to the parallelism target). */
+  private def heuristicPlan(df: DataFrame) =
+    if (df.isStreaming) df.queryExecution.analyzed else df.queryExecution.optimizedPlan
+
   private def resolveLevel(left: DataFrame, right: DataFrame, level: Int): Int =
     if (level >= 0) level
     else {
       val explicit = left.sparkSession.conf.get(SpatialJoinRewrite.CoveringLevelConf, "")
       if (explicit.nonEmpty) explicit.toInt.max(0).min(20)
       else SpatialJoinRewrite.defaultCoveringLevel(left.sparkSession.sessionState.conf,
-        left.queryExecution.optimizedPlan, right.queryExecution.optimizedPlan)
+        heuristicPlan(left), heuristicPlan(right))
     }
 
   /** Dwithin shuffle-key cardinality: the conf when set
     * ([[SpatialJoinRewrite.DwithinLevelOffsetConf]]), otherwise the
-    * parallelism-and-count heuristic. */
-  private def dwithinLevelOffset(left: DataFrame, right: DataFrame, baseLevel: Int): Int = {
+    * parallelism-and-count heuristic. Shared with the streaming twin
+    * ([[graft.streaming.GeoEnrich.dwithinJoin]]). */
+  private[graft] def dwithinLevelOffset(left: DataFrame, right: DataFrame, baseLevel: Int): Int = {
     val explicit = left.sparkSession.conf.get(SpatialJoinRewrite.DwithinLevelOffsetConf, "")
     if (explicit.nonEmpty) explicit.toInt.max(0).min(6)
     else SpatialJoinRewrite.defaultDwithinOffset(left.sparkSession.sessionState.conf,
-      baseLevel, left.queryExecution.optimizedPlan, right.queryExecution.optimizedPlan)
+      baseLevel, heuristicPlan(left), heuristicPlan(right))
   }
 
   /** Keep the `level`-covering of geogCol as an array column AND explode it

@@ -108,6 +108,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(toks.toSeq === Seq("4b59a0cd83b5de49"))
   }
 
+  test("stream-stream dwithin join pairs nearby events within the time window") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val inA = MemoryStream[(Long, Double, Double, Timestamp)]
+    val inB = MemoryStream[(Long, Double, Double, Timestamp)]
+    val out = GeoEnrich.dwithinJoin(
+      inA.toDF().toDF("id_a", "lon_a", "lat_a", "ts_a"), "lon_a", "lat_a", "ts_a",
+      inB.toDF().toDF("id_b", "lon_b", "lat_b", "ts_b"), "lon_b", "lat_b", "ts_b",
+      meters = 300000.0, windowSeconds = 600L, watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("geo_pairs")
+      .outputMode("append").start()
+    inA.addData(
+      (1L, 2.35, 48.86, ts(0)),    // Paris
+      (2L, 139.77, 35.68, ts(0)))  // Tokyo
+    inB.addData(
+      (10L, 2.21, 48.71, ts(5)),   // Orly: ~20 km from Paris, inside the window
+      (11L, 2.21, 48.71, ts(60)),  // Orly again, but 60 min later — outside
+      (12L, -0.45, 51.47, ts(5)))  // Heathrow: ~350 km from Paris — too far
+    q.processAllAvailable()
+    val rows = spark.table("geo_pairs")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(rows === Set((1L, 10L)))
+  }
+
   test("stream-static spatial enrichment tags points with their country") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
