@@ -42,6 +42,76 @@ object Bench {
     def best: Double = if (reps.isEmpty) 0.0 else reps.map(_._1).min
   }
 
+  /** The cross-engine comparison set recorded in SCALEUP.md. */
+  private val oracleNames = Seq("b_tpch_q1", "b_tpch_q3", "b_tpch_q5",
+    "b_events_sessions", "l_text_tokens", "l_ann_top1", "l_dedup_minhash")
+
+  /** DuckDB timings for the headline oracle SQL (VERDICT r7 item 9: record
+    * the baseline alongside Spark's numbers so future verdicts can compare
+    * engines measured in the SAME window instead of doing archaeology).
+    * Runs the driver-side python duckdb in a subprocess — min-of-3 reps,
+    * same thread count, same parquet — and returns the JSON object, or
+    * None when python/duckdb is unavailable or the run exceeds its budget.
+    * The library itself never depends on this; it is bench instrumentation.
+    */
+  private def duckdbTimings(sfDir: String, cpus: String): Option[String] = try {
+    val picked = oracleNames.flatMap(n => SparkEntry.oracleSql.get(n).map(n -> _))
+    if (picked.isEmpty) None
+    else {
+      val dir = java.nio.file.Files.createTempDirectory("graft_oracle")
+      val specFile = dir.resolve("spec.json").toFile
+      val pw = new java.io.PrintWriter(specFile)
+      pw.print("{\"dir\":\"" + esc(sfDir) + "\",\"threads\":" + cpus.toInt + ",\"queries\":{" +
+        picked.map { case (n, s) => "\"" + esc(n) + "\":\"" + esc(s) + "\"" }.mkString(",") + "}}")
+      pw.close()
+      val pyFile = dir.resolve("bench_oracle.py").toFile
+      val py = new java.io.PrintWriter(pyFile)
+      py.print(
+        """import json, os, sys, time
+          |import duckdb
+          |spec = json.load(open(sys.argv[1]))
+          |con = duckdb.connect()
+          |con.execute("SET threads=%d" % spec["threads"])
+          |for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          |          "lineitem", "events", "documents", "embeddings"]:
+          |    p = "%s/%s.parquet" % (spec["dir"], t)
+          |    if os.path.isdir(p):  # Spark-written multi-part dataset
+          |        con.execute("CREATE VIEW %s AS SELECT * FROM '%s/*.parquet'" % (t, p))
+          |    elif os.path.exists(p):
+          |        con.execute("CREATE VIEW %s AS SELECT * FROM '%s'" % (t, p))
+          |out, spent = {}, 0.0
+          |for name, sql in spec["queries"].items():
+          |    if spent > 600.0:
+          |        break  # keep the bench bounded; missing keys read as "not measured"
+          |    try:
+          |        best = None
+          |        for _ in range(3):
+          |            t0 = time.time()
+          |            con.execute(sql).fetchall()
+          |            dt = time.time() - t0
+          |            spent += dt
+          |            best = dt if best is None or dt < best else best
+          |            if best > 60.0:
+          |                break
+          |        out[name] = round(best, 3)
+          |    except Exception:
+          |        pass
+          |print(json.dumps(out))
+          |""".stripMargin)
+      py.close()
+      val pb = new ProcessBuilder("python3", pyFile.getAbsolutePath, specFile.getAbsolutePath)
+      pb.redirectErrorStream(false)
+      val proc = pb.start()
+      val outReader = new java.io.BufferedReader(new java.io.InputStreamReader(proc.getInputStream))
+      val done = proc.waitFor(900, java.util.concurrent.TimeUnit.SECONDS)
+      if (!done) { proc.destroyForcibly(); None }
+      else {
+        val line = Option(outReader.readLine()).getOrElse("")
+        if (proc.exitValue() == 0 && line.startsWith("{")) Some(line) else None
+      }
+    }
+  } catch { case _: Throwable => None }
+
   private def jsonReps(rs: Seq[QRecord]): String =
     rs.filter(_.err.isEmpty).map { r =>
       val times = r.reps.map(x => f"${x._1}%.3f").mkString("[", ",", "]")
@@ -88,6 +158,9 @@ object Bench {
     }
 
     val ok = results.filter(_.err.isEmpty)
+    val oraclePart = duckdbTimings(sfDir, cpus)
+      .map(o => s""","oracle_queries":$o,"oracle_policy":"duckdb min-of-3, threads=$cpus"""")
+      .getOrElse("")
     val qs = ok.map(r => "\"" + esc(r.name) + "\":" + r.best).mkString("{", ",", "}")
     val errs = results.collect { case QRecord(n, _, Some(e)) => "\"" + esc(n) + "\":\"" + esc(e) + "\"" }
       .mkString("{", ",", "}")
@@ -146,13 +219,15 @@ object Bench {
         val bq = bigOk.map(r => "\"" + esc(r.name) + "\":" + r.best).mkString("{", ",", "}")
         val be = bigResults.collect { case QRecord(n, _, Some(e)) => "\"" + esc(n) + "\":\"" + esc(e) + "\"" }
           .mkString("{", ",", "}")
+        val bigOracle = duckdbTimings(bigDir, cpus)
+          .map(o => s""","big_oracle_queries":$o""").getOrElse("")
         s""","big_queries":$bq,"big_errors":$be,"big_total":${bigOk.map(_.best).sum},"big_sf":"$bigDir"""" +
-          s""","big_reps":${jsonReps(bigResults)}"""
+          s""","big_reps":${jsonReps(bigResults)}$bigOracle"""
       }
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"""" +
       s""","rep_policy":"min-of-reps","load_start":$loadAtStart,"load_end":${loadavg()}""" +
-      s""","reps":${jsonReps(results)}$bigPart}""")
+      s""","reps":${jsonReps(results)}$oraclePart$bigPart}""")
     spark.stop()
   }
 }
