@@ -67,6 +67,57 @@ object Sampling {
     * per-row cumulative sum is the same integer), just computed with >1
     * task per group; ordering is integer-only (no float ties), so the
     * result is exactly reproducible. */
+  /** Domain-mix rebalancing — downsample groups so the output matches a
+    * target mix ("50% web, 20% code, ...") WITHOUT upsampling: the output
+    * total is the largest T for which every group g can supply
+    * floor(share_g * T) rows, and each group keeps exactly that many.
+    *
+    * Determinism and engine portability: all share arithmetic is INTEGER
+    * (permille shares, integer division), so another engine computes the
+    * identical keep-counts from the identical inputs; the rows kept are
+    * the group's first keep_g in (md5(id), id) order — a content-hash
+    * order that survives reruns and repartitioning, like every selection
+    * in this file. Groups absent from `sharesPermille` are dropped.
+    *
+    * Scale: group counts are a tiny aggregate; the within-group rank is
+    * the same two-pass distributed prefix-sum as [[capTokenBudget]]
+    * (range partition → per-chunk counts → broadcast offsets → per-chunk
+    * row_number), so a group never collapses into one task. */
+  def rebalanceByGroup(df: DataFrame, groupCol: String, idCol: String,
+                       sharesPermille: Map[String, Int]): DataFrame = {
+    require(sharesPermille.nonEmpty && sharesPermille.values.forall(_ > 0) &&
+      sharesPermille.values.sum <= 1000, "shares must be positive permille summing to <= 1000")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val shares = sharesPermille.toSeq.toDF("__sgrp", "__share")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__cnt"))
+      .join(broadcast(shares), col(groupCol) === col("__sgrp"))
+    val total = counts
+      .agg(min(expr("CAST(__cnt * 1000 AS BIGINT) DIV __share")).as("__T"))
+    val keeps = counts.crossJoin(broadcast(total))
+      .select(col("__sgrp").as("__kgrp"),
+        expr("CAST(__share * __T AS BIGINT) DIV 1000").as("__keep"))
+
+    val ordered = df.withColumn("__h", md5(col(idCol).cast("string")))
+    val parts = ordered.repartitionByRange(col(groupCol), col("__h"), col(idCol))
+      .localCheckpoint() // pin partition ids — offsets below are keyed by them
+    val withPid = parts.withColumn("__pid", spark_partition_id())
+    val partials = withPid.groupBy(col("__pid"), col(groupCol))
+      .agg(count(lit(1)).as("__pn"))
+    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("__pid"))
+    val offsets = partials
+      .withColumn("__off", sum(col("__pn")).over(wOff) - col("__pn"))
+      .select(col("__pid").as("__opid"), col(groupCol).as("__ogrp"), col("__off"))
+    val wIn = Window.partitionBy(col(groupCol), col("__pid")).orderBy(col("__h"), col(idCol))
+    withPid
+      .join(broadcast(offsets),
+        col("__pid") === col("__opid") && col(groupCol) === col("__ogrp"))
+      .withColumn("__rank", col("__off") + row_number().over(wIn))
+      .join(broadcast(keeps), col(groupCol) === col("__kgrp"))
+      .where(col("__rank") <= col("__keep"))
+      .drop("__h", "__pid", "__opid", "__ogrp", "__off", "__rank", "__kgrp", "__keep")
+  }
+
   def capTokenBudget(df: DataFrame, groupCol: String, idCol: String,
                      tokenCol: String, budget: Long): DataFrame = {
     val parts = df.repartitionByRange(col(groupCol), col(idCol)).localCheckpoint()

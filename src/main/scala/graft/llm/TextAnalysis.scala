@@ -156,6 +156,71 @@ object TextAnalysis {
       .agg(count_distinct(col("g")).as("n_shared"))
   }
 
+  // --------------------------------------------------------- PII redaction
+
+  /** Redaction patterns, applied IN ORDER on the progressively-redacted
+    * text (email first so a phone-ish digit run inside an address can
+    * never match; replacement tokens contain no digits, so later
+    * patterns cannot re-match inside an earlier redaction). The regexes
+    * stay inside the syntax subset Java regex and RE2 interpret
+    * identically — leftmost match, greedy quantifiers, \b on [A-Za-z0-9_]
+    * boundaries — so the operation is engine-portable (the DuckDB oracle
+    * replays it with regexp_replace(..., 'g')). */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("phone", "\\+?[0-9][0-9()\\-\\s]{6,}[0-9]", "<PHONE>"))
+
+  /** PII-redacted text plus per-category match counts as a struct
+    * `(clean, n_email, n_ssn, n_ip, n_phone)`. Pure built-in regex
+    * expressions (codegen, stateless, streaming-safe): per-row cost only,
+    * no shuffle — the shape that holds at 100 TB. */
+  def redactPii(text: Column): Column = {
+    val (cleanFinal, counts) = piiPatterns.foldLeft((text, Seq.empty[Column])) {
+      case ((cur, acc), (cat, re, token)) =>
+        val n = size(regexp_extract_all(cur, lit(re), lit(0))).cast("long").as(s"n_$cat")
+        (regexp_replace(cur, re, token), acc :+ n)
+    }
+    struct(cleanFinal.as("clean") +: counts: _*)
+  }
+
+  // --------------------------------------------- repetition features (Gopher)
+
+  /** Per-document repetition report in the Gopher-rules style: duplicate
+    * line fraction, bullet/ellipsis line fractions, and the fraction of
+    * all word 2-grams taken by the most frequent one. Line stats are a
+    * single array projection (no shuffle); the top-2-gram stat explodes to
+    * (doc, gram) and aggregates — one shuffle keyed by (doc, gram), fully
+    * partition-parallel (never all-pairs, never one-task-per-doc).
+    * Output: (id, n_lines, dup_line_frac, bullet_line_frac,
+    * ellipsis_line_frac, top_bigram_frac). */
+  def repetitionReport(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = filter(transform(split(col(textCol), "\n"), l => trim(l)),
+      l => org.apache.spark.sql.functions.length(l) > 0)
+    val nLines = size(lines).cast("long")
+    val nDistinct = size(array_distinct(transform(lines, l => lower(l)))).cast("long")
+    val nBullet = size(filter(lines, l =>
+      l.startsWith("-") || l.startsWith("*") || l.startsWith("•"))).cast("long")
+    val nEllipsis = size(filter(lines, l => l.endsWith("..."))).cast("long")
+    val base = df.select(
+      col(idCol),
+      nLines.as("n_lines"),
+      when(nLines > 0, lit(1.0) - nDistinct.cast("double") / nLines.cast("double"))
+        .otherwise(lit(0.0)).as("dup_line_frac"),
+      when(nLines > 0, nBullet.cast("double") / nLines.cast("double"))
+        .otherwise(lit(0.0)).as("bullet_line_frac"),
+      when(nLines > 0, nEllipsis.cast("double") / nLines.cast("double"))
+        .otherwise(lit(0.0)).as("ellipsis_line_frac"))
+    val grams = df.select(col(idCol), explode(wordNgrams(col(textCol), 2)).as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__n"))
+      .groupBy(col(idCol))
+      .agg((max(col("__n")).cast("double") / sum(col("__n")).cast("double"))
+        .as("top_bigram_frac"))
+    base.join(grams, Seq(idCol), "left")
+      .withColumn("top_bigram_frac", coalesce(col("top_bigram_frac"), lit(0.0)))
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.udf.register("doc_lang_id", langIdFn)
     spark.udf.register("doc_fingerprint", fingerprintFn)

@@ -3,7 +3,7 @@ package graft.spark
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Ann, Dedup, Multimodal, Sampling, TextAnalysis}
+import graft.llm.{Ann, Boilerplate, Dedup, Multimodal, Sampling, TextAnalysis}
 import S2Functions.S2
 
 /**
@@ -1436,6 +1436,125 @@ object Queries {
       | CAST((greatest(length(text) // 64, 1) + 1) // 2 AS BIGINT) AS n_frames
       |FROM documents ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------- PII redaction
+
+  /** PII is INJECTED deterministically (email + phone + ip + ssn built
+    * from doc_id) so every row exercises real redaction; both engines
+    * build the identical corpus, so the oracle hash pins the exact
+    * redacted strings and per-category counts. */
+  private val qTextRedact = dfQ { s =>
+    val docs = s.table("documents")
+    val t = concat(col("text"), lit(" Contact user"), col("doc_id").cast("string"),
+      lit("@example.com or +1 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit("."),
+      ((col("doc_id") * 7) % 256).cast("string"),
+      lit(" ssn 987-65-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    docs.select(col("doc_id"), TextAnalysis.redactPii(t).as("r"))
+      .select(col("doc_id"), col("r.clean").as("clean"),
+        col("r.n_email"), col("r.n_ssn"), col("r.n_ip"), col("r.n_phone"))
+      .orderBy("doc_id")
+  }
+  private val oTextRedact =
+    """WITH inj AS (
+      |  SELECT doc_id, text || ' Contact user' || CAST(doc_id AS VARCHAR) ||
+      |    '@example.com or +1 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+      |    ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ||
+      |    ' ssn 987-65-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      |  FROM documents),
+      |s1 AS (SELECT doc_id,
+      |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+      |  regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1 FROM inj),
+      |s2 AS (SELECT *, len(regexp_extract_all(t1, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS n_ssn,
+      |  regexp_replace(t1, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g') AS t2 FROM s1),
+      |s3 AS (SELECT *, len(regexp_extract_all(t2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ip,
+      |  regexp_replace(t2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS t3 FROM s2),
+      |s4 AS (SELECT *, len(regexp_extract_all(t3, '\+?[0-9][0-9()\- \t]{6,}[0-9]')) AS n_phone,
+      |  regexp_replace(t3, '\+?[0-9][0-9()\- \t]{6,}[0-9]', '<PHONE>', 'g') AS t4 FROM s3)
+      |SELECT doc_id, t4 AS clean, CAST(n_email AS BIGINT) AS n_email,
+      |  CAST(n_ssn AS BIGINT) AS n_ssn, CAST(n_ip AS BIGINT) AS n_ip,
+      |  CAST(n_phone AS BIGINT) AS n_phone
+      |FROM s4 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------- repetition features
+
+  private val qTextRepetition = dfQ { s =>
+    TextAnalysis.repetitionReport(s.table("documents"), "doc_id", "text")
+      .select(col("doc_id"), col("n_lines"), col("dup_line_frac"),
+        col("bullet_line_frac"), col("ellipsis_line_frac"), col("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+  private val oTextRepetition =
+    """WITH lines0 AS (SELECT doc_id,
+      |  list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> length(x) > 0) AS ls
+      |  FROM documents),
+      |base AS (SELECT doc_id, len(ls) AS n_lines,
+      |  CASE WHEN len(ls) > 0 THEN 1.0 - CAST(len(list_distinct(list_transform(ls, x -> lower(x)))) AS DOUBLE) / CAST(len(ls) AS DOUBLE) ELSE 0.0 END AS dup_line_frac,
+      |  CASE WHEN len(ls) > 0 THEN CAST(len(list_filter(ls, x -> starts_with(x, '-') OR starts_with(x, '*') OR starts_with(x, '•'))) AS DOUBLE) / CAST(len(ls) AS DOUBLE) ELSE 0.0 END AS bullet_line_frac,
+      |  CASE WHEN len(ls) > 0 THEN CAST(len(list_filter(ls, x -> ends_with(x, '...'))) AS DOUBLE) / CAST(len(ls) AS DOUBLE) ELSE 0.0 END AS ellipsis_line_frac
+      | FROM lines0),
+      |w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |grams AS (SELECT doc_id, array_to_string(words[i:i+1], ' ') AS g
+      |  FROM w, LATERAL unnest(generate_series(1, greatest(len(words)-1, 0))) t(i)),
+      |gc AS (SELECT doc_id, g, count(*) AS n FROM grams GROUP BY 1, 2),
+      |tg AS (SELECT doc_id, CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS top_bigram_frac FROM gc GROUP BY 1)
+      |SELECT b.doc_id, CAST(b.n_lines AS BIGINT) AS n_lines, b.dup_line_frac,
+      |  b.bullet_line_frac, b.ellipsis_line_frac,
+      |  coalesce(tg.top_bigram_frac, 0.0) AS top_bigram_frac
+      |FROM base b LEFT JOIN tg USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------- line-level corpus dedup
+
+  /** Boilerplate is INJECTED (a banner on every doc, a footer on half) so
+    * the strip provably fires at every SF; 'unique footer N' lines prove
+    * rare lines survive. Output pins the exact cleaned text. */
+  private val qLineDedup = dfQ { s =>
+    val docs = s.table("documents")
+    val corpus = docs.select(col("doc_id"),
+      concat(lit("Subscribe to our newsletter!\n"), col("text"),
+        when(col("doc_id") % 2 === 0, lit("\n(c) Example Corp. All rights reserved."))
+          .otherwise(concat(lit("\nunique footer "), col("doc_id").cast("string")))).as("text"))
+    Boilerplate.removeBoilerplate(corpus, "doc_id", "text", maxDocs = 50)
+      .select(col("doc_id"), col("text"), col("n_lines_before"), col("n_lines_after"))
+      .orderBy("doc_id")
+  }
+  private val oLineDedup =
+    """WITH corpus AS (SELECT doc_id,
+      |  'Subscribe to our newsletter!' || chr(10) || text || chr(10) ||
+      |  CASE WHEN doc_id % 2 = 0 THEN '(c) Example Corp. All rights reserved.'
+      |       ELSE 'unique footer ' || CAST(doc_id AS VARCHAR) END AS t FROM documents),
+      |lines AS (SELECT doc_id, lower(trim(l)) AS norm
+      |  FROM corpus, LATERAL unnest(string_split(t, chr(10))) u(l) WHERE length(trim(l)) > 0),
+      |freq AS (SELECT norm, count(DISTINCT doc_id) AS nd FROM lines GROUP BY 1),
+      |boiler AS (SELECT coalesce(list(norm), []) AS bs FROM freq WHERE nd > 50),
+      |kept AS (SELECT c.doc_id, c.t,
+      |  list_filter(string_split(c.t, chr(10)),
+      |    x -> length(trim(x)) = 0 OR NOT list_contains(b.bs, lower(trim(x)))) AS kl
+      |  FROM corpus c, boiler b)
+      |SELECT doc_id, array_to_string(kl, chr(10)) AS text,
+      |  CAST(len(list_filter(string_split(t, chr(10)), x -> length(trim(x)) > 0)) AS BIGINT) AS n_lines_before,
+      |  CAST(len(list_filter(kl, x -> length(trim(x)) > 0)) AS BIGINT) AS n_lines_after
+      |FROM kept ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------- domain-mix rebalancing
+
+  private val qDomainMix = dfQ { s =>
+    Sampling.rebalanceByGroup(s.table("documents"), "lang", "doc_id",
+      Map("en" -> 500, "de" -> 200, "fr" -> 150, "es" -> 100, "zh" -> 50))
+      .select(col("lang"), col("doc_id")).orderBy("lang", "doc_id")
+  }
+  private val oDomainMix =
+    """WITH tgt(grp, share) AS (VALUES ('en', 500), ('de', 200), ('fr', 150), ('es', 100), ('zh', 50)),
+      |cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+      |j AS (SELECT t.grp, t.share, c.c FROM tgt t JOIN cnt c ON c.lang = t.grp),
+      |tt AS (SELECT min((c * 1000) // share) AS T FROM j),
+      |keeps AS (SELECT grp, (share * (SELECT T FROM tt)) // 1000 AS k FROM j),
+      |ranked AS (SELECT lang, doc_id,
+      |  row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+      |  FROM documents)
+      |SELECT r.lang, r.doc_id FROM ranked r JOIN keeps k ON r.lang = k.grp
+      |WHERE r.r <= k.k ORDER BY lang, doc_id""".stripMargin
+
   // ================================================== relational / bench
 
   // TPC-H money sums run as SCALED-INTEGER arithmetic: a 2-decimal price
@@ -1664,6 +1783,10 @@ object Queries {
     ("l_sample", qSample, Some(oSample)),
     ("l_token_budget", qTokenBudget, Some(oTokenBudget)),
     ("l_decontam", qDecontam, Some(oDecontam)),
+    ("l_text_redact", qTextRedact, Some(oTextRedact)),
+    ("l_text_repetition", qTextRepetition, Some(oTextRepetition)),
+    ("l_line_dedup", qLineDedup, Some(oLineDedup)),
+    ("l_domain_mix", qDomainMix, Some(oDomainMix)),
     ("l_jaccard", qJaccard, Some(oJaccard)),
     ("l_ann_top1", qAnnTop1, Some(oAnnTop1)),
     ("l_ann_ivf", qAnnIvf, Some(oAnnIvf)),

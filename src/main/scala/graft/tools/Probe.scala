@@ -3,10 +3,18 @@ import org.apache.spark.sql.SparkSession
 import graft.spark.{S2Functions, S2Data, Queries}
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
+    // SPARK_GRAFT_CONF="k=v;k=v" lets a sweep vary session confs (reader
+    // batch size, maxPartitionBytes, AQE knobs) without recompiling.
+    val extraConf = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .map { kv => val i = kv.indexOf('='); (kv.take(i), kv.drop(i + 1)) }
+    val builder = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.extensions", "graft.spark.GraftExtensions")
-      .config("spark.ui.enabled", false).getOrCreate()
+      .config("spark.ui.enabled", false)
+    extraConf.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    if (extraConf.nonEmpty) println(s"[probe] extra conf: ${extraConf.mkString(", ")}")
     spark.sparkContext.setLogLevel("ERROR")
     S2Functions.register(spark); S2Data.register(spark)
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,119 @@
+package graft.llm
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PII redaction, repetition features, boilerplate line removal, and
+  * domain-mix rebalancing. */
+class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", false)
+      .appName("graft-pipeline-ops-test").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("redactPii replaces every category and counts matches") {
+    val s = spark; import s.implicits._
+    val text = "Mail a.b+c@ex-ample.org or bob@x.io, call +1 (415) 555-0137, " +
+      "host 192.168.0.1, ssn 123-45-6789 end"
+    val r = Seq(text).toDF("t").select(TextAnalysis.redactPii($"t").as("r"))
+      .select("r.clean", "r.n_email", "r.n_ssn", "r.n_ip", "r.n_phone")
+      .as[(String, Long, Long, Long, Long)].head()
+    assert(r._1 === "Mail <EMAIL> or <EMAIL>, call <PHONE>, host <IP>, ssn <SSN> end")
+    assert((r._2, r._3, r._4, r._5) === ((2L, 1L, 1L, 1L)))
+  }
+
+  test("redactPii leaves clean text alone") {
+    val s = spark; import s.implicits._
+    val r = Seq("no pii here, just words and the number 7")
+      .toDF("t").select(TextAnalysis.redactPii($"t").as("r"))
+      .select("r.clean", "r.n_email", "r.n_phone")
+      .as[(String, Long, Long)].head()
+    assert(r._1 === "no pii here, just words and the number 7")
+    assert((r._2, r._3) === ((0L, 0L)))
+  }
+
+  test("repetitionReport computes line and bigram stats") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "same line\nsame line\n- bullet\nends with..."),      // 4 lines, 1 dup
+      (2L, "spam spam spam spam"),                               // 3 bigrams all "spam spam"
+      (3L, ""),                                                  // empty
+      (4L, "a b\n\n  \nc d")                                     // blank lines skipped
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionReport(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Double, Double, Double)].collect()
+    val r1 = got(0)
+    assert(r1._2 === 4L)
+    assert(math.abs(r1._3 - 0.25) < 1e-12)         // 1 of 4 lines duplicated
+    assert(math.abs(r1._4 - 0.25) < 1e-12)         // 1 bullet line
+    assert(math.abs(r1._5 - 0.25) < 1e-12)         // 1 ellipsis line
+    val r2 = got(1)
+    assert(r2._6 === 1.0)                          // all bigrams identical
+    assert(got(2)._2 === 0L && got(2)._6 === 0.0)  // empty doc -> zeros
+    assert(got(3)._2 === 2L)                       // blank lines not counted
+  }
+
+  test("removeBoilerplate strips frequent lines, keeps rare ones in order") {
+    val s = spark; import s.implicits._
+    val docs = (0L until 100L).map { i =>
+      (i, s"BANNER\nbody text $i\n\nFooter Line\nrare ${i % 60}")
+    }.toDF("doc_id", "text")
+    // BANNER and Footer Line are in 100 docs (> 10); "rare k" is in 1-2
+    val out = Boilerplate.removeBoilerplate(docs, "doc_id", "text", maxDocs = 10)
+      .orderBy("doc_id")
+      .select("doc_id", "text", "n_lines_before", "n_lines_after")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.length === 100)
+    val (_, t0, before0, after0) = out(0)
+    assert(t0 === "body text 0\n\nrare 0")   // order + empty line preserved
+    assert(before0 === 4L && after0 === 2L)
+    // normalized matching: case-insensitive strip
+    val docs2 = (0L until 30L).map(i => (i, s"banner\nkeep $i")).toDF("doc_id", "text")
+      .unionAll((30L until 60L).map(i => (i, s"BANNER\nkeep $i")).toDF("doc_id", "text"))
+    val out2 = Boilerplate.removeBoilerplate(docs2, "doc_id", "text", maxDocs = 40)
+      .select("text").as[String].collect()
+    assert(out2.forall(!_.toLowerCase.contains("banner")))
+  }
+
+  test("rebalanceByGroup keeps exact integer-share counts, deterministically") {
+    val s = spark; import s.implicits._
+    val df = ((0L until 100L).map(i => (i, "en")) ++
+              (100L until 150L).map(i => (i, "de")) ++
+              (150L until 160L).map(i => (i, "zh")) ++
+              (160L until 170L).map(i => (i, "xx"))).toDF("id", "grp")
+    val shares = Map("en" -> 500, "de" -> 300, "zh" -> 200)
+    // T = min(100*1000/500, 50*1000/300, 10*1000/200) = min(200,166,50) = 50
+    // keeps: en 25, de 15, zh 10; xx dropped (not in the target mix)
+    val out = Sampling.rebalanceByGroup(df, "grp", "id", shares)
+    val counts = out.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(counts === Map("en" -> 25L, "de" -> 15L, "zh" -> 10L))
+    assert(out.columns.toSeq === Seq("id", "grp")) // no helper columns leak
+    // deterministic: same kept ids regardless of input partitioning
+    val a = out.select("id").as[Long].collect().sorted
+    val b = Sampling.rebalanceByGroup(df.repartition(7), "grp", "id", shares)
+      .select("id").as[Long].collect().sorted
+    assert(a sameElements b)
+  }
+
+  test("rebalanceByGroup rank is a distributed prefix sum: >1 task per group") {
+    val s = spark; import s.implicits._
+    val df = (0L until 40000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "grp")
+    val res = Sampling.rebalanceByGroup(df, "grp", "id", Map("a" -> 500, "b" -> 500))
+    val got = res.groupBy("grp").count().as[(String, Long)].collect().toMap
+    // T = min(20000*1000/500 x2) = 40000; keep = 500*40000/1000 = 20000 each
+    assert(got === Map("a" -> 20000L, "b" -> 20000L))
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("__pid"), s"rank window not partition-id-scoped:\n$plan")
+  }
+}
