@@ -108,6 +108,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(toks.toSeq === Seq("4b59a0cd83b5de49"))
   }
 
+  test("stateless text-pipeline ops (redaction, quality) run on streams") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val input = MemoryStream[(Long, String)]
+    val out = input.toDF().toDF("id", "text")
+      .select($"id",
+        graft.llm.TextAnalysis.redactPii($"text").getField("clean").as("clean"),
+        graft.llm.TextAnalysis.qualityScore($"text").as("q"))
+    val q = out.writeStream.format("memory").queryName("redact_stream").start()
+    input.addData((1L, "mail me at a@b.co or dial +1 555-123-4567 now"))
+    q.processAllAvailable()
+    val rows = spark.table("redact_stream").as[(Long, String, Double)].collect()
+    q.stop()
+    assert(rows.length === 1)
+    assert(rows(0)._2 === "mail me at <EMAIL> or dial <PHONE> now")
+    assert(rows(0)._3 >= 0.0 && rows(0)._3 <= 1.0)
+  }
+
   test("stream-stream dwithin join pairs nearby events within the time window") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
