@@ -79,6 +79,17 @@ object Bench {
           |        con.execute("CREATE VIEW %s AS SELECT * FROM '%s/*.parquet'" % (t, p))
           |    elif os.path.exists(p):
           |        con.execute("CREATE VIEW %s AS SELECT * FROM '%s'" % (t, p))
+          |    else:
+          |        continue
+          |    if t == "events":
+          |        # a ScaleUp-written events table stores ts as raw nanosecond
+          |        # BIGINT (Spark's nanosAsLong); rebuild the timestamp so the
+          |        # oracle SQL's epoch()/date_trunc() bind at every scale
+          |        ty = con.execute("SELECT typeof(ts) FROM events LIMIT 1").fetchone()
+          |        if ty and ty[0] == "BIGINT":
+          |            con.execute("CREATE OR REPLACE VIEW events AS "
+          |                        "SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) "
+          |                        "FROM read_parquet('%s/*.parquet')" % p)
           |out, spent = {}, 0.0
           |for name, sql in spec["queries"].items():
           |    if spent > 600.0:

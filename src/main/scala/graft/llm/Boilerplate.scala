@@ -45,10 +45,17 @@ object Boilerplate {
     * (non-empty lines) so the caller can quality-gate on how much was
     * removed. Empty lines are never counted and never stripped. */
   def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
-                        maxDocs: Long): DataFrame = {
+                        maxDocs: Long, maxFrequentLines: Int = 1 << 20): DataFrame = {
     val frequent = lineFrequencies(df, idCol, textCol)
       .where(col("n_docs") > maxDocs)
       .agg(collect_set(col("norm")).as("__boiler"))
+      // fail fast instead of OOMing the broadcast when maxDocs is far too
+      // small for the corpus (evaluated once — the agg is a single row)
+      .select(when(size(col("__boiler")) <= maxFrequentLines, col("__boiler"))
+        .otherwise(raise_error(concat(lit(s"removeBoilerplate: frequent-line set exceeds " +
+          s"$maxFrequentLines entries ("), size(col("__boiler")).cast("string"),
+          lit(s") — raise maxDocs or maxFrequentLines"))))
+        .as("__boiler"))
     val lines = split(col(textCol), "\n")
     val nonEmpty = filter(lines, l => length(trim(l)) > 0)
     val kept = filter(lines, l =>

@@ -85,6 +85,16 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out2.forall(!_.toLowerCase.contains("banner")))
   }
 
+  test("removeBoilerplate fails fast when the frequent set exceeds its bound") {
+    val s = spark; import s.implicits._
+    val docs = (0L until 30L).map(i => (i, s"BANNER\nbody $i")).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Boilerplate.removeBoilerplate(docs, "doc_id", "text", maxDocs = 10,
+        maxFrequentLines = 0).collect()
+    }
+    assert(ex.getMessage.contains("frequent-line set exceeds"))
+  }
+
   test("rebalanceByGroup keeps exact integer-share counts, deterministically") {
     val s = spark; import s.implicits._
     val df = ((0L until 100L).map(i => (i, "en")) ++
