@@ -118,8 +118,12 @@ object Sampling {
       .drop("__h", "__pid", "__opid", "__ogrp", "__off", "__rank", "__kgrp", "__keep")
   }
 
-  def capTokenBudget(df: DataFrame, groupCol: String, idCol: String,
-                     tokenCol: String, budget: Long): DataFrame = {
+  /** Appends `cumCol` = running sum of `tokenCol` within `groupCol` in
+    * `idCol` order, computed by the two-pass distributed prefix sum
+    * described above (per-chunk partials + broadcast offsets), so a group
+    * spans many tasks instead of collapsing into one window partition. */
+  private def withRunningSum(df: DataFrame, groupCol: String, idCol: String,
+                             tokenCol: String, cumCol: String): DataFrame = {
     val parts = df.repartitionByRange(col(groupCol), col(idCol)).localCheckpoint()
     val withPid = parts.withColumn("__pid", spark_partition_id())
     val partials = withPid.groupBy(col("__pid"), col(groupCol))
@@ -132,8 +136,36 @@ object Sampling {
     withPid
       .join(broadcast(offsets),
         col("__pid") === col("__opid") && col(groupCol) === col("__ogrp"))
-      .withColumn("__cum", col("__off") + sum(col(tokenCol)).over(wIn))
+      .withColumn(cumCol, col("__off") + sum(col(tokenCol)).over(wIn))
+      .drop("__pid", "__opid", "__ogrp", "__off")
+  }
+
+  def capTokenBudget(df: DataFrame, groupCol: String, idCol: String,
+                     tokenCol: String, budget: Long): DataFrame =
+    withRunningSum(df, groupCol, idCol, tokenCol, "__cum")
       .where(col("__cum") <= budget)
-      .drop("__pid", "__opid", "__ogrp", "__off", "__cum")
+      .drop("__cum")
+
+  /** Concatenative sequence packing — the "pack the token stream into
+    * fixed-length training sequences" step: within each group, documents
+    * are laid end-to-end in id order into one token stream, and sequence
+    * k holds stream positions [k*seqLen, (k+1)*seqLen). Appends
+    * `tok_start` (the doc's stream offset), `seq_first`/`seq_last` (the
+    * sequences the doc spans) and `n_seqs`; long docs straddle sequence
+    * boundaries, matching how LM pretraining actually chunks text.
+    * Zero-token docs contribute nothing to the stream and are dropped.
+    *
+    * The stream offset is the same distributed prefix sum as
+    * [[capTokenBudget]] (many tasks per group), and all arithmetic is
+    * integer, so the layout is bit-reproducible on any engine. */
+  def packSequences(df: DataFrame, groupCol: String, idCol: String,
+                    tokenCol: String, seqLen: Long): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    withRunningSum(df.where(col(tokenCol) > 0), groupCol, idCol, tokenCol, "__cum")
+      .withColumn("tok_start", col("__cum") - col(tokenCol))
+      .withColumn("seq_first", expr(s"tok_start DIV ${seqLen}L"))
+      .withColumn("seq_last", expr(s"(__cum - 1) DIV ${seqLen}L"))
+      .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
+      .drop("__cum")
   }
 }

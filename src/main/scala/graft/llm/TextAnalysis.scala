@@ -221,6 +221,49 @@ object TextAnalysis {
       .withColumn("top_bigram_frac", coalesce(col("top_bigram_frac"), lit(0.0)))
   }
 
+  // ------------------------------------------- vocabulary / unigram LM
+
+  /** One row per whitespace token occurrence: (idCol, token). The single
+    * explode behind both vocabulary building and unigram scoring; empty
+    * and null texts contribute nothing. */
+  private def tokenOccurrences(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.where(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("token"))
+
+  /** Corpus vocabulary: the k most frequent whitespace tokens with their
+    * counts, ties broken by token string ascending so the row set is
+    * deterministic. One explode + one count shuffle keyed by token (partial
+    * aggregation map-side), then a top-k sort over the vocabulary-sized
+    * count table — never over the corpus. */
+  def topTokens(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    tokenOccurrences(df, idCol, textCol)
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+
+  /** Per-document mean unigram surprisal ("perplexity filtering" with the
+    * corpus itself as the LM): each token costs ln(N / count(token)) nats,
+    * where N is the corpus token total; a doc of common words scores low,
+    * a doc of rare words scores high. Output: (idCol, n_tok, surprisal).
+    *
+    * Scale shape: token counts are one groupBy shuffle; scoring joins the
+    * exploded corpus against the vocabulary-sized count table on the token
+    * string — an equi-join AQE turns into a broadcast when the vocabulary
+    * fits, and a plain hash join (still never all-pairs) when it does not.
+    * The corpus total rides along as a one-row broadcast cross join. */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val occ = tokenOccurrences(df, idCol, textCol)
+    val counts = occ.groupBy("token").agg(count(lit(1)).as("__tc"))
+    val total = counts.agg(sum("__tc").as("__N"))
+    occ.join(counts, "token")
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        (org.apache.spark.sql.functions.log(col("__N").cast("double") / col("__tc").cast("double")))
+          .as("__nll"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tok"), avg(col("__nll")).as("surprisal"))
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.udf.register("doc_lang_id", langIdFn)
     spark.udf.register("doc_fingerprint", fingerprintFn)

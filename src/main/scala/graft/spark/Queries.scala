@@ -1555,6 +1555,66 @@ object Queries {
       |SELECT r.lang, r.doc_id FROM ranked r JOIN keeps k ON r.lang = k.grp
       |WHERE r.r <= k.k ORDER BY lang, doc_id""".stripMargin
 
+  // ---------------------------------------------- sequence packing
+
+  /** Concatenative packing of each source's token stream into 512-token
+    * training sequences; the oracle replays the layout with a plain window
+    * prefix sum — the Spark side computes the identical integers with the
+    * distributed two-pass prefix sum (many tasks per group). */
+  private val qPack = dfQ { s =>
+    val toks = s.table("documents").select(col("doc_id"), col("source"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+    Sampling.packSequences(toks, "source", "doc_id", "n_tok", 512L)
+      .select(col("source"), col("doc_id"), col("tok_start"),
+        col("seq_first"), col("seq_last"), col("n_seqs"))
+      .orderBy("source", "doc_id")
+  }
+  private val oPack =
+    """WITH toks AS (SELECT doc_id, source,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
+      |  FROM documents),
+      |pos AS (SELECT source, doc_id, n_tok,
+      |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+      |  FROM toks WHERE n_tok > 0)
+      |SELECT source, doc_id, CAST(cum - n_tok AS BIGINT) AS tok_start,
+      |  CAST((cum - n_tok) // 512 AS BIGINT) AS seq_first,
+      |  CAST((cum - 1) // 512 AS BIGINT) AS seq_last,
+      |  CAST((cum - 1) // 512 - (cum - n_tok) // 512 + 1 AS BIGINT) AS n_seqs
+      |FROM pos ORDER BY source, doc_id""".stripMargin
+
+  // ---------------------------------------------- vocabulary / unigram LM
+
+  private val qVocab = dfQ { s =>
+    TextAnalysis.topTokens(s.table("documents"), "doc_id", "text", 20)
+      .select(col("token"), col("cnt").cast("long").as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+  private val oVocab =
+    """WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      |  FROM documents WHERE length(trim(text)) > 0)
+      |SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM w
+      |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin
+
+  /** Perplexity-style quality scoring against the corpus's own unigram
+    * distribution; surprisal rounded to 4 dp so the cross-engine compare
+    * is insensitive to summation order. */
+  private val qUnigramPpl = dfQ { s =>
+    TextAnalysis.unigramSurprisal(s.table("documents"), "doc_id", "text")
+      .select(col("doc_id"), col("n_tok"),
+        round(col("surprisal"), 4).as("surprisal_r"))
+      .orderBy("doc_id")
+  }
+  private val oUnigramPpl =
+    """WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |cnt AS (SELECT token, count(*) AS tc FROM w GROUP BY 1),
+      |tot AS (SELECT count(*) AS N FROM w)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+      |  round(avg(ln(CAST((SELECT N FROM tot) AS DOUBLE) / CAST(tc AS DOUBLE))), 4) AS surprisal_r
+      |FROM w JOIN cnt USING (token)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ================================================== relational / bench
 
   // TPC-H money sums run as SCALED-INTEGER arithmetic: a 2-decimal price
@@ -1787,6 +1847,9 @@ object Queries {
     ("l_text_repetition", qTextRepetition, Some(oTextRepetition)),
     ("l_line_dedup", qLineDedup, Some(oLineDedup)),
     ("l_domain_mix", qDomainMix, Some(oDomainMix)),
+    ("l_pack", qPack, Some(oPack)),
+    ("l_vocab", qVocab, Some(oVocab)),
+    ("l_unigram_ppl", qUnigramPpl, Some(oUnigramPpl)),
     ("l_jaccard", qJaccard, Some(oJaccard)),
     ("l_ann_top1", qAnnTop1, Some(oAnnTop1)),
     ("l_ann_ivf", qAnnIvf, Some(oAnnIvf)),

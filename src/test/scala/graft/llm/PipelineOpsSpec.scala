@@ -115,6 +115,63 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a sameElements b)
   }
 
+  test("packSequences lays out contiguous per-group token streams") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      ("a", 1L, 100L), ("a", 2L, 500L), ("a", 3L, 12L),
+      ("a", 4L, 0L),                      // zero-token doc: dropped
+      ("b", 9L, 10L)                      // other group: stream restarts at 0
+    ).toDF("grp", "id", "n_tok")
+    val out = Sampling.packSequences(df, "grp", "id", "n_tok", 256L)
+      .orderBy("grp", "id")
+      .select("grp", "id", "tok_start", "seq_first", "seq_last", "n_seqs")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(out === Array(
+      ("a", 1L, 0L, 0L, 0L, 1L),          // tokens [0,100) -> seq 0
+      ("a", 2L, 100L, 0L, 2L, 3L),        // [100,600) straddles seqs 0..2
+      ("a", 3L, 600L, 2L, 2L, 1L),        // [600,612) inside seq 2
+      ("b", 9L, 0L, 0L, 0L, 1L)))
+    // deterministic regardless of input partitioning
+    val again = Sampling.packSequences(df.repartition(5), "grp", "id", "n_tok", 256L)
+      .orderBy("grp", "id")
+      .select("grp", "id", "tok_start", "seq_first", "seq_last", "n_seqs")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(again === out)
+  }
+
+  test("packSequences offsets come from the distributed prefix sum") {
+    val s = spark; import s.implicits._
+    val df = (0L until 20000L).map(i => ("src", i, 3L)).toDF("grp", "id", "n_tok")
+    val res = Sampling.packSequences(df, "grp", "id", "n_tok", 512L)
+    // last doc's stream end must equal the group total: no gaps, no overlaps
+    val maxEnd = res.agg(max(col("tok_start") + col("n_tok"))).as[Long].head()
+    assert(maxEnd === 60000L)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("__pid"), s"offset window not partition-id-scoped:\n$plan")
+  }
+
+  test("topTokens counts tokens with deterministic tie-break") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "b a a"), (2L, "  c b  "), (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.topTokens(docs, "doc_id", "text", 2)
+      .as[(String, Long)].collect()
+    assert(got === Array(("a", 2L), ("b", 2L)))   // tie a/b broken by token asc
+  }
+
+  test("unigramSurprisal scores rare-word docs higher, exactly") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "x x x x"), (2L, "x y")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramSurprisal(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    // N=6 tokens; count(x)=5, count(y)=1
+    assert(got(0)._2 === 4L)
+    assert(math.abs(got(0)._3 - math.log(6.0 / 5.0)) < 1e-12)
+    assert(got(1)._2 === 2L)
+    assert(math.abs(got(1)._3 - (math.log(6.0 / 5.0) + math.log(6.0)) / 2.0) < 1e-12)
+    assert(got(1)._3 > got(0)._3)
+  }
+
   test("rebalanceByGroup rank is a distributed prefix sum: >1 task per group") {
     val s = spark; import s.implicits._
     val df = (0L until 40000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
