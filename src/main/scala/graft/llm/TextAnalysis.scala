@@ -264,6 +264,36 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("long").as("n_tok"), avg(col("__nll")).as("surprisal"))
   }
 
+  // ----------------------------------------------------- corpus data card
+
+  /** Per-group corpus "data card": doc/token totals, language diversity,
+    * char-length median, token-count p90, and mean quality score — the
+    * summary table a dataset release ships with. One groupBy shuffle.
+    *
+    * `exact = true` uses Spark's exact `percentile` aggregate, which
+    * buffers each group's values — right for oracle verification and
+    * bounded groups, wrong for a trillion-row source. `exact = false`
+    * switches to `approx_percentile` (t-digest-style sketch, constant
+    * memory per group) — the 100-TB path; everything else is identical. */
+  def corpusStats(df: DataFrame, groupCol: String, langCol: String,
+                  textCol: String, charsCol: String,
+                  exact: Boolean = true): DataFrame = {
+    val pct: (String, Double) => Column =
+      if (exact) (c, p) => expr(s"percentile($c, $p)")
+      else (c, p) => expr(s"approx_percentile($c, $p)").cast("double")
+    df.select(col(groupCol), col(langCol), col(charsCol),
+        tokenCount(col(textCol)).cast("long").as("__n_tok"),
+        qualityScore(col(textCol)).as("__q"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum("__n_tok").cast("long").as("n_tokens"),
+        count_distinct(col(langCol)).as("n_langs"),
+        round(pct(charsCol, 0.5), 4).as("median_chars"),
+        round(pct("__n_tok", 0.9), 4).as("p90_tok"),
+        round(avg("__q"), 4).as("mean_quality"))
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.udf.register("doc_lang_id", langIdFn)
     spark.udf.register("doc_fingerprint", fingerprintFn)

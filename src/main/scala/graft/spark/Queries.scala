@@ -1615,6 +1615,33 @@ object Queries {
       |FROM w JOIN cnt USING (token)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------- corpus data card
+
+  /** Release-style per-source summary table. The oracle replays the
+    * quality formula and DuckDB's quantile_cont matches Spark's exact
+    * interpolated percentile; the approx_percentile scale path is
+    * spec-tested (PipelineOpsSpec), not oracle-compared. */
+  private val qDataCard = dfQ { s =>
+    TextAnalysis.corpusStats(s.table("documents"),
+        "source", "lang", "text", "n_chars", exact = true)
+      .orderBy("source")
+  }
+  private val oDataCard =
+    """WITH f AS (SELECT source, lang, n_chars,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+      |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(length(text), 1)::DOUBLE AS alpha,
+      |    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) / greatest(length(text), 1)::DOUBLE AS punct
+      |  FROM documents),
+      |q AS (SELECT *, greatest(least(alpha - 2 * punct + least(n_tok / 20.0, 1.0) * 0.2, 1.0), 0.0) AS qual FROM f)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  round(quantile_cont(n_chars, 0.5), 4) AS median_chars,
+      |  round(quantile_cont(n_tok, 0.9), 4) AS p90_tok,
+      |  round(avg(qual), 4) AS mean_quality
+      |FROM q GROUP BY source ORDER BY source""".stripMargin
+
   // ================================================== relational / bench
 
   // TPC-H money sums run as SCALED-INTEGER arithmetic: a 2-decimal price
@@ -1850,6 +1877,7 @@ object Queries {
     ("l_pack", qPack, Some(oPack)),
     ("l_vocab", qVocab, Some(oVocab)),
     ("l_unigram_ppl", qUnigramPpl, Some(oUnigramPpl)),
+    ("l_data_card", qDataCard, Some(oDataCard)),
     ("l_jaccard", qJaccard, Some(oJaccard)),
     ("l_ann_top1", qAnnTop1, Some(oAnnTop1)),
     ("l_ann_ivf", qAnnIvf, Some(oAnnIvf)),

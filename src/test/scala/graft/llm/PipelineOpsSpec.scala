@@ -172,6 +172,30 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1)._3 > got(0)._3)
   }
 
+  test("corpusStats data card: exact stats, and the approx path tracks them") {
+    val s = spark; import s.implicits._
+    val docs = (0L until 200L).map { i =>
+      val words = (0 to (i % 10).toInt).map(j => s"w$j").mkString(" ")
+      (s"src${i % 2}", if (i % 3 == 0) "de" else "en", words, words.length.toLong)
+    }.toDF("source", "lang", "text", "n_chars")
+    val exact = TextAnalysis.corpusStats(docs, "source", "lang", "text", "n_chars")
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect()
+    assert(exact.length === 2)
+    assert(exact(0)._2 === 100L)                       // 100 docs per source
+    assert(exact(0)._4 === 2L)                         // two langs
+    // doc i has (i % 10) + 1 tokens: src0 (even i) has 20 docs each of 1,3,5,7,9
+    assert(exact(0)._3 === 20L * (1 + 3 + 5 + 7 + 9))  // token total
+    val approx = TextAnalysis.corpusStats(docs, "source", "lang", "text", "n_chars",
+        exact = false)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect()
+    // counts/sums identical; percentiles within the sketch's tolerance
+    assert(approx(0)._2 === exact(0)._2 && approx(0)._3 === exact(0)._3)
+    assert(math.abs(approx(0)._5 - exact(0)._5) <= 2.0)
+    assert(math.abs(approx(0)._6 - exact(0)._6) <= 2.0)
+  }
+
   test("rebalanceByGroup rank is a distributed prefix sum: >1 task per group") {
     val s = spark; import s.implicits._
     val df = (0L until 40000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
