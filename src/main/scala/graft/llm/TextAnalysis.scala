@@ -294,6 +294,27 @@ object TextAnalysis {
         round(avg("__q"), 4).as("mean_quality"))
   }
 
+  /** Per-group quality-quantile gate — "drop each source's worst quartile":
+    * keeps rows whose quality score is >= the group's p-quantile. Two
+    * passes: a tiny per-group threshold table (one groupBy), broadcast
+    * back over the corpus — the corpus itself never shuffles. Same
+    * exact/approx percentile trade-off as [[corpusStats]]. */
+  def filterByQualityQuantile(df: DataFrame, groupCol: String, textCol: String,
+                              p: Double, exact: Boolean = true): DataFrame = {
+    require(p > 0 && p < 1, "p must be in (0, 1)")
+    val scored = df.withColumn("__q", qualityScore(col(textCol)))
+    val pctExpr =
+      if (exact) expr(s"percentile(__q, $p)")
+      else expr(s"approx_percentile(__q, $p)").cast("double")
+    val thresholds = scored.groupBy(col(groupCol))
+      .agg(pctExpr.as("__thr"))
+      .withColumnRenamed(groupCol, "__tgrp")
+    scored
+      .join(broadcast(thresholds), col(groupCol) === col("__tgrp"))
+      .where(col("__q") >= col("__thr"))
+      .drop("__q", "__thr", "__tgrp")
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.udf.register("doc_lang_id", langIdFn)
     spark.udf.register("doc_fingerprint", fingerprintFn)

@@ -1642,6 +1642,29 @@ object Queries {
       |  round(avg(qual), 4) AS mean_quality
       |FROM q GROUP BY source ORDER BY source""".stripMargin
 
+  /** Quantile gate: keep docs at/above their source's p25 quality. The
+    * kept row set is integer ids, so the cross-engine compare is exact;
+    * the threshold itself only ever lands ON a data value when both
+    * engines return that element outright (no interpolation arithmetic),
+    * so a 1-ulp quantile difference cannot flip membership. */
+  private val qQualityGate = dfQ { s =>
+    TextAnalysis.filterByQualityQuantile(s.table("documents"),
+        "source", "text", 0.25, exact = true)
+      .select(col("source"), col("doc_id")).orderBy("source", "doc_id")
+  }
+  private val oQualityGate =
+    """WITH f AS (SELECT source, doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+      |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(length(text), 1)::DOUBLE AS alpha,
+      |    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) / greatest(length(text), 1)::DOUBLE AS punct
+      |  FROM documents),
+      |q AS (SELECT source, doc_id,
+      |    greatest(least(alpha - 2 * punct + least(n_tok / 20.0, 1.0) * 0.2, 1.0), 0.0) AS qual FROM f),
+      |thr AS (SELECT source, quantile_cont(qual, 0.25) AS t FROM q GROUP BY source)
+      |SELECT q.source, q.doc_id FROM q JOIN thr ON q.source = thr.source
+      |WHERE q.qual >= thr.t ORDER BY q.source, doc_id""".stripMargin
+
   // ================================================== relational / bench
 
   // TPC-H money sums run as SCALED-INTEGER arithmetic: a 2-decimal price
@@ -1878,6 +1901,7 @@ object Queries {
     ("l_vocab", qVocab, Some(oVocab)),
     ("l_unigram_ppl", qUnigramPpl, Some(oUnigramPpl)),
     ("l_data_card", qDataCard, Some(oDataCard)),
+    ("l_quality_gate", qQualityGate, Some(oQualityGate)),
     ("l_jaccard", qJaccard, Some(oJaccard)),
     ("l_ann_top1", qAnnTop1, Some(oAnnTop1)),
     ("l_ann_ivf", qAnnIvf, Some(oAnnIvf)),

@@ -196,6 +196,25 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(approx(0)._6 - exact(0)._6) <= 2.0)
   }
 
+  test("filterByQualityQuantile keeps each group's top fraction, ties inclusive") {
+    val s = spark; import s.implicits._
+    // per group: ids 0-3 are punctuation junk (low score), 4-7 clean prose
+    val docs = (0L until 16L).map { i =>
+      val id = i / 2
+      val text = if (id < 4) "!!! ### $$$ %%% junk" + ("!" * id.toInt)
+                 else "clean alphabetic prose with enough plain words here"
+      (s"g${i % 2}", i, text)
+    }.toDF("source", "doc_id", "text")
+    val kept = TextAnalysis.filterByQualityQuantile(docs, "source", "text", 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    // every clean doc survives, at least the worst junk is gone
+    assert((8L until 16L).forall(kept.contains))
+    assert(kept.length < 16)
+    assert(kept sameElements
+      TextAnalysis.filterByQualityQuantile(docs.repartition(5), "source", "text", 0.5)
+        .select("doc_id").as[Long].collect().sorted)    // partitioning-independent
+  }
+
   test("rebalanceByGroup rank is a distributed prefix sum: >1 task per group") {
     val s = spark; import s.implicits._
     val df = (0L until 40000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
