@@ -264,6 +264,104 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /**
+   * Lloyd's k-means over an embedding column with DETERMINISTIC,
+   * partitioning-independent arithmetic: initial centroids are the k
+   * lowest-id rows, assignment is argmin squared-L2 with ties broken by
+   * centroid number, and each update accumulates per-dimension INTEGER
+   * sums of the vectors quantized at 2^20 — exact long addition commutes,
+   * so the centroids are bit-identical under any shuffle order (a float
+   * sum would drift with partitioning). Returns the input rows plus a
+   * 1-based `cluster` column.
+   *
+   * Scale shape: per iteration, one broadcast assignment pass (no
+   * shuffle) plus one (cluster, dim)-keyed integer aggregation —
+   * rows x dim long-valued shuffle rows, combinable map-side; only the
+   * k x dim partials collect to the driver to build the next broadcast
+   * (tiny, the same bounded-side contract as the IVF quantizer).
+   * Clusters that lose all members keep their previous centroid.
+   *
+   * This is the clustering step of SemDeDup-style semantic dedup
+   * (cluster first, compare within clusters only).
+   */
+  def kmeans(df: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
+             k: Int = 16, iters: Int = 3): DataFrame = {
+    require(k > 0 && iters >= 0, "k must be positive, iters non-negative")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val Q = 1L << 20
+    val rows = df.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+    var cents: Array[(Int, Array[Double])] = rows
+      .orderBy(col(idCol).asc).limit(k).collect()
+      .zipWithIndex.map { case ((_, v), i) => (i + 1, v.map(_.toDouble)) }
+
+    def assigned(cs: Array[(Int, Array[Double])]) = {
+      val csB = spark.sparkContext.broadcast(cs)
+      rows.mapPartitions { it =>
+        val cc = csB.value
+        it.map { case (rid, rvec) =>
+          var best = 0; var bestD = Double.MaxValue
+          var i = 0
+          while (i < cc.length) {
+            val cv = cc(i)._2
+            var d = 0.0; var j = 0
+            while (j < rvec.length) { val t = rvec(j) - cv(j); d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; best = cc(i)._1 }
+            i += 1
+          }
+          (rid, rvec, best)
+        }
+      }.toDF(idCol, vecCol, "cluster")
+    }
+
+    for (_ <- 1 to iters) {
+      val sums = assigned(cents)
+        .select(col("cluster"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+        .groupBy("cluster", "dim")
+        .agg(sum(round(col("v") * Q).cast("long")).as("s"),
+             count(lit(1)).as("n"))
+        .as[(Int, Int, Long, Long)].collect()
+      val byCluster = sums.groupBy(_._1)
+      cents = cents.map { case (no, old) =>
+        byCluster.get(no) match {
+          case Some(ds) =>
+            val v = old.clone()
+            ds.foreach { case (_, dim, s, n) => v(dim) = s.toDouble / Q / n }
+            (no, v)
+          case None => (no, old) // empty cluster keeps its centroid
+        }
+      }
+    }
+    assigned(cents)
+  }
+
+  /**
+   * SemDeDup-style semantic near-duplicate pairs: k-means-cluster the
+   * corpus, then exact cosine >= threshold WITHIN each cluster only — the
+   * comparison count drops from N^2 to the sum of cluster sizes squared.
+   * Identical vectors can never be split across clusters (identical
+   * distances, deterministic tie-break); merely-similar pairs straddling a
+   * cluster boundary are missed by construction — SemDeDup's accepted
+   * approximation (raise k for finer cells, or fall back to
+   * [[cosineNearDupPairs]] for LSH recall guarantees). A giant cluster
+   * degrades toward n^2 — the join is equi-keyed on `cluster`, so AQE's
+   * skew-join split applies. Precondition: unique `idCol` (bag semantics,
+   * as the other pair generators).
+   */
+  def semanticDedupPairs(df: DataFrame, threshold: Double, k: Int = 16,
+                         iters: Int = 2, idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    val clustered = kmeans(df, idCol, vecCol, k, iters)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), col("cluster"))
+      .withColumn("nrm", norm(col("vec")))
+    clustered.as("a").join(clustered.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .withColumn("sim", dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
+      .where(col("sim") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold via LSH buckets,
     * with oversized buckets salted (see [[saltBuckets]]). Precondition:
     * unique `idCol` — output is bag-semantic (one row per join match), so

@@ -1280,6 +1280,20 @@ object Queries {
     """SELECT vec_id AS id_a, vec_id + 100000 AS id_b FROM embeddings
       |WHERE vec_id % 25 = 0 ORDER BY id_a""".stripMargin
 
+  /** SemDeDup: planted exact copies must survive clustering (identical
+    * vectors cannot split across k-means cells) and be reported as
+    * within-cluster cosine pairs; the planted-pair filter keeps the
+    * oracle float-free. */
+  private val qSemanticDedup = dfQ { s =>
+    val emb = s.table("embeddings")
+    val aug = emb.select(col("vec_id"), col("embedding"))
+      .unionAll(emb.where(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    Ann.semanticDedupPairs(aug, threshold = 0.999, k = 16, iters = 2)
+      .where(col("id_b") === col("id_a") + 100000)
+      .select("id_a", "id_b").orderBy("id_a")
+  }
+
   private val qTextTokens = dfQ { s =>
     val docs = s.table("documents")
     docs.select(col("doc_id"),
@@ -1907,6 +1921,7 @@ object Queries {
     ("l_ann_ivf", qAnnIvf, Some(oAnnIvf)),
     ("l_ann_lsh", qAnnLsh, Some(oAnnIvf)),
     ("l_embed_neardup", qEmbedNearDup, Some(oEmbedNearDup)),
+    ("l_semantic_dedup", qSemanticDedup, Some(oEmbedNearDup)),
     ("l_text_tokens", qTextTokens, Some(oTextTokens)),
     ("l_text_quality", qTextQuality, Some(oTextQuality)),
     ("l_text_langid", qTextLangid, Some(oTextLangid)),

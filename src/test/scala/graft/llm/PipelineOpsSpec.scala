@@ -215,6 +215,40 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .select("doc_id").as[Long].collect().sorted)    // partitioning-independent
   }
 
+  test("kmeans recovers planted clusters and is partitioning-independent") {
+    val s = spark; import s.implicits._
+    // three well-separated blobs around (0,0), (10,0), (0,10), 30 pts each
+    val pts = (0 until 90).map { i =>
+      val c = i % 3
+      val (cx, cy) = Seq((0f, 0f), (10f, 0f), (0f, 10f))(c)
+      // deterministic jitter in [-0.4, 0.4]
+      val jx = ((i * 7919) % 9 - 4) / 10.0f
+      val jy = ((i * 104729) % 9 - 4) / 10.0f
+      (i.toLong, Array(cx + jx, cy + jy))
+    }.toDF("vec_id", "embedding")
+    val out = Ann.kmeans(pts, k = 3, iters = 4)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().sortBy(_._1)
+    // every planted blob maps to exactly one k-means cluster
+    val byBlob = out.groupBy(_._1 % 3).map { case (b, xs) => b -> xs.map(_._2).toSet }
+    assert(byBlob.values.forall(_.size === 1), s"blob split: $byBlob")
+    assert(byBlob.values.flatten.toSet.size === 3)   // and the blobs don't merge
+    val again = Ann.kmeans(pts.repartition(7), k = 3, iters = 4)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().sortBy(_._1)
+    assert(again sameElements out)                   // integer-sum determinism
+  }
+
+  test("semanticDedupPairs finds planted copies within clusters") {
+    val s = spark; import s.implicits._
+    val base = (0 until 60).map { i =>
+      (i.toLong, Array((i % 5).toFloat + 1f, (i % 7).toFloat + 1f, (i % 3).toFloat))
+    }
+    val planted = Seq(1000L -> base(4)._2, 1001L -> base(37)._2)
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val pairs = Ann.semanticDedupPairs(df, threshold = 0.9999, k = 4, iters = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((4L, 1000L)) && pairs.contains((37L, 1001L)))
+  }
+
   test("rebalanceByGroup rank is a distributed prefix sum: >1 task per group") {
     val s = spark; import s.implicits._
     val df = (0L until 40000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
