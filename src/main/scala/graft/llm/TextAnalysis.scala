@@ -315,6 +315,30 @@ object TextAnalysis {
       .drop("__q", "__thr", "__tgrp")
   }
 
+  // ------------------------------------------------------- text chunking
+
+  /** Fixed-size overlapping character chunks — the embedding/RAG prep
+    * step: chunk i covers [i*(chunkChars-overlapChars),
+    * ... + chunkChars). A doc of length <= chunkChars is one chunk;
+    * otherwise enough chunks that the last window reaches the end. The
+    * chunk count is pure INTEGER arithmetic (ceil via (x + step - 1) DIV
+    * step), so any engine computes the identical chunk set. Empty docs
+    * produce no rows. Per-row explode, no shuffle — streaming-safe. */
+  def chunkText(df: DataFrame, idCol: String, textCol: String,
+                chunkChars: Int, overlapChars: Int): DataFrame = {
+    require(chunkChars > 0 && overlapChars >= 0 && overlapChars < chunkChars,
+      "need 0 <= overlapChars < chunkChars")
+    val step = chunkChars - overlapChars
+    val len = length(col(textCol))
+    val nChunks = when(len <= chunkChars, lit(1))
+      .otherwise(expr(s"1 + (length($textCol) - $chunkChars + $step - 1) DIV $step"))
+    df.where(col(textCol).isNotNull && len > 0)
+      .select(col(idCol), col(textCol),
+        explode(sequence(lit(0), nChunks.cast("int") - 1)).as("chunk_ix"))
+      .select(col(idCol), col("chunk_ix"),
+        expr(s"substring($textCol, chunk_ix * $step + 1, $chunkChars)").as("chunk"))
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.udf.register("doc_lang_id", langIdFn)
     spark.udf.register("doc_fingerprint", fingerprintFn)

@@ -1679,6 +1679,22 @@ object Queries {
       |SELECT q.source, q.doc_id FROM q JOIN thr ON q.source = thr.source
       |WHERE q.qual >= thr.t ORDER BY q.source, doc_id""".stripMargin
 
+  /** 120-char chunks with 30-char overlap; chunk counts are integer
+    * arithmetic in both engines, substrings are char-based in both. */
+  private val qChunk = dfQ { s =>
+    TextAnalysis.chunkText(s.table("documents"), "doc_id", "text", 120, 30)
+      .orderBy("doc_id", "chunk_ix")
+  }
+  private val oChunk =
+    """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents
+      |  WHERE text IS NOT NULL AND length(text) > 0),
+      |n AS (SELECT doc_id, text,
+      |    CASE WHEN len <= 120 THEN 1 ELSE 1 + (len - 120 + 89) // 90 END AS nc
+      |  FROM d)
+      |SELECT doc_id, CAST(i AS INT) AS chunk_ix, substr(text, CAST(i * 90 + 1 AS BIGINT), 120) AS chunk
+      |FROM n, LATERAL unnest(generate_series(0, nc - 1)) t(i)
+      |ORDER BY doc_id, chunk_ix""".stripMargin
+
   // ================================================== relational / bench
 
   // TPC-H money sums run as SCALED-INTEGER arithmetic: a 2-decimal price
@@ -1916,6 +1932,7 @@ object Queries {
     ("l_unigram_ppl", qUnigramPpl, Some(oUnigramPpl)),
     ("l_data_card", qDataCard, Some(oDataCard)),
     ("l_quality_gate", qQualityGate, Some(oQualityGate)),
+    ("l_chunk", qChunk, Some(oChunk)),
     ("l_jaccard", qJaccard, Some(oJaccard)),
     ("l_ann_top1", qAnnTop1, Some(oAnnTop1)),
     ("l_ann_ivf", qAnnIvf, Some(oAnnIvf)),

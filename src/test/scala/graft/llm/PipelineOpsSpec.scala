@@ -249,6 +249,25 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.contains((4L, 1000L)) && pairs.contains((37L, 1001L)))
   }
 
+  test("chunkText windows cover the doc with the stated overlap") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "abcdefghij"),          // len 10, chunk 4 step 2 -> 4 chunks
+      (2L, "abc"),                 // shorter than one chunk
+      (3L, ""),                    // dropped
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkText(docs, "doc_id", "text", 4, 2)
+      .orderBy("doc_id", "chunk_ix")
+      .as[(Long, Int, String)].collect()
+    assert(got === Array(
+      (1L, 0, "abcd"), (1L, 1, "cdef"), (1L, 2, "efgh"), (1L, 3, "ghij"),
+      (2L, 0, "abc")))
+    // every character of the source appears in some chunk; last chunk hits the end
+    val cover = got.filter(_._1 == 1L).map(_._3).mkString
+    assert("abcdefghij".forall(cover.contains(_)))
+  }
+
   test("rebalanceByGroup rank is a distributed prefix sum: >1 task per group") {
     val s = spark; import s.implicits._
     val df = (0L until 40000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
