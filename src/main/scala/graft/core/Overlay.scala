@@ -453,6 +453,42 @@ object PolyClip {
     if (Math.abs(after - before) > Math.max(1e-12, before * 1e-9)) groups else out
   }
 
+  /** Containment probe for ring nesting that avoids the container's
+    * boundary: a ring touching another at a point (T-junction, corner
+    * touch) must not be classified by that touch point — S2Loop.contains
+    * is unspecified ON the boundary. Picks the first vertex (then edge
+    * midpoint) of `r` clearly off `container`'s boundary; falls back to
+    * the head vertex only when every probe is boundary-incident (rings
+    * sharing their entire boundary — ambiguous either way). */
+  private def offBoundaryContains(container: S2Loop, containerRing: Ring,
+                                  r: Ring): Boolean = {
+    val btol = 1e-9
+    def onBoundary(p: S2Point): Boolean = {
+      var i = 0
+      while (i < containerRing.size) {
+        val u = containerRing(i); val v = containerRing((i + 1) % containerRing.size)
+        if (p == u || p.angle(u) <= btol) return true
+        val n = u.cross(v); val nn = n.norm
+        if (nn >= 1e-30 && Math.abs(p.dot(n)) / nn <= btol &&
+            p.dot(n.cross(u)) > 0 && p.dot(v.cross(n)) > 0) return true
+        i += 1
+      }
+      false
+    }
+    var i = 0
+    while (i < r.size) {
+      if (!onBoundary(r(i))) return container.contains(r(i))
+      i += 1
+    }
+    i = 0
+    while (i < r.size) {
+      val m = (r(i) + r((i + 1) % r.size)).normalize
+      if (!onBoundary(m)) return container.contains(m)
+      i += 1
+    }
+    container.contains(r.head)
+  }
+
   /** Parity-aware nesting for dissolve output: a ring inside an EVEN
     * number of other rings is a shell, odd makes it a hole of its
     * innermost container — unlike [[regroup]], an island nested inside a
@@ -463,7 +499,8 @@ object PolyClip {
     val order = rings.indices.sortBy(i => -loops(i).area)
     val holesOf = mutable.LinkedHashMap[Int, mutable.ArrayBuffer[Ring]]()
     for ((i, k) <- order.zipWithIndex) {
-      val containers = order.take(k).filter(j => loops(j).contains(rings(i).head))
+      val containers = order.take(k).filter(j =>
+        offBoundaryContains(loops(j), rings(j), rings(i)))
       if (containers.size % 2 == 0) holesOf(i) = mutable.ArrayBuffer()
       else {
         val parent = containers.minBy(j => loops(j).area)
@@ -483,13 +520,13 @@ object PolyClip {
     val withLoops = rings.map(r => (r, new S2Loop(r.toArray)))
       .sortBy { case (_, l) => -l.area }
     val groups = mutable.ArrayBuffer[mutable.ArrayBuffer[Vector[S2Point]]]()
-    val shellLoops = mutable.ArrayBuffer[S2Loop]()
+    val shellLoops = mutable.ArrayBuffer[(S2Loop, Vector[S2Point])]()
     for ((r, _) <- withLoops) {
-      val shellIdx = shellLoops.indexWhere(_.contains(r.head))
+      val shellIdx = shellLoops.indexWhere { case (l, sr) => offBoundaryContains(l, sr, r) }
       if (shellIdx >= 0) groups(shellIdx) += r // hole of that shell
       else {
         groups += mutable.ArrayBuffer(r)
-        shellLoops += new S2Loop(r.toArray)
+        shellLoops += ((new S2Loop(r.toArray), r))
       }
     }
     groups.map(_.toVector).toVector

@@ -43,9 +43,46 @@ import scala.collection.mutable
 object PolyOverlay {
   import PolyClip.{Group, Ring}
 
-  /** Snap-alignment tolerance in radians (~6 µm on Earth): generous for
-    * ulp-scale degeneracy, far below any real-data feature size. */
+  /** Base snap-alignment tolerance in radians (~6 µm on Earth): generous
+    * for ulp-scale degeneracy, far below any real-data feature size. */
   private val SnapTol = 1e-12
+
+  /** Ceiling for the ADAPTIVE snap radius (~2.5 mm on Earth) and the
+    * band below which a cross-input distance counts as degenerate. A
+    * fixed radius has a cliff: a vertex 1.4x the radius away neither
+    * merges nor behaves as a clean crossing, and the classification
+    * operates at fp-noise scale (the round-8 fuzz found exactly this).
+    * S2Builder solves it by requiring the CALLER to pick a snap radius
+    * at/above the data's degeneracy scale; we derive it instead: observe
+    * every cross-input vertex-vertex and vertex-edge distance below
+    * [[DegenBand]] and set the radius to clear the occupied band
+    * (2.5x the largest such distance, capped at [[SnapCap]]). Clean
+    * inputs have no sub-band distances and keep [[SnapTol]] — pinned
+    * goldens do not move. */
+  private val DegenBand = 1e-10
+  private val SnapCap = 4e-10
+
+  private def workingTol(aRings: Vector[Ring], bRings: Vector[Ring]): Double = {
+    val aV = aRings.flatten.distinct
+    val bV = bRings.flatten.distinct
+    var maxD = 0.0
+    def consider(d: Double): Unit =
+      if (d > 0 && d < DegenBand && d > maxD) maxD = d
+    for (w <- bV; u <- aV) consider(w.angle(u))
+    def edgeDists(verts: Vector[S2Point], rings: Vector[Ring]): Unit =
+      for (r <- rings; i <- r.indices; w <- verts) {
+        val u = r(i); val v = r((i + 1) % r.size)
+        if (w != u && w != v) {
+          val n = u.cross(v); val nn = n.norm
+          if (nn >= 1e-30 && w.dot(n.cross(u)) > 0 && w.dot(v.cross(n)) > 0)
+            consider(Math.abs(w.dot(n)) / nn)
+        }
+      }
+    edgeDists(bV, aRings)
+    edgeDists(aV, bRings)
+    if (maxD == 0.0) SnapTol
+    else Math.max(SnapTol, Math.min(2.5 * maxD, SnapCap))
+  }
 
   def intersect(a: Vector[Group], b: Vector[Group]): Option[Vector[Group]] =
     run(a, b).map(_.and)
@@ -75,13 +112,17 @@ object PolyOverlay {
     val bRings0 = leftRings(bIn)
     if (aRings0.isEmpty || bRings0.isEmpty) return None
 
+    // adaptive snap radius: clears the observed degeneracy band (see
+    // [[workingTol]]); SnapTol on clean inputs
+    val tol = workingTol(aRings0, bRings0)
+
     // ---- 1. snap-align: canonicalize B vertices onto A vertices within tol
     val aVerts: Vector[S2Point] = aRings0.flatten.distinct
     val bVertsRaw: Vector[S2Point] = bRings0.flatten.distinct
     val canon = mutable.HashMap[S2Point, S2Point]()
     for (w <- bVertsRaw; if !canon.contains(w)) {
       var best: S2Point = null
-      var bestD = SnapTol
+      var bestD = tol
       for (u <- aVerts) {
         val d = w.angle(u)
         if (d <= bestD) { best = u; bestD = d }
@@ -107,7 +148,7 @@ object PolyOverlay {
     def cutAtVertices(rings: Vector[Ring], cuts: Cuts, verts: Vector[S2Point]): Unit =
       for (ri <- rings.indices; r = rings(ri); i <- r.indices) {
         val u = r(i); val v = r((i + 1) % r.size)
-        for (w <- verts; if w != u && w != v && onArcWithin(w, u, v, SnapTol))
+        for (w <- verts; if w != u && w != v && onArcWithin(w, u, v, tol))
           cuts(ri)(i) += w
       }
     cutAtVertices(aRings, aCuts, bVerts)
@@ -117,10 +158,16 @@ object PolyOverlay {
     // to nearby canonical vertices, then to previously seen crossings
     val seenCrossings = mutable.ArrayBuffer[S2Point]()
     def canonPoint(p: S2Point, near: Seq[S2Point]): S2Point = {
-      for (q <- near) if (p == q || p.angle(q) <= SnapTol) return q
-      for (q <- seenCrossings) if (p.angle(q) <= SnapTol) return q
+      for (q <- near) if (p == q || p.angle(q) <= tol) return q
+      for (q <- seenCrossings) if (p.angle(q) <= tol) return q
       seenCrossings += p
       p
+    }
+    // near-collinear at the WORKING tolerance: both endpoints within tol
+    // of the other edge's great circle means a quasi-shared arc
+    def nearLine(u: S2Point, v: S2Point, w: S2Point): Boolean = {
+      val n = u.cross(v); val nn = n.norm
+      nn < 1e-30 || Math.abs(w.dot(n)) / nn <= Math.max(tol, 1e-12)
     }
     for (ai <- aRings.indices; ra = aRings(ai); i <- ra.indices) {
       val a1 = ra(i); val a2 = ra((i + 1) % ra.size)
@@ -129,7 +176,7 @@ object PolyOverlay {
         // near-collinear pairs are shared arcs (subdivided identically by
         // step 2a), never transversal crossings — same guard as PolyClip
         if (S2Pred.crossingSign(a1, a2, b1, b2) > 0 &&
-            !(S2Pred.nearCollinear(a1, a2, b1) && S2Pred.nearCollinear(a1, a2, b2))) {
+            !(nearLine(a1, a2, b1) && nearLine(a1, a2, b2))) {
           val p = canonPoint(PolyClip.intersectionPoint(a1, a2, b1, b2),
             Seq(a1, a2, b1, b2))
           if (p != a1 && p != a2) aCuts(ai)(i) += p
@@ -194,13 +241,13 @@ object PolyOverlay {
     }
 
     val dbg = sys.env.contains("GRAFT_OVERLAY_DEBUG")
-    val andG = stitch(andSel.toVector).getOrElse {
+    val andG = stitch(andSel.toVector, tol).getOrElse {
       if (dbg) System.err.println(s"[polyoverlay] AND stitch failed (${andSel.size} edges)")
       return None }
-    val orG = stitch(orSel.toVector).getOrElse {
+    val orG = stitch(orSel.toVector, tol).getOrElse {
       if (dbg) System.err.println(s"[polyoverlay] OR stitch failed (${orSel.size} edges)")
       return None }
-    val minusG = stitch(minusSel.toVector).getOrElse {
+    val minusG = stitch(minusSel.toVector, tol).getOrElse {
       if (dbg) System.err.println(s"[polyoverlay] MINUS stitch failed (${minusSel.size} edges)")
       return None }
 
@@ -213,12 +260,12 @@ object PolyOverlay {
     // outputs carry curvature-area noise ~eps/edge_len at tiny edges, so
     // the tolerance sits at snap-sliver scale; real corruption (a lost or
     // double-counted piece) is orders of magnitude above it
-    val tol = Math.max(1e-10, 1e-7 * (aArea + bArea))
-    val ok = Math.abs(i + m - aArea) <= tol &&
-      Math.abs(u - (aArea + bArea - i)) <= tol
+    val areaTol = Math.max(1e-10, 1e-7 * (aArea + bArea))
+    val ok = Math.abs(i + m - aArea) <= areaTol &&
+      Math.abs(u - (aArea + bArea - i)) <= areaTol
     if (!ok) {
       if (dbg) System.err.println(
-        s"[polyoverlay] area check failed: i=$i u=$u m=$m aArea=$aArea bArea=$bArea tol=$tol")
+        s"[polyoverlay] area check failed: i=$i u=$u m=$m aArea=$aArea bArea=$bArea tol=$areaTol")
       None
     } else Some(Results(andG, orG, minusG))
   }
@@ -227,7 +274,7 @@ object PolyOverlay {
     * then continuing on the same source ring (keeps corner-touching rings
     * separate instead of producing a figure-eight), then any unused
     * successor. None on a dangling boundary. */
-  private def stitch(edges: Vector[DEdge]): Option[Vector[Group]] = {
+  private def stitch(edges: Vector[DEdge], tol: Double = SnapTol): Option[Vector[Group]] = {
     if (edges.isEmpty) return Some(Vector.empty)
     val bySrc = mutable.HashMap[S2Point, mutable.ArrayBuffer[Int]]()
     for (i <- edges.indices)
@@ -256,7 +303,7 @@ object PolyOverlay {
       // OUTSIDE vertex-merge range (e.g. 1.02e-12 rad apart) leaves a stub
       // edge whose turn-angle curvature is fp noise — collapse it here
       // (changes the boundary by <= 4e-12 rad, well inside snap semantics)
-      val cyc = dedupeTol(PolyClip.dedupeRing(ring.toVector), 4 * SnapTol)
+      val cyc = dedupeTol(PolyClip.dedupeRing(ring.toVector), 4 * tol)
       if (cyc.size >= 3) rings += cyc
     }
     // canonical storage: small-side rings rotated to lex-min start,

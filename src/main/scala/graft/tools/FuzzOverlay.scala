@@ -1,0 +1,138 @@
+package graft.tools
+
+import graft.core.{Geography, Overlay, S2Measure, Wkt}
+
+/**
+ * Bulk overlay robustness fuzzer — the degenerate-input stress harness
+ * behind the snap-overlay engine's claims (SnapOverlaySpec covers 60
+ * seeds in CI; this runs thousands on demand).
+ *
+ * Generates the input classes that break naive clippers:
+ *   1. shared straight border digitized twice, ±ulp perturbed, with a
+ *      midpoint vertex ulp-near the neighbor's edge interior
+ *   2. the SAME polygon digitized twice (every vertex ±ulp perturbed):
+ *      union ≈ A, intersection ≈ A, A\B ≈ 0
+ *   3. T-junction: B's corner lands (exactly or ulp-off) on the interior
+ *      of A's edge
+ *   4. angled shared edge: convex quads sharing a non-axis-aligned edge
+ *   5. shared border subdivided into a multi-vertex chain, each vertex
+ *      independently perturbed
+ *
+ * For every seed it checks the area algebra (|A∪B| = |A|+|B|-|A∩B|,
+ * |A∩B|+|A\B| = |A|, |A∩B|+|B\A| = |B|) to a sliver tolerance and
+ * reports any violation or thrown error with the reproducing WKT.
+ *
+ * Usage: runMain graft.tools.FuzzOverlay [nSeeds] [classFilter]
+ */
+object FuzzOverlay {
+  private def g(w: String) = Wkt.read(w, validate = false)
+  private def area(x: Geography) = S2Measure.areaMeters2(x)
+
+  private def poly(coords: Seq[(Double, Double)]): String =
+    "POLYGON ((" + (coords :+ coords.head).map { case (x, y) => s"$x $y" }.mkString(", ") + "))"
+
+  /** Deterministic degenerate-pair generator for `seed`; `klass` 0-4 as in
+    * the class list above. Shared with SnapOverlaySpec's CI subset. */
+  def genPair(seed: Int, klass: Int): (String, String) = {
+    val rnd = new scala.util.Random(20260813L + seed * 7919L)
+    def eps() = (rnd.nextDouble() - 0.5) * 1.2e-10
+    klass match {
+      case 0 => // shared axis-aligned border + midpoint vertex
+        val c = rnd.nextInt(120) - 60
+        val lo = rnd.nextInt(40) - 20
+        val hi = lo + 4 + rnd.nextInt(20)
+        val wA = 3 + rnd.nextInt(15); val wB = 3 + rnd.nextInt(15)
+        val midc = lo + (hi - lo) / 2.0
+        if (rnd.nextBoolean())
+          (poly(Seq((c - wA, lo.toDouble), (c, lo.toDouble), (c, hi.toDouble), (c - wA, hi.toDouble))),
+           poly(Seq((c + eps(), lo.toDouble), (c + wB, lo.toDouble), (c + wB, hi.toDouble),
+             (c + eps(), hi.toDouble), (c + eps(), midc))))
+        else
+          (poly(Seq((lo.toDouble, c - wA), (hi.toDouble, c - wA), (hi.toDouble, c), (lo.toDouble, c))),
+           poly(Seq((lo.toDouble, c + eps()), (midc, c + eps()), (hi.toDouble, c + eps()),
+             (hi.toDouble, c + wB), (lo.toDouble, c + wB))))
+      case 1 => // same polygon digitized twice (all vertices perturbed)
+        val cx = rnd.nextInt(100) - 50; val cy = rnd.nextInt(80) - 40
+        val k = 4 + rnd.nextInt(4)
+        val pts = (0 until k).map { i =>
+          val ang = 2 * math.Pi * i / k
+          val r = 2.0 + rnd.nextInt(8)
+          (cx + r * math.cos(ang), cy + r * math.sin(ang))
+        }
+        (poly(pts), poly(pts.map { case (x, y) => (x + eps(), y + eps()) }))
+      case 2 => // T-junction: B's corner on the interior of A's right edge
+        val x0 = rnd.nextInt(60) - 30
+        val y0 = rnd.nextInt(60) - 30
+        val h = 6 + rnd.nextInt(10)
+        val ty = y0 + 1 + rnd.nextInt(h - 2) + rnd.nextDouble()
+        val exact = rnd.nextBoolean()
+        val tx = (x0 + 10) + (if (exact) 0.0 else eps())
+        (poly(Seq((x0.toDouble, y0.toDouble), (x0 + 10.0, y0.toDouble),
+           (x0 + 10.0, y0.toDouble + h), (x0.toDouble, y0.toDouble + h))),
+         poly(Seq((tx, ty), (tx + 6, ty - 2 - rnd.nextInt(3)), (tx + 6, ty + 2 + rnd.nextInt(3)))))
+      case 3 => // angled shared edge between two convex quads
+        val x1 = rnd.nextInt(40) - 20.0; val y1 = rnd.nextInt(40) - 20.0
+        val x2 = x1 + 4 + rnd.nextInt(10); val y2 = y1 + 3 + rnd.nextInt(9)
+        (poly(Seq((x1, y1), (x2, y2), (x1 - 3 - rnd.nextInt(6), y2), (x1 - 5 - rnd.nextInt(4), y1))),
+         poly(Seq((x1 + eps(), y1 + eps()), (x2 + 5 + rnd.nextInt(5), y1),
+           (x2 + 7 + rnd.nextInt(4), y2), (x2 + eps(), y2 + eps()))))
+      case _ => // multi-vertex shared chain, each vertex perturbed
+        val c = rnd.nextInt(80) - 40
+        val lo = rnd.nextInt(30) - 15
+        val span = 6 + rnd.nextInt(12)
+        val cuts = Seq(lo + span / 3.0, lo + 2 * span / 3.0)
+        val wA = 4 + rnd.nextInt(10); val wB = 4 + rnd.nextInt(10)
+        (poly(Seq((c - wA, lo.toDouble), (c.toDouble, lo.toDouble), (c.toDouble, lo + span.toDouble),
+           (c - wA, lo + span.toDouble))),
+         poly(Seq((c + eps(), lo.toDouble), (c + wB, lo.toDouble), (c + wB, lo + span.toDouble),
+           (c + eps(), lo + span.toDouble), (c + eps(), cuts(1)), (c + eps(), cuts(0)))))
+    }
+  }
+
+  /** Area-algebra invariant check for one WKT pair; Some(message) on a
+    * violation or error, None when the invariants hold. */
+  def checkPair(aW: String, bW: String): Option[String] =
+    try {
+      val a = g(aW); val b = g(bW)
+      val aA = area(a); val bA = area(b)
+      val u = area(Overlay.union(a, b))
+      val i = area(Overlay.intersection(a, b))
+      val dab = area(Overlay.difference(a, b))
+      val dba = area(Overlay.difference(b, a))
+      val tol = 1e-6 * (aA + bA)
+      def bad(name: String, defect: Double): Option[String] =
+        if (math.abs(defect) > tol) Some(f"$name defect=$defect%.3g\n  A=$aW\n  B=$bW") else None
+      bad("union", u - (aA + bA - i))
+        .orElse(bad("partitionA", i + dab - aA))
+        .orElse(bad("partitionB", i + dba - bA))
+    } catch {
+      case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}\n  A=$aW\n  B=$bW")
+    }
+
+  def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("repro")) {
+      val a = g(args(1)); val b = g(args(2))
+      val aA = area(a); val bA = area(b)
+      println(f"|A|=$aA%.6g |B|=$bA%.6g")
+      println(f"|A∪B|=${area(Overlay.union(a, b))}%.6g")
+      println(f"|A∩B|=${area(Overlay.intersection(a, b))}%.6g")
+      println(f"|A\\B|=${area(Overlay.difference(a, b))}%.6g")
+      println(f"|B\\A|=${area(Overlay.difference(b, a))}%.6g")
+      println("A\\B = " + Wkt.write(Overlay.difference(a, b)))
+      println("B\\A = " + Wkt.write(Overlay.difference(b, a)))
+      return
+    }
+    val n = args.headOption.map(_.toInt).getOrElse(2000)
+    val only = args.drop(1).headOption.map(_.toInt)
+    var failures = 0
+    for (seed <- 0 until n) {
+      val klass = only.getOrElse(seed % 5)
+      val (aW, bW) = genPair(seed, klass)
+      checkPair(aW, bW).foreach { msg =>
+        failures += 1
+        println(s"FAIL seed=$seed class=$klass $msg")
+      }
+    }
+    println(s"[fuzz-overlay] $n seeds, $failures failures")
+  }
+}

@@ -72,6 +72,18 @@ class SnapOverlaySpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz: five degenerate classes hold area invariants (round-8 generators)") {
+    // 30 seeds x 5 classes of graft.tools.FuzzOverlay (double-digitized
+    // polygons, exact/perturbed T-junctions, angled shared edges,
+    // perturbed chains) — the CI slice of the 20k-seed offline run that
+    // drove the adaptive snap radius + off-boundary nesting probe fixes
+    import graft.tools.FuzzOverlay
+    for (seed <- 0 until 30; klass <- 0 until 5) {
+      val (aW, bW) = FuzzOverlay.genPair(seed, klass)
+      FuzzOverlay.checkPair(aW, bW).foreach(msg => fail(s"seed=$seed class=$klass $msg"))
+    }
+  }
+
   test("fuzz: ±1-ulp perturbed shared-border pairs hold area invariants on all seeds") {
     val rnd = new scala.util.Random(20260813L)
     var run = 0
