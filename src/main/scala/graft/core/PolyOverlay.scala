@@ -103,13 +103,19 @@ object PolyOverlay {
 
   private def runImpl(aIn: Vector[Group], bIn: Vector[Group]): Option[Results] = {
     // ---- region-left ring chains (shells as stored small-side = CCW;
-    // holes reversed), keeping group structure for the per-source areas
-    def leftRings(gs: Vector[Group]): Vector[Ring] = gs.flatMap { g =>
-      val rs = PolyClip.normRing(g.shell) +: g.holes.map(h => PolyClip.normRing(h).reverse)
-      rs.filter(_.size >= 3)
+    // holes reversed), with each ring's GROUP id — containment of a point
+    // in the region is per-group (inside the shell AND inside every
+    // hole-complement), OR'd across groups; a flat XOR-parity over
+    // orientation-aware loops is wrong as soon as a group has a hole
+    def leftRings(gs: Vector[Group]): Vector[(Ring, Int)] = gs.zipWithIndex.flatMap {
+      case (g, gi) =>
+        val rs = PolyClip.normRing(g.shell) +: g.holes.map(h => PolyClip.normRing(h).reverse)
+        rs.filter(_.size >= 3).map(r => (r, gi))
     }
-    val aRings0 = leftRings(aIn)
-    val bRings0 = leftRings(bIn)
+    val aPairs = leftRings(aIn)
+    val bPairs = leftRings(bIn)
+    val aRings0 = aPairs.map(_._1)
+    val bRings0 = bPairs.map(_._1)
     if (aRings0.isEmpty || bRings0.isEmpty) return None
 
     // adaptive snap radius: clears the observed degeneracy band (see
@@ -131,7 +137,10 @@ object PolyOverlay {
     }
     def canonChain(r: Ring): Ring = dedupCycle(r.map(p => canon.getOrElse(p, p)))
     val aRings = aRings0 // A vertices are already canonical
-    val bRings = bRings0.map(canonChain).filter(_.size >= 3)
+    val aGroupOf: Vector[Int] = aPairs.map(_._2)
+    val bKept = bPairs.map { case (r, gi) => (canonChain(r), gi) }.filter(_._1.size >= 3)
+    val bRings = bKept.map(_._1)
+    val bGroupOf: Vector[Int] = bKept.map(_._2)
     if (bRings.isEmpty) return None
     val bVerts: Vector[S2Point] = bRings.flatten.distinct
 
@@ -203,17 +212,21 @@ object PolyOverlay {
     val aEdges = subdivide(aRings, aCuts, 0)
     val bEdges = subdivide(bRings, bCuts, aRings.size)
 
-    // subdivided chains per ring (for the parity containment index — the
+    // subdivided chains per ring (for the containment index — the
     // classification must test against the SNAPPED geometry, and using
-    // identical chains keeps both sides of a shared arc consistent)
-    def chainsOf(edges: Vector[DEdge]): Vector[Ring] =
-      edges.groupBy(_.ring).toVector.sortBy(_._1).map(_._2.map(_.u))
-    val aChains = chainsOf(aEdges)
-    val bChains = chainsOf(bEdges)
-    val aLoops = aChains.map(r => new S2Loop(r.toArray))
-    val bLoops = bChains.map(r => new S2Loop(r.toArray))
-    def parityContains(loops: Vector[S2Loop], p: S2Point): Boolean =
-      loops.foldLeft(false)((acc, l) => acc ^ l.contains(p))
+    // identical chains keeps both sides of a shared arc consistent).
+    // Containment is per-GROUP: p is in the region iff for some group its
+    // shell chain AND every hole chain contain p (hole chains are
+    // region-left reversed, so their S2-interior is the hole complement)
+    def chainLoopsByGroup(edges: Vector[DEdge], ringBase: Int,
+                          groupOf: Vector[Int]): Vector[Vector[S2Loop]] =
+      edges.groupBy(_.ring).toVector
+        .map { case (rid, es) => (groupOf(rid - ringBase), new S2Loop(es.map(_.u).toArray)) }
+        .groupBy(_._1).toVector.sortBy(_._1).map(_._2.map(_._2))
+    val aLoops = chainLoopsByGroup(aEdges, 0, aGroupOf)
+    val bLoops = chainLoopsByGroup(bEdges, aRings.size, bGroupOf)
+    def regionContains(groups: Vector[Vector[S2Loop]], p: S2Point): Boolean =
+      groups.exists(_.forall(_.contains(p)))
 
     // ---- 3. classify + 4. select
     val bSet = bEdges.iterator.map(e => (e.u, e.v)).toSet
@@ -228,21 +241,26 @@ object PolyOverlay {
         minusSel += e
       } else {
         val mid = (e.u + e.v).normalize
-        if (parityContains(bLoops, mid)) andSel += e
+        if (regionContains(bLoops, mid)) andSel += e
         else { orSel += e; minusSel += e }
       }
     }
     for (e <- bEdges) {
       if (!aSet.contains((e.u, e.v)) && !aSet.contains((e.v, e.u))) {
         val mid = (e.u + e.v).normalize
-        if (parityContains(aLoops, mid)) { andSel += e; minusSel += DEdge(e.v, e.u, e.ring) }
+        if (regionContains(aLoops, mid)) { andSel += e; minusSel += DEdge(e.v, e.u, e.ring) }
         else orSel += e
       }
     }
 
     val dbg = sys.env.contains("GRAFT_OVERLAY_DEBUG")
+    def fmtE(e: DEdge): String = {
+      def f(p: S2Point) = f"(${p.lngDegrees}%.12g ${p.latDegrees}%.12g)"
+      s"ring${e.ring} ${f(e.u)}->${f(e.v)}"
+    }
     val andG = stitch(andSel.toVector, tol).getOrElse {
-      if (dbg) System.err.println(s"[polyoverlay] AND stitch failed (${andSel.size} edges)")
+      if (dbg) System.err.println(s"[polyoverlay] AND stitch failed (${andSel.size} edges):\n  " +
+        andSel.map(fmtE).mkString("\n  "))
       return None }
     val orG = stitch(orSel.toVector, tol).getOrElse {
       if (dbg) System.err.println(s"[polyoverlay] OR stitch failed (${orSel.size} edges)")

@@ -76,7 +76,7 @@ object FuzzOverlay {
         (poly(Seq((x1, y1), (x2, y2), (x1 - 3 - rnd.nextInt(6), y2), (x1 - 5 - rnd.nextInt(4), y1))),
          poly(Seq((x1 + eps(), y1 + eps()), (x2 + 5 + rnd.nextInt(5), y1),
            (x2 + 7 + rnd.nextInt(4), y2), (x2 + eps(), y2 + eps()))))
-      case _ => // multi-vertex shared chain, each vertex perturbed
+      case 4 => // multi-vertex shared chain, each vertex perturbed
         val c = rnd.nextInt(80) - 40
         val lo = rnd.nextInt(30) - 15
         val span = 6 + rnd.nextInt(12)
@@ -86,6 +86,37 @@ object FuzzOverlay {
            (c - wA, lo + span.toDouble))),
          poly(Seq((c + eps(), lo.toDouble), (c + wB, lo.toDouble), (c + wB, lo + span.toDouble),
            (c + eps(), lo + span.toDouble), (c + eps(), cuts(1)), (c + eps(), cuts(0)))))
+      case 5 => // PARTIAL collinear overlap: B's left edge covers only the
+        // middle of A's right edge, perturbed — T-nodes land mid-edge on
+        // both sides
+        val c = rnd.nextInt(80) - 40
+        val lo = rnd.nextInt(30) - 15
+        val hi = lo + 10 + rnd.nextInt(10)
+        val bLo = lo + 2 + rnd.nextDouble() * 2
+        val bHi = hi - 2 - rnd.nextDouble() * 2
+        val wA = 4 + rnd.nextInt(10); val wB = 4 + rnd.nextInt(10)
+        (poly(Seq((c - wA, lo.toDouble), (c.toDouble, lo.toDouble), (c.toDouble, hi.toDouble),
+           (c - wA, hi.toDouble))),
+         poly(Seq((c + eps(), bLo), (c + wB, bLo), (c + wB, bHi), (c + eps(), bHi))))
+      case _ => // B shares a border with A's HOLE (donut A; B sits in the
+        // hole, one side double-digitized against the hole ring)
+        val cx = rnd.nextInt(60) - 30
+        val cy = rnd.nextInt(40) - 20
+        val ro = 10 + rnd.nextInt(6)   // outer half-size
+        val ri = 4 + rnd.nextInt(3)    // hole half-size
+        val hx = cx - ri               // hole's left border
+        val shell = Seq((cx - ro.toDouble, cy - ro.toDouble), (cx + ro.toDouble, cy - ro.toDouble),
+          (cx + ro.toDouble, cy + ro.toDouble), (cx - ro.toDouble, cy + ro.toDouble))
+        val hole = Seq((hx.toDouble, cy - ri.toDouble), (cx + ri.toDouble, cy - ri.toDouble),
+          (cx + ri.toDouble, cy + ri.toDouble), (hx.toDouble, cy + ri.toDouble))
+        def ring(coords: Seq[(Double, Double)]): String =
+          "(" + (coords :+ coords.head).map { case (x, y) => s"$x $y" }.mkString(", ") + ")"
+        // B fills the left half of the hole; its left edge re-digitizes
+        // the hole's left border (perturbed), midpoint vertex included
+        val aPoly = "POLYGON (" + ring(shell) + ", " + ring(hole.reverse) + ")"
+        val b = poly(Seq((hx + eps(), cy - ri.toDouble), (cx.toDouble, cy - ri.toDouble),
+          (cx.toDouble, cy + ri.toDouble), (hx + eps(), cy + ri.toDouble), (hx + eps(), cy.toDouble)))
+        (aPoly, b)
     }
   }
 
@@ -126,7 +157,7 @@ object FuzzOverlay {
     val only = args.drop(1).headOption.map(_.toInt)
     var failures = 0
     for (seed <- 0 until n) {
-      val klass = only.getOrElse(seed % 5)
+      val klass = only.getOrElse(seed % 7)
       val (aW, bW) = genPair(seed, klass)
       checkPair(aW, bW).foreach { msg =>
         failures += 1
