@@ -7,16 +7,21 @@ import graft.core.{Geography, Overlay, S2Measure, Wkt}
  * behind the snap-overlay engine's claims (SnapOverlaySpec covers 60
  * seeds in CI; this runs thousands on demand).
  *
- * Generates the input classes that break naive clippers:
- *   1. shared straight border digitized twice, ±ulp perturbed, with a
+ * Generates the input classes that break naive clippers (klass 0-8):
+ *   0. shared straight border digitized twice, ±ulp perturbed, with a
  *      midpoint vertex ulp-near the neighbor's edge interior
- *   2. the SAME polygon digitized twice (every vertex ±ulp perturbed):
+ *   1. the SAME polygon digitized twice (every vertex ±ulp perturbed):
  *      union ≈ A, intersection ≈ A, A\B ≈ 0
- *   3. T-junction: B's corner lands (exactly or ulp-off) on the interior
+ *   2. T-junction: B's corner lands (exactly or ulp-off) on the interior
  *      of A's edge
- *   4. angled shared edge: convex quads sharing a non-axis-aligned edge
- *   5. shared border subdivided into a multi-vertex chain, each vertex
+ *   3. angled shared edge: convex quads sharing a non-axis-aligned edge
+ *   4. shared border subdivided into a multi-vertex chain, each vertex
  *      independently perturbed
+ *   5. partial collinear overlap: B's edge covers only the middle of
+ *      A's edge — T-nodes land mid-edge on both sides
+ *   6. B shares a double-digitized border with A's HOLE (donut A)
+ *   7. B bridges TWO disjoint A rectangles (multi-group classification)
+ *   8. rotated lattice neighbors (nothing axis-aligned)
  *
  * For every seed it checks the area algebra (|A∪B| = |A|+|B|-|A∩B|,
  * |A∩B|+|A\B| = |A|, |A∩B|+|B\A| = |B|) to a sliver tolerance and
@@ -98,6 +103,37 @@ object FuzzOverlay {
         (poly(Seq((c - wA, lo.toDouble), (c.toDouble, lo.toDouble), (c.toDouble, hi.toDouble),
            (c - wA, hi.toDouble))),
          poly(Seq((c + eps(), bLo), (c + wB, bLo), (c + wB, bHi), (c + eps(), bHi))))
+      case 7 => // B bridges TWO disjoint A rectangles, sharing a perturbed
+        // border with each — exercises multi-group classification
+        val y0 = rnd.nextInt(40) - 20
+        val h = 5 + rnd.nextInt(8)
+        val x1 = rnd.nextInt(40) - 20
+        val gap = 6 + rnd.nextInt(6)
+        val w1 = 4 + rnd.nextInt(6); val w2 = 4 + rnd.nextInt(6)
+        val left = poly(Seq((x1 - w1.toDouble, y0.toDouble), (x1.toDouble, y0.toDouble),
+          (x1.toDouble, y0.toDouble + h), (x1 - w1.toDouble, y0.toDouble + h)))
+        val right = poly(Seq((x1 + gap.toDouble, y0.toDouble), (x1 + gap + w2.toDouble, y0.toDouble),
+          (x1 + gap + w2.toDouble, y0.toDouble + h), (x1 + gap.toDouble, y0.toDouble + h)))
+        val b = poly(Seq((x1 + eps(), y0.toDouble), (x1 + gap + eps(), y0.toDouble),
+          (x1 + gap + eps(), y0.toDouble + h), (x1 + eps(), y0.toDouble + h),
+          (x1 + eps(), y0 + h / 2.0)))
+        ("MULTIPOLYGON (" + left.stripPrefix("POLYGON ") + ", " +
+          right.stripPrefix("POLYGON ") + ")", b)
+      case 8 => // rotated lattice neighbors: both quads rotated by a random
+        // angle, sharing a double-digitized non-axis-aligned border
+        val ang = rnd.nextDouble() * math.Pi / 2
+        val ca = math.cos(ang); val sa = math.sin(ang)
+        val cx = rnd.nextInt(40) - 20.0; val cy = rnd.nextInt(30) - 15.0
+        val w1 = 4 + rnd.nextInt(8); val w2 = 4 + rnd.nextInt(8)
+        val hh = 5 + rnd.nextInt(8)
+        def rot(x: Double, y: Double): (Double, Double) =
+          (cx + x * ca - y * sa, cy + x * sa + y * ca)
+        def rotE(x: Double, y: Double): (Double, Double) = {
+          val (px, py) = rot(x, y); (px + eps(), py + eps())
+        }
+        // shared border is the rotated segment (0,0)-(0,hh)
+        (poly(Seq(rot(-w1, 0), rot(0, 0), rot(0, hh), rot(-w1, hh))),
+         poly(Seq(rotE(0, 0), rot(w2, 0), rot(w2, hh), rotE(0, hh), rotE(0, hh / 2.0))))
       case _ => // B shares a border with A's HOLE (donut A; B sits in the
         // hole, one side double-digitized against the hole ring)
         val cx = rnd.nextInt(60) - 30
@@ -157,7 +193,7 @@ object FuzzOverlay {
     val only = args.drop(1).headOption.map(_.toInt)
     var failures = 0
     for (seed <- 0 until n) {
-      val klass = only.getOrElse(seed % 7)
+      val klass = only.getOrElse(seed % 9)
       val (aW, bW) = genPair(seed, klass)
       checkPair(aW, bW).foreach { msg =>
         failures += 1

@@ -73,12 +73,12 @@ class SnapOverlaySpec extends AnyFunSuite {
   }
 
   test("fuzz: five degenerate classes hold area invariants (round-8 generators)") {
-    // 30 seeds x 7 classes of graft.tools.FuzzOverlay (double-digitized
+    // 30 seeds x 9 classes of graft.tools.FuzzOverlay (double-digitized
     // polygons, exact/perturbed T-junctions, angled shared edges,
     // perturbed chains) — the CI slice of the 20k-seed offline run that
     // drove the adaptive snap radius + off-boundary nesting probe fixes
     import graft.tools.FuzzOverlay
-    for (seed <- 0 until 30; klass <- 0 until 7) {
+    for (seed <- 0 until 30; klass <- 0 until 9) {
       val (aW, bW) = FuzzOverlay.genPair(seed, klass)
       FuzzOverlay.checkPair(aW, bW).foreach(msg => fail(s"seed=$seed class=$klass $msg"))
     }
