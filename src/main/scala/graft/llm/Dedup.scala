@@ -183,6 +183,38 @@ object Dedup {
     aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v).cast("double") / size(sigA)
 
+  /** CROSS-corpus MinHash-LSH candidate pairs — fuzzy decontamination:
+    * surface train docs that are near-duplicates of eval/benchmark docs
+    * even when the text was reordered or lightly edited (where the exact
+    * n-gram `TextAnalysis.contaminationPairs` goes blind). Same banding
+    * and first-collision reporting as [[minhashCandidatePairs]], but the
+    * two sides are DIFFERENT corpora meeting in one (band, bucket)
+    * equi-join — never all-pairs, and each qualifying pair surfaces on
+    * exactly its first agreeing band, so there is no distinct over the
+    * pair set. Output: (id_a from left, id_b from right, est_jaccard —
+    * the signature-agreement estimate; identical word sets give exactly
+    * 1.0 and collide in every band by construction).
+    *
+    * Scale shape: both sides shuffle once on (band, bucket); the eval
+    * side is typically tiny, so AQE broadcast-joins it and the train
+    * corpus never shuffles at all. */
+  def minhashCrossPairs(left: DataFrame, right: DataFrame, idCol: String,
+                        textCol: String, numHashes: Int = 64,
+                        bands: Int = 8): DataFrame = {
+    def sigs(df: DataFrame) = df
+      .select(col(idCol).as("id"), minhashSignature(col(textCol), numHashes).as("sig"))
+      .select(col("id"), col("sig"), lshBandBuckets(col("sig"), numHashes, bands).as("bks"))
+      .select(col("id"), col("sig"), col("bks"),
+        posexplode(col("bks")).as(Seq("band", "bucket")))
+    val firstMatch =
+      array_position(zip_with(col("a.bks"), col("b.bks"), (x, y) => x === y), lit(true))
+    sigs(left).as("a").join(sigs(right).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          firstMatch === col("a.band") + 1)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        minhashJaccardEstimate(col("a.sig"), col("b.sig")).as("est_jaccard"))
+  }
+
   // --------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over word unigrams (UDF: per-word 64-bit FNV hash,

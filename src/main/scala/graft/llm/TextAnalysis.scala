@@ -264,6 +264,49 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("long").as("n_tok"), avg(col("__nll")).as("surprisal"))
   }
 
+  // ------------------------------------- DSIR importance weighting
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169): score
+    * each RAW document by the log-likelihood ratio of a hashed bag-of-words
+    * model of the TARGET distribution vs the raw distribution — resampling
+    * raw docs proportional to exp(weight) shifts the corpus toward the
+    * target domain. Features are md5 hash buckets (the engine-portable
+    * [[Sampling.hashBucket]] convention, so a DuckDB oracle replays the
+    * identical bucketing); bucket probabilities are Laplace-smoothed
+    * ((c+1)/(N+buckets)), so never-seen buckets stay finite. Rows whose
+    * `isTarget` predicate holds define the target distribution and are not
+    * scored. Output: (idCol, n_tok, weight) for every non-empty raw doc.
+    *
+    * Scale shape: one explode over the corpus feeding one bucket-count
+    * aggregation (map-side partials; at most `buckets` rows survive); the
+    * bucket→log-ratio table broadcasts back onto the same exploded
+    * lineage (ReuseExchange computes the explode once); the per-doc sum is
+    * one shuffle keyed by idCol. Nothing is ever all-pairs or
+    * driver-side, and `buckets` bounds the model state regardless of
+    * corpus size — the property that makes DSIR usable at 100 TB. */
+  def importanceWeights(df: DataFrame, isTarget: Column, idCol: String,
+                        textCol: String, buckets: Int = 1024): DataFrame = {
+    val occ = df
+      .where(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol), isTarget.as("__t"),
+        explode(split(trim(col(textCol)), "\\s+")).as("__w"))
+      .select(col(idCol), col("__t"), Sampling.hashBucket(col("__w"), buckets).as("__b"))
+    val counts = occ.groupBy("__b").agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"),
+      sum(when(col("__t"), 0L).otherwise(1L)).as("__cr"))
+    val totals = counts.agg(sum("__ct").as("__nt"), sum("__cr").as("__nr"))
+    val ratios = counts.crossJoin(broadcast(totals)).select(col("__b"),
+      (org.apache.spark.sql.functions.log((col("__ct") + 1).cast("double") /
+          (col("__nt") + buckets).cast("double")) -
+        org.apache.spark.sql.functions.log((col("__cr") + 1).cast("double") /
+          (col("__nr") + buckets).cast("double"))).as("__lr"))
+    occ.where(!col("__t"))
+      .join(broadcast(ratios), "__b")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tok"), sum(col("__lr")).as("weight"))
+  }
+
   // ----------------------------------------------------- corpus data card
 
   /** Per-group corpus "data card": doc/token totals, language diversity,

@@ -1183,6 +1183,72 @@ object Queries {
       |FROM train t JOIN ev e ON t.g = e.g
       |GROUP BY 1, 2 ORDER BY train_id, eval_id""".stripMargin
 
+  /** FUZZY decontamination: cross-corpus MinHash-LSH (train half vs eval
+    * half) surfacing word-REORDERED near-copies that the exact 8-gram
+    * `l_decontam` misses. Planted: every 7th train doc re-enters the eval
+    * side with its word order reversed (same word SET → identical minhash
+    * signature → collides in every band, so LSH must surface it). The
+    * candidate set is then restricted to word-set-identical pairs, which
+    * the oracle computes exactly; est_jaccard is 1.0 for such pairs by
+    * construction, pinning the signature-agreement estimator too. */
+  private val qDecontamFuzzy = dfQ { s =>
+    val docs = s.table("documents").where(length(trim(col("text"))) > 0)
+    val train = docs.where(col("doc_id") % 2 === 1)
+    val planted = train.where(col("doc_id") % 7 === 1)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        array_join(reverse(split(trim(col("text")), "\\s+")), " ").as("text"))
+    val ev = docs.where(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text")).unionByName(planted)
+    val cands = Dedup.minhashCrossPairs(train, ev, "doc_id", "text",
+      numHashes = 64, bands = 4)
+    def canon(d: DataFrame) = d.select(col("doc_id"),
+      md5(array_join(array_sort(array_distinct(split(trim(col("text")), "\\s+"))), " "))
+        .as("canon"))
+    cands.join(canon(train).as("ct"), col("id_a") === col("ct.doc_id"))
+      .join(canon(ev).as("ce"), col("id_b") === col("ce.doc_id"))
+      .where(col("ct.canon") === col("ce.canon"))
+      .select(col("id_a").as("train_id"), col("id_b").as("eval_id"),
+        round(col("est_jaccard"), 4).as("est_j"))
+      .orderBy("train_id", "eval_id")
+  }
+  private val oDecontamFuzzy =
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0),
+      |train AS (SELECT doc_id, text FROM d WHERE doc_id % 2 = 1),
+      |planted AS (SELECT doc_id + 10000000 AS doc_id,
+      |    array_to_string(list_transform(range(len(w), 0, -1), i -> w[i]), ' ') AS text
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      |        FROM train WHERE doc_id % 7 = 1)),
+      |ev AS (SELECT doc_id, text FROM d WHERE doc_id % 2 = 0 UNION ALL SELECT * FROM planted),
+      |ct AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))), ' ')) AS canon FROM train),
+      |ce AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))), ' ')) AS canon FROM ev)
+      |SELECT t.doc_id AS train_id, e.doc_id AS eval_id, CAST(1.0 AS DOUBLE) AS est_j
+      |FROM ct t JOIN ce e ON t.canon = e.canon
+      |ORDER BY train_id, eval_id""".stripMargin
+
+  /** DSIR importance weights: target = the corpus's English docs, raw =
+    * everything else; each raw doc scored by the hashed-unigram
+    * log-likelihood ratio (resampling by exp(weight) shifts the corpus
+    * toward the target). The oracle replays the identical md5 bucketing,
+    * Laplace smoothing, and per-doc sum. */
+  private val qDsir = dfQ { s =>
+    TextAnalysis.importanceWeights(s.table("documents"),
+        col("lang") === "en", "doc_id", "text", buckets = 1024)
+      .select(col("doc_id"), col("n_tok"), round(col("weight"), 4).as("weight_r"))
+      .orderBy("doc_id")
+  }
+  private val oDsir =
+    """WITH d AS (SELECT doc_id, (lang = 'en') AS t, text FROM documents WHERE length(trim(text)) > 0),
+      |w AS (SELECT doc_id, t, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM d),
+      |b AS (SELECT doc_id, t, ('0x' || substr(md5(tok), 1, 7))::BIGINT % 1024 AS bkt FROM w),
+      |c AS (SELECT bkt, sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+      |             sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS cr FROM b GROUP BY 1),
+      |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM c),
+      |r AS (SELECT bkt, ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + 1024 AS DOUBLE))
+      |           - ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + 1024 AS DOUBLE)) AS lr FROM c, tot)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok, round(sum(lr), 4) AS weight_r
+      |FROM b JOIN r USING (bkt) WHERE NOT t
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private val qJaccard = dfQ { s =>
     val docs = s.table("documents")
     docs.select(col("doc_id"),
@@ -1923,6 +1989,8 @@ object Queries {
     ("l_sample", qSample, Some(oSample)),
     ("l_token_budget", qTokenBudget, Some(oTokenBudget)),
     ("l_decontam", qDecontam, Some(oDecontam)),
+    ("l_decontam_fuzzy", qDecontamFuzzy, Some(oDecontamFuzzy)),
+    ("l_dsir", qDsir, Some(oDsir)),
     ("l_text_redact", qTextRedact, Some(oTextRedact)),
     ("l_text_repetition", qTextRepetition, Some(oTextRepetition)),
     ("l_line_dedup", qLineDedup, Some(oLineDedup)),

@@ -268,6 +268,47 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("abcdefghij".forall(cover.contains(_)))
   }
 
+  test("minhashCrossPairs surfaces word-reordered near-copies across corpora") {
+    val s = spark; import s.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated text about spark catalyst optimizer rules"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val ev = Seq(
+      (100L, "dog lazy the over jumps fox brown quick the"), // reorder of 1
+      (101L, "theta eta zeta epsilon delta gamma beta alpha"), // reorder of 3
+      (102L, "no overlap with anything at all here truly")).toDF("doc_id", "text")
+    val got = Dedup.minhashCrossPairs(train, ev, "doc_id", "text",
+        numHashes = 64, bands = 4)
+      .select("id_a", "id_b", "est_jaccard")
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    // identical word sets MUST collide (identical signatures), est 1.0
+    assert(got.map(p => (p._1, p._2)).toSet === Set((1L, 100L), (3L, 101L)))
+    assert(got.forall(_._3 === 1.0))
+    // each pair surfaces exactly once (first-collision reporting, 4 bands)
+    assert(got.length === 2)
+  }
+
+  test("importanceWeights favors target-like raw docs and bounds state by buckets") {
+    val s = spark; import s.implicits._
+    // target: docs about cats; raw: one cat-like doc, one dog doc
+    val docs = Seq(
+      (1L, true,  "cat cat feline whiskers purr"),
+      (2L, true,  "cat kitten feline meow purr"),
+      (3L, false, "cat feline purr whiskers kitten"),   // target-like raw
+      (4L, false, "dog canine bark fetch growl"),       // off-target raw
+      (5L, false, ""),                                  // empty -> no row
+      (6L, true,  "purr meow cat")).toDF("doc_id", "is_t", "text")
+    val got = TextAnalysis.importanceWeights(docs, col("is_t"), "doc_id", "text",
+        buckets = 256)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    assert(got.map(_._1) === Array(3L, 4L))            // only non-empty raw docs
+    assert(got(0)._2 === 5L && got(1)._2 === 5L)
+    // the cat-like raw doc must outscore the dog doc
+    assert(got(0)._3 > got(1)._3,
+      s"target-like doc ${got(0)._3} should outweigh off-target ${got(1)._3}")
+  }
+
   test("rebalanceByGroup rank is a distributed prefix sum: >1 task per group") {
     val s = spark; import s.implicits._
     val df = (0L until 40000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
