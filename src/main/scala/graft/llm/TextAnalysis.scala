@@ -278,11 +278,13 @@ object TextAnalysis {
     * `isTarget` predicate holds define the target distribution and are not
     * scored. Output: (idCol, n_tok, weight) for every non-empty raw doc.
     *
-    * Scale shape: one explode over the corpus feeding one bucket-count
-    * aggregation (map-side partials; at most `buckets` rows survive); the
-    * bucket→log-ratio table broadcasts back onto the same exploded
-    * lineage (ReuseExchange computes the explode once); the per-doc sum is
-    * one shuffle keyed by idCol. Nothing is ever all-pairs or
+    * Scale shape: exactly TWO passes over the corpus — one explode
+    * feeding the bucket-count aggregation (map-side partials; at most
+    * `buckets` rows survive), one for scoring against the broadcast
+    * bucket→log-ratio table; the per-doc sum is one shuffle keyed by
+    * idCol. The corpus totals come from an unpartitioned window over the
+    * counts table — a single task, but over at most `buckets` rows by
+    * construction, never the data. Nothing is ever all-pairs or
     * driver-side, and `buckets` bounds the model state regardless of
     * corpus size — the property that makes DSIR usable at 100 TB. */
   def importanceWeights(df: DataFrame, isTarget: Column, idCol: String,
@@ -295,12 +297,16 @@ object TextAnalysis {
     val counts = occ.groupBy("__b").agg(
       sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"),
       sum(when(col("__t"), 0L).otherwise(1L)).as("__cr"))
-    val totals = counts.agg(sum("__ct").as("__nt"), sum("__cr").as("__nr"))
-    val ratios = counts.crossJoin(broadcast(totals)).select(col("__b"),
-      (org.apache.spark.sql.functions.log((col("__ct") + 1).cast("double") /
-          (col("__nt") + buckets).cast("double")) -
-        org.apache.spark.sql.functions.log((col("__cr") + 1).cast("double") /
-          (col("__nr") + buckets).cast("double"))).as("__lr"))
+    val everything = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val ratios = counts.select(col("__b"), col("__ct"), col("__cr"),
+        sum("__ct").over(everything).as("__nt"),
+        sum("__cr").over(everything).as("__nr"))
+      .select(col("__b"),
+        (org.apache.spark.sql.functions.log((col("__ct") + 1).cast("double") /
+            (col("__nt") + buckets).cast("double")) -
+          org.apache.spark.sql.functions.log((col("__cr") + 1).cast("double") /
+            (col("__nr") + buckets).cast("double"))).as("__lr"))
     occ.where(!col("__t"))
       .join(broadcast(ratios), "__b")
       .groupBy(col(idCol))
