@@ -215,6 +215,53 @@ object Dedup {
         minhashJaccardEstimate(col("a.sig"), col("b.sig")).as("est_jaccard"))
   }
 
+  // ------------------------------------------- duplicate-text spans
+
+  /** Cross-document duplicate-text spans at word n-gram granularity —
+    * the distributed shape of substring-level training-data dedup
+    * (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499): an n-gram occurring in more
+    * than one document marks a duplicated region, and overlapping hits
+    * merge into maximal spans. Output, for every doc with at least one
+    * hit: (idCol, n_tok, n_spans, covered) where `covered` counts the
+    * tokens inside duplicated spans — all integer arithmetic, so the
+    * result is engine-exact.
+    *
+    * Scale shape: one positional explode (corpus-token-count rows), one
+    * count-distinct shuffle keyed by the gram string (map-side
+    * partials), the duplicated-gram set joins back on the same gram key
+    * (AQE broadcasts it when it fits), and the span merge is per-doc
+    * array arithmetic over collected hit positions — bounded by doc
+    * length, never cross-doc. No stage is all-pairs. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 8): DataFrame = {
+    val ws = split(trim(col(textCol)), "\\s+")
+    val grams = df
+      .where(col(textCol).isNotNull && length(trim(col(textCol))) > 0 && size(ws) >= n)
+      .select(col(idCol), size(ws).cast("long").as("n_tok"),
+        posexplode(transform(sequence(lit(0), size(ws) - n),
+          i => array_join(slice(ws, i + 1, lit(n)), " "))).as(Seq("pos", "g")))
+    val dupGrams = grams.groupBy("g")
+      .agg(count_distinct(col(idCol)).as("__nd"))
+      .where(col("__nd") > 1).select("g")
+    // gaps between consecutive sorted hit positions drive the merge: a
+    // gap > n opens a new span; a gap <= n extends the span by `gap`
+    // tokens (the overlap with the previous gram hit is not re-counted)
+    val gaps = zip_with(
+      slice(col("__ps"), lit(2), size(col("__ps")) - 1),
+      slice(col("__ps"), lit(1), size(col("__ps")) - 1),
+      (nx, cu) => nx - cu)
+    grams.join(dupGrams, "g")
+      .groupBy(col(idCol))
+      .agg(first(col("n_tok")).as("n_tok"),
+        sort_array(collect_list(col("pos"))).as("__ps"))
+      .select(col(idCol), col("n_tok"),
+        (lit(1) + aggregate(gaps, lit(0),
+          (acc, d) => acc + when(d > n, 1).otherwise(0))).cast("long").as("n_spans"),
+        (lit(n) + aggregate(gaps, lit(0),
+          (acc, d) => acc + least(d, lit(n)))).cast("long").as("covered"))
+  }
+
   // --------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over word unigrams (UDF: per-word 64-bit FNV hash,

@@ -1183,6 +1183,31 @@ object Queries {
       |FROM train t JOIN ev e ON t.g = e.g
       |GROUP BY 1, 2 ORDER BY train_id, eval_id""".stripMargin
 
+  /** Duplicate-text spans over the dup-injected corpus: cross-doc 8-gram
+    * hits merged into maximal per-doc spans (Lee et al. 2021 substring
+    * dedup, word-gram granularity). Planted exact dups must come out
+    * fully covered (covered == n_tok, one span); the oracle replays the
+    * identical integer span arithmetic with a lag window. */
+  private val qDupSpans = dfQ { s =>
+    Dedup.duplicateSpans(s.table("docs_aug"), "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+  }
+  private val oDupSpans =
+    s"""WITH $oracleDocsAug,
+       |d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+       |      FROM docs_aug WHERE length(trim(text)) > 0
+       |        AND len(regexp_split_to_array(trim(text), '\\s+')) >= 8),
+       |g AS (SELECT doc_id, len(w) AS n_tok, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS g
+       |      FROM d, LATERAL unnest(generate_series(1, len(w) - 7)) t(i)),
+       |dup AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS c FROM g GROUP BY 1) WHERE c > 1),
+       |diffs AS (SELECT doc_id, n_tok, pos,
+       |            pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS dd
+       |          FROM g JOIN dup USING (g))
+       |SELECT doc_id, CAST(any_value(n_tok) AS BIGINT) AS n_tok,
+       |  CAST(1 + sum(CASE WHEN dd > 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+       |  CAST(8 + sum(CASE WHEN dd IS NOT NULL THEN least(dd, 8) ELSE 0 END) AS BIGINT) AS covered
+       |FROM diffs GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** FUZZY decontamination: cross-corpus MinHash-LSH (train half vs eval
     * half) surfacing word-REORDERED near-copies that the exact 8-gram
     * `l_decontam` misses. Planted: every 7th train doc re-enters the eval
@@ -1991,6 +2016,7 @@ object Queries {
     ("l_decontam", qDecontam, Some(oDecontam)),
     ("l_decontam_fuzzy", qDecontamFuzzy, Some(oDecontamFuzzy)),
     ("l_dsir", qDsir, Some(oDsir)),
+    ("l_dup_spans", qDupSpans, Some(oDupSpans)),
     ("l_text_redact", qTextRedact, Some(oTextRedact)),
     ("l_text_repetition", qTextRepetition, Some(oTextRepetition)),
     ("l_line_dedup", qLineDedup, Some(oLineDedup)),

@@ -289,6 +289,27 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.length === 2)
   }
 
+  test("duplicateSpans merges overlapping gram hits and splits on gaps") {
+    val s = spark; import s.implicits._
+    val shared1 = "a b c d e f g h"                       // 8 tokens, dup run 1
+    val shared2 = "p q r s t u v w"                       // dup run 2
+    val docs = Seq(
+      (1L, s"$shared1 i j"),                              // hits at 0,1 -> one span, 9 covered
+      (2L, s"x $shared1 i y"),                            // hits at 1,2 -> one span, 9 covered
+      (3L, s"$shared1 g1 g2 g3 g4 $shared2"),             // two disjoint spans
+      (4L, s"z1 z2 $shared2 z3"),                         // second run's partner
+      (5L, "nothing here repeats across documents at all truly")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, "doc_id", "text", n = 8)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect()
+    assert(got.map(_._1) === Array(1L, 2L, 3L, 4L))       // doc 5 has no dup text
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L) === ((1L, 10L, 1L, 9L)))
+    assert(byId(2L) === ((2L, 11L, 1L, 9L)))
+    assert(byId(3L)._3 === 2L && byId(3L)._4 === 16L)     // two 8-token spans
+    assert(byId(4L) === ((4L, 11L, 1L, 8L)))
+  }
+
   test("importanceWeights favors target-like raw docs and bounds state by buckets") {
     val s = spark; import s.implicits._
     // target: docs about cats; raw: one cat-like doc, one dog doc
