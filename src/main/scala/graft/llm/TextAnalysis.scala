@@ -264,6 +264,66 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("long").as("n_tok"), avg(col("__nll")).as("surprisal"))
   }
 
+  // ------------------------------------------------ tf-idf top terms
+
+  /** Per-document top-k TF-IDF terms (sklearn-style smooth idf:
+    * ln((1+N)/(1+df)) + 1, score = tf * idf). Ranking happens on the
+    * score ROUNDED to 4 decimals with the term string as tiebreak, so
+    * the selected rows are stable across engines despite last-ulp libm
+    * differences in ln(). Output: (idCol, term, tf, score_r, rnk),
+    * rnk 1..k.
+    *
+    * Scale shape: one explode feeding a (doc, term) count shuffle; doc
+    * frequencies aggregate that table again by term (vocab-sized);
+    * scores join back on the term key (AQE broadcasts the vocab side
+    * when it fits); the top-k window partitions by doc — bounded by a
+    * doc's distinct-term count, never the corpus. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5): DataFrame = {
+    val tf = tokenOccurrences(df, idCol, textCol)
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val n = df.where(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .agg(count(lit(1)).as("__n"))
+    val docFreq = tf.groupBy("token").agg(count(lit(1)).as("__df"))
+    val scored = tf.join(docFreq, "token").crossJoin(broadcast(n))
+      .select(col(idCol), col("token").as("term"), col("tf"),
+        round((col("tf").cast("double") *
+          (org.apache.spark.sql.functions.log((lit(1) + col("__n")).cast("double") /
+            (lit(1) + col("__df")).cast("double")) + 1.0)), 4).as("score_r"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score_r").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+  }
+
+  // -------------------------------------- cross-source vocabulary overlap
+
+  /** Pairwise source-similarity matrix over distinct word vocabularies:
+    * for every source pair (a < b), the exact word-set jaccard — the
+    * data-mixing diagnostic for "how much do my corpus components
+    * overlap". Integer arithmetic until the final division.
+    *
+    * Scale shape: one (source, word) distinct shuffle; the pairwise
+    * stage joins that table to itself on the WORD key, so fan-out per
+    * word is bounded by the number of sources squared — fine whenever
+    * sources are a bounded catalog (the data-mixing setting), never
+    * all-pairs over rows. Per-source vocab sizes broadcast back. */
+  def sourceVocabOverlap(df: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val sw = df.where(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(sourceCol).as("src"),
+        explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .distinct()
+    val vocab = sw.groupBy("src").agg(count(lit(1)).as("nv"))
+    sw.as("a").join(sw.as("b"),
+        col("a.w") === col("b.w") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(broadcast(vocab).as("va"), col("src_a") === col("va.src"))
+      .join(broadcast(vocab).as("vb"), col("src_b") === col("vb.src"))
+      .select(col("src_a"), col("src_b"), col("shared"),
+        round(col("shared").cast("double") /
+          (col("va.nv") + col("vb.nv") - col("shared")).cast("double"), 4).as("jaccard_r"))
+  }
+
   // ------------------------------------- DSIR importance weighting
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for

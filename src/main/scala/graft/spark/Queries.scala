@@ -1183,6 +1183,49 @@ object Queries {
       |FROM train t JOIN ev e ON t.g = e.g
       |GROUP BY 1, 2 ORDER BY train_id, eval_id""".stripMargin
 
+  /** Per-doc top-5 TF-IDF terms; ranking on the 4-decimal-rounded score
+    * with term tiebreak keeps the selection engine-stable (libm last-ulp
+    * differences in ln cannot reorder). */
+  private val qTfidf = dfQ { s =>
+    TextAnalysis.tfidfTopTerms(s.table("documents"), "doc_id", "text", k = 5)
+      .select(col("doc_id"), col("term"), col("tf").cast("long").as("tf"),
+        col("score_r"), col("rnk").cast("int").as("rnk"))
+      .orderBy("doc_id", "rnk")
+  }
+  private val oTfidf =
+    """WITH occ AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM occ GROUP BY 1, 2),
+      |n AS (SELECT count(*) AS n FROM documents WHERE length(trim(text)) > 0),
+      |dfq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+      |scored AS (SELECT doc_id, term, tf,
+      |    round(CAST(tf AS DOUBLE) * (ln(CAST(1 + (SELECT n FROM n) AS DOUBLE) / CAST(1 + dfc AS DOUBLE)) + 1.0), 4) AS score_r
+      |  FROM tf JOIN dfq USING (term)),
+      |ranked AS (SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score_r,
+      |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score_r DESC, term) AS INT) AS rnk
+      |  FROM scored)
+      |SELECT * FROM ranked WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin
+
+  /** Pairwise source vocabulary overlap: exact word-set jaccard per
+    * source pair — the data-mixing "how much do my components overlap"
+    * diagnostic. Integer until the final division. */
+  private val qSourceOverlap = dfQ { s =>
+    TextAnalysis.sourceVocabOverlap(s.table("documents"), "source", "text")
+      .select(col("src_a"), col("src_b"), col("shared").cast("long").as("shared"),
+        col("jaccard_r"))
+      .orderBy("src_a", "src_b")
+  }
+  private val oSourceOverlap =
+    """WITH sw AS (SELECT DISTINCT source AS src, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |vocab AS (SELECT src, count(*) AS nv FROM sw GROUP BY 1),
+      |shared AS (SELECT a.src AS src_a, b.src AS src_b, count(*) AS shared
+      |  FROM sw a JOIN sw b ON a.w = b.w AND a.src < b.src GROUP BY 1, 2)
+      |SELECT src_a, src_b, CAST(shared AS BIGINT) AS shared,
+      |  round(CAST(shared AS DOUBLE) / CAST(va.nv + vb.nv - shared AS DOUBLE), 4) AS jaccard_r
+      |FROM shared JOIN vocab va ON src_a = va.src JOIN vocab vb ON src_b = vb.src
+      |ORDER BY src_a, src_b""".stripMargin
+
   /** Duplicate-text spans over the dup-injected corpus: cross-doc 8-gram
     * hits merged into maximal per-doc spans (Lee et al. 2021 substring
     * dedup, word-gram granularity). Planted exact dups must come out
@@ -2017,6 +2060,8 @@ object Queries {
     ("l_decontam_fuzzy", qDecontamFuzzy, Some(oDecontamFuzzy)),
     ("l_dsir", qDsir, Some(oDsir)),
     ("l_dup_spans", qDupSpans, Some(oDupSpans)),
+    ("l_tfidf", qTfidf, Some(oTfidf)),
+    ("l_source_overlap", qSourceOverlap, Some(oSourceOverlap)),
     ("l_text_redact", qTextRedact, Some(oTextRedact)),
     ("l_text_repetition", qTextRepetition, Some(oTextRepetition)),
     ("l_line_dedup", qLineDedup, Some(oLineDedup)),

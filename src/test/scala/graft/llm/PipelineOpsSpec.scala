@@ -289,6 +289,34 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.length === 2)
   }
 
+  test("tfidfTopTerms ranks distinctive terms above common ones") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "the the the zebra zebra quark"),
+      (2L, "the the common words here"),
+      (3L, "the common also here")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rnk")
+      .select("doc_id", "term", "rnk").as[(Long, String, Int)].collect()
+    // doc 1: "zebra" (tf 2, df 1) must outrank "the" (tf 3, df 3)
+    val d1 = got.filter(_._1 == 1L).map(_._2)
+    assert(d1.head === "zebra", s"got ${d1.toSeq}")
+    assert(got.count(_._1 == 1L) === 2)
+  }
+
+  test("sourceVocabOverlap computes exact pairwise word-set jaccard") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      ("sA", "a b c d"), ("sA", "a b"),       // vocab A = {a,b,c,d}
+      ("sB", "c d e"),                        // vocab B = {c,d,e}
+      ("sC", "x y z")).toDF("source", "text") // vocab C disjoint
+    val got = TextAnalysis.sourceVocabOverlap(docs, "source", "text")
+      .orderBy("src_a", "src_b")
+      .as[(String, String, Long, Double)].collect()
+    // only A-B overlaps: shared {c,d} = 2, union = 5 -> 0.4
+    assert(got === Array(("sA", "sB", 2L, 0.4)))
+  }
+
   test("duplicateSpans merges overlapping gram hits and splits on gaps") {
     val s = spark; import s.implicits._
     val shared1 = "a b c d e f g h"                       // 8 tokens, dup run 1
