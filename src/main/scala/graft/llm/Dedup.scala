@@ -235,31 +235,53 @@ object Dedup {
     * length, never cross-doc. No stage is all-pairs. */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
                      n: Int = 8): DataFrame = {
+    // one tight JVM pass per doc builds the gram strings — an order of
+    // magnitude cheaper than per-gram interpreted slice/array_join
+    // lambda trees (measured 5.5 s -> sub-second at sf0.1)
+    val gramArr = udf((text: String) => {
+      val ws = text.trim.split("\\s+")
+      if (ws.length < n) Array.empty[String]
+      else Array.tabulate(ws.length - n + 1) { i =>
+        val sb = new java.lang.StringBuilder
+        var j = i
+        while (j < i + n) {
+          if (j > i) sb.append(' ')
+          sb.append(ws(j)); j += 1
+        }
+        sb.toString
+      }
+    })
     val ws = split(trim(col(textCol)), "\\s+")
     val grams = df
       .where(col(textCol).isNotNull && length(trim(col(textCol))) > 0 && size(ws) >= n)
       .select(col(idCol), size(ws).cast("long").as("n_tok"),
-        posexplode(transform(sequence(lit(0), size(ws) - n),
-          i => array_join(slice(ws, i + 1, lit(n)), " "))).as(Seq("pos", "g")))
+        posexplode(gramArr(col(textCol))).as(Seq("pos", "g")))
     val dupGrams = grams.groupBy("g")
       .agg(count_distinct(col(idCol)).as("__nd"))
       .where(col("__nd") > 1).select("g")
     // gaps between consecutive sorted hit positions drive the merge: a
     // gap > n opens a new span; a gap <= n extends the span by `gap`
     // tokens (the overlap with the previous gram hit is not re-counted)
-    val gaps = zip_with(
-      slice(col("__ps"), lit(2), size(col("__ps")) - 1),
-      slice(col("__ps"), lit(1), size(col("__ps")) - 1),
-      (nx, cu) => nx - cu)
+    val spanStats = udf((ps: Seq[Int]) => {
+      val a = ps.toArray
+      java.util.Arrays.sort(a)
+      var spans = 1L
+      var covered = n.toLong
+      var i = 1
+      while (i < a.length) {
+        val d = a(i) - a(i - 1)
+        if (d > n) spans += 1
+        covered += math.min(d, n).toLong
+        i += 1
+      }
+      (spans, covered)
+    })
     grams.join(dupGrams, "g")
       .groupBy(col(idCol))
-      .agg(first(col("n_tok")).as("n_tok"),
-        sort_array(collect_list(col("pos"))).as("__ps"))
+      .agg(first(col("n_tok")).as("n_tok"), collect_list(col("pos")).as("__ps"))
+      .select(col(idCol), col("n_tok"), spanStats(col("__ps")).as("__st"))
       .select(col(idCol), col("n_tok"),
-        (lit(1) + aggregate(gaps, lit(0),
-          (acc, d) => acc + when(d > n, 1).otherwise(0))).cast("long").as("n_spans"),
-        (lit(n) + aggregate(gaps, lit(0),
-          (acc, d) => acc + least(d, lit(n)))).cast("long").as("covered"))
+        col("__st._1").as("n_spans"), col("__st._2").as("covered"))
   }
 
   // --------------------------------------------------------------- simhash
