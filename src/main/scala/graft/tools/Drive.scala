@@ -68,6 +68,19 @@ object Drive {
     println("dedup resolve: " + aug.count() + " docs -> " + resolved.count() +
       " after cluster resolution")
 
+    val spans = Dedup.duplicateSpans(aug, "doc_id", "text")
+    println("dup-span docs = " + spans.count() +
+      " (fully covered = " + spans.where($"covered" === $"n_tok").count() + ")")
+    val cross = Dedup.minhashCrossPairs(
+      docs.where($"doc_id" % 2 === 1), docs.where($"doc_id" % 2 === 0), "doc_id", "text")
+    println("cross-corpus lsh candidates = " + cross.count())
+    val dsir = TextAnalysis.importanceWeights(docs, $"lang" === "en", "doc_id", "text")
+    println("dsir-weighted raw docs = " + dsir.count())
+    val tfidf = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 3)
+    println("tfidf rows = " + tfidf.count())
+    val overlap = TextAnalysis.sourceVocabOverlap(docs, "source", "text")
+    println("source-overlap pairs = " + overlap.count())
+
     val top1 = Ann.bruteForceTopK(emb.where($"vec_id" % 100 === 0), emb, 1)
     top1.orderBy("q_id").show(5)
     val lsh = Ann.lshTopK(emb.where($"vec_id" % 100 === 0), emb, 1)

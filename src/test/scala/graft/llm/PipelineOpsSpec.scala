@@ -289,6 +289,43 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.length === 2)
   }
 
+  test("duplicateSpans matches a brute-force reference on random corpora") {
+    val s = spark; import s.implicits._
+    val n = 4
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Array("a", "b", "c", "d", "e")
+      // random docs over a small vocab so cross-doc n-gram collisions are common
+      val docs = (1L to 12L).map { id =>
+        id -> Array.fill(3 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      }
+      // brute force: every doc's gram positions; grams seen in >1 doc; merge spans
+      val gramsOf = docs.toMap.view.mapValues(_.split(" ")).toMap
+        .map { case (id, ws) =>
+          id -> (if (ws.length < n) Array.empty[(Int, String)]
+                 else Array.tabulate(ws.length - n + 1)(i => i -> ws.slice(i, i + n).mkString(" ")))
+        }
+      val dupSet = gramsOf.toSeq.flatMap { case (id, gs) => gs.map(g => g._2 -> id) }
+        .groupBy(_._1).filter(_._2.map(_._2).distinct.size > 1).keySet
+      val want = gramsOf.flatMap { case (id, gs) =>
+        val hits = gs.filter(g => dupSet(g._2)).map(_._1).sorted
+        if (hits.isEmpty) None
+        else {
+          var spans = 1L; var covered = n.toLong
+          for (i <- 1 until hits.length) {
+            val d = hits(i) - hits(i - 1)
+            if (d > n) spans += 1
+            covered += math.min(d, n)
+          }
+          Some((id, gramsOf(id).length.toLong + n - 1, spans, covered))
+        }
+      }.toSet
+      val got = Dedup.duplicateSpans(docs.toDF("doc_id", "text"), "doc_id", "text", n)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got === want, s"seed $seed")
+    }
+  }
+
   test("tfidfTopTerms ranks distinctive terms above common ones") {
     val s = spark; import s.implicits._
     val docs = Seq(
