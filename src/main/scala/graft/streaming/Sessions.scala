@@ -48,6 +48,21 @@ object Sessions {
       .dropDuplicatesWithinWatermark("__h")
       .drop("__h")
 
+  /** Stream-static dedup/decontamination: drop incoming docs whose
+    * content fingerprint already exists in a STATIC reference corpus
+    * (historical data, an eval set to keep out of training). A
+    * stream-static LEFT ANTI join on the md5 key — stateless on the
+    * stream side, no watermark required; Spark broadcasts the static
+    * fingerprint table when it fits and hash-joins otherwise. Composes
+    * with [[dedupStream]] for within-stream duplicates. */
+  def dedupAgainstCorpus(docs: DataFrame, textCol: String,
+                         corpus: DataFrame, corpusTextCol: String): DataFrame = {
+    val ref = corpus.select(md5(col(corpusTextCol)).as("__h")).distinct()
+    docs.withColumn("__h", md5(col(textCol)))
+      .join(ref, Seq("__h"), "left_anti")
+      .drop("__h")
+  }
+
   /** Gap-based sessionization (30-min idle gap) with explicit state:
     * one state record per user, timeout-driven emission. */
   def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[SessionOut] = {

@@ -93,6 +93,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows === Set(1L, 3L))
   }
 
+  test("stream-static dedup drops docs already in the reference corpus") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val corpus = Seq((100L, "seen before"), (101L, "also seen")).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val out = Sessions.dedupAgainstCorpus(
+      input.toDF().toDF("doc_id", "text"), "text", corpus, "text")
+    val q = out.writeStream.format("memory").queryName("corpus_dedup_stream")
+      .outputMode("append").start()
+    input.addData(
+      (1L, "seen before"),      // contaminated -> dropped
+      (2L, "genuinely new"),
+      (3L, "also seen"),        // contaminated -> dropped
+      (4L, "another new one"))
+    q.processAllAvailable()
+    val rows = spark.table("corpus_dedup_stream").select("doc_id").as[Long].collect().toSet
+    q.stop()
+    assert(rows === Set(2L, 4L))
+  }
+
   test("stateless geo expressions run on streams") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
