@@ -235,30 +235,10 @@ object Dedup {
     * length, never cross-doc. No stage is all-pairs. */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
                      n: Int = 8): DataFrame = {
-    // one tight JVM pass per doc builds the gram strings — an order of
-    // magnitude cheaper than per-gram interpreted slice/array_join
-    // lambda trees (measured 5.5 s -> sub-second at sf0.1)
-    val gramArr = udf((text: String) => {
-      val ws = text.trim.split("\\s+")
-      if (ws.length < n) Array.empty[String]
-      else Array.tabulate(ws.length - n + 1) { i =>
-        val sb = new java.lang.StringBuilder
-        var j = i
-        while (j < i + n) {
-          if (j > i) sb.append(' ')
-          sb.append(ws(j)); j += 1
-        }
-        sb.toString
-      }
-    })
-    val ws = split(trim(col(textCol)), "\\s+")
-    val grams = df
-      .where(col(textCol).isNotNull && length(trim(col(textCol))) > 0 && size(ws) >= n)
-      .select(col(idCol), size(ws).cast("long").as("n_tok"),
-        posexplode(gramArr(col(textCol))).as(Seq("pos", "g")))
-    val dupGrams = grams.groupBy("g")
+    val grams = gramHashes(df, idCol, textCol, n)
+    val dupGrams = grams.groupBy("gh")
       .agg(count_distinct(col(idCol)).as("__nd"))
-      .where(col("__nd") > 1).select("g")
+      .where(col("__nd") > 1).select("gh")
     // gaps between consecutive sorted hit positions drive the merge: a
     // gap > n opens a new span; a gap <= n extends the span by `gap`
     // tokens (the overlap with the previous gram hit is not re-counted)
@@ -276,12 +256,100 @@ object Dedup {
       }
       (spans, covered)
     })
-    grams.join(dupGrams, "g")
+    grams.join(dupGrams, "gh")
       .groupBy(col(idCol))
       .agg(first(col("n_tok")).as("n_tok"), collect_list(col("pos")).as("__ps"))
       .select(col(idCol), col("n_tok"), spanStats(col("__ps")).as("__st"))
       .select(col(idCol), col("n_tok"),
         col("__st._1").as("n_spans"), col("__st._2").as("covered"))
+  }
+
+  /** Per-position word-n-gram MD5 digests, built in one tight JVM pass
+    * per doc: (idCol, n_tok, pos, gh BINARY(16)). The shuffle/join key
+    * downstream is the fixed-width 16-byte digest — the full n-word gram
+    * string never leaves the map side (at corpus scale the raw-string key
+    * is ~n× the corpus bytes of shuffle; 64-bit keys would birthday-
+    * collide at trillions of grams, 128-bit does not). */
+  private def gramHashes(df: DataFrame, idCol: String, textCol: String,
+                         n: Int): DataFrame = {
+    val gramHashArr = udf((text: String) => {
+      val ws = text.trim.split("\\s+")
+      if (ws.length < n) Array.empty[Array[Byte]]
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val space = Array(' '.toByte)
+        Array.tabulate(ws.length - n + 1) { i =>
+          md.reset()
+          var j = i
+          while (j < i + n) {
+            if (j > i) md.update(space)
+            md.update(ws(j).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            j += 1
+          }
+          md.digest()
+        }
+      }
+    })
+    val ws = split(trim(col(textCol)), "\\s+")
+    df.where(col(textCol).isNotNull && length(trim(col(textCol))) > 0 && size(ws) >= n)
+      .select(col(idCol), size(ws).cast("long").as("n_tok"),
+        posexplode(gramHashArr(col(textCol))).as(Seq("pos", "gh")))
+  }
+
+  /** Excise cross-document duplicate spans (the payoff step of Lee et
+    * al. 2021 substring dedup): every word position covered by an n-gram
+    * that also occurs in another document is REMOVED, except in the one
+    * keeper document (the min id among the gram's holders), which keeps
+    * its text intact at those positions. Output, one row per input doc:
+    * (idCol, n_tok_before, n_tok_after, text) where `text` is the
+    * surviving words joined by single spaces (whitespace-normalised for
+    * every doc, so the rewrite is well-defined and engine-exact).
+    *
+    * Scale shape: same fixed-width gram-digest shuffle as
+    * [[duplicateSpans]] plus one broadcast-able min-id join-back; the
+    * rewrite itself is per-doc array arithmetic over collected removal
+    * positions — bounded by doc length, never cross-doc. */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 8): DataFrame = {
+    val grams = gramHashes(df, idCol, textCol, n)
+    // per duplicated gram: the doc that keeps it (min id across holders)
+    val keepers = grams.groupBy("gh")
+      .agg(count_distinct(col(idCol)).as("__nd"), min(col(idCol)).as("__keep"))
+      .where(col("__nd") > 1).select("gh", "__keep")
+    val removals = grams.join(keepers, "gh")
+      .where(col(idCol) =!= col("__keep"))
+      .groupBy(col(idCol))
+      .agg(collect_list(col("pos")).as("__ps"))
+    // drop every word index covered by any removal gram [pos, pos+n)
+    val excise = udf((text: String, ps: Seq[Int]) => {
+      val ws = if (text == null) Array.empty[String]
+               else text.trim.split("\\s+").filter(_.nonEmpty)
+      if (ps == null || ps.isEmpty) ws.mkString(" ")
+      else {
+        val drop = new Array[Boolean](ws.length)
+        for (p <- ps) {
+          var k = p
+          while (k < math.min(p + n, ws.length)) { drop(k) = true; k += 1 }
+        }
+        val sb = new java.lang.StringBuilder
+        var k = 0
+        while (k < ws.length) {
+          if (!drop(k)) { if (sb.length > 0) sb.append(' '); sb.append(ws(k)) }
+          k += 1
+        }
+        sb.toString
+      }
+    })
+    val nTokBefore = size(split(trim(coalesce(col(textCol), lit(""))), "\\s+"))
+    df.join(removals, Seq(idCol), "left")
+      .select(col(idCol),
+        when(length(trim(coalesce(col(textCol), lit("")))) === 0, lit(0L))
+          .otherwise(nTokBefore.cast("long")).as("n_tok_before"),
+        excise(col(textCol), col("__ps")).as("text"))
+      .withColumn("n_tok_after",
+        when(length(col("text")) === 0, lit(0L))
+          .otherwise(size(split(col("text"), " ")).cast("long")))
+      .select(col(idCol), col("n_tok_before"), col("n_tok_after"), col("text"))
   }
 
   // --------------------------------------------------------------- simhash

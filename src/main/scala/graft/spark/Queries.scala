@@ -1251,6 +1251,45 @@ object Queries {
        |  CAST(8 + sum(CASE WHEN dd IS NOT NULL THEN least(dd, 8) ELSE 0 END) AS BIGINT) AS covered
        |FROM diffs GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Duplicate-span EXCISION (Lee et al. 2021's payoff step): every word
+    * position covered by a cross-doc duplicated 8-gram is removed, except
+    * in the keeper doc (min id among the gram's holders). Planted exact
+    * copies (doc_id + 1000000) must come out empty while their originals
+    * survive intact; the oracle replays the identical keep-first rewrite
+    * word-by-word. */
+  private val qDupSpanRemoval = dfQ { s =>
+    Dedup.removeDuplicateSpans(s.table("docs_aug"), "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+  }
+  private val oDupSpanRemoval =
+    s"""WITH $oracleDocsAug,
+       |d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+       |      FROM docs_aug WHERE length(trim(text)) > 0),
+       |g AS (SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS g
+       |      FROM d, LATERAL unnest(generate_series(1, len(w) - 7)) t(i)
+       |      WHERE len(w) >= 8),
+       |keep AS (SELECT g, min(doc_id) AS keep_id FROM g GROUP BY g
+       |         HAVING count(DISTINCT doc_id) > 1),
+       |cov AS (SELECT DISTINCT h.doc_id, h.pos + o AS k
+       |        FROM (SELECT g.doc_id, g.pos FROM g JOIN keep USING (g)
+       |              WHERE g.doc_id <> keep.keep_id) h,
+       |        LATERAL unnest(generate_series(0, 7)) t(o)),
+       |words AS (SELECT doc_id, w[i] AS word, i - 1 AS k
+       |          FROM d, LATERAL unnest(generate_series(1, len(w))) t(i)),
+       |kept AS (SELECT w.doc_id, count(*) AS n_after,
+       |           string_agg(w.word, ' ' ORDER BY w.k) AS text
+       |         FROM words w LEFT JOIN cov c ON w.doc_id = c.doc_id AND w.k = c.k
+       |         WHERE c.k IS NULL GROUP BY w.doc_id),
+       |base AS (SELECT doc_id,
+       |           CASE WHEN length(trim(text)) = 0 THEN 0
+       |                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ntb
+       |         FROM docs_aug)
+       |SELECT b.doc_id, CAST(b.ntb AS BIGINT) AS n_tok_before,
+       |       CAST(coalesce(k.n_after, 0) AS BIGINT) AS n_tok_after,
+       |       coalesce(k.text, '') AS text
+       |FROM base b LEFT JOIN kept k USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** FUZZY decontamination: cross-corpus MinHash-LSH (train half vs eval
     * half) surfacing word-REORDERED near-copies that the exact 8-gram
     * `l_decontam` misses. Planted: every 7th train doc re-enters the eval
@@ -2060,6 +2099,7 @@ object Queries {
     ("l_decontam_fuzzy", qDecontamFuzzy, Some(oDecontamFuzzy)),
     ("l_dsir", qDsir, Some(oDsir)),
     ("l_dup_spans", qDupSpans, Some(oDupSpans)),
+    ("l_dup_span_removal", qDupSpanRemoval, Some(oDupSpanRemoval)),
     ("l_tfidf", qTfidf, Some(oTfidf)),
     ("l_source_overlap", qSourceOverlap, Some(oSourceOverlap)),
     ("l_text_redact", qTextRedact, Some(oTextRedact)),

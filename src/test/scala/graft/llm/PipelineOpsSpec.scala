@@ -326,6 +326,53 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("removeDuplicateSpans excises dup spans, keeper doc survives intact") {
+    val s = spark; import s.implicits._
+    val shared = "a b c d e f g h"                        // one duplicated 8-gram run
+    val docs = Seq(
+      (1L, s"$shared tail1 tail2"),                       // keeper (min id): intact
+      (2L, s"pre1 $shared post1"),                        // dup holder: run excised
+      (3L, "totally unrelated words with no repeats at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(docs, "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(got(0) === ((1L, 10L, 10L, s"$shared tail1 tail2")))
+    assert(got(1) === ((2L, 10L, 2L, "pre1 post1")))
+    assert(got(2)._2 === got(2)._3)                       // untouched doc
+  }
+
+  test("removeDuplicateSpans matches a brute-force keep-first reference") {
+    val s = spark; import s.implicits._
+    val n = 4
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(100 + seed)
+      val vocab = Array("a", "b", "c", "d", "e")
+      val docs = (1L to 12L).map { id =>
+        id -> Array.fill(3 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      }
+      val gramsOf = docs.toMap.view.mapValues(_.split(" ")).toMap
+        .map { case (id, ws) =>
+          id -> (if (ws.length < n) Array.empty[(Int, String)]
+                 else Array.tabulate(ws.length - n + 1)(i => i -> ws.slice(i, i + n).mkString(" ")))
+        }
+      val keeper = gramsOf.toSeq.flatMap { case (id, gs) => gs.map(g => g._2 -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        .filter(_._2.distinct.size > 1).map { case (g, ids) => g -> ids.min }
+      val want = docs.map { case (id, text) =>
+        val ws = text.split(" ")
+        val drop = new Array[Boolean](ws.length)
+        for ((p, g) <- gramsOf(id); kid <- keeper.get(g); if kid != id;
+             k <- p until math.min(p + n, ws.length)) drop(k) = true
+        val keptW = ws.indices.filterNot(drop).map(ws)
+        (id, ws.length.toLong, keptW.length.toLong, keptW.mkString(" "))
+      }.toSet
+      val got = Dedup.removeDuplicateSpans(docs.toDF("doc_id", "text"), "doc_id", "text", n)
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(got === want, s"seed $seed")
+    }
+  }
+
   test("tfidfTopTerms ranks distinctive terms above common ones") {
     val s = spark; import s.implicits._
     val docs = Seq(
