@@ -344,15 +344,28 @@ object Ann {
    * distances, deterministic tie-break); merely-similar pairs straddling a
    * cluster boundary are missed by construction — SemDeDup's accepted
    * approximation (raise k for finer cells, or fall back to
-   * [[cosineNearDupPairs]] for LSH recall guarantees). A giant cluster
-   * degrades toward n^2 — the join is equi-keyed on `cluster`, so AQE's
-   * skew-join split applies. Precondition: unique `idCol` (bag semantics,
-   * as the other pair generators).
+   * [[cosineNearDupPairs]] for LSH recall guarantees). Precondition:
+   * unique `idCol` (bag semantics, as the other pair generators).
+   *
+   * k SCALES WITH THE CORPUS: k <= 0 (the default) derives
+   * k = max(16, ceil(N / targetClusterSize)), so the expected compare
+   * count is N * targetClusterSize — LINEAR in N, not N^2/const. Clusters
+   * that still come out larger than 4 * targetClusterSize (skewed data)
+   * are re-clustered at finer k, up to maxSplitDepth rounds, so a dense
+   * region cannot silently degrade the self-join toward n^2; only
+   * genuinely indivisible groups (near-identical vectors, whose pairs ARE
+   * the output) survive oversized. Driver-side bound: the centroid
+   * quantizer collects k x dim doubles per round — at targetClusterSize
+   * 1024 and dim 64 that is ~0.5 GB at N = 1e9; raise targetClusterSize
+   * for larger corpora to keep the broadcast bounded.
    */
-  def semanticDedupPairs(df: DataFrame, threshold: Double, k: Int = 16,
+  def semanticDedupPairs(df: DataFrame, threshold: Double, k: Int = 0,
                          iters: Int = 2, idCol: String = "vec_id",
-                         vecCol: String = "embedding"): DataFrame = {
-    val clustered = kmeans(df, idCol, vecCol, k, iters)
+                         vecCol: String = "embedding",
+                         targetClusterSize: Int = 1024,
+                         maxSplitDepth: Int = 3): DataFrame = {
+    val clustered = boundedClusters(df, idCol, vecCol, k, iters,
+        targetClusterSize, maxSplitDepth)
       .select(col(idCol).as("id"), col(vecCol).as("vec"), col("cluster"))
       .withColumn("nrm", norm(col("vec")))
     clustered.as("a").join(clustered.as("b"),
@@ -360,6 +373,57 @@ object Ann {
       .withColumn("sim", dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
       .where(col("sim") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
+  }
+
+  /** Cluster assignment with derived k and an oversize-split loop (the
+    * clustering half of [[semanticDedupPairs]], exposed for testing):
+    * returns (idCol, vecCol, cluster BIGINT) where every cluster is
+    * either <= 4 * targetClusterSize members or has resisted
+    * maxSplitDepth rounds of finer re-clustering (identical vectors
+    * co-assign by construction, so true dup-groups never split). Each
+    * round re-clusters ONLY the members of oversized clusters, together,
+    * at k = ceil(remaining / targetClusterSize) — label spaces are
+    * disjoint per round. */
+  def boundedClusters(df: DataFrame, idCol: String = "vec_id",
+                      vecCol: String = "embedding", k: Int = 0,
+                      iters: Int = 2, targetClusterSize: Int = 1024,
+                      maxSplitDepth: Int = 3): DataFrame = {
+    require(targetClusterSize > 0, "targetClusterSize must be positive")
+    val base = df.select(col(idCol), col(vecCol))
+    val n0 = base.count()
+    def derivedK(n: Long) =
+      math.max(16L, (n + targetClusterSize - 1) / targetClusterSize)
+        .min(Int.MaxValue).toInt
+    val k0 = if (k > 0) k else derivedK(n0)
+    val cap = 4L * targetClusterSize
+    // label offset per split round keeps rounds' cluster ids disjoint
+    val RoundStride = 1L << 40
+    var pending = kmeans(base, idCol, vecCol, k0, iters)
+      .select(col(idCol), col(vecCol), col("cluster").cast("long").as("cluster"))
+    var done: DataFrame = null
+    var depth = 0
+    var growing = true
+    while (growing) {
+      val sizes = pending.groupBy("cluster").agg(count(lit(1)).as("__cn"))
+      val withSz = pending.join(sizes, "cluster")
+      val small = withSz.where(col("__cn") <= cap)
+        .select(col(idCol), col(vecCol), col("cluster"))
+      done = if (done == null) small else done.unionByName(small)
+      val big = withSz.where(col("__cn") > cap)
+      val bigN = big.count()
+      if (bigN == 0 || depth >= maxSplitDepth) {
+        if (bigN > 0)  // indivisible remainder keeps its (oversized) label
+          done = done.unionByName(big.select(col(idCol), col(vecCol), col("cluster")))
+        growing = false
+      } else {
+        depth += 1
+        pending = kmeans(big.select(col(idCol), col(vecCol)), idCol, vecCol,
+            derivedK(bigN), iters)
+          .select(col(idCol), col(vecCol),
+            (col("cluster").cast("long") + lit(depth * RoundStride)).as("cluster"))
+      }
+    }
+    done
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold via LSH buckets,

@@ -1462,7 +1462,7 @@ object Queries {
     val aug = emb.select(col("vec_id"), col("embedding"))
       .unionAll(emb.where(col("vec_id") % 25 === 0)
         .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
-    Ann.semanticDedupPairs(aug, threshold = 0.999, k = 16, iters = 2)
+    Ann.semanticDedupPairs(aug, threshold = 0.999, iters = 2)
       .where(col("id_b") === col("id_a") + 100000)
       .select("id_a", "id_b").orderBy("id_a")
   }

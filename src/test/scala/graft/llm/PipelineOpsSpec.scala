@@ -249,6 +249,43 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.contains((4L, 1000L)) && pairs.contains((37L, 1001L)))
   }
 
+  test("boundedClusters splits oversized clusters on skewed input") {
+    val s = spark; import s.implicits._
+    // the first 24 ids (= the derived-k seeds) are scattered far apart; a
+    // 560-point dense blob follows, so round one funnels the entire blob
+    // into one giant cluster and the oversize-split loop must break it up
+    val scattered = (0 until 24).map { i =>
+      (i.toLong, Array((i * 50).toFloat, (i % 2) * 500f))
+    }
+    val dense = (0 until 560).map { i =>
+      (100L + i, Array(600f + (i % 28) / 10.0f, 600f + (i / 28) / 10.0f))
+    }
+    val df = (scattered ++ dense).toDF("vec_id", "embedding")
+    val out = Ann.boundedClusters(df, targetClusterSize = 25, iters = 3)
+      .select("vec_id", "cluster").as[(Long, Long)].collect()
+    assert(out.length === 584)
+    val sizes = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes.values.max <= 100,
+      s"cluster over 4x target survived: max=${sizes.values.max}")
+    // the split loop actually ran: some labels carry a later-round stride
+    assert(out.exists(_._2 >= (1L << 40)))
+  }
+
+  test("semanticDedupPairs keeps planted identical pairs through the split loop") {
+    val s = spark; import s.implicits._
+    // identical vectors co-assign in every round, so planted copies inside
+    // the dense (split-triggering) blob must still surface as pairs
+    val dense = (0 until 560).map { i =>
+      (100L + i, Array(600f + (i % 28) / 10.0f, 600f + (i / 28) / 10.0f, 1f))
+    }
+    val planted = Seq(5000L -> dense(300)._2, 5001L -> dense(42)._2)
+    val df = (dense ++ planted).toDF("vec_id", "embedding")
+    val pairs = Ann.semanticDedupPairs(df, threshold = 0.9999, iters = 2,
+        targetClusterSize = 25)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((400L, 5000L)) && pairs.contains((142L, 5001L)))
+  }
+
   test("chunkText windows cover the doc with the stated overlap") {
     val s = spark; import s.implicits._
     val docs = Seq(
