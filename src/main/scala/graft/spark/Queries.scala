@@ -959,11 +959,15 @@ object Queries {
     * canon-equality shortcut (identical word sets collide in every band),
     * but the oracle now performs the same WORK, so a bench ratio of this
     * query compares engines running the same algorithm. */
-  private val oDedupMinhash =
-    s"""WITH $oracleDocsAug,
-       |words AS (
+  /** DuckDB replay of the Spark 64-hash MinHash + 4-band LSH chain over
+    * relation `rel`(doc_id, text): CTE cascade ending in
+    * `sigl`(doc_id, sig) and `bands`(doc_id, band, bucket, sub). Shared
+    * by the self-join (l_dedup_minhash) and cross-corpus
+    * (l_decontam_fuzzy) like-for-like oracles. */
+  private def oracleMinhashChain(rel: String): String =
+    s"""words AS (
        |  SELECT doc_id, unnest(list_filter(list_distinct(regexp_split_to_array(trim(text), '\\s+')), w -> len(w) > 0)) AS w
-       |  FROM docs_aug),
+       |  FROM $rel),
        |wh AS (
        |  SELECT doc_id,
        |    list_reduce(list_prepend(CAST(-3750763034362895579 AS BIGINT),
@@ -986,7 +990,11 @@ object Queries {
        |bands AS (
        |  SELECT doc_id, band, md5(CAST(sig[band * 16 + 1 : band * 16 + 16] AS VARCHAR)) AS bucket,
        |         sig[band * 16 + 1 : band * 16 + 16] AS sub
-       |  FROM sigl, range(0, 4) t(band)),
+       |  FROM sigl, range(0, 4) t(band))""".stripMargin
+
+  private val oDedupMinhash =
+    s"""WITH $oracleDocsAug,
+       |${oracleMinhashChain("docs_aug")},
        |cands AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b
@@ -1318,19 +1326,37 @@ object Queries {
         round(col("est_jaccard"), 4).as("est_j"))
       .orderBy("train_id", "eval_id")
   }
+  /** LIKE-FOR-LIKE fuzzy-decontam oracle (VERDICT r8 item 6): DuckDB runs
+    * the SAME cross-corpus 64-hash/4-band MinHash-LSH chain as the Spark
+    * side (shared [[oracleMinhashChain]]), restricts candidates to
+    * train-side x eval-side, then applies the word-set-identical filter
+    * and the signature-agreement estimate — so a bench ratio of this
+    * query compares engines running the identical algorithm, not LSH vs
+    * a canon-equality shortcut. */
   private val oDecontamFuzzy =
-    """WITH d AS (SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0),
-      |train AS (SELECT doc_id, text FROM d WHERE doc_id % 2 = 1),
-      |planted AS (SELECT doc_id + 10000000 AS doc_id,
-      |    array_to_string(list_transform(range(len(w), 0, -1), i -> w[i]), ' ') AS text
-      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
-      |        FROM train WHERE doc_id % 7 = 1)),
-      |ev AS (SELECT doc_id, text FROM d WHERE doc_id % 2 = 0 UNION ALL SELECT * FROM planted),
-      |ct AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))), ' ')) AS canon FROM train),
-      |ce AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))), ' ')) AS canon FROM ev)
-      |SELECT t.doc_id AS train_id, e.doc_id AS eval_id, CAST(1.0 AS DOUBLE) AS est_j
-      |FROM ct t JOIN ce e ON t.canon = e.canon
-      |ORDER BY train_id, eval_id""".stripMargin
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0),
+       |train AS (SELECT doc_id, text FROM d WHERE doc_id % 2 = 1),
+       |planted AS (SELECT doc_id + 10000000 AS doc_id,
+       |    array_to_string(list_transform(range(len(w), 0, -1), i -> w[i]), ' ') AS text
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+       |        FROM train WHERE doc_id % 7 = 1)),
+       |ev AS (SELECT doc_id, text FROM d WHERE doc_id % 2 = 0 UNION ALL SELECT * FROM planted),
+       |allc AS (SELECT doc_id, text FROM train UNION ALL SELECT doc_id, text FROM ev),
+       |${oracleMinhashChain("allc")},
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.sub = b.sub
+       |  WHERE a.doc_id IN (SELECT doc_id FROM train)
+       |    AND b.doc_id IN (SELECT doc_id FROM ev)),
+       |canon AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(text), '\\s+'))), ' ')) AS canon FROM allc)
+       |SELECT c.id_a AS train_id, c.id_b AS eval_id,
+       |  round(len(list_filter(range(1, 65), k -> sa.sig[k] = sb.sig[k])) / 64.0, 4) AS est_j
+       |FROM cands c
+       |JOIN sigl sa ON c.id_a = sa.doc_id JOIN sigl sb ON c.id_b = sb.doc_id
+       |JOIN canon ca ON c.id_a = ca.doc_id JOIN canon cb ON c.id_b = cb.doc_id
+       |WHERE ca.canon = cb.canon
+       |ORDER BY train_id, eval_id""".stripMargin
 
   /** DSIR importance weights: target = the corpus's English docs, raw =
     * everything else; each raw doc scored by the hashed-unigram
@@ -2140,5 +2166,6 @@ object Queries {
     "t_point_in_poly", "t_cover_refine_join", "t_cells", "t_dwithin", "t_dwithin_join",
     "t_dwithin_join_sql", "g_flagship_join", "g_flagship_broadcast",
     "l_dedup_minhash", "l_dedup_simhash", "l_ann_top1", "l_ann_ivf", "l_text_tokens",
-    "l_dup_spans", "b_tpch_q1", "b_tpch_q3", "b_tpch_q5", "b_events_sessions")
+    "l_dup_spans", "l_dup_span_removal", "l_decontam_fuzzy",
+    "b_tpch_q1", "b_tpch_q3", "b_tpch_q5", "b_events_sessions")
 }
