@@ -2048,27 +2048,29 @@ object Queries {
       |GROUP BY event_type, date_trunc('hour', ts)
       |ORDER BY event_type, hour_epoch""".stripMargin
 
-  /** Gap-based sessionization (30-min idle gap) via window functions —
-    * the batch shape of the streaming mapGroupsWithState sessionizer. */
+  /** Gap-based sessionization (30-min idle gap) — the batch shape of the
+    * streaming mapGroupsWithState sessionizer. A session COUNT never needs
+    * the running session-id sum: the id is a non-decreasing prefix sum of
+    * session-start flags, so count(DISTINCT running_sum) == sum(is_new) —
+    * dropping the second window pass and the distinct-aggregate expand
+    * (r8 floor analysis: those were ~40% of the kernel). One exchange on
+    * user_id, one sort, one lag window, one hash agg. Both engines run
+    * this same formulation. */
   private val qEventsSessions = sqlQ(
-    """SELECT user_id, CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions FROM (
-      | SELECT user_id, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
-      | FROM (
-      |  SELECT user_id, ts, event_id,
-      |   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
-      |        WHEN CAST(ts AS DOUBLE) - CAST(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) > 1800 THEN 1
-      |        ELSE 0 END AS is_new
-      |  FROM events))
+    """SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions FROM (
+      | SELECT user_id,
+      |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+      |       WHEN CAST(ts AS DOUBLE) - CAST(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) > 1800 THEN 1
+      |       ELSE 0 END AS is_new
+      | FROM events)
       |GROUP BY user_id ORDER BY user_id""".stripMargin)
   private val oEventsSessions =
-    """SELECT user_id, CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions FROM (
-      | SELECT user_id, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
-      | FROM (
-      |  SELECT user_id, ts, event_id,
-      |   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
-      |        WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 THEN 1
-      |        ELSE 0 END AS is_new
-      |  FROM events) t1) t2
+    """SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions FROM (
+      | SELECT user_id,
+      |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+      |       WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 THEN 1
+      |       ELSE 0 END AS is_new
+      | FROM events) t1
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // ============================================================== registry
