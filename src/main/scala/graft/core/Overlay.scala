@@ -180,7 +180,15 @@ object Overlay {
           // exactly collinear with a region edge does not cross it
           if (S2Pred.crossingSign(a, b, c, d) > 0 &&
               !(S2Pred.nearCollinear(a, b, c) && S2Pred.nearCollinear(a, b, d))) {
-            val x = PolyClip.intersectionPoint(a, b, c, d)
+            val x0 = PolyClip.intersectionPoint(a, b, c, d)
+            // a crossing at (or within computation ulp of) a segment
+            // endpoint — e.g. a line vertex lying exactly on the region
+            // boundary, where symbolic perturbation still reports a
+            // crossing — must use the endpoint itself, or the ulp-offset
+            // cut survives as a duplicate output vertex
+            val x = if (x0.angle(a) < 1e-14) a
+                    else if (x0.angle(b) < 1e-14) b
+                    else x0
             cuts += ((a.angle(x), x))
           }
           true
@@ -190,12 +198,18 @@ object Overlay {
         var k = 0
         while (k + 1 < pieces.size) {
           val p = pieces(k); val q = pieces(k + 1)
-          val mid = (p + q).normalize
-          val inside = region.polygonContains(mid) || region.onAnyLine(mid)
-          if (inside == keepInside) {
-            if (current.isEmpty || current.last != p) { flush(); current += p }
-            current += q
-          } else flush()
+          if (p != q) { // zero-length pieces (endpoint cuts) emit nothing
+            val mid = (p + q).normalize
+            // CLOSED model (reference global_options.hpp:12-13): a piece
+            // riding ON the region's ring boundary belongs to the region —
+            // the tolerant test catches the midpoint's renormalization ulp
+            val inside = region.polygonContains(mid) || region.onAnyLine(mid) ||
+              region.onRingBoundaryNear(mid, 1e-13)
+            if (inside == keepInside) {
+              if (current.isEmpty || current.last != p) { flush(); current += p }
+              if (current.last != q) current += q
+            } else flush()
+          }
           k += 1
         }
         i += 1

@@ -57,6 +57,29 @@ final class GeoShapes(val g: Geography) extends Serializable {
     false
   }
 
+  /** True when p lies within `tol` radians of any polygon ring edge — the
+    * CLOSED-model boundary test for clipped line pieces (reference models:
+    * src/include/global_options.hpp:12-13). The exact predicates cannot
+    * serve here: the midpoint of a boundary-collinear piece renormalizes
+    * an ulp off the edge's great circle, so this test is tolerant (tol is
+    * far below the overlay snap radius, so nothing non-coincident
+    * qualifies). */
+  def onRingBoundaryNear(p: S2Point, tol: Double): Boolean = {
+    var near = false
+    foreachRingEdge { (c, d) =>
+      val n = c.cross(d)
+      val nn = n.norm
+      val hit =
+        if (nn == 0) p.angle(c) <= tol
+        else if (n.cross(c).dot(p) >= 0 && d.cross(n).dot(p) >= 0)
+          math.abs(n.dot(p) / nn) <= tol // sin(dist) ~ dist at this scale
+        else math.min(p.angle(c), p.angle(d)) <= tol
+      if (hit) near = true
+      !hit
+    }
+    near
+  }
+
   def onAnyLine(p: S2Point): Boolean = {
     var i = 0
     while (i < lines.size) {

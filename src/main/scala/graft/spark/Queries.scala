@@ -539,6 +539,56 @@ object Queries {
       | true AS snap_un_has, true AS snap_un_not, true AS snap_diff_ok,
       | 'POLYGON ((20 10, 10 10, 0 10, 0 0, 10 0, 20 0, 20 10))' AS snap_un_wkt""".stripMargin
 
+  // Degenerate-overlay golden batch (VERDICT r8 items 7+8): T-junction,
+  // collinear redundant vertex, corner-touch, drift-digitized T, and the
+  // MIXED-DIMENSION closed-model cases — point/line exactly on a polygon
+  // boundary (reference semantics: S2BooleanOperation with CLOSED polygon
+  // AND polyline models, src/include/global_options.hpp:12-13, dispatched
+  // from src/s2_binary_index_ops.cpp:157-448). Every value is a pinned
+  // canonical output, so the snap engine's robustness claims are
+  // oracle-pinned, not just invariant-pinned (the invariants run in
+  // tools/FuzzOverlay classes 0-9).
+  private val qOverlayDegen = sqlQ(
+    """WITH sq AS (SELECT s2_geogfromtext('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))') AS a),
+      |tj AS (SELECT a, s2_geogfromtext('POLYGON ((10 2, 18 2, 18 8, 10 8, 10 2))') AS b FROM sq),
+      |co AS (SELECT a, s2_geogfromtext('POLYGON ((0 0, 10 0, 10 5, 10 10, 0 10, 0 0))') AS b FROM sq),
+      |cn AS (SELECT a, s2_geogfromtext('POLYGON ((10 10, 20 10, 20 20, 10 20, 10 10))') AS b FROM sq),
+      |td AS (SELECT a, s2_geogfromtext('POLYGON ((10.0000000000001 2, 18 2, 18 8, 9.9999999999999 8, 10.0000000000001 2))') AS b FROM sq)
+      |SELECT
+      | (SELECT s2_format(s2_union(a, b), 6) FROM tj) AS tj_un_wkt,
+      | (SELECT s2_format(s2_intersection(a, b), 6) FROM tj) AS tj_int,
+      | (SELECT s2_format(s2_difference(a, b), 6) FROM tj) AS tj_diff_wkt,
+      | (SELECT s2_format(s2_union(a, b), 6) FROM co) AS collin_un,
+      | (SELECT s2_format(s2_difference(a, b), 6) FROM co) AS collin_diff,
+      | (SELECT s2_format(s2_union(a, b), 6) FROM cn) AS corner_un,
+      | (SELECT s2_format(s2_union(a, b), 6) FROM td) AS tdrift_un_wkt,
+      | (SELECT abs(s2_area(s2_union(a, b)) - (s2_area(a) + s2_area(b) - s2_area(s2_intersection(a, b)))) / (s2_area(a) + s2_area(b)) < 1e-6 FROM td) AS tdrift_ie,
+      | (SELECT abs(s2_area(s2_intersection(a, b)) + s2_area(s2_difference(a, b)) - s2_area(a)) / s2_area(a) < 1e-6 FROM td) AS tdrift_part,
+      | (SELECT s2_format(s2_intersection(s2_geogfromtext('POINT (10 5)'), a), 6) FROM sq) AS pt_edge_int,
+      | (SELECT s2_format(s2_difference(s2_geogfromtext('POINT (10 5)'), a), 6) FROM sq) AS pt_edge_diff,
+      | (SELECT s2_format(s2_union(s2_geogfromtext('POINT (10 5)'), a), 6) FROM sq) AS pt_edge_un,
+      | (SELECT s2_format(s2_intersection(s2_geogfromtext('LINESTRING (10 2, 10 8)'), a), 6) FROM sq) AS line_edge_int,
+      | (SELECT s2_format(s2_difference(s2_geogfromtext('LINESTRING (10 2, 10 8)'), a), 6) FROM sq) AS line_edge_diff,
+      | (SELECT s2_format(s2_intersection(s2_geogfromtext('LINESTRING (5 5, 10 5, 15 5)'), a), 6) FROM sq) AS line_vertex_int,
+      | (SELECT s2_format(s2_difference(s2_geogfromtext('LINESTRING (5 5, 10 5, 15 5)'), a), 6) FROM sq) AS line_vertex_diff""".stripMargin)
+  private val oOverlayDegen =
+    """SELECT
+      | 'POLYGON ((18 8, 10 8, 10 10, 0 10, 0 0, 10 0, 10 2, 18 2, 18 8))' AS tj_un_wkt,
+      | 'GEOMETRYCOLLECTION EMPTY' AS tj_int,
+      | 'POLYGON ((10 10, 0 10, 0 0, 10 0, 10 2, 10 8, 10 10))' AS tj_diff_wkt,
+      | 'POLYGON ((10 10, 0 10, 0 0, 10 0, 10 5, 10 10))' AS collin_un,
+      | 'GEOMETRYCOLLECTION EMPTY' AS collin_diff,
+      | 'MULTIPOLYGON (((20 20, 10 20, 10 10, 20 10, 20 20)), ((10 10, 0 10, 0 0, 10 0, 10 10)))' AS corner_un,
+      | 'POLYGON ((18 8, 10 8, 10 10, 0 10, 0 0, 10 0, 10 2, 18 2, 18 8))' AS tdrift_un_wkt,
+      | true AS tdrift_ie, true AS tdrift_part,
+      | 'POINT (10 5)' AS pt_edge_int,
+      | 'GEOMETRYCOLLECTION EMPTY' AS pt_edge_diff,
+      | 'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))' AS pt_edge_un,
+      | 'LINESTRING (10 2, 10 8)' AS line_edge_int,
+      | 'GEOMETRYCOLLECTION EMPTY' AS line_edge_diff,
+      | 'LINESTRING (5 5, 10 5)' AS line_vertex_int,
+      | 'LINESTRING (10 5, 15 5)' AS line_vertex_diff""".stripMargin
+
   private val qCoveringGolden = (s: SparkSession, dir: String) => {
     prep(s, dir)
     s.sql(
@@ -2093,6 +2143,7 @@ object Queries {
     ("g_covering", qCoveringGolden, Some(oCoveringGolden)),
     ("g_overlay", qOverlayGolden, Some(oOverlayGolden)),
     ("g_overlay_snap", qOverlaySnap, Some(oOverlaySnap)),
+    ("g_overlay_degen", qOverlayDegen, Some(oOverlayDegen)),
     ("g_bounds", qBoundsGolden, Some(oBoundsGolden)),
     ("g_data", qDataGolden, Some(oDataGolden)),
     ("g_flagship_join", qFlagshipJoin, Some(oFlagshipJoin)),

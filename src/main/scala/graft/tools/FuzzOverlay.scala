@@ -156,6 +156,55 @@ object FuzzOverlay {
     }
   }
 
+  /** Mixed-dimension degenerate pair (klass 9): a polyline riding on,
+    * crossing through, or vertexed exactly on a polygon's meridian edge
+    * (meridian edges are true geodesics, so exact collinearity is
+    * representable). Returns (lineWkt, polyWkt); checked by the LENGTH
+    * partition |L∩A| + |L\A| = |L| (CLOSED model routes boundary-riding
+    * pieces to the intersection side — either way the partition must
+    * hold). */
+  def genMixedPair(seed: Int): (String, String) = {
+    val rnd = new scala.util.Random(20260813L + seed * 104729L)
+    def eps() = (rnd.nextDouble() - 0.5) * 1.2e-10
+    val x0 = rnd.nextInt(60) - 30
+    val y0 = rnd.nextInt(50) - 25
+    val w = 5 + rnd.nextInt(10); val h = 6 + rnd.nextInt(10)
+    val a = poly(Seq((x0.toDouble, y0.toDouble), (x0 + w.toDouble, y0.toDouble),
+      (x0 + w.toDouble, y0 + h.toDouble), (x0.toDouble, y0 + h.toDouble)))
+    val xr = x0 + w.toDouble // right meridian edge
+    val line = rnd.nextInt(4) match {
+      case 0 => // rides the middle of the right edge (exact or ulp off)
+        val e = if (rnd.nextBoolean()) 0.0 else eps()
+        val m1 = y0 + 1 + rnd.nextDouble() * (h - 2) / 2
+        val m2 = y0 + h - 1 - rnd.nextDouble() * (h - 2) / 2
+        s"LINESTRING (${xr + e} $m1, ${xr + e} $m2)"
+      case 1 => // crosses the edge with a vertex exactly on it
+        val yc = y0 + 1 + rnd.nextDouble() * (h - 2)
+        s"LINESTRING (${x0 + w / 2.0} $yc, $xr $yc, ${xr + 4 + rnd.nextInt(4)} $yc)"
+      case 2 => // enters, rides part of the edge, exits outward
+        val m1 = y0 + 1 + rnd.nextDouble() * (h - 3)
+        val m2 = m1 + 1 + rnd.nextDouble()
+        s"LINESTRING (${x0 + 1.0} $m1, $xr $m1, $xr $m2, ${xr + 3.0} $m2)"
+      case _ => // overshoots the whole edge (collinear beyond both corners)
+        s"LINESTRING ($xr ${y0 - 2 - rnd.nextInt(3)}, $xr ${y0 + h + 2 + rnd.nextInt(3)})"
+    }
+    (line, a)
+  }
+
+  /** Length-partition check for a (line, polygon) pair. */
+  def checkMixedPair(lW: String, aW: String): Option[String] =
+    try {
+      val l = g(lW); val a = g(aW)
+      val lenL = S2Measure.lengthMeters(l)
+      val li = S2Measure.lengthMeters(Overlay.intersection(l, a))
+      val ld = S2Measure.lengthMeters(Overlay.difference(l, a))
+      if (math.abs(li + ld - lenL) > 1e-6 * math.max(lenL, 1.0))
+        Some(f"length partition defect=${li + ld - lenL}%.3g (|L|=$lenL%.6g i=$li%.6g d=$ld%.6g)\n  L=$lW\n  A=$aW")
+      else None
+    } catch {
+      case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}\n  L=$lW\n  A=$aW")
+    }
+
   /** Area-algebra invariant check for one WKT pair; Some(message) on a
     * violation or error, None when the invariants hold. */
   def checkPair(aW: String, bW: String): Option[String] =
@@ -193,9 +242,11 @@ object FuzzOverlay {
     val only = args.drop(1).headOption.map(_.toInt)
     var failures = 0
     for (seed <- 0 until n) {
-      val klass = only.getOrElse(seed % 9)
-      val (aW, bW) = genPair(seed, klass)
-      checkPair(aW, bW).foreach { msg =>
+      val klass = only.getOrElse(seed % 10)
+      val res =
+        if (klass == 9) { val (lW, aW) = genMixedPair(seed); checkMixedPair(lW, aW) }
+        else { val (aW, bW) = genPair(seed, klass); checkPair(aW, bW) }
+      res.foreach { msg =>
         failures += 1
         println(s"FAIL seed=$seed class=$klass $msg")
       }

@@ -84,6 +84,33 @@ class SnapOverlaySpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz: mixed-dimension class holds the length partition (round-9 generator)") {
+    // line riding on / crossing through / vertexed exactly on a polygon's
+    // meridian edge: |L∩A| + |L\A| = |L| whichever side the CLOSED model
+    // routes boundary-riding pieces to
+    import graft.tools.FuzzOverlay
+    for (seed <- 0 until 200) {
+      val (lW, aW) = FuzzOverlay.genMixedPair(seed)
+      FuzzOverlay.checkMixedPair(lW, aW).foreach(msg => fail(s"seed=$seed $msg"))
+    }
+  }
+
+  test("CLOSED-model mixed-dimension goldens: boundary points and lines belong to the polygon") {
+    // reference boundary semantics: S2BooleanOperation CLOSED polygon AND
+    // polyline models (src/include/global_options.hpp:12-13)
+    def g(w: String) = Wkt.read(w, validate = false)
+    val A = g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    def fmt(x: Geography): String = Wkt.write(x, precision = 6)
+    assert(fmt(Overlay.intersection(g("POINT (10 5)"), A)) === "POINT (10 5)")
+    assert(Overlay.difference(g("POINT (10 5)"), A).isEmpty)
+    // line exactly on the meridian boundary edge: inside under CLOSED
+    assert(fmt(Overlay.intersection(g("LINESTRING (10 2, 10 8)"), A)) === "LINESTRING (10 2, 10 8)")
+    assert(Overlay.difference(g("LINESTRING (10 2, 10 8)"), A).isEmpty)
+    // vertex exactly on the boundary: clean split, no duplicate vertices
+    assert(fmt(Overlay.intersection(g("LINESTRING (5 5, 10 5, 15 5)"), A)) === "LINESTRING (5 5, 10 5)")
+    assert(fmt(Overlay.difference(g("LINESTRING (5 5, 10 5, 15 5)"), A)) === "LINESTRING (10 5, 15 5)")
+  }
+
   test("fuzz: ±1-ulp perturbed shared-border pairs hold area invariants on all seeds") {
     val rnd = new scala.util.Random(20260813L)
     var run = 0
