@@ -227,18 +227,18 @@ object Dedup {
     * tokens inside duplicated spans — all integer arithmetic, so the
     * result is engine-exact.
     *
-    * Scale shape: one positional explode (corpus-token-count rows), one
-    * count-distinct shuffle keyed by the gram string (map-side
-    * partials), the duplicated-gram set joins back on the same gram key
-    * (AQE broadcasts it when it fits), and the span merge is per-doc
-    * array arithmetic over collected hit positions — bounded by doc
-    * length, never cross-doc. No stage is all-pairs. */
+    * Scale shape: ONE positional explode (corpus-token-count rows) and
+    * ONE shuffle on the 16-byte gram digest. "Gram in >1 distinct doc"
+    * is just min(id) != max(id) over a window partitioned by the digest,
+    * so there is no count-distinct aggregate, no dup-set join-back, and
+    * no second corpus pass (the r9 agg+broadcast-join shape exploded the
+    * corpus twice because column pruning defeated ReuseExchange). The
+    * span merge is per-doc array arithmetic over collected hit
+    * positions — bounded by doc length, never cross-doc. No stage is
+    * all-pairs. */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
                      n: Int = 8): DataFrame = {
-    val grams = gramHashes(df, idCol, textCol, n)
-    val dupGrams = grams.groupBy("gh")
-      .agg(count_distinct(col(idCol)).as("__nd"))
-      .where(col("__nd") > 1).select("gh")
+    val grams = dupGramHits(df, idCol, textCol, n)
     // gaps between consecutive sorted hit positions drive the merge: a
     // gap > n opens a new span; a gap <= n extends the span by `gap`
     // tokens (the overlap with the previous gram hit is not re-counted)
@@ -256,12 +256,27 @@ object Dedup {
       }
       (spans, covered)
     })
-    grams.join(dupGrams, "gh")
+    grams
       .groupBy(col(idCol))
       .agg(first(col("n_tok")).as("n_tok"), collect_list(col("pos")).as("__ps"))
       .select(col(idCol), col("n_tok"), spanStats(col("__ps")).as("__st"))
       .select(col(idCol), col("n_tok"),
         col("__st._1").as("n_spans"), col("__st._2").as("covered"))
+  }
+
+  /** Gram occurrences that are cross-document duplicates, with the
+    * keeper id: one window pass over the digest-partitioned gram
+    * stream — min(id) != max(id) over the gh partition IS the
+    * "more than one distinct doc" test, and min(id) doubles as the
+    * keep-first owner. Columns: (idCol, n_tok, pos, gh, __keep). */
+  private def dupGramHits(df: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("gh")
+    gramHashes(df, idCol, textCol, n)
+      .withColumn("__keep", min(col(idCol)).over(w))
+      .withColumn("__mx", max(col(idCol)).over(w))
+      .where(col("__keep") =!= col("__mx"))
+      .drop("__mx")
   }
 
   /** Per-position word-n-gram MD5 digests, built in one tight JVM pass
@@ -305,18 +320,14 @@ object Dedup {
     * surviving words joined by single spaces (whitespace-normalised for
     * every doc, so the rewrite is well-defined and engine-exact).
     *
-    * Scale shape: same fixed-width gram-digest shuffle as
-    * [[duplicateSpans]] plus one broadcast-able min-id join-back; the
-    * rewrite itself is per-doc array arithmetic over collected removal
-    * positions — bounded by doc length, never cross-doc. */
+    * Scale shape: the same single explode + single digest-keyed window
+    * pass as [[duplicateSpans]] (the keeper id is the window's min(id),
+    * already on every row — no keeper join); the rewrite itself is
+    * per-doc array arithmetic over collected removal positions —
+    * bounded by doc length, never cross-doc. */
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
                            n: Int = 8): DataFrame = {
-    val grams = gramHashes(df, idCol, textCol, n)
-    // per duplicated gram: the doc that keeps it (min id across holders)
-    val keepers = grams.groupBy("gh")
-      .agg(count_distinct(col(idCol)).as("__nd"), min(col(idCol)).as("__keep"))
-      .where(col("__nd") > 1).select("gh", "__keep")
-    val removals = grams.join(keepers, "gh")
+    val removals = dupGramHits(df, idCol, textCol, n)
       .where(col(idCol) =!= col("__keep"))
       .groupBy(col(idCol))
       .agg(collect_list(col("pos")).as("__ps"))
