@@ -363,6 +363,58 @@ object Dedup {
       .select(col(idCol), col("n_tok_before"), col("n_tok_after"), col("text"))
   }
 
+  /** Bloom-filter decontamination — the MAP-SIDE-ONLY shape for "flag
+    * training docs sharing any n-gram with the eval/benchmark suite" at
+    * corpus scale: the eval side's gram-digest bit positions (four 32-bit
+    * words sliced from each gram's MD5, mod `bits`) build one driver-side
+    * bitset (bits/8 bytes — 512 KB at the default 2^22), broadcast to
+    * every task; the training corpus is then scanned ONCE with zero
+    * shuffle of corpus-scale data — only flagged grams (eval-set-sized at
+    * most, plus deterministic false positives) reach the per-doc count
+    * aggregate. Contrast with [[minhashCrossPairs]]/`contaminationPairs`,
+    * which shuffle train-side grams into a join: at 100 TB train / small
+    * eval, the Bloom broadcast is the only shape that never moves the
+    * corpus. False positives are a deterministic function of (bits,
+    * corpus), so an oracle replaying the same slicing agrees exactly.
+    * Output: (idCol, n_flagged) per train doc with >= 1 flagged DISTINCT
+    * gram.
+    *
+    * Driver-side bound: the collected distinct position set is at most
+    * 4x the eval gram count (and at most `bits`); eval suites are small
+    * by definition — raise `bits` for big eval sets (FP rate ~
+    * (setBits/bits)^4). */
+  def bloomDecontam(train: DataFrame, ev: DataFrame, idCol: String,
+                    textCol: String, n: Int = 8,
+                    bits: Int = 1 << 22): DataFrame = {
+    require(bits > 0 && (bits & (bits - 1)) == 0, "bits must be a power of two")
+    val spark = train.sparkSession
+    import spark.implicits._
+    def hexGrams(df: DataFrame) = gramHashes(df, idCol, textCol, n)
+      .select(col(idCol), lower(hex(col("gh"))).as("hx"))
+    val positionsOf = udf((hx: String) =>
+      Array.tabulate(4)(k => java.lang.Long.parseLong(hx.substring(k * 8, k * 8 + 8), 16) % bits))
+    val evalPos = hexGrams(ev)
+      .select(explode(positionsOf(col("hx"))).as("p")).distinct()
+      .as[Long].collect()
+    val bitset = new java.util.BitSet(bits)
+    evalPos.foreach(p => bitset.set(p.toInt))
+    val bsB = spark.sparkContext.broadcast(bitset)
+    val allSet = udf((hx: String) => {
+      val bs = bsB.value
+      var all = true
+      var k = 0
+      while (k < 4 && all) {
+        val w = java.lang.Long.parseLong(hx.substring(k * 8, k * 8 + 8), 16)
+        all = bs.get((w % bits).toInt)
+        k += 1
+      }
+      all
+    })
+    hexGrams(train).where(allSet(col("hx")))
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("hx")).as("n_flagged"))
+  }
+
   // --------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over word unigrams (UDF: per-word 64-bit FNV hash,

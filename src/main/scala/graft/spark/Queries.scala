@@ -1408,6 +1408,46 @@ object Queries {
        |WHERE ca.canon = cb.canon
        |ORDER BY train_id, eval_id""".stripMargin
 
+  /** BLOOM decontamination: the zero-corpus-shuffle membership shape —
+    * eval-side gram positions build a broadcast bitset, the train side is
+    * scanned map-side-only. Planted: every 6th even (eval) doc re-enters
+    * the train side verbatim, so all its grams must flag. False positives
+    * are deterministic (same MD5 slicing mod 2^22 in both engines), so
+    * the oracle's exact replay agrees bit-for-bit. */
+  private val qDecontamBloom = dfQ { s =>
+    val docs = s.table("documents").where(length(trim(col("text"))) > 0)
+    val planted = docs.where(col("doc_id") % 2 === 0 && col("doc_id") % 6 === 0)
+      .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+    val train = docs.where(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text")).unionByName(planted)
+    val ev = docs.where(col("doc_id") % 2 === 0).select(col("doc_id"), col("text"))
+    Dedup.bloomDecontam(train, ev, "doc_id", "text", n = 8)
+      .select(col("doc_id").as("train_id"), col("n_flagged"))
+      .orderBy("train_id")
+  }
+  private val oDecontamBloom =
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0),
+      |train AS (SELECT doc_id, text FROM d WHERE doc_id % 2 = 1
+      |          UNION ALL
+      |          SELECT doc_id + 20000000 AS doc_id, text FROM d WHERE doc_id % 2 = 0 AND doc_id % 6 = 0),
+      |ev AS (SELECT doc_id, text FROM d WHERE doc_id % 2 = 0),
+      |tw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM train
+      |       WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 8),
+      |tg AS (SELECT DISTINCT doc_id, md5(array_to_string(w[i:i+7], ' ')) AS hx
+      |       FROM tw, LATERAL unnest(generate_series(1, len(w) - 7)) t(i)),
+      |ew AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM ev
+      |       WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 8),
+      |eg AS (SELECT md5(array_to_string(w[i:i+7], ' ')) AS hx
+      |       FROM ew, LATERAL unnest(generate_series(1, len(w) - 7)) t(i)),
+      |ep AS (SELECT DISTINCT ('0x' || substr(hx, k * 8 + 1, 8))::BIGINT % 4194304 AS p
+      |       FROM eg, range(0, 4) t(k)),
+      |tp AS (SELECT doc_id, hx, ('0x' || substr(hx, k * 8 + 1, 8))::BIGINT % 4194304 AS p
+      |       FROM tg, range(0, 4) t(k)),
+      |hits AS (SELECT doc_id, hx FROM tp JOIN ep USING (p)
+      |         GROUP BY doc_id, hx HAVING count(*) = 4)
+      |SELECT doc_id AS train_id, CAST(count(*) AS BIGINT) AS n_flagged
+      |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** DSIR importance weights: target = the corpus's English docs, raw =
     * everything else; each raw doc scored by the hashed-unigram
     * log-likelihood ratio (resampling by exp(weight) shifts the corpus
@@ -2176,6 +2216,7 @@ object Queries {
     ("l_token_budget", qTokenBudget, Some(oTokenBudget)),
     ("l_decontam", qDecontam, Some(oDecontam)),
     ("l_decontam_fuzzy", qDecontamFuzzy, Some(oDecontamFuzzy)),
+    ("l_decontam_bloom", qDecontamBloom, Some(oDecontamBloom)),
     ("l_dsir", qDsir, Some(oDsir)),
     ("l_dup_spans", qDupSpans, Some(oDupSpans)),
     ("l_dup_span_removal", qDupSpanRemoval, Some(oDupSpanRemoval)),

@@ -410,6 +410,22 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bloomDecontam flags planted eval copies map-side and misses clean docs") {
+    val s = spark; import s.implicits._
+    val ev = Seq(
+      (100L, "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10"),
+      (101L, "f1 f2 f3 f4 f5 f6 f7 f8")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10 extra"),  // contains eval grams
+      (2L, "clean words that never appear in the eval suite at all here"),
+      (3L, "f1 f2 f3 f4 f5 f6 f7 f8")).toDF("doc_id", "text")
+    val got = Dedup.bloomDecontam(train, ev, "doc_id", "text", n = 8)
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    // doc 1 holds 3 of eval-100's grams + 0 of f's; doc 3 is an exact copy
+    assert(got.map(_._1).toSeq === Seq(1L, 3L))
+    assert(got(0)._2 === 3L && got(1)._2 === 1L)
+  }
+
   test("tfidfTopTerms ranks distinctive terms above common ones") {
     val s = spark; import s.implicits._
     val docs = Seq(
