@@ -389,30 +389,33 @@ object Dedup {
     require(bits > 0 && (bits & (bits - 1)) == 0, "bits must be a power of two")
     val spark = train.sparkSession
     import spark.implicits._
-    def hexGrams(df: DataFrame) = gramHashes(df, idCol, textCol, n)
-      .select(col(idCol), lower(hex(col("gh"))).as("hx"))
-    val positionsOf = udf((hx: String) =>
-      Array.tabulate(4)(k => java.lang.Long.parseLong(hx.substring(k * 8, k * 8 + 8), 16) % bits))
-    val evalPos = hexGrams(ev)
-      .select(explode(positionsOf(col("hx"))).as("p")).distinct()
-      .as[Long].collect()
+    // position k = the digest's k-th big-endian 32-bit word mod bits —
+    // byte-sliced here, identical to the oracle's hex-substring parse
+    def word(gh: Array[Byte], k: Int): Long = {
+      val o = k * 4
+      ((gh(o) & 0xffL) << 24) | ((gh(o + 1) & 0xffL) << 16) |
+        ((gh(o + 2) & 0xffL) << 8) | (gh(o + 3) & 0xffL)
+    }
+    val positionsOf = udf((gh: Array[Byte]) =>
+      Array.tabulate(4)(k => word(gh, k) % bits))
+    // eval positions collect straight from the map stage (no distinct
+    // exchange — the driver bitset IS the dedup); bounded by 4x the eval
+    // gram count
     val bitset = new java.util.BitSet(bits)
-    evalPos.foreach(p => bitset.set(p.toInt))
+    gramHashes(ev, idCol, textCol, n)
+      .select(positionsOf(col("gh")).as("ps")).as[Array[Long]].collect()
+      .foreach(_.foreach(p => bitset.set(p.toInt)))
     val bsB = spark.sparkContext.broadcast(bitset)
-    val allSet = udf((hx: String) => {
+    val allSet = udf((gh: Array[Byte]) => {
       val bs = bsB.value
       var all = true
       var k = 0
-      while (k < 4 && all) {
-        val w = java.lang.Long.parseLong(hx.substring(k * 8, k * 8 + 8), 16)
-        all = bs.get((w % bits).toInt)
-        k += 1
-      }
+      while (k < 4 && all) { all = bs.get((word(gh, k) % bits).toInt); k += 1 }
       all
     })
-    hexGrams(train).where(allSet(col("hx")))
+    gramHashes(train, idCol, textCol, n).where(allSet(col("gh")))
       .groupBy(col(idCol))
-      .agg(count_distinct(col("hx")).as("n_flagged"))
+      .agg(count_distinct(col("gh")).as("n_flagged"))
   }
 
   // --------------------------------------------------------------- simhash
