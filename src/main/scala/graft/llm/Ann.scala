@@ -387,9 +387,19 @@ object Ann {
   def boundedClusters(df: DataFrame, idCol: String = "vec_id",
                       vecCol: String = "embedding", k: Int = 0,
                       iters: Int = 2, targetClusterSize: Int = 1024,
-                      maxSplitDepth: Int = 3): DataFrame = {
+                      maxSplitDepth: Int = 3,
+                      checkpointer: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
     require(targetClusterSize > 0, "targetClusterSize must be positive")
-    val base = df.select(col(idCol), col(vecCol))
+    // `checkpointer` materializes each round's input/assignment ONCE, so
+    // Lloyd's iters+1 passes and the size/split consumers read cached rows
+    // instead of re-deriving the whole lineage per pass (the same contract
+    // as Dedup.connectedComponents: localCheckpoint for single-JVM runs,
+    // reliable checkpoint() on a cluster). Intermediates are freed once
+    // the final clustering materializes; transient storage peaks at ~2x
+    // the corpus vectors (round inputs shrink geometrically).
+    val retired = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val base = checkpointer(df.select(col(idCol), col(vecCol)))
+    retired += base
     val n0 = base.count()
     def derivedK(n: Long) =
       math.max(16L, (n + targetClusterSize - 1) / targetClusterSize)
@@ -398,8 +408,9 @@ object Ann {
     val cap = 4L * targetClusterSize
     // label offset per split round keeps rounds' cluster ids disjoint
     val RoundStride = 1L << 40
-    var pending = kmeans(base, idCol, vecCol, k0, iters)
-      .select(col(idCol), col(vecCol), col("cluster").cast("long").as("cluster"))
+    var pending = checkpointer(kmeans(base, idCol, vecCol, k0, iters)
+      .select(col(idCol), col(vecCol), col("cluster").cast("long").as("cluster")))
+    retired += pending
     var done: DataFrame = null
     var depth = 0
     var growing = true
@@ -417,13 +428,16 @@ object Ann {
         growing = false
       } else {
         depth += 1
-        pending = kmeans(big.select(col(idCol), col(vecCol)), idCol, vecCol,
-            derivedK(bigN), iters)
+        pending = checkpointer(kmeans(big.select(col(idCol), col(vecCol)), idCol,
+            vecCol, derivedK(bigN), iters)
           .select(col(idCol), col(vecCol),
-            (col("cluster").cast("long") + lit(depth * RoundStride)).as("cluster"))
+            (col("cluster").cast("long") + lit(depth * RoundStride)).as("cluster")))
+        retired += pending
       }
     }
-    done
+    val out = checkpointer(done)
+    retired.foreach(Dedup.unpersistCheckpointed)
+    out
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold via LSH buckets,

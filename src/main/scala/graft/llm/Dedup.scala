@@ -578,7 +578,7 @@ object Dedup {
     * walking its physical RDD lineage to the first persisted ancestor.
     * A reliable `checkpoint()` stores to the checkpoint dir instead of the
     * block manager, so this is a harmless no-op there. */
-  private def unpersistCheckpointed(df: DataFrame): Unit = {
+  private[llm] def unpersistCheckpointed(df: DataFrame): Unit = {
     def walk(r: org.apache.spark.rdd.RDD[_]): Unit =
       if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE) {
         r.unpersist(blocking = false); ()
