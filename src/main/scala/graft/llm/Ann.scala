@@ -396,11 +396,18 @@ object Ann {
     // as Dedup.connectedComponents: localCheckpoint for single-JVM runs,
     // reliable checkpoint() on a cluster). Intermediates are freed once
     // the final clustering materializes; transient storage peaks at ~2x
-    // the corpus vectors (round inputs shrink geometrically).
+    // the corpus vectors (round inputs shrink geometrically). Below 1M
+    // vectors the materialization JOBS cost more than the re-scans they
+    // save (each eager checkpoint pays the per-job scheduling floor —
+    // measured 0.89 s -> 3.6 s on the 541-vector correctness corpus), so
+    // small inputs skip checkpointing entirely.
+    val base0 = df.select(col(idCol), col(vecCol))
+    val n0 = base0.count()
+    val ckpt: DataFrame => DataFrame =
+      if (n0 >= (1L << 20)) checkpointer else identity
     val retired = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    val base = checkpointer(df.select(col(idCol), col(vecCol)))
+    val base = ckpt(base0)
     retired += base
-    val n0 = base.count()
     def derivedK(n: Long) =
       math.max(16L, (n + targetClusterSize - 1) / targetClusterSize)
         .min(Int.MaxValue).toInt
@@ -408,7 +415,7 @@ object Ann {
     val cap = 4L * targetClusterSize
     // label offset per split round keeps rounds' cluster ids disjoint
     val RoundStride = 1L << 40
-    var pending = checkpointer(kmeans(base, idCol, vecCol, k0, iters)
+    var pending = ckpt(kmeans(base, idCol, vecCol, k0, iters)
       .select(col(idCol), col(vecCol), col("cluster").cast("long").as("cluster")))
     retired += pending
     var done: DataFrame = null
@@ -428,14 +435,14 @@ object Ann {
         growing = false
       } else {
         depth += 1
-        pending = checkpointer(kmeans(big.select(col(idCol), col(vecCol)), idCol,
+        pending = ckpt(kmeans(big.select(col(idCol), col(vecCol)), idCol,
             vecCol, derivedK(bigN), iters)
           .select(col(idCol), col(vecCol),
             (col("cluster").cast("long") + lit(depth * RoundStride)).as("cluster")))
         retired += pending
       }
     }
-    val out = checkpointer(done)
+    val out = ckpt(done)
     retired.foreach(Dedup.unpersistCheckpointed)
     out
   }
