@@ -71,6 +71,15 @@ object Drive {
     val spans = Dedup.duplicateSpans(aug, "doc_id", "text")
     println("dup-span docs = " + spans.count() +
       " (fully covered = " + spans.where($"covered" === $"n_tok").count() + ")")
+    val excised = Dedup.removeDuplicateSpans(aug, "doc_id", "text")
+    println("span excision: " + excised.where($"n_tok_after" < $"n_tok_before").count() +
+      " docs rewritten, " + excised.where($"n_tok_after" === 0).count() + " emptied")
+    val bloom = Dedup.bloomDecontam(
+      docs.select($"doc_id", $"text").where($"doc_id" % 2 === 1).unionByName(
+        docs.where($"doc_id" % 2 === 0 && $"doc_id" % 6 === 0)
+          .select(($"doc_id" + 20000000L).as("doc_id"), $"text")),
+      docs.where($"doc_id" % 2 === 0), "doc_id", "text")
+    println("bloom-flagged train docs = " + bloom.count())
     val cross = Dedup.minhashCrossPairs(
       docs.where($"doc_id" % 2 === 1), docs.where($"doc_id" % 2 === 0), "doc_id", "text")
     println("cross-corpus lsh candidates = " + cross.count())
