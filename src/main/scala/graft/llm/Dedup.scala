@@ -386,36 +386,86 @@ object Dedup {
   def bloomDecontam(train: DataFrame, ev: DataFrame, idCol: String,
                     textCol: String, n: Int = 8,
                     bits: Int = 1 << 22): DataFrame = {
-    require(bits > 0 && (bits & (bits - 1)) == 0, "bits must be a power of two")
-    val spark = train.sparkSession
-    import spark.implicits._
-    // position k = the digest's k-th big-endian 32-bit word mod bits —
-    // byte-sliced here, identical to the oracle's hex-substring parse
-    def word(gh: Array[Byte], k: Int): Long = {
-      val o = k * 4
-      ((gh(o) & 0xffL) << 24) | ((gh(o + 1) & 0xffL) << 16) |
-        ((gh(o + 2) & 0xffL) << 8) | (gh(o + 3) & 0xffL)
-    }
-    val positionsOf = udf((gh: Array[Byte]) =>
-      Array.tabulate(4)(k => word(gh, k) % bits))
-    // eval positions collect straight from the map stage (no distinct
-    // exchange — the driver bitset IS the dedup); bounded by 4x the eval
-    // gram count
-    val bitset = new java.util.BitSet(bits)
-    gramHashes(ev, idCol, textCol, n)
-      .select(positionsOf(col("gh")).as("ps")).as[Array[Long]].collect()
-      .foreach(_.foreach(p => bitset.set(p.toInt)))
-    val bsB = spark.sparkContext.broadcast(bitset)
+    val (bsB, _) = evalBitset(ev, idCol, textCol, n, bits)
     val allSet = udf((gh: Array[Byte]) => {
       val bs = bsB.value
       var all = true
       var k = 0
-      while (k < 4 && all) { all = bs.get((word(gh, k) % bits).toInt); k += 1 }
+      while (k < 4 && all) { all = bs.get((digestWord(gh, k) % bits).toInt); k += 1 }
       all
     })
     gramHashes(train, idCol, textCol, n).where(allSet(col("gh")))
       .groupBy(col(idCol))
       .agg(count_distinct(col("gh")).as("n_flagged"))
+  }
+
+  /** Per-row contamination flag backed by the same eval-side Bloom bitset
+    * as [[bloomDecontam]]: true iff ANY word n-gram of the text is
+    * Bloom-positive. The whole test runs inside one UDF call per row
+    * (grams digested and short-circuit-checked in a single JVM pass, no
+    * explode), so the returned Column is fully STATELESS and composes
+    * unchanged with Structured Streaming — filter an ingestion stream
+    * against a benchmark suite with zero streaming state and zero
+    * shuffle. */
+  def bloomContaminationFlag(ev: DataFrame, idCol: String, textCol: String,
+                             n: Int = 8, bits: Int = 1 << 22): Column = {
+    val (bsB, nB) = evalBitset(ev, idCol, textCol, n, bits)
+    val flag = udf((text: String) => {
+      if (text == null) false
+      else {
+        val ws = text.trim.split("\\s+")
+        if (ws.length < nB) false
+        else {
+          val bs = bsB.value
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val space = Array(' '.toByte)
+          var i = 0
+          var hit = false
+          while (i <= ws.length - nB && !hit) {
+            md.reset()
+            var j = i
+            while (j < i + nB) {
+              if (j > i) md.update(space)
+              md.update(ws(j).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              j += 1
+            }
+            val gh = md.digest()
+            var all = true
+            var k = 0
+            while (k < 4 && all) { all = bs.get((digestWord(gh, k) % bits).toInt); k += 1 }
+            hit = all
+            i += 1
+          }
+          hit
+        }
+      }
+    })
+    flag(col(textCol))
+  }
+
+  /** The digest's k-th big-endian 32-bit word — identical to the oracle's
+    * hex-substring parse of md5(gram). */
+  @inline private def digestWord(gh: Array[Byte], k: Int): Long = {
+    val o = k * 4
+    ((gh(o) & 0xffL) << 24) | ((gh(o + 1) & 0xffL) << 16) |
+      ((gh(o + 2) & 0xffL) << 8) | (gh(o + 3) & 0xffL)
+  }
+
+  /** Build the broadcast Bloom bitset of the eval side's gram positions:
+    * collected straight from the map stage (no distinct exchange — the
+    * driver bitset IS the dedup); bounded by 4x the eval gram count. */
+  private def evalBitset(ev: DataFrame, idCol: String, textCol: String,
+                         n: Int, bits: Int) = {
+    require(bits > 0 && (bits & (bits - 1)) == 0, "bits must be a power of two")
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val positionsOf = udf((gh: Array[Byte]) =>
+      Array.tabulate(4)(k => digestWord(gh, k) % bits))
+    val bitset = new java.util.BitSet(bits)
+    gramHashes(ev, idCol, textCol, n)
+      .select(positionsOf(col("gh")).as("ps")).as[Array[Long]].collect()
+      .foreach(_.foreach(p => bitset.set(p.toInt)))
+    (spark.sparkContext.broadcast(bitset), n)
   }
 
   // --------------------------------------------------------------- simhash

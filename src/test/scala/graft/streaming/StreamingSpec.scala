@@ -114,6 +114,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows === Set(2L, 4L))
   }
 
+  test("bloom contamination flag filters an ingestion stream statelessly") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val ev = Seq(
+      (100L, "e1 e2 e3 e4 e5 e6 e7 e8 e9")).toDF("doc_id", "text")
+    val flag = graft.llm.Dedup.bloomContaminationFlag(ev, "doc_id", "text", n = 8)
+    val input = MemoryStream[(Long, String)]
+    val out = input.toDF().toDF("doc_id", "text").where(flag)
+    val q = out.writeStream.format("memory").queryName("bloom_stream")
+      .outputMode("append").start()
+    input.addData(
+      (1L, "prefix e1 e2 e3 e4 e5 e6 e7 e8 suffix"), // shares an eval 8-gram
+      (2L, "totally clean words nothing shared with the eval suite here"),
+      (3L, "e2 e3 e4 e5 e6 e7 e8 e9"))               // eval tail gram
+    q.processAllAvailable()
+    val rows = spark.table("bloom_stream").select("doc_id").as[Long].collect().toSet
+    q.stop()
+    assert(rows === Set(1L, 3L))
+  }
+
   test("stateless geo expressions run on streams") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
