@@ -265,18 +265,29 @@ object Dedup {
   }
 
   /** Gram occurrences that are cross-document duplicates, with the
-    * keeper id: one window pass over the digest-partitioned gram
-    * stream — min(id) != max(id) over the gh partition IS the
-    * "more than one distinct doc" test, and min(id) doubles as the
-    * keep-first owner. Columns: (idCol, n_tok, pos, gh, __keep). */
+    * keeper id. Columns: (idCol, n_tok, pos, gh, __keep).
+    *
+    * Scale shape: the gram stream is persisted ONCE (memory-and-disk, so
+    * the explode is not recomputed for the join-back), reduced by a
+    * hash-aggregate `groupBy(gh).agg(min(id), max(id))` — which, unlike a
+    * window over `partitionBy(gh)`, does MAP-SIDE partial aggregation, so
+    * an ultra-common boilerplate gram contributes one (gh, min, max)
+    * record per map task instead of serializing every occurrence into a
+    * single reducer — and equi-joined back on the 16-byte digest, where
+    * AQE's skew-join split can further divide any residual hot bucket.
+    * min(id) != max(id) over the group IS the "more than one distinct
+    * doc" test, and min(id) doubles as the keep-first owner. */
   private def dupGramHits(df: DataFrame, idCol: String, textCol: String,
                           n: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("gh")
-    gramHashes(df, idCol, textCol, n)
-      .withColumn("__keep", min(col(idCol)).over(w))
-      .withColumn("__mx", max(col(idCol)).over(w))
+    val grams = gramHashes(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupOwners = grams
+      .groupBy(col("gh"))
+      .agg(min(col(idCol)).as("__keep"), max(col(idCol)).as("__mx"))
       .where(col("__keep") =!= col("__mx"))
       .drop("__mx")
+    grams.join(dupOwners, "gh")
+      .select(col(idCol), col("n_tok"), col("pos"), col("gh"), col("__keep"))
   }
 
   /** Per-position word-n-gram MD5 digests, built in one tight JVM pass

@@ -36,14 +36,21 @@ object Queries {
     S2Boxes.register(s)
     Dedup.register(s)
     TextAnalysis.register(s)
-    // events.ts is parquet TIMESTAMP(NANOS) which Spark rejects; read nanos
-    // as long and rebuild the timestamp at micros (lossless for this data)
+    // events.ts arrives as either parquet TIMESTAMP(NANOS) — which Spark
+    // rejects unless read as long via the legacy flag — or TIMESTAMP(MICROS)
+    // (read as TIMESTAMP_NTZ). Normalize both to a session-TZ TIMESTAMP at
+    // micros (sessions run UTC, so the wall-clock value is identical).
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     tables.foreach(t => s.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t))
-    s.sql("""CREATE OR REPLACE TEMP VIEW events AS
-      SELECT event_id, timestamp_micros(ts DIV 1000) AS ts,
+    val rawEvents = s.read.parquet(s"$dir/events.parquet")
+    val tsExpr = rawEvents.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => "timestamp_micros(ts DIV 1000)"
+      case _ => "CAST(ts AS TIMESTAMP)"
+    }
+    s.sql(s"""CREATE OR REPLACE TEMP VIEW events AS
+      SELECT event_id, $tsExpr AS ts,
              user_id, event_type, value, props
-      FROM (SELECT * FROM parquet.`""" + dir + """/events.parquet`)""")
+      FROM (SELECT * FROM parquet.`$dir/events.parquet`)""")
     // synthesized point table: deterministic lon/lat from customer keys
     s.sql("""CREATE OR REPLACE TEMP VIEW pts AS
       SELECT c_custkey AS id,

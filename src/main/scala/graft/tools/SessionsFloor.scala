@@ -18,9 +18,14 @@ object SessionsFloor {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet").createOrReplaceTempView("events_raw")
-    spark.sql("""CREATE OR REPLACE TEMP VIEW events AS
-      SELECT event_id, timestamp_micros(ts DIV 1000) AS ts, user_id FROM events_raw""")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.createOrReplaceTempView("events_raw")
+    val tsExpr = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => "timestamp_micros(ts DIV 1000)"
+      case _ => "CAST(ts AS TIMESTAMP)"
+    }
+    spark.sql(s"""CREATE OR REPLACE TEMP VIEW events AS
+      SELECT event_id, $tsExpr AS ts, user_id FROM events_raw""")
 
     val probes: Seq[(String, String)] = Seq(
       "empty-stage roundtrip" -> "SELECT count(*) FROM range(1)",

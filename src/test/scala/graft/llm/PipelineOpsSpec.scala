@@ -475,6 +475,26 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byId(4L) === ((4L, 11L, 1L, 8L)))
   }
 
+  test("duplicateSpans survives a hot boilerplate gram with a partial-agg plan") {
+    val s = spark; import s.implicits._
+    // one boilerplate 8-gram planted in EVERY doc — the 100-TB hot-key
+    // shape: a window over partitionBy(gh) would serialize all N
+    // occurrences into one task; the partial-agg + join-back shape must
+    // still produce the same answer and a window-free plan
+    val boiler = "this page is for subscribers only please login"
+    val docs = (1L to 2000L).map { id =>
+      (id, s"unique${id}a unique${id}b $boiler unique${id}c")
+    }.toDF("doc_id", "text")
+    val res = Dedup.duplicateSpans(docs, "doc_id", "text", n = 8)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "hot-gram pass must not use a window")
+    assert(plan.contains("HashAggregate"), "expected map-side partial aggregation")
+    val got = res.as[(Long, Long, Long, Long)].collect()
+    // every doc holds the boilerplate run: one span of 8 tokens, 11 total
+    assert(got.length === 2000)
+    assert(got.forall(r => r._2 === 11L && r._3 === 1L && r._4 === 8L))
+  }
+
   test("importanceWeights favors target-like raw docs and bounds state by buckets") {
     val s = spark; import s.implicits._
     // target: docs about cats; raw: one cat-like doc, one dog doc
