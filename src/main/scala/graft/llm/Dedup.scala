@@ -279,24 +279,35 @@ object Dedup {
     * doc" test, and min(id) doubles as the keep-first owner. */
   private def dupGramHits(df: DataFrame, idCol: String, textCol: String,
                           n: Int): DataFrame = {
-    val grams = gramHashes(df, idCol, textCol, n)
+    // persist the COMPACT per-doc digest arrays (one row per doc; the MD5
+    // pass runs once) and re-explode from cache on both sides — Generate
+    // is cheap codegen, so the cache holds doc-count rows, not token-count
+    val docGrams = gramArrays(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dupOwners = grams
+    val dupOwners = docGrams
+      .select(col(idCol), explode(col("__ghs")).as("gh"))
       .groupBy(col("gh"))
       .agg(min(col(idCol)).as("__keep"), max(col(idCol)).as("__mx"))
       .where(col("__keep") =!= col("__mx"))
       .drop("__mx")
-    grams.join(dupOwners, "gh")
+    // SHUFFLE_HASH: gh is a random digest, so sorting both sides for a
+    // merge join buys nothing — hash-join on the shuffled partitions
+    // (AQE may still downgrade to broadcast when the dup set is small,
+    // and its skew-split applies to shuffled hash joins too)
+    docGrams.select(col(idCol), col("n_tok"),
+        posexplode(col("__ghs")).as(Seq("pos", "gh")))
+      .join(dupOwners.hint("SHUFFLE_HASH"), "gh")
       .select(col(idCol), col("n_tok"), col("pos"), col("gh"), col("__keep"))
   }
 
-  /** Per-position word-n-gram MD5 digests, built in one tight JVM pass
-    * per doc: (idCol, n_tok, pos, gh BINARY(16)). The shuffle/join key
-    * downstream is the fixed-width 16-byte digest — the full n-word gram
-    * string never leaves the map side (at corpus scale the raw-string key
-    * is ~n× the corpus bytes of shuffle; 64-bit keys would birthday-
-    * collide at trillions of grams, 128-bit does not). */
-  private def gramHashes(df: DataFrame, idCol: String, textCol: String,
+  /** Per-doc array of per-position word-n-gram MD5 digests, built in one
+    * tight JVM pass per doc: (idCol, n_tok, __ghs ARRAY<BINARY(16)>).
+    * The shuffle/join key downstream is the fixed-width 16-byte digest —
+    * the full n-word gram string never leaves the map side (at corpus
+    * scale the raw-string key is ~n× the corpus bytes of shuffle; 64-bit
+    * keys would birthday-collide at trillions of grams, 128-bit does
+    * not). */
+  private def gramArrays(df: DataFrame, idCol: String, textCol: String,
                          n: Int): DataFrame = {
     val gramHashArr = udf((text: String) => {
       val ws = text.trim.split("\\s+")
@@ -319,8 +330,15 @@ object Dedup {
     val ws = split(trim(col(textCol)), "\\s+")
     df.where(col(textCol).isNotNull && length(trim(col(textCol))) > 0 && size(ws) >= n)
       .select(col(idCol), size(ws).cast("long").as("n_tok"),
-        posexplode(gramHashArr(col(textCol))).as(Seq("pos", "gh")))
+        gramHashArr(col(textCol)).as("__ghs"))
   }
+
+  /** Exploded per-position view of [[gramArrays]]:
+    * (idCol, n_tok, pos, gh BINARY(16)). */
+  private def gramHashes(df: DataFrame, idCol: String, textCol: String,
+                         n: Int): DataFrame =
+    gramArrays(df, idCol, textCol, n).select(col(idCol), col("n_tok"),
+      posexplode(col("__ghs")).as(Seq("pos", "gh")))
 
   /** Excise cross-document duplicate spans (the payoff step of Lee et
     * al. 2021 substring dedup): every word position covered by an n-gram
