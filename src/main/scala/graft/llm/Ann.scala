@@ -275,9 +275,10 @@ object Ann {
    * 1-based `cluster` column.
    *
    * Scale shape: per iteration, one broadcast assignment pass (no
-   * shuffle) plus one (cluster, dim)-keyed integer aggregation —
-   * rows x dim long-valued shuffle rows, combinable map-side; only the
-   * k x dim partials collect to the driver to build the next broadcast
+   * shuffle) fused with a treeAggregate that accumulates the k x dim
+   * integer sums and counts INSIDE each partition — nothing row-shaped
+   * ever shuffles; each partition emits one k x dim x 8B partial and the
+   * tree combine folds them to the driver to build the next broadcast
    * (tiny, the same bounded-side contract as the IVF quantizer).
    * Clusters that lose all members keep their previous centroid.
    *
@@ -315,21 +316,49 @@ object Ann {
       }.toDF(idCol, vecCol, "cluster")
     }
 
-    for (_ <- 1 to iters) {
-      val sums = assigned(cents)
-        .select(col("cluster"), posexplode(col(vecCol)).as(Seq("dim", "v")))
-        .groupBy("cluster", "dim")
-        .agg(sum(round(col("v") * Q).cast("long")).as("s"),
-             count(lit(1)).as("n"))
-        .as[(Int, Int, Long, Long)].collect()
-      val byCluster = sums.groupBy(_._1)
-      cents = cents.map { case (no, old) =>
-        byCluster.get(no) match {
-          case Some(ds) =>
-            val v = old.clone()
-            ds.foreach { case (_, dim, s, n) => v(dim) = s.toDouble / Q / n }
-            (no, v)
-          case None => (no, old) // empty cluster keeps its centroid
+    // HALF_UP at scale 0, matching Spark's round(): f.toDouble * 2^20 is
+    // EXACT (power-of-two scaling of a 24-bit mantissa), so the only tie
+    // handling that matters is the literal x.5 case — away from zero
+    @inline def qRound(x: Double): Long =
+      if (x >= 0) math.floor(x + 0.5).toLong else -math.floor(0.5 - x).toLong
+    if (cents.nonEmpty) {
+      val dim = cents(0)._2.length
+      val kk = cents.length
+      for (_ <- 1 to iters) {
+        // per-partition k x dim accumulator: the same commutative exact
+        // long sums the old (cluster, dim) aggregation shuffled row-wise,
+        // now folded inside each partition and tree-combined to the driver
+        val zero = (Array.ofDim[Long](kk * dim), Array.ofDim[Long](kk * dim))
+        val (sums, cnts) = assigned(cents)
+          .select(col("cluster"), col(vecCol))
+          .as[(Int, Array[Float])]
+          .rdd.treeAggregate(zero)(
+            seqOp = { case (acc @ (s, c), (cl, v)) =>
+              val base = (cl - 1) * dim
+              var j = 0
+              val m = math.min(v.length, dim)
+              while (j < m) {
+                s(base + j) += qRound(v(j).toDouble * Q)
+                c(base + j) += 1L
+                j += 1
+              }
+              acc
+            },
+            combOp = { case (a @ (s1, c1), (s2, c2)) =>
+              var i = 0
+              while (i < s1.length) { s1(i) += s2(i); c1(i) += c2(i); i += 1 }
+              a
+            })
+        cents = cents.map { case (no, old) =>
+          val base = (no - 1) * dim
+          val v = old.clone()
+          var j = 0
+          while (j < dim) {
+            val n = cnts(base + j)
+            if (n > 0L) v(j) = sums(base + j).toDouble / Q / n
+            j += 1
+          }
+          (no, v) // empty cluster (all-zero counts) keeps its centroid
         }
       }
     }
