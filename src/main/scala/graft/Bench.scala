@@ -56,8 +56,9 @@ object Bench {
     * None when python/duckdb is unavailable or the run exceeds its budget.
     * The library itself never depends on this; it is bench instrumentation.
     */
-  private def duckdbTimings(sfDir: String, cpus: String): Option[String] = try {
-    val picked = oracleNames.flatMap(n => SparkEntry.oracleSql.get(n).map(n -> _))
+  private def duckdbTimings(sfDir: String, cpus: String,
+                            names: Seq[String] = oracleNames): Option[String] = try {
+    val picked = names.flatMap(n => SparkEntry.oracleSql.get(n).map(n -> _))
     if (picked.isEmpty) None
     else {
       val dir = java.nio.file.Files.createTempDirectory("graft_oracle")
@@ -238,6 +239,46 @@ object Bench {
          s""","big_reps":${jsonReps(bigResults)}""")
       }
 
+    // Huge pass (30x): the floor-pinned queries (b_tpch_q1/q3, sessions)
+    // measure sub-1.5 s absolute at 10x, which is Spark's fixed per-stage
+    // floor, not data-bound work — the flat-vs-linear claim needs a THIRD
+    // point with the oracle measured in the same window. Only the floor
+    // set runs here (the 30x dataset regenerates in ~45 s; the rest of the
+    // suite already has its scale story at 10x).
+    val hugeNames = Seq("b_tpch_q1", "b_tpch_q3", "b_tpch_q5", "b_events_sessions")
+    val hugeDir = sys.env.getOrElse("SPARK_GRAFT_HUGE_DIR", "/root/repo/bigdata/sf3")
+    if (!new java.io.File(s"$hugeDir/lineitem.parquet").exists()) {
+      try { graft.tools.ScaleUp.run(spark, dst = hugeDir, copies = 30)
+            System.err.println(s"[bench] regenerated $hugeDir at 30 copies") }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] 30x regen failed: ${e.getMessage}") }
+    }
+    val (hugeCompact, hugeFullExtra) =
+      if (!new java.io.File(s"$hugeDir/lineitem.parquet").exists()) ("", "")
+      else {
+        val hugeResults = hugeNames.map { name =>
+          try {
+            val reps = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+            reps += timeOnce(qmap(name)(spark, hugeDir).count())
+            if (reps.last._1 > 5.0 || reps.last._2 > busyLoad)
+              reps += timeOnce(qmap(name)(spark, hugeDir).count())
+            if (reps.map(_._2).min > busyLoad && reps.size < 3)
+              reps += timeOnce(qmap(name)(spark, hugeDir).count())
+            QRecord(name, reps.toSeq, None)
+          }
+          catch { case e: Throwable =>
+            QRecord(name, Nil, Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))) }
+        }
+        val hugeOk = hugeResults.filter(_.err.isEmpty)
+        val hq = hugeOk.map(r => "\"" + esc(r.name) + "\":" + r.best).mkString("{", ",", "}")
+        val he = hugeResults.collect { case QRecord(n, _, Some(e)) => "\"" + esc(n) + "\":\"" + esc(e) + "\"" }
+          .mkString("{", ",", "}")
+        val hugeOracle = duckdbTimings(hugeDir, cpus, hugeNames)
+          .map(o => s""","huge_oracle_queries":$o""").getOrElse("")
+        (s""","huge_queries":$hq,"huge_errors":$he,"huge_total":${hugeOk.map(_.best).sum},"huge_sf":"$hugeDir"$hugeOracle""",
+         s""","huge_reps":${jsonReps(hugeResults)}""")
+      }
+
     // The driver tail-captures stdout with a bounded budget: the r8 record
     // lost its whole sf0.1 section when per-rep detail pushed the line past
     // it (VERDICT r8 item 3). The COMPLETE record therefore goes to a file
@@ -246,9 +287,9 @@ object Bench {
     val compact =
       s""""metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"""" +
       s""","rep_policy":"min-of-reps","load_start":$loadAtStart,"load_end":${loadavg()}""" +
-      oraclePart + bigCompact
+      oraclePart + bigCompact + hugeCompact
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_full.json")
-    val full = s"""{$compact,"reps":${jsonReps(results)}$bigFullExtra}"""
+    val full = s"""{$compact,"reps":${jsonReps(results)}$bigFullExtra$hugeFullExtra}"""
     try {
       java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), full + "\n")
       println(s"""{$compact,"full_record":"${esc(fullPath)}"}""")
