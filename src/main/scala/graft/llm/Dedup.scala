@@ -396,7 +396,7 @@ object Dedup {
     * training docs sharing any n-gram with the eval/benchmark suite" at
     * corpus scale: the eval side's gram-digest bit positions (four 32-bit
     * words sliced from each gram's MD5, mod `bits`) build one driver-side
-    * bitset (bits/8 bytes — 512 KB at the default 2^22), broadcast to
+    * bitset (bits/8 bytes — 512 KB at the 2^22 floor), broadcast to
     * every task; the training corpus is then scanned ONCE with zero
     * shuffle of corpus-scale data — only flagged grams (eval-set-sized at
     * most, plus deterministic false positives) reach the per-doc count
@@ -410,22 +410,37 @@ object Dedup {
     *
     * Driver-side bound: the collected distinct position set is at most
     * 4x the eval gram count (and at most `bits`); eval suites are small
-    * by definition — raise `bits` for big eval sets (FP rate ~
-    * (setBits/bits)^4). */
+    * by definition. `bits <= 0` (the default) AUTO-SIZES the bitset from
+    * the observed eval gram count via [[autoBloomBits]] (2^22 floor);
+    * pass an explicit power of two to pin the layout. */
   def bloomDecontam(train: DataFrame, ev: DataFrame, idCol: String,
                     textCol: String, n: Int = 8,
-                    bits: Int = 1 << 22): DataFrame = {
-    val (bsB, _) = evalBitset(ev, idCol, textCol, n, bits)
+                    bits: Int = 0): DataFrame = {
+    val (bsB, _, b) = evalBitset(ev, idCol, textCol, n, bits)
     val allSet = udf((gh: Array[Byte]) => {
       val bs = bsB.value
       var all = true
       var k = 0
-      while (k < 4 && all) { all = bs.get((digestWord(gh, k) % bits).toInt); k += 1 }
+      while (k < 4 && all) { all = bs.get((digestWord(gh, k) % b).toInt); k += 1 }
       all
     })
     gramHashes(train, idCol, textCol, n).where(allSet(col("gh")))
       .groupBy(col(idCol))
       .agg(count_distinct(col("gh")).as("n_flagged"))
+  }
+
+  /** Bloom sizing for the decontamination bitset: the smallest power of
+    * two >= 40x the eval gram count, floored at 2^22 (512 KB) and capped
+    * at 2^30. Each gram sets 4 positions, so occupancy stays <= 4g/bits
+    * <= 0.1 and the false-positive rate (all 4 probes set) is bounded by
+    * ~0.1^4 = 1e-4 — derived purely from the observed gram count, so the
+    * layout is a deterministic function of the eval set. */
+  def autoBloomBits(evalGrams: Long, floor: Int = 1 << 22): Int = {
+    require(floor > 0 && (floor & (floor - 1)) == 0, "floor must be a power of two")
+    val need = 40L * math.max(evalGrams, 0L)
+    var b = floor.toLong
+    while (b < need && b < (1L << 30)) b <<= 1
+    b.toInt
   }
 
   /** Per-row contamination flag backed by the same eval-side Bloom bitset
@@ -437,8 +452,8 @@ object Dedup {
     * against a benchmark suite with zero streaming state and zero
     * shuffle. */
   def bloomContaminationFlag(ev: DataFrame, idCol: String, textCol: String,
-                             n: Int = 8, bits: Int = 1 << 22): Column = {
-    val (bsB, nB) = evalBitset(ev, idCol, textCol, n, bits)
+                             n: Int = 8, bits: Int = 0): Column = {
+    val (bsB, nB, b) = evalBitset(ev, idCol, textCol, n, bits)
     val flag = udf((text: String) => {
       if (text == null) false
       else {
@@ -461,7 +476,7 @@ object Dedup {
             val gh = md.digest()
             var all = true
             var k = 0
-            while (k < 4 && all) { all = bs.get((digestWord(gh, k) % bits).toInt); k += 1 }
+            while (k < 4 && all) { all = bs.get((digestWord(gh, k) % b).toInt); k += 1 }
             hit = all
             i += 1
           }
@@ -481,20 +496,26 @@ object Dedup {
   }
 
   /** Build the broadcast Bloom bitset of the eval side's gram positions:
-    * collected straight from the map stage (no distinct exchange — the
-    * driver bitset IS the dedup); bounded by 4x the eval gram count. */
+    * the raw 16-byte digests are collected straight from the map stage
+    * (no distinct exchange — the driver bitset IS the dedup; the collect
+    * is eval-gram-count x 16 B, smaller than the old position arrays),
+    * the bitset size is the caller's power of two or, for `bits <= 0`,
+    * [[autoBloomBits]] of the observed gram count. Returns
+    * (broadcast bitset, n, bits used). */
   private def evalBitset(ev: DataFrame, idCol: String, textCol: String,
                          n: Int, bits: Int) = {
-    require(bits > 0 && (bits & (bits - 1)) == 0, "bits must be a power of two")
     val spark = ev.sparkSession
     import spark.implicits._
-    val positionsOf = udf((gh: Array[Byte]) =>
-      Array.tabulate(4)(k => digestWord(gh, k) % bits))
-    val bitset = new java.util.BitSet(bits)
-    gramHashes(ev, idCol, textCol, n)
-      .select(positionsOf(col("gh")).as("ps")).as[Array[Long]].collect()
-      .foreach(_.foreach(p => bitset.set(p.toInt)))
-    (spark.sparkContext.broadcast(bitset), n)
+    val ghs = gramHashes(ev, idCol, textCol, n)
+      .select(col("gh").as[Array[Byte]]).collect()
+    val b = if (bits > 0) bits else autoBloomBits(ghs.length.toLong)
+    require((b & (b - 1)) == 0, "bits must be a power of two")
+    val bitset = new java.util.BitSet(b)
+    ghs.foreach { gh =>
+      var k = 0
+      while (k < 4) { bitset.set((digestWord(gh, k) % b).toInt); k += 1 }
+    }
+    (spark.sparkContext.broadcast(bitset), n, b)
   }
 
   // --------------------------------------------------------------- simhash

@@ -1419,8 +1419,11 @@ object Queries {
     * eval-side gram positions build a broadcast bitset, the train side is
     * scanned map-side-only. Planted: every 6th even (eval) doc re-enters
     * the train side verbatim, so all its grams must flag. False positives
-    * are deterministic (same MD5 slicing mod 2^22 in both engines), so
-    * the oracle's exact replay agrees bit-for-bit. */
+    * are deterministic (same MD5 slicing mod the bitset size in both
+    * engines), so the oracle's exact replay agrees bit-for-bit. The query
+    * runs the library's AUTO-derived bitset size; at oracle scale the
+    * eval gram count sits under the 2^22 floor, which is the constant the
+    * oracle SQL replays. */
   private val qDecontamBloom = dfQ { s =>
     val docs = s.table("documents").where(length(trim(col("text"))) > 0)
     val planted = docs.where(col("doc_id") % 2 === 0 && col("doc_id") % 6 === 0)

@@ -426,6 +426,38 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(0)._2 === 3L && got(1)._2 === 1L)
   }
 
+  test("autoBloomBits scales with the eval gram count under an FP bound") {
+    import graft.llm.Dedup.autoBloomBits
+    // floor: small eval sets stay at 2^22 (512 KB broadcast)
+    assert(autoBloomBits(0L) === (1 << 22))
+    assert(autoBloomBits(104857L) === (1 << 22))   // 40x just under 2^22
+    // derived: the next power of two >= 40x grams -> occupancy <= 0.1,
+    // 4 probes -> FP bounded by ~1e-4
+    assert(autoBloomBits(104858L) === (1 << 23))   // 40x just over 2^22
+    assert(autoBloomBits(1000000L) === (1 << 26))  // 40M -> 2^26
+    (1L to 50L).map(_ * 77777L).foreach { g =>
+      val b = autoBloomBits(g)
+      assert((b & (b - 1)) === 0)
+      assert(b >= (1 << 22))
+      assert(b.toLong >= math.min(40L * g, 1L << 30) || b === (1 << 30))
+    }
+    // cap: never exceeds 2^30 (128 MB) however large the eval side
+    assert(autoBloomBits(Long.MaxValue / 64) === (1 << 30))
+    // auto (bits<=0 default) equals the explicit floor on a small eval
+    // set, so pinned-constant oracles stay exact
+    val s = spark; import s.implicits._
+    val ev = Seq((100L, "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10 extra"),
+      (2L, "clean words that never appear in the eval suite at all here"))
+      .toDF("doc_id", "text")
+    val auto = Dedup.bloomDecontam(train, ev, "doc_id", "text", n = 8)
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    val pinned = Dedup.bloomDecontam(train, ev, "doc_id", "text", n = 8, bits = 1 << 22)
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    assert(auto.toSeq === pinned.toSeq)
+  }
+
   test("tfidfTopTerms ranks distinctive terms above common ones") {
     val s = spark; import s.implicits._
     val docs = Seq(
