@@ -135,6 +135,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows === Set(1L, 3L))
   }
 
+  test("ingest pipeline (dedup + bloom decontam + chunk) matches its batch twin") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    // eval suite for the Bloom gate: doc 3 below shares its 8-gram
+    val ev = Seq((100L, "e1 e2 e3 e4 e5 e6 e7 e8")).toDF("doc_id", "text")
+    val flag = graft.llm.Dedup.bloomContaminationFlag(ev, "doc_id", "text", n = 8)
+    val docs = Seq(
+      (1L, ts(0), "alpha beta gamma delta " * 20),     // long: several chunks
+      (2L, ts(1), "alpha beta gamma delta " * 20),     // exact dup of 1
+      (3L, ts(2), "bad e1 e2 e3 e4 e5 e6 e7 e8 tail"), // contaminated
+      (4L, ts(3), "a genuinely fresh document"))
+    // ONE streaming query: exact-dedup fingerprint, stateless Bloom
+    // contamination gate, then chunking — the full ingest shape
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val deduped = Sessions.dedupStream(
+      input.toDF().toDF("doc_id", "ts", "text"), "text")
+    val out = graft.llm.TextAnalysis.chunkText(
+      deduped.where(!flag), "doc_id", "text", chunkChars = 100, overlapChars = 20)
+    val q = out.writeStream.format("memory").queryName("ingest_stream")
+      .outputMode("append").start()
+    input.addData(docs: _*)
+    q.processAllAvailable()
+    val got = spark.table("ingest_stream").collect()
+    q.stop()
+    // batch twin: same ops, batch semantics (dedup on the same fingerprint)
+    val want = graft.llm.TextAnalysis.chunkText(
+      docs.toDF("doc_id", "ts", "text").dropDuplicates("text").where(!flag),
+      "doc_id", "text", chunkChars = 100, overlapChars = 20).collect()
+    // chunk payloads identical regardless of which dup-group member survived
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Int]("chunk_ix"), r.getAs[String]("chunk"))
+    assert(got.map(key).toSet === want.map(key).toSet)
+    // the contaminated doc is gone, the dup group kept exactly one member
+    val ids = got.map(_.getAs[Long]("doc_id")).toSet
+    assert(!ids.contains(3L) && ids.contains(4L))
+    assert(ids.intersect(Set(1L, 2L)).size === 1)
+  }
+
   test("stateless geo expressions run on streams") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
