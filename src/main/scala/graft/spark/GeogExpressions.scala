@@ -37,6 +37,13 @@ object S2Native {
   def coveringFixedLevel(b: Array[Byte], level: Int): ArrayData =
     new GenericArrayData(RegionCoverer.coverFixedLevel(GeoCodec.decode(b), level))
 
+  def cellsWithRing(cov: ArrayData, ring: Int): ArrayData =
+    new GenericArrayData(S2Functions.cellsWithNeighborsRing(cov.toLongArray(), ring))
+
+  def coveringFixedLevelWithRing(b: Array[Byte], level: Int, ring: Int): ArrayData =
+    new GenericArrayData(S2Functions.cellsWithNeighborsRing(
+      RegionCoverer.coverFixedLevel(GeoCodec.decode(b), level), ring))
+
   def formatBlob(b: Array[Byte], precision: Int): UTF8String =
     UTF8String.fromString(S2Functions.printBlobPublic(b, precision))
 
@@ -157,6 +164,36 @@ object GeogExpressions {
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
     override def prettyName: String = "s2_covering_fixed_level"
+  }
+
+  case class S2CellsWithRingExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(cov: Any, ring: Any): Any =
+      S2Native.cellsWithRing(cov.asInstanceOf[ArrayData], ring.asInstanceOf[Int])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (c, r) => s"graft.spark.S2Native.cellsWithRing($c, $r)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+    override def prettyName: String = "s2_cells_with_ring"
+  }
+
+  case class S2CoveringFixedLevelWithRingExpr(first: Expression, second: Expression,
+                                              third: Expression)
+      extends TernaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(b: Any, lvl: Any, ring: Any): Any =
+      S2Native.coveringFixedLevelWithRing(b.asInstanceOf[Array[Byte]],
+        lvl.asInstanceOf[Int], ring.asInstanceOf[Int])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (b, l, r) =>
+        s"graft.spark.S2Native.coveringFixedLevelWithRing($b, $l, $r)")
+    override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                   t: Expression): Expression =
+      copy(first = f, second = s, third = t)
+    override def prettyName: String = "s2_covering_fixed_level_with_ring"
   }
 
   case class S2FormatExpr(left: Expression, right: Expression) extends BinaryExpression {
@@ -311,6 +348,14 @@ object GeogExpressions {
       if (lvl < 0 || lvl > 30)
         throw new IllegalArgumentException("s2_covering_fixed_level(): level must be between 0 and 30")
       S2CoveringFixedLevelExpr(bin(a(0)), i(a(1)))
+    }
+    put("s2_cells_with_ring", 2)(a => S2CellsWithRingExpr(a(0), i(a(1))))
+    put("s2_covering_fixed_level_with_ring", 3) { a =>
+      // same constant-level contract as s2_covering_fixed_level
+      if (!a(1).foldable || !a(2).foldable)
+        throw new IllegalArgumentException(
+          "s2_covering_fixed_level_with_ring(): level and ring must be constants")
+      S2CoveringFixedLevelWithRingExpr(bin(a(0)), i(a(1)), i(a(2)))
     }
     put("s2_point_xyz", 1)(a => S2PointXyzExpr(bin(a(0))))
     put("s2_dwithin_xyz", 5) { a =>

@@ -259,12 +259,8 @@ object SpatialJoinRewrite extends Rule[LogicalPlan]
                 withNeighbors: Boolean, withXyz: Boolean)
         : (LogicalPlan, Attribute, Attribute, Option[Attribute]) = {
       val cov: Expression =
-        if (withNeighbors) ScalaUDF(
-          function = S2Functions.coveringFixedLevelWithRing,
-          dataType = ArrayType(LongType, containsNull = false),
-          children = Seq(geog, Literal(level), Literal(ring)),
-          inputEncoders = Seq(scala.None, scala.None, scala.None),
-          udfName = Some("s2_covering_fixed_level_with_ring"))
+        if (withNeighbors) GeogExpressions.S2CoveringFixedLevelWithRingExpr(
+          geog, Literal(level), Literal(ring))
         else GeogExpressions.S2CoveringFixedLevelExpr(geog, Literal(level))
       val covAlias = Alias(cov, s"__${side}_cov")()
       // dwithin only: hoist the point unit vector once per INPUT row so the

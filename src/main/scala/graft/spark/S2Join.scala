@@ -167,7 +167,7 @@ object S2Join {
     val l = left
       .withColumn("__lxyz", call_function("s2_point_xyz", col(geogL)))
       .withColumn("__lcov",
-        S2.s2_cells_with_ring(
+        call_function("s2_cells_with_ring",
           call_function("s2_covering_fixed_level", col(geogL), lit(level)), lit(ring)))
       .withColumn("__cell", explode(col("__lcov")))
     val r = withCells(

@@ -67,7 +67,7 @@ object GeoEnrich {
     val l = left
       .withColumn("__lpt", call_function("s2_geogpoint", col(lonL), col(latL)))
       .withColumn("__lxyz", call_function("s2_point_xyz", col("__lpt")))
-      .withColumn("__lcell", explode(S2.s2_cells_with_ring(
+      .withColumn("__lcell", explode(call_function("s2_cells_with_ring",
         call_function("s2_covering_fixed_level", col("__lpt"), lit(level)), lit(ring))))
       .withWatermark(tsL, watermark)
     // a point's fixed-level covering is exactly one cell, so the right
