@@ -64,6 +64,33 @@ class WkbParquetSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.getLong(3) === 177)
   }
 
+  test("writeGeoParquet stamps a geo footer readers can round-trip") {
+    val dir = Files.createTempDirectory("graft_geopq").toString
+    val out = s"$dir/countries_geo.parquet"
+    val df = spark.sql(
+      """SELECT name, s2_aswkb(geog) AS geometry, s2_area(geog) AS area
+        |FROM s2_data_countries""".stripMargin)
+    GeoParquet.writeGeoParquet(df, out, "geometry")
+
+    // the footer carries the standard GeoParquet `geo` entry
+    val geo = GeoParquet.readGeoMetadata(spark, out)
+    assert(geo.isDefined, "geo footer metadata missing after stamp")
+    assert(geo.get.contains("\"primary_column\":\"geometry\""))
+    assert(geo.get.contains("\"encoding\":\"WKB\""))
+    assert(geo.get.contains("\"edges\":\"spherical\""))
+
+    // the byte-for-byte row-group append preserved the data exactly
+    val back = spark.read.parquet(out)
+    back.createOrReplaceTempView("geo_back")
+    val rows = spark.sql(
+      """SELECT count(*) AS n,
+        | sum(CASE WHEN abs(s2_area(s2_geogfromwkb(geometry)) - area) / area < 1e-9
+        |     THEN 1 ELSE 0 END) AS area_ok
+        |FROM geo_back""".stripMargin).collect().head
+    assert(rows.getLong(0) === 177)
+    assert(rows.getLong(1) === 177)
+  }
+
   test("partitioned-by-cell parquet writes prune on read") {
     val dir = Files.createTempDirectory("graft_cells").toString
     val out = s"$dir/cities_by_cell"
