@@ -61,6 +61,28 @@ object SessionsFloor {
       }
       println(f"[floor] $name%-36s min=${times.min}%.3f s  reps=${times.map(t => f"$t%.3f").mkString(",")}  load=${load()}%.1f")
     }
+
+    // config levers on the full kernel: does the floor move with AQE's
+    // per-stage materialization off, or with fewer shuffle partitions?
+    val kernel = probes.last._2
+    val variants = Seq(
+      "kernel aqe=off" -> Seq("spark.sql.adaptive.enabled" -> "false"),
+      "kernel shuffle.partitions=4" -> Seq("spark.sql.shuffle.partitions" -> "4"),
+      "kernel aqe=off partitions=4" -> Seq(
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> "4"))
+    for ((name, confs) <- variants) {
+      val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      spark.sql(kernel).count() // re-warm under the new configs
+      val times = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        spark.sql(kernel).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[floor] $name%-36s min=${times.min}%.3f s  reps=${times.map(t => f"$t%.3f").mkString(",")}  load=${load()}%.1f")
+      saved.foreach { case (k, v) => spark.conf.set(k, v) }
+    }
     spark.stop()
   }
 }
