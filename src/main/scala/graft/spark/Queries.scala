@@ -2065,24 +2065,29 @@ object Queries {
       |  AND l_discount >= 0.05 AND l_discount <= 0.07
       |  AND l_quantity < 24""".stripMargin
 
-  // q3 pre-aggregates lineitem per orderkey BEFORE the join: the group key
-  // is the join key, so revenue-per-order is exact, the map-side partial
-  // agg collapses the lineitem shuffle from |lineitem| raw rows to
-  // |orders| pre-summed ones, and the post-join aggregation disappears —
-  // the join output IS the final row set. Scale-safe at any SF (strictly
-  // less shuffle volume than joining raw rows); Catalyst/AQE still picks
-  // the join strategy. No salt needed here: a group is ONE order (<= 7
-  // lineitems in TPC-H), so the BIGINT partial never nears 2^63.
+  // q3 filters FIRST, then aggregates: the BUILDING-customer join keeps
+  // ~1/5 of orders, so joining lineitem against that key set BEFORE the
+  // per-order revenue aggregation means the agg (and its exchange) only
+  // touches matched rows — strictly less work than pre-aggregating all of
+  // lineitem at every SF. The dim side (filtered order keys) broadcasts
+  // while it fits, making the lineitem pass shuffle-free up to the partial
+  // agg's (matched-orders)-sized exchange; past the broadcast threshold
+  // AQE falls back to the standard shuffled q3 shape. The group key is the
+  // join key (one order <= 7 lineitems), so the BIGINT cents partial stays
+  // exact far from 2^63 with no salt.
   private val qTpchQ3 = sqlQ(
-    """WITH lrev AS (
-      |  SELECT l_orderkey, sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-      |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS cents
-      |  FROM lineitem GROUP BY l_orderkey)
-      |SELECT o.o_orderkey,
-      | CAST(CAST(CAST(r.cents AS DECIMAL(38,0)) / 10000 AS DECIMAL(18,4)) AS DOUBLE) AS revenue
-      |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
-      |JOIN lrev r ON r.l_orderkey = o.o_orderkey
-      |WHERE c.c_mktsegment = 'BUILDING'
+    """WITH bo AS (
+      |  SELECT o.o_orderkey
+      |  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      |  WHERE c.c_mktsegment = 'BUILDING'),
+      |lrev AS (
+      |  SELECT l.l_orderkey, sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      |    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS cents
+      |  FROM lineitem l JOIN bo ON l.l_orderkey = bo.o_orderkey
+      |  GROUP BY l.l_orderkey)
+      |SELECT l_orderkey AS o_orderkey,
+      | CAST(CAST(CAST(cents AS DECIMAL(38,0)) / 10000 AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+      |FROM lrev
       |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)
   private val oTpchQ3 =
     """SELECT o.o_orderkey,
