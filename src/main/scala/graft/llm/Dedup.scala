@@ -276,7 +276,12 @@ object Dedup {
     * single reducer — and equi-joined back on the 16-byte digest, where
     * AQE's skew-join split can further divide any residual hot bucket.
     * min(id) != max(id) over the group IS the "more than one distinct
-    * doc" test, and min(id) doubles as the keep-first owner. */
+    * doc" test, and min(id) doubles as the keep-first owner.
+    *
+    * The per-doc gram cache stays persisted after the query (LRU-evicted
+    * under memory pressure, spills to disk first); a long-lived session
+    * that is done with span dedup can drop it with
+    * `spark.catalog.clearCache()`. */
   private def dupGramHits(df: DataFrame, idCol: String, textCol: String,
                           n: Int): DataFrame = {
     // persist the COMPACT per-doc digest arrays (one row per doc; the MD5
