@@ -2065,17 +2065,22 @@ object Queries {
       |  AND l_discount >= 0.05 AND l_discount <= 0.07
       |  AND l_quantity < 24""".stripMargin
 
-  // q3 filters FIRST, then aggregates: the BUILDING-customer join keeps
-  // ~1/5 of orders, so joining lineitem against that key set BEFORE the
-  // per-order revenue aggregation means the agg (and its exchange) only
-  // touches matched rows — strictly less work than pre-aggregating all of
-  // lineitem at every SF. The dim side (filtered order keys) broadcasts
-  // while it fits, making the lineitem pass shuffle-free up to the partial
-  // agg's (matched-orders)-sized exchange; past the broadcast threshold
-  // AQE falls back to the standard shuffled q3 shape. The group key is the
-  // join key (one order <= 7 lineitems), so the BIGINT cents partial stays
-  // exact far from 2^63 with no salt.
-  private val qTpchQ3 = sqlQ(
+  // q3 has two exact-identical shapes whose shuffle volumes invert with
+  // scale. FILTER-FIRST joins lineitem against the BUILDING order keys
+  // (~1/5 of orders) BEFORE the per-order revenue agg: while that key set
+  // broadcasts, the lineitem pass is shuffle-free and the agg exchange is
+  // matched-order-sized — the best shape by far. Past the broadcast
+  // threshold it degrades to shuffling RAW lineitem rows into a sort-merge
+  // join; there PRE-AGG-FIRST wins: aggregate lineitem per orderkey (the
+  // group key IS the join key, so map-side combine collapses the exchange
+  // to order grain, ~4x fewer rows than raw) and join the key set after.
+  // The choice keys off the PHYSICAL orders file size (a bare relation's
+  // byte stats are the FileIndex total — reliable, unlike the join-side
+  // product stats an r5 optimizer rule tripped over): filter-first while
+  // the ~1/5 key set plausibly broadcasts, pre-agg-first beyond. Both
+  // shapes use the same BIGINT cents math (one order <= 7 lineitems, far
+  // from 2^63, no salt) and produce identical rows.
+  private val q3FilterFirst =
     """WITH bo AS (
       |  SELECT o.o_orderkey
       |  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
@@ -2088,7 +2093,29 @@ object Queries {
       |SELECT l_orderkey AS o_orderkey,
       | CAST(CAST(CAST(cents AS DECIMAL(38,0)) / 10000 AS DECIMAL(18,4)) AS DOUBLE) AS revenue
       |FROM lrev
-      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+  private val q3PreAggFirst =
+    """WITH bo AS (
+      |  SELECT o.o_orderkey
+      |  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      |  WHERE c.c_mktsegment = 'BUILDING'),
+      |lrev AS (
+      |  SELECT l_orderkey, sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS cents
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT r.l_orderkey AS o_orderkey,
+      | CAST(CAST(CAST(r.cents AS DECIMAL(38,0)) / 10000 AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+      |FROM lrev r JOIN bo ON r.l_orderkey = bo.o_orderkey
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+  private val qTpchQ3: Q = (s, dir) => {
+    prep(s, dir)
+    val ordersBytes =
+      s.read.parquet(s"$dir/orders.parquet").queryExecution.optimizedPlan.stats.sizeInBytes
+    val thresh = math.max(s.sessionState.conf.autoBroadcastJoinThreshold, 10L * 1024 * 1024)
+    // ~1/5 selectivity; 2x slack for the key set's in-memory hashed form
+    val filterFirst = ordersBytes / 5 <= BigInt(2L * thresh)
+    s.sql(if (filterFirst) q3FilterFirst else q3PreAggFirst)
+  }
   private val oTpchQ3 =
     """SELECT o.o_orderkey,
       | CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
