@@ -2080,7 +2080,7 @@ object Queries {
   // the ~1/5 key set plausibly broadcasts, pre-agg-first beyond. Both
   // shapes use the same BIGINT cents math (one order <= 7 lineitems, far
   // from 2^63, no salt) and produce identical rows.
-  private val q3FilterFirst =
+  private[spark] val q3FilterFirst =
     """WITH bo AS (
       |  SELECT o.o_orderkey
       |  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
@@ -2094,7 +2094,7 @@ object Queries {
       | CAST(CAST(CAST(cents AS DECIMAL(38,0)) / 10000 AS DECIMAL(18,4)) AS DOUBLE) AS revenue
       |FROM lrev
       |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
-  private val q3PreAggFirst =
+  private[spark] val q3PreAggFirst =
     """WITH bo AS (
       |  SELECT o.o_orderkey
       |  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
