@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
-import org.apache.spark.sql.types.{ArrayType, Decimal, LongType}
+import org.apache.spark.sql.types.{Decimal, LongType}
 
 /**
  * SparkSessionExtensions entry point:
