@@ -42,16 +42,28 @@ object GeoParquet {
     stampGeoMetadata(df.sparkSession, path, geometryColumn)
   }
 
-  /** Add the `geo` entry to the footer of every part file under `dir`
-    * (or of `dir` itself when it is a single file). */
+  /** Recursively list the data part files under `p` (descends into
+    * partitionBy subdirectories; skips _SUCCESS/_metadata and hidden
+    * files). */
+  private def partFiles(fs: org.apache.hadoop.fs.FileSystem, p: Path): Array[Path] = {
+    val st = fs.getFileStatus(p)
+    if (st.isDirectory)
+      fs.listStatus(p).filter(s => !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .flatMap(s => partFiles(fs, s.getPath))
+    else if (p.getName.endsWith(".parquet")) Array(p)
+    else Array.empty
+  }
+
+  /** Add the `geo` entry to the footer of every part file under `dir` —
+    * including partitionBy subdirectories — (or of `dir` itself when it
+    * is a single file). */
   def stampGeoMetadata(spark: SparkSession, dir: String, geometryColumn: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
     val parts =
-      if (fs.getFileStatus(root).isDirectory)
-        fs.listStatus(root).map(_.getPath)
-          .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+      if (fs.getFileStatus(root).isDirectory) partFiles(fs, root)
       else Array(root)
     val geoJson = geoMetadataJson(geometryColumn)
     parts.foreach { part =>
@@ -84,9 +96,7 @@ object GeoParquet {
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
     val part =
-      if (fs.getFileStatus(root).isDirectory)
-        fs.listStatus(root).map(_.getPath)
-          .find(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+      if (fs.getFileStatus(root).isDirectory) partFiles(fs, root).headOption
       else Some(root)
     part.flatMap { p =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))

@@ -91,6 +91,21 @@ class WkbParquetSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.getLong(1) === 177)
   }
 
+  test("geo footer stamp reaches part files inside partitionBy subdirectories") {
+    val dir = Files.createTempDirectory("graft_geopart").toString
+    val out = s"$dir/cities_geo_by_cell"
+    spark.sql(
+      """SELECT name, s2_aswkb(geog) AS geometry,
+        | s2_cell_token(s2_cell_parent(s2_geog_to_cellcenter(geog), 2)) AS cell_l2
+        |FROM s2_data_cities""".stripMargin)
+      .write.mode("overwrite").partitionBy("cell_l2").parquet(out)
+    GeoParquet.stampGeoMetadata(spark, out, "geometry")
+    val geo = GeoParquet.readGeoMetadata(spark, out)
+    assert(geo.isDefined && geo.get.contains("\"encoding\":\"WKB\""))
+    // data still reads back whole through the partition-discovery path
+    assert(spark.read.parquet(out).count() === 243)
+  }
+
   test("partitioned-by-cell parquet writes prune on read") {
     val dir = Files.createTempDirectory("graft_cells").toString
     val out = s"$dir/cities_by_cell"
