@@ -267,8 +267,9 @@ object Dedup {
   /** Gram occurrences that are cross-document duplicates, with the
     * keeper id. Columns: (idCol, n_tok, pos, gh, __keep).
     *
-    * Scale shape: the gram stream is persisted ONCE (memory-and-disk, so
-    * the explode is not recomputed for the join-back), reduced by a
+    * Scale shape: the per-doc digest ARRAYS are persisted once
+    * (memory-and-disk — doc-count rows, the MD5 pass never re-runs; the
+    * cheap codegen explode re-runs from cache on each side), reduced by a
     * hash-aggregate `groupBy(gh).agg(min(id), max(id))` — which, unlike a
     * window over `partitionBy(gh)`, does MAP-SIDE partial aggregation, so
     * an ultra-common boilerplate gram contributes one (gh, min, max)
