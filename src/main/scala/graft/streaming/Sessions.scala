@@ -48,6 +48,39 @@ object Sessions {
       .dropDuplicatesWithinWatermark("__h")
       .drop("__h")
 
+  /** Streaming NEAR-duplicate detection for document ingest — the
+    * streaming twin of llm.Dedup's MinHash-LSH candidate test. Each doc's
+    * word-set MinHash signature splits into `bands` bucket keys; the
+    * first doc to claim a (band, bucket) within the watermark owns it
+    * (dropDuplicatesWithinWatermark — state stays watermark-bounded), and
+    * a doc is NOVEL iff it claimed ALL its bands: any lost band means an
+    * earlier doc collided there, which is exactly the batch LSH
+    * candidate-pair test. Identical word sets lose every band to their
+    * earlier twin and vanish from the output; partial collisions surface
+    * with `novel = false`; unrelated docs claim all bands (up to the
+    * usual LSH false-positive rate — tune numHashes/bands as in batch).
+    *
+    * Two chained stateful operators (bucket dedup, then a windowed
+    * per-doc count) — append mode, so rows emit when the watermark
+    * closes their `windowSize` event-time window. Output:
+    * (idCol, win_start, n_bands, novel). */
+  def nearDedupStream(docs: DataFrame, idCol: String, textCol: String,
+                      tsCol: String = "ts", watermark: String = "1 hour",
+                      windowSize: String = "10 minutes",
+                      numHashes: Int = 64, bands: Int = 8): DataFrame = {
+    val sig = graft.llm.Dedup.minhashSignature(col(textCol), numHashes)
+    docs
+      .withColumn("__bks", graft.llm.Dedup.lshBandBuckets(sig, numHashes, bands))
+      .select(col(idCol), col(tsCol),
+        posexplode(col("__bks")).as(Seq("__band", "__bucket")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__band", "__bucket")
+      .groupBy(col(idCol), window(col(tsCol), windowSize))
+      .agg(count(lit(1)).as("n_bands"))
+      .select(col(idCol), col("window.start").as("win_start"),
+        col("n_bands"), (col("n_bands") === bands).as("novel"))
+  }
+
   /** Stream-static dedup/decontamination: drop incoming docs whose
     * content fingerprint already exists in a STATIC reference corpus
     * (historical data, an eval set to keep out of training). A

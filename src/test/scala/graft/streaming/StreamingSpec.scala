@@ -93,6 +93,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows === Set(1L, 3L))
   }
 
+  test("streaming near-dedup flags LSH collisions against earlier docs") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val out = Sessions.nearDedupStream(
+      input.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text",
+      watermark = "30 minutes", windowSize = "1 minute",
+      numHashes = 64, bands = 8)
+    val q = out.writeStream.format("memory").queryName("near_dedup_stream")
+      .outputMode("append").start()
+    // batch 1: the original claims all its buckets
+    input.addData((1L, ts(0), "the quick brown fox jumps over the lazy dog"))
+    q.processAllAvailable()
+    // batch 2: a word-reordered near-dup (identical word set -> identical
+    // signature: loses every band) and a genuinely fresh doc
+    input.addData(
+      (2L, ts(1), "dog lazy the over jumps fox brown quick the"),
+      (3L, ts(2), "completely unrelated text about catalyst optimizer rules"))
+    q.processAllAvailable()
+    // close the event-time windows so append mode emits
+    input.addData((99L, ts(10000), "watermark push row to flush windows"))
+    q.processAllAvailable()
+    val rows = spark.table("near_dedup_stream")
+      .select("doc_id", "n_bands", "novel").as[(Long, Long, Boolean)]
+      .collect().sortBy(_._1)
+    q.stop()
+    val byId = rows.map(r => r._1 -> r).toMap
+    assert(byId(1L)._2 === 8L && byId(1L)._3, "original must claim all bands")
+    assert(!byId.contains(2L), "exact-signature twin loses every band")
+    assert(byId(3L)._2 === 8L && byId(3L)._3, "fresh doc must be novel")
+  }
+
   test("stream-static dedup drops docs already in the reference corpus") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
