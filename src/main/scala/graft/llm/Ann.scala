@@ -100,6 +100,47 @@ object Ann {
   }
 
   /**
+   * Per-row EMBEDDING-SPACE contamination flag: true iff the row's vector
+   * has cosine similarity >= `threshold` to ANY eval-side embedding — the
+   * embedding twin of Dedup.bloomContaminationFlag (that one catches
+   * verbatim n-gram overlap; this one catches paraphrases and near-copies
+   * that share no surface text). The eval matrix is collected and
+   * broadcast (same bounded small-side contract as [[bruteForceTopK]]'s
+   * query side — eval suites are small by definition), each row is scored
+   * in one tight JVM pass with early exit on the first hit, and the
+   * returned Column is fully STATELESS — it filters a Structured
+   * Streaming ingestion stream with zero state and zero shuffle.
+   */
+  def embeddingContaminationFlag(ev: DataFrame, vecCol: String,
+                                 threshold: Double): Column = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val evArr = ev.select(col(vecCol)).as[Array[Float]].collect()
+      .filter(v => v != null && v.length > 0)
+      .map(v => (v, normFn(v)))
+    val evB = spark.sparkContext.broadcast(evArr)
+    val flag = udf((v: Array[Float]) => {
+      if (v == null || v.isEmpty) false
+      else {
+        val es = evB.value
+        val n = normFn(v)
+        var i = 0
+        var hit = false
+        while (i < es.length && !hit) {
+          val (e, en) = es(i)
+          if (e.length == v.length) {
+            val d = dotFn(v, e)
+            hit = n > 0 && en > 0 && d / (n * en) >= threshold
+          }
+          i += 1
+        }
+        hit
+      }
+    })
+    flag(col(vecCol))
+  }
+
+  /**
    * Deterministic signed-random-projection LSH signature: `bits` hyperplanes
    * whose components are derived from xxhash64(seed, plane, dim) — no
    * driver-side randomness, identical on every executor.

@@ -1579,6 +1579,21 @@ object Queries {
     """SELECT vec_id AS id_a, vec_id + 100000 AS id_b FROM embeddings
       |WHERE vec_id % 25 = 0 ORDER BY id_a""".stripMargin
 
+  /** Embedding-space decontamination: the eval side IS a subset of the
+    * corpus (every 25th vector), so the cosine-1.0 self-matches make the
+    * flagged set exactly that subset — float-free oracle, same planting
+    * trick as l_embed_neardup (no natural pair in this table reaches the
+    * 0.999 threshold). Exercises the stateless broadcast flag the
+    * streaming ingest path uses. */
+  private val qEmbedDecontam = dfQ { s =>
+    val emb = s.table("embeddings")
+    val ev = emb.where(col("vec_id") % 25 === 0).select(col("embedding"))
+    emb.where(Ann.embeddingContaminationFlag(ev, "embedding", threshold = 0.999))
+      .select(col("vec_id")).orderBy("vec_id")
+  }
+  private val oEmbedDecontam =
+    """SELECT vec_id FROM embeddings WHERE vec_id % 25 = 0 ORDER BY vec_id""".stripMargin
+
   /** SemDeDup: planted exact copies must survive clustering (identical
     * vectors cannot split across k-means cells) and be reported as
     * within-cluster cosine pairs; the planted-pair filter keeps the
@@ -2279,6 +2294,7 @@ object Queries {
     ("l_ann_ivf", qAnnIvf, Some(oAnnIvf)),
     ("l_ann_lsh", qAnnLsh, Some(oAnnIvf)),
     ("l_embed_neardup", qEmbedNearDup, Some(oEmbedNearDup)),
+    ("l_embed_decontam", qEmbedDecontam, Some(oEmbedDecontam)),
     ("l_semantic_dedup", qSemanticDedup, Some(oEmbedNearDup)),
     ("l_text_tokens", qTextTokens, Some(oTextTokens)),
     ("l_text_quality", qTextQuality, Some(oTextQuality)),

@@ -426,6 +426,22 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(0)._2 === 3L && got(1)._2 === 1L)
   }
 
+  test("embeddingContaminationFlag catches cosine-near eval vectors only") {
+    val s = spark; import s.implicits._
+    val ev = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (101L, Array(0.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val stream = Seq(
+      (1L, Array(0.99f, 0.1f, 0.0f, 0.0f)),  // near eval 100 (cos ~0.995)
+      (2L, Array(0.0f, 0.0f, 1.0f, 0.0f)),   // orthogonal to both
+      (3L, Array(0.0f, -2.0f, 0.0f, 0.0f)),  // anti-parallel: cos -1, clean
+      (4L, Array(0.1f, 0.99f, 0.0f, 0.0f)))  // near eval 101
+      .toDF("vec_id", "embedding")
+    val flag = Ann.embeddingContaminationFlag(ev, "embedding", threshold = 0.9)
+    val got = stream.where(flag).select("vec_id").as[Long].collect().toSet
+    assert(got === Set(1L, 4L))
+  }
+
   test("autoBloomBits scales with the eval gram count under an FP bound") {
     import graft.llm.Dedup.autoBloomBits
     // floor: small eval sets stay at 2^22 (512 KB broadcast)

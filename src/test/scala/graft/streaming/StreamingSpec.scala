@@ -207,6 +207,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids.intersect(Set(1L, 2L)).size === 1)
   }
 
+  test("embedding contamination flag filters an ingestion stream statelessly") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val ev = Seq((100L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val flag = graft.llm.Ann.embeddingContaminationFlag(ev, "embedding", 0.95)
+    val input = MemoryStream[(Long, Array[Float])]
+    val out = input.toDF().toDF("vec_id", "embedding").where(!flag)
+    val q = out.writeStream.format("memory").queryName("emb_decontam_stream")
+      .outputMode("append").start()
+    input.addData(
+      (1L, Array(0.999f, 0.01f, 0.0f)),  // paraphrase-close to eval: dropped
+      (2L, Array(0.0f, 1.0f, 0.0f)))     // clean: survives
+    q.processAllAvailable()
+    val rows = spark.table("emb_decontam_stream").select("vec_id").as[Long].collect().toSet
+    q.stop()
+    assert(rows === Set(2L))
+  }
+
   test("stateless geo expressions run on streams") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
