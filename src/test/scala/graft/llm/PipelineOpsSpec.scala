@@ -426,6 +426,25 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(0)._2 === 3L && got(1)._2 === 1L)
   }
 
+  test("kmeans assignments are identical under any partitioning") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 60L).map { id =>
+      (id, Array.fill(8)(rnd.nextFloat() * 2 - 1))
+    }
+    def run(parts: Int) =
+      Ann.kmeans(docs.toDF("vec_id", "embedding").repartition(parts),
+          "vec_id", "embedding", k = 4, iters = 3)
+        .select("vec_id", "cluster").as[(Long, Int)].collect().sortBy(_._1)
+    // the treeAggregate centroid update must commute exactly: quantized
+    // long sums are partition-order independent, so 1 vs 7 vs 32
+    // partitions give bit-identical centroids and assignments
+    val one = run(1)
+    assert(one === run(7))
+    assert(one === run(32))
+    assert(one.map(_._2).distinct.length > 1, "expect multiple clusters used")
+  }
+
   test("embeddingContaminationFlag catches cosine-near eval vectors only") {
     val s = spark; import s.implicits._
     val ev = Seq(
