@@ -27,6 +27,31 @@ class S2JoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     try src.getLines().drop(1).map(_.split('\t')).toList finally src.close()
   }
 
+  test("native s2_cells_with_ring matches the kernel on random coverings") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(11)
+    // random point coverings at random levels, rings 1/2/4 — the native
+    // expression (ArrayData in/out) must reproduce the UDF kernel exactly,
+    // order included (the join explodes these into its candidate space)
+    val cases = (1 to 200).map { _ =>
+      val lon = rnd.nextDouble() * 360 - 180
+      val lat = rnd.nextDouble() * 160 - 80
+      val lvl = 1 + rnd.nextInt(10)
+      val ring = Seq(1, 2, 4)(rnd.nextInt(3))
+      val cell = graft.core.S2CellId.parentChecked(
+        graft.core.S2CellId.fromLonLatDegrees(lon, lat), lvl)
+      (Array(cell), ring)
+    }
+    val got = cases.toDF("cov", "ring")
+      .selectExpr("s2_cells_with_ring(cov, ring) AS cells")
+      .as[Array[Long]].collect()
+    val want = cases.map { case (cov, ring) =>
+      S2Functions.cellsWithNeighborsRing(cov, ring) }
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(g.toSeq === w.toSeq, s"case $i: ${cases(i)}")
+    }
+  }
+
   test("dwithin join matches brute force exactly (corner adjacency included)") {
     val meters = 500000.0
     val cityList = res("/graft/cities.tsv").map(a => (a(0), a(2)))
