@@ -126,6 +126,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byId(3L)._2 === 8L && byId(3L)._3, "fresh doc must be novel")
   }
 
+  test("streaming near-dedup band claims match the batch bucket computation") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val original = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val edited = "alpha beta gamma delta epsilon zeta eta theta DIFFERENT"
+    // batch twin: how many of the edited doc's band buckets differ from
+    // the original's? Signatures are deterministic, so this is exact.
+    val bk = graft.llm.Dedup.lshBandBuckets(
+      graft.llm.Dedup.minhashSignature(col("text"), 64), 64, 8)
+    val Array(b1, b2) = Seq(original, edited).toDF("text")
+      .select(bk.as("bks")).as[Array[Long]].collect()
+    val expectClaimed = b1.zip(b2).count { case (x, y) => x != y }
+    assume(expectClaimed > 0 && expectClaimed < 8,
+      "test strings should partially collide; adjust if hashing changes")
+
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val out = Sessions.nearDedupStream(
+      input.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text",
+      watermark = "30 minutes", windowSize = "1 minute")
+    val q = out.writeStream.format("memory").queryName("near_dedup_partial")
+      .outputMode("append").start()
+    input.addData((1L, ts(0), original))
+    q.processAllAvailable()
+    input.addData((2L, ts(1), edited))
+    q.processAllAvailable()
+    input.addData((99L, ts(10000), "watermark push row to flush windows"))
+    q.processAllAvailable()
+    val rows = spark.table("near_dedup_partial")
+      .select("doc_id", "n_bands", "novel").as[(Long, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    q.stop()
+    assert(rows(1L)._2 === 8L && rows(1L)._3)
+    // the edited doc claims exactly the bands whose buckets differ from
+    // the original's, and is flagged non-novel (an LSH candidate pair)
+    assert(rows(2L)._2 === expectClaimed.toLong)
+    assert(!rows(2L)._3)
+  }
+
   test("stream-static dedup drops docs already in the reference corpus") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
