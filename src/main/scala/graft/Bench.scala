@@ -239,45 +239,51 @@ object Bench {
          s""","big_reps":${jsonReps(bigResults)}""")
       }
 
-    // Huge pass (30x): the floor-pinned queries (b_tpch_q1/q3, sessions)
-    // measure sub-1.5 s absolute at 10x, which is Spark's fixed per-stage
-    // floor, not data-bound work — the flat-vs-linear claim needs a THIRD
-    // point with the oracle measured in the same window. Only the floor
-    // set runs here (the 30x dataset regenerates in ~45 s; the rest of the
-    // suite already has its scale story at 10x).
-    val hugeNames = Seq("b_tpch_q1", "b_tpch_q3", "b_tpch_q5", "b_events_sessions")
-    val hugeDir = sys.env.getOrElse("SPARK_GRAFT_HUGE_DIR", "/root/repo/bigdata/sf3")
-    if (!new java.io.File(s"$hugeDir/lineitem.parquet").exists()) {
-      try { graft.tools.ScaleUp.run(spark, dst = hugeDir, copies = 30)
-            System.err.println(s"[bench] regenerated $hugeDir at 30 copies") }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] 30x regen failed: ${e.getMessage}") }
-    }
-    val (hugeCompact, hugeFullExtra) =
-      if (!new java.io.File(s"$hugeDir/lineitem.parquet").exists()) ("", "")
+    // Scale sections for the floor-pinned queries (b_tpch_q1/q3/q5,
+    // sessions): they measure sub-1.5 s absolute at 10x, which is Spark's
+    // fixed per-stage floor, not data-bound work — the flat-vs-linear
+    // claim needs points where the oracle's linear growth overtakes the
+    // floor, measured in the same window. 30x (huge_*) and 100x (mega_* —
+    // where q5 and sessions cross under the oracle's 2x bar) run only the
+    // floor set; regen is ~45 s / ~2 min once per round, the dirs are
+    // gitignored.
+    val floorNames = Seq("b_tpch_q1", "b_tpch_q3", "b_tpch_q5", "b_events_sessions")
+    def scaleSection(label: String, dir: String, copies: Int): (String, String) = {
+      if (!new java.io.File(s"$dir/lineitem.parquet").exists()) {
+        try { graft.tools.ScaleUp.run(spark, dst = dir, copies = copies)
+              System.err.println(s"[bench] regenerated $dir at $copies copies") }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${copies}x regen failed: ${e.getMessage}") }
+      }
+      if (!new java.io.File(s"$dir/lineitem.parquet").exists()) ("", "")
       else {
-        val hugeResults = hugeNames.map { name =>
+        val results = floorNames.map { name =>
           try {
             val reps = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
-            reps += timeOnce(qmap(name)(spark, hugeDir).count())
+            reps += timeOnce(qmap(name)(spark, dir).count())
             if (reps.last._1 > 5.0 || reps.last._2 > busyLoad)
-              reps += timeOnce(qmap(name)(spark, hugeDir).count())
+              reps += timeOnce(qmap(name)(spark, dir).count())
             if (reps.map(_._2).min > busyLoad && reps.size < 3)
-              reps += timeOnce(qmap(name)(spark, hugeDir).count())
+              reps += timeOnce(qmap(name)(spark, dir).count())
             QRecord(name, reps.toSeq, None)
           }
           catch { case e: Throwable =>
             QRecord(name, Nil, Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))) }
         }
-        val hugeOk = hugeResults.filter(_.err.isEmpty)
-        val hq = hugeOk.map(r => "\"" + esc(r.name) + "\":" + r.best).mkString("{", ",", "}")
-        val he = hugeResults.collect { case QRecord(n, _, Some(e)) => "\"" + esc(n) + "\":\"" + esc(e) + "\"" }
+        val ok = results.filter(_.err.isEmpty)
+        val q = ok.map(r => "\"" + esc(r.name) + "\":" + r.best).mkString("{", ",", "}")
+        val e = results.collect { case QRecord(n, _, Some(err)) => "\"" + esc(n) + "\":\"" + esc(err) + "\"" }
           .mkString("{", ",", "}")
-        val hugeOracle = duckdbTimings(hugeDir, cpus, hugeNames)
-          .map(o => s""","huge_oracle_queries":$o""").getOrElse("")
-        (s""","huge_queries":$hq,"huge_errors":$he,"huge_total":${hugeOk.map(_.best).sum},"huge_sf":"$hugeDir"$hugeOracle""",
-         s""","huge_reps":${jsonReps(hugeResults)}""")
+        val oracle = duckdbTimings(dir, cpus, floorNames)
+          .map(o => s""","${label}_oracle_queries":$o""").getOrElse("")
+        (s""","${label}_queries":$q,"${label}_errors":$e,"${label}_total":${ok.map(_.best).sum},"${label}_sf":"$dir"$oracle""",
+         s""","${label}_reps":${jsonReps(results)}""")
       }
+    }
+    val (hugeCompact, hugeFullExtra) = scaleSection("huge",
+      sys.env.getOrElse("SPARK_GRAFT_HUGE_DIR", "/root/repo/bigdata/sf3"), 30)
+    val (megaCompact, megaFullExtra) = scaleSection("mega",
+      sys.env.getOrElse("SPARK_GRAFT_MEGA_DIR", "/root/repo/bigdata/sf10"), 100)
 
     // The driver tail-captures stdout with a bounded budget: the r8 record
     // lost its whole sf0.1 section when per-rep detail pushed the line past
@@ -287,9 +293,9 @@ object Bench {
     val compact =
       s""""metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"""" +
       s""","rep_policy":"min-of-reps","load_start":$loadAtStart,"load_end":${loadavg()}""" +
-      oraclePart + bigCompact + hugeCompact
+      oraclePart + bigCompact + hugeCompact + megaCompact
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_full.json")
-    val full = s"""{$compact,"reps":${jsonReps(results)}$bigFullExtra$hugeFullExtra}"""
+    val full = s"""{$compact,"reps":${jsonReps(results)}$bigFullExtra$megaFullExtra$hugeFullExtra}"""
     try {
       java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), full + "\n")
       println(s"""{$compact,"full_record":"${esc(fullPath)}"}""")
