@@ -134,6 +134,7 @@ object Bench {
     }.mkString("{", ",", "}")
 
   def main(args: Array[String]): Unit = {
+    val benchStart = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val busyLoad = cpus.toInt / 2.0 // above this the box is contended
@@ -282,8 +283,15 @@ object Bench {
     }
     val (hugeCompact, hugeFullExtra) = scaleSection("huge",
       sys.env.getOrElse("SPARK_GRAFT_HUGE_DIR", "/root/repo/bigdata/sf3"), 30)
-    val (megaCompact, megaFullExtra) = scaleSection("mega",
-      sys.env.getOrElse("SPARK_GRAFT_MEGA_DIR", "/root/repo/bigdata/sf10"), 100)
+    // the 100x section is skipped when the run is already long — the
+    // compact stdout line must always print inside the driver's budget
+    val benchElapsedMin = (System.nanoTime() - benchStart) / 6e10
+    val (megaCompact, megaFullExtra) =
+      if (benchElapsedMin > 22.0) {
+        System.err.println(f"[bench] skipping 100x section at $benchElapsedMin%.1f min elapsed")
+        ("", "")
+      } else scaleSection("mega",
+        sys.env.getOrElse("SPARK_GRAFT_MEGA_DIR", "/root/repo/bigdata/sf10"), 100)
 
     // The driver tail-captures stdout with a bounded budget: the r8 record
     // lost its whole sf0.1 section when per-rep detail pushed the line past
