@@ -227,15 +227,16 @@ object Dedup {
     * tokens inside duplicated spans — all integer arithmetic, so the
     * result is engine-exact.
     *
-    * Scale shape: ONE positional explode (corpus-token-count rows) and
-    * ONE shuffle on the 16-byte gram digest. "Gram in >1 distinct doc"
-    * is just min(id) != max(id) over a window partitioned by the digest,
-    * so there is no count-distinct aggregate, no dup-set join-back, and
-    * no second corpus pass (the r9 agg+broadcast-join shape exploded the
-    * corpus twice because column pruning defeated ReuseExchange). The
-    * span merge is per-doc array arithmetic over collected hit
-    * positions — bounded by doc length, never cross-doc. No stage is
-    * all-pairs. */
+    * Scale shape: the per-doc digest arrays from [[gramArrays]] feed a
+    * map-side partial `groupBy(gh).agg(min(id), max(id))` (min != max IS
+    * the "in >1 distinct doc" test — no count-distinct, no serializing
+    * every occurrence of a hot gram into one reducer) and a SHUFFLE_HASH
+    * join-back on the 16-byte digest; both sides re-explode the compact
+    * per-doc arrays (cheap codegen Generate), so corpus-token-count rows
+    * exist only inside the two pipelined stages, never at rest. See
+    * [[dupGramHits]] for the gram-cache lifetime contract. The span
+    * merge is per-doc array arithmetic over collected hit positions —
+    * bounded by doc length, never cross-doc. No stage is all-pairs. */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
                      n: Int = 8): DataFrame = {
     val grams = dupGramHits(df, idCol, textCol, n)
@@ -279,17 +280,23 @@ object Dedup {
     * min(id) != max(id) over the group IS the "more than one distinct
     * doc" test, and min(id) doubles as the keep-first owner.
     *
-    * The per-doc gram cache stays persisted after the query (LRU-evicted
-    * under memory pressure, spills to disk first); a long-lived session
-    * that is done with span dedup can drop it with
-    * `spark.catalog.clearCache()`. */
+    * Cache lifetime: the per-doc gram cache is persisted ONLY when the
+    * input is large enough for the saved second MD5 pass to beat the
+    * cache-write cost (>= `spark.graft.dedup.gramCacheMinBytes`, default
+    * 1 GiB — below that the two pipelined re-scans are cheaper than
+    * materializing doc-count rows, the same small-input gate as
+    * [[graft.llm.Ann.boundedClusters]]'s checkpointer), and it is
+    * UNPERSISTED automatically when the first query consuming it
+    * completes (success or failure), via a self-deregistering
+    * QueryExecutionListener. No cached RDD outlives the consuming query;
+    * repeated executions of the returned frame recompute without the
+    * cache (correct, just un-shared). */
   private def dupGramHits(df: DataFrame, idCol: String, textCol: String,
                           n: Int): DataFrame = {
     // persist the COMPACT per-doc digest arrays (one row per doc; the MD5
     // pass runs once) and re-explode from cache on both sides — Generate
     // is cheap codegen, so the cache holds doc-count rows, not token-count
-    val docGrams = gramArrays(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docGrams = releasedAfterUse(gramArrays(df, idCol, textCol, n), df)
     val dupOwners = docGrams
       .select(col(idCol), explode(col("__ghs")).as("gh"))
       .groupBy(col("gh"))
@@ -304,6 +311,50 @@ object Dedup {
         posexplode(col("__ghs")).as(Seq("pos", "gh")))
       .join(dupOwners.hint("SHUFFLE_HASH"), "gh")
       .select(col(idCol), col("n_tok"), col("pos"), col("gh"), col("__keep"))
+  }
+
+  /** Persist `frame` (MEMORY_AND_DISK) for intra-query branch reuse IF
+    * `source` is big enough that the saved re-derivation beats the cache
+    * write — gate `spark.graft.dedup.gramCacheMinBytes` (default 1 GiB)
+    * against Catalyst's optimized-plan size estimate — and arm a
+    * self-deregistering QueryExecutionListener that unpersists the cache
+    * as soon as the FIRST query whose analyzed plan contains `frame`
+    * completes, success or failure. Below the gate the frame passes
+    * through untouched (the two pipelined re-scans cost less than
+    * materializing the rows — the same small-input reasoning as
+    * [[graft.llm.Ann.boundedClusters]]'s checkpoint gate). Either way, no
+    * cached RDD outlives the consuming query. */
+  private[llm] def releasedAfterUse(frame: DataFrame, source: DataFrame): DataFrame = {
+    val spark = frame.sparkSession
+    val minBytes = spark.conf.getOption("spark.graft.dedup.gramCacheMinBytes")
+      .map(_.toLong).getOrElse(1L << 30)
+    val srcBytes =
+      try source.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case _: Throwable => BigInt(Long.MaxValue) }
+    if (srcBytes < minBytes) return frame
+    val cached = frame.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val target = cached.queryExecution.analyzed
+    val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private def maybeRelease(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
+        val touches =
+          try qe.analyzed.exists(p => p.sameResult(target))
+          catch { case _: Throwable => false }
+        if (touches && armed.compareAndSet(true, false)) {
+          cached.unpersist(blocking = false)
+          spark.listenerManager.unregister(this)
+          ()
+        }
+      }
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = maybeRelease(qe)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = maybeRelease(qe)
+    }
+    spark.listenerManager.register(listener)
+    cached
   }
 
   /** Per-doc array of per-position word-n-gram MD5 digests, built in one

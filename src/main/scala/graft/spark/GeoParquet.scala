@@ -20,7 +20,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * parquet-mr's appendFile (no decode/re-encode — at 100 TB the stamp
  * cost is a file copy, and sits in the writer's commit path, not per
  * row), then the footer is written with the merged key-value map and the
- * sibling atomically renamed over the original. Edges are declared
+ * original swapped aside (`.geo-bak`) before the sibling is renamed into
+ * place — a crash mid-swap always leaves a recoverable full copy (the
+ * `.geo-bak` original, or on pre-delete failure the untouched part plus
+ * a stray `.geo-tmp` that overwrite-mode rewrites). Edges are declared
  * "spherical": S2 geographies interpolate on great circles, which is
  * exactly GeoParquet's spherical edge model.
  */
@@ -77,15 +80,34 @@ object GeoParquet {
           (md.getSchema, m)
         } finally reader.close()
       val tmp = new Path(part.getParent, part.getName + ".geo-tmp")
+      val bak = new Path(part.getParent, part.getName + ".geo-bak")
+      // build the stamped sibling first; on any failure drop the partial
+      // tmp so a retry starts clean and the original is never touched
+      var done = false
       val writer = new ParquetFileWriter(
         HadoopOutputFile.fromPath(tmp, conf), schema,
         ParquetFileWriter.Mode.OVERWRITE,
         128L * 1024 * 1024, 0)
-      writer.start()
-      writer.appendFile(in)
-      writer.end(kv)
-      if (!fs.delete(part, false) || !fs.rename(tmp, part))
+      try {
+        writer.start()
+        writer.appendFile(in)
+        writer.end(kv)
+        done = true
+      } finally if (!done) {
+        try writer.close() catch { case _: Throwable => () }
+        try fs.delete(tmp, false) catch { case _: Throwable => () }
+      }
+      // swap: original -> .geo-bak, tmp -> original, drop .geo-bak.
+      // A crash between the renames leaves the full copy at .geo-bak
+      // (never a directory missing the part with only a tmp sibling).
+      fs.delete(bak, false)
+      if (!fs.rename(part, bak))
+        throw new java.io.IOException(s"failed to move $part aside to $bak")
+      if (!fs.rename(tmp, part)) {
+        fs.rename(bak, part)  // roll back so the dataset stays readable
         throw new java.io.IOException(s"failed to replace $part with geo-stamped copy")
+      }
+      fs.delete(bak, false)
     }
   }
 

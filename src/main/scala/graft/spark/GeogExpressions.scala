@@ -355,6 +355,13 @@ object GeogExpressions {
       if (!a(1).foldable || !a(2).foldable)
         throw new IllegalArgumentException(
           "s2_covering_fixed_level_with_ring(): level and ring must be constants")
+      val lvl = Cast(a(1), IntegerType).eval() match {
+        case x: java.lang.Integer => x.intValue
+        case _ => -1
+      }
+      if (lvl < 0 || lvl > 30)
+        throw new IllegalArgumentException(
+          "s2_covering_fixed_level_with_ring(): level must be between 0 and 30")
       S2CoveringFixedLevelWithRingExpr(bin(a(0)), i(a(1)), i(a(2)))
     }
     put("s2_point_xyz", 1)(a => S2PointXyzExpr(bin(a(0))))

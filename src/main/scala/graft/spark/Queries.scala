@@ -291,7 +291,9 @@ object Queries {
       (13, "SELECT s2_geogfromtext('LINESTRING (0 0, 0 0, 1 1)')",
         "Vertices 0 and 1 are identical"),
       (14, "SELECT s2_geogfromwkb(unhex('016300000000'))",
-        "Unsupported WKB geometry type: 99"))
+        "Unsupported WKB geometry type: 99"),
+      (15, "SELECT s2_covering_fixed_level_with_ring(s2_geogfromtext('POINT (0 1)'), 31, 1)",
+        "s2_covering_fixed_level_with_ring(): level must be between 0 and 30"))
     cases.map { case (id, sql, want) => (id, want, msgOf(sql).contains(want)) }
       .toDF("id", "want", "ok").orderBy("id")
   }
@@ -310,7 +312,8 @@ object Queries {
       | (11, 'Unsupported WKT tag: FOO', true),
       | (12, 'Trailing characters in WKT', true),
       | (13, 'Vertices 0 and 1 are identical', true),
-      | (14, 'Unsupported WKB geometry type: 99', true)
+      | (14, 'Unsupported WKB geometry type: 99', true),
+      | (15, 's2_covering_fixed_level_with_ring(): level must be between 0 and 30', true)
       |) t(id, want, ok) ORDER BY id""".stripMargin
 
   private val qAccessorsGolden = sqlQ(
@@ -2126,9 +2129,12 @@ object Queries {
     prep(s, dir)
     val ordersBytes =
       s.read.parquet(s"$dir/orders.parquet").queryExecution.optimizedPlan.stats.sizeInBytes
-    val thresh = math.max(s.sessionState.conf.autoBroadcastJoinThreshold, 10L * 1024 * 1024)
+    // threshold <= 0 means broadcasts are disabled — the filter-first
+    // shape's key-set broadcast can't happen, so always pre-agg first
+    val abt = s.sessionState.conf.autoBroadcastJoinThreshold
+    val thresh = if (abt <= 0) 0L else math.max(abt, 10L * 1024 * 1024)
     // ~1/5 selectivity; 2x slack for the key set's in-memory hashed form
-    val filterFirst = ordersBytes / 5 <= BigInt(2L * thresh)
+    val filterFirst = thresh > 0 && ordersBytes / 5 <= BigInt(2L * thresh)
     s.sql(if (filterFirst) q3FilterFirst else q3PreAggFirst)
   }
   private val oTpchQ3 =

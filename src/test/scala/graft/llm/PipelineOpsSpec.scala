@@ -562,6 +562,29 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.forall(r => r._2 === 11L && r._3 === 1L && r._4 === 8L))
   }
 
+  test("dupGramHits' gram cache never outlives the consuming query") {
+    val s = spark; import s.implicits._
+    val docs = (1L to 200L).map { id =>
+      (id, s"shared eight token run here for all docs tail$id")
+    }.toDF("doc_id", "text")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    // default gate (1 GiB): a tiny input must not persist anything at all
+    Dedup.duplicateSpans(docs, "doc_id", "text", n = 8).collect()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "below the size gate, no gram cache should ever be created")
+    // gate forced to 0: the cache exists for the query, then is released
+    // by the QueryExecutionListener (async — poll with a deadline)
+    spark.conf.set("spark.graft.dedup.gramCacheMinBytes", "0")
+    try {
+      Dedup.removeDuplicateSpans(docs, "doc_id", "text", n = 8).collect()
+      val end = System.currentTimeMillis + 30000
+      while (spark.sparkContext.getPersistentRDDs.nonEmpty &&
+             System.currentTimeMillis < end) Thread.sleep(50)
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+        "gram cache must be unpersisted when the consuming query completes")
+    } finally spark.conf.unset("spark.graft.dedup.gramCacheMinBytes")
+  }
+
   test("importanceWeights favors target-like raw docs and bounds state by buckets") {
     val s = spark; import s.implicits._
     // target: docs about cats; raw: one cat-like doc, one dog doc
