@@ -60,6 +60,14 @@ object Sessions {
     * with `novel = false`; unrelated docs claim all bands (up to the
     * usual LSH false-positive rate — tune numHashes/bands as in batch).
     *
+    * CONTRACT: `novel` is the LSH CANDIDATE test, not a verified
+    * duplicate — a doc that loses a band to a false-positive collider
+    * (a non-duplicate that happens to share a bucket) is reported
+    * `novel = false`, exactly as batch LSH emits that candidate pair.
+    * Precision filtering (e.g. a Jaccard check on flagged docs against
+    * the band owners) is a downstream concern, as in batch; the
+    * StreamingSpec FP case pins this edge.
+    *
     * Two chained stateful operators (bucket dedup, then a windowed
     * per-doc count) — append mode, so rows emit when the watermark
     * closes their `windowSize` event-time window. Output:

@@ -165,6 +165,61 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!rows(2L)._3)
   }
 
+  test("streaming near-dedup reports an LSH false-positive collider as novel=false") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    // single-hash bands (numHashes == bands) make per-band collision
+    // probability equal to Jaccard, so a LOW-jaccard pair colliding on
+    // SOME band — a genuine LSH false positive — is findable
+    // deterministically among a few hundred candidates
+    val nh = 8; val nb = 8
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    // candidates share exactly 2 of 14 distinct words with base
+    // (jaccard ~0.14 — not a near-duplicate under any sane threshold)
+    val cands = (0 until 300).map { i =>
+      (i.toLong, s"alpha beta w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f")
+    }
+    val bk = graft.llm.Dedup.lshBandBuckets(
+      graft.llm.Dedup.minhashSignature(col("text"), nh), nh, nb)
+    val baseB = Seq(base).toDF("text").select(bk).as[Array[Long]].head()
+    val fp = cands.toDF("id", "text").select(col("id"), bk.as("b"))
+      .as[(Long, Array[Long])].collect()
+      .map { case (id, b) => (id, b.zip(baseB).count { case (x, y) => x == y }) }
+      .find { case (_, shared) => shared >= 1 && shared < nb }
+    assert(fp.isDefined,
+      "expected a partial band collision among 300 low-jaccard candidates")
+    val (fpId, shared) = fp.get
+    val fpText = cands(fpId.toInt)._2
+
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val out = Sessions.nearDedupStream(
+      input.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text",
+      watermark = "30 minutes", windowSize = "1 minute",
+      numHashes = nh, bands = nb)
+    val q = out.writeStream.format("memory").queryName("near_dedup_fp")
+      .outputMode("append").start()
+    input.addData((1L, ts(0), base))
+    q.processAllAvailable()
+    input.addData((2L, ts(1), fpText))
+    q.processAllAvailable()
+    input.addData((99L, ts(10000), "watermark push row to flush windows"))
+    q.processAllAvailable()
+    val rows = spark.table("near_dedup_fp")
+      .select("doc_id", "n_bands", "novel").as[(Long, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    q.stop()
+    assert(rows(1L)._2 === nb.toLong && rows(1L)._3)
+    // CONTRACT PIN: a doc that loses bands to a NON-duplicate collider
+    // (LSH false positive) is reported novel=false — `novel` is the
+    // band-claim (candidate) test, exactly batch LSH semantics, NOT a
+    // verified-duplicate guarantee; precision filtering (e.g. jaccard
+    // on the flagged pairs) is downstream, as in batch
+    assert(rows(2L)._2 === (nb - shared).toLong,
+      "collider claims exactly the non-colliding bands")
+    assert(!rows(2L)._3, "false-positive collider must surface as novel=false")
+  }
+
   test("stream-static dedup drops docs already in the reference corpus") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
