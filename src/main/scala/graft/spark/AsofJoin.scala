@@ -1,0 +1,81 @@
+package graft.spark
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * As-of (temporal) join: for every left row, attach the LATEST right row
+ * whose timestamp is at-or-before the left row's timestamp, per equi-key
+ * — the standard point-in-time lookup of event pipelines (feature values
+ * as of an interaction, last price as of a trade, most recent snapshot
+ * as of a training example's cutoff). Matches DuckDB's
+ * `ASOF LEFT JOIN ... ON l.key = r.key AND l.ts >= r.ts` semantics,
+ * which is the oracle the correctness row replays.
+ *
+ * Scale shape: NOT a range join (quadratic per key) and NOT a broadcast
+ * of the right side (arbitrarily large). Both sides are tagged and
+ * UNIONED, then a single window pass partitioned by the key and ordered
+ * by (ts, side-tag) carries the last-seen right payload forward onto
+ * each left row (`last(_, ignoreNulls = true)`): ONE shuffle on the
+ * equi-key, each partition processed in one ordered sweep, state bounded
+ * by the right payload width. At 100 TB this is the same cost profile as
+ * any per-key sessionization; a pathologically hot key serializes its
+ * own partition's sort (the usual window caveat) but nothing is
+ * quadratic and nothing is collected. The right side must be unique per
+ * (key, ts) — pre-aggregate if it is not, or the "latest" row is
+ * engine-dependent (ties on ts break toward the right row, i.e.
+ * `l.ts >= r.ts` inclusive, exactly as the oracle).
+ *
+ * `toleranceSeconds`: when >= 0, a match older than the tolerance is
+ * nulled out (DuckDB spells this as an extra
+ * `l.ts - r.ts <= INTERVAL ...` conjunct on the ASOF condition; same
+ * null-not-drop semantics as its LEFT variant).
+ */
+object AsofJoin {
+
+  /** `left` gains `asof_ts` (matched right timestamp) and the requested
+    * right `valueCols` prefixed `asof_` — null when no right row is
+    * at-or-before (or within tolerance). */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+               tsCol: String, valueCols: Seq[String],
+               toleranceSeconds: Long = -1L): DataFrame = {
+    require(keyCols.nonEmpty, "asofJoin needs at least one equi-key column")
+    require(valueCols.nonEmpty, "asofJoin needs at least one right value column")
+    val leftCols = left.columns.toSeq
+    // tag: right rows sort BEFORE left rows at an equal timestamp so the
+    // carried state includes a right row with r.ts == l.ts (>= semantics)
+    val carryCols = leftCols.filterNot(c => keyCols.contains(c) || c == tsCol)
+    val taggedLeft = left.select(
+      (keyCols.map(col) :+ col(tsCol).as("__ts") :+ lit(1).as("__side") :+
+        lit(null).cast(left.schema(tsCol).dataType).as("__r_ts")) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__rv_$c")) ++
+        carryCols.map(c => col(c).as(s"__lv_$c")): _*)
+    val taggedRight = right.select(
+      (keyCols.map(col) :+ col(tsCol).as("__ts") :+ lit(0).as("__side") :+
+        col(tsCol).as("__r_ts")) ++
+        valueCols.map(c => col(c).as(s"__rv_$c")) ++
+        carryCols.map(c =>
+          lit(null).cast(left.schema(c).dataType).as(s"__lv_$c")): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = taggedLeft.unionByName(taggedRight)
+      .withColumn("__asof_ts", last(col("__r_ts"), ignoreNulls = true).over(w))
+      .withColumns(valueCols.map(c =>
+        s"__asof_$c" -> last(col(s"__rv_$c"), ignoreNulls = true).over(w)).toMap)
+      .where(col("__side") === 1)
+    // tolerance: a stale match nulls out (left row survives — LEFT join)
+    val fresh =
+      if (toleranceSeconds < 0) lit(true)
+      else col("__asof_ts").isNotNull &&
+        (unix_timestamp(col("__ts")) - unix_timestamp(col("__asof_ts"))) <= toleranceSeconds
+    carried.select(
+      keyCols.map(col) ++
+        Seq(col("__ts").as(tsCol),
+          when(fresh, col("__asof_ts")).otherwise(lit(null)).as("asof_ts")) ++
+        valueCols.map(c =>
+          when(fresh, col(s"__asof_$c")).otherwise(lit(null)).as(s"asof_$c")) ++
+        carryCols.map(c => col(s"__lv_$c").as(c)): _*)
+  }
+}

@@ -2226,6 +2226,42 @@ object Queries {
       | FROM events) t1
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** As-of join: every click event picks up the most recent purchase
+    * value at-or-before it, per user — the point-in-time feature lookup.
+    * Spark side is [[AsofJoin.asofJoin]] (union + single key-partitioned
+    * window carry: ONE shuffle, no range join, no broadcast of the
+    * right); the oracle replays DuckDB's native ASOF LEFT JOIN on the
+    * identical pre-aggregated inputs. Timestamps compare as epoch
+    * micros; the right side is pre-aggregated to one row per
+    * (user_id, ts) so "latest" is engine-independent. */
+  private val qEventsAsof: Q = (s, dir) => {
+    prep(s, dir)
+    val ev = s.table("events")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("pval"))
+    AsofJoin.asofJoin(clicks, purchases, Seq("user_id"), "ts", Seq("pval"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        unix_micros(col("asof_ts")).as("asof_ts_us"),
+        col("asof_pval").as("asof_value"))
+      .orderBy("event_id")
+  }
+  private val oEventsAsof =
+    """WITH l AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |r AS (
+      |  SELECT user_id, ts, max(value) AS pval FROM events
+      |  WHERE event_type = 'purchase' GROUP BY user_id, ts)
+      |SELECT l.event_id, l.user_id,
+      | CAST(epoch_us(l.ts) AS BIGINT) AS ts_us,
+      | CAST(epoch_us(r.ts) AS BIGINT) AS asof_ts_us,
+      | r.pval AS asof_value
+      |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY event_id""".stripMargin
+
   // ============================================================== registry
 
   /** name -> (query, oracle). Oracle None => rows-only check. */
@@ -2317,7 +2353,8 @@ object Queries {
     ("b_tpch_q5", qTpchQ5, Some(oTpchQ5)),
     ("b_top_order", qTopOrderPerCustomer, Some(oTopOrderPerCustomer)),
     ("b_events_hourly", qEventsHourly, Some(oEventsHourly)),
-    ("b_events_sessions", qEventsSessions, Some(oEventsSessions)))
+    ("b_events_sessions", qEventsSessions, Some(oEventsSessions)),
+    ("b_events_asof", qEventsAsof, Some(oEventsAsof)))
 
   /** Headline subset for BENCH (sf0.1). */
   val benchNames: Seq[String] = Seq(
