@@ -144,4 +144,85 @@ object Sessions {
           }
       }
   }
+
+  // ----------------------------------------------------- streaming as-of
+
+  case class AsofLeft(key: Long, ts: Timestamp, left_id: Long)
+  case class AsofRight(key: Long, ts: Timestamp, value: Double)
+  case class AsofOut(left_id: Long, key: Long, ts: Timestamp,
+                     asof_ts: Option[Timestamp], asof_value: Option[Double])
+  /** Internal tagged-union row of [[asofJoinStream]] (public only because
+    * encoder codegen must construct it). */
+  case class AsofRow(key: Long, ts: Timestamp, side: Int,
+                     left_id: Long, value: Double)
+  /** Internal state of [[asofJoinStream]] (public for encoder codegen). */
+  case class AsofState(rights: List[(Long, Double)], maxSeen: Long)
+
+  /** Streaming AS-OF join — the streaming twin of
+    * [[graft.spark.AsofJoin.asofJoin]]: each left event picks up the
+    * latest right value at-or-before its event time, per key. Both
+    * streams are tagged and unioned (the same trick as the batch union +
+    * window carry), grouped by key, and matched in one
+    * flatMapGroupsWithState pass whose state is the per-key RIGHT
+    * HISTORY, pruned to the watermark: rights older than the watermark
+    * cannot match any future left row except as the newest-before-
+    * watermark carry, so the state keeps exactly that one plus the
+    * in-watermark tail — watermark-bounded, like every operator here.
+    * Keys idle past `idleRetention` drop their state entirely via
+    * event-time timeout.
+    *
+    * Ordering contract: rows are sorted by (event time, side) WITHIN a
+    * micro-batch (rights before lefts at equal ts — the batch `>=`
+    * semantics), so the result is exactly the batch as-of when data
+    * arrives in event-time order across batches (the spec pins parity).
+    * A right row arriving AFTER a left row it should have matched (in a
+    * later micro-batch, i.e. later than the left in processing time but
+    * earlier in event time) cannot retro-update the already-emitted left
+    * row — it serves later lefts only. That is the standard append-mode
+    * lateness trade; tighten the watermark source-side if it matters.
+    * (Rows older than the watermark itself are dropped at the input by
+    * Spark's standard late-data filter, like every stateful operator.) */
+  def asofJoinStream(left: Dataset[AsofLeft], right: Dataset[AsofRight],
+                     watermark: String = "1 hour",
+                     idleRetentionMs: Long = 24L * 3600 * 1000): Dataset[AsofOut] = {
+    import left.sparkSession.implicits._
+    val taggedLeft = left.map(l => AsofRow(l.key, l.ts, 1, l.left_id, 0.0))
+    val taggedRight = right.map(r => AsofRow(r.key, r.ts, 0, -1L, r.value))
+    taggedLeft.unionByName(taggedRight)
+      .withWatermark("ts", watermark)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsofState, AsofOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, rows: Iterator[AsofRow], state: GroupState[AsofState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // rights DESCENDING by ts: match = first entry with ts <= l.ts
+            var rights = state.getOption.map(_.rights).getOrElse(Nil)
+            var maxSeen = state.getOption.map(_.maxSeen).getOrElse(Long.MinValue)
+            val out = Seq.newBuilder[AsofOut]
+            for (r <- rows.toSeq.sortBy(x => (x.ts.getTime, x.side))) {
+              val t = r.ts.getTime
+              maxSeen = math.max(maxSeen, t)
+              if (r.side == 0) {
+                // in-batch rows are sorted, but state may hold newer rows
+                // than a late right — insert in descending-ts position
+                val (newer, older) = rights.span(_._1 > t)
+                rights = newer ::: ((t, r.value) :: older)
+              } else {
+                val m = rights.find(_._1 <= t)
+                out += AsofOut(r.left_id, key, r.ts,
+                  m.map(x => new Timestamp(x._1)), m.map(_._2))
+              }
+            }
+            // prune: drop rights at-or-before the watermark, keeping the
+            // newest of them as the carry for in-watermark future lefts
+            val wm = state.getCurrentWatermarkMs()
+            val (live, old) = rights.span(_._1 > wm)
+            val pruned = live ::: old.take(1)
+            state.update(AsofState(pruned, maxSeen))
+            state.setTimeoutTimestamp(maxSeen + idleRetentionMs)
+            out.result().iterator
+          }
+      }
+  }
 }

@@ -220,6 +220,73 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!rows(2L)._3, "false-positive collider must surface as novel=false")
   }
 
+  test("streaming as-of join matches the batch as-of on in-order data") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val rnd = new scala.util.Random(7211)
+    // unique (key, ts) rights, as the batch contract requires
+    val rights = (1 to 8).flatMap { k =>
+      rnd.shuffle((0 until 500).toList).take(25).map(t =>
+        Sessions.AsofRight(k.toLong, ts(t), rnd.nextDouble()))
+    }
+    val lefts = (1L to 150L).map(i =>
+      Sessions.AsofLeft((rnd.nextInt(8) + 1).toLong, ts(rnd.nextInt(500)), i))
+
+    val lIn = MemoryStream[Sessions.AsofLeft]
+    val rIn = MemoryStream[Sessions.AsofRight]
+    val out = Sessions.asofJoinStream(lIn.toDS(), rIn.toDS(), watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    // feed in EVENT-TIME order, interleaved, in several batches
+    val all = (lefts.map(l => (l.ts.getTime, 1, Left(l))) ++
+        rights.map(r => (r.ts.getTime, 0, Right(r)))).sortBy(x => (x._1, x._2))
+    for (chunk <- all.grouped(60)) {
+      chunk.foreach {
+        case (_, _, Left(l))  => lIn.addData(l)
+        case (_, _, Right(r)) => rIn.addData(r)
+      }
+      q.processAllAvailable()
+    }
+    val got = spark.table("asof_stream").as[Sessions.AsofOut].collect()
+      .map(o => o.left_id -> ((o.asof_ts, o.asof_value))).toMap
+    q.stop()
+    assert(got.size === 150, "every left event emits exactly once")
+
+    val expect = graft.spark.AsofJoin.asofJoin(
+        lefts.map(l => (l.left_id, l.key, l.ts)).toDF("left_id", "key", "ts"),
+        rights.map(r => (r.key, r.ts, r.value)).toDF("key", "ts", "pval"),
+        Seq("key"), "ts", Seq("pval"))
+      .select("left_id", "asof_ts", "asof_pval")
+      .as[(Long, Option[Timestamp], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === expect, "stream and batch as-of must agree on in-order data")
+  }
+
+  test("streaming as-of join: a late right serves later lefts, never emitted ones") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val lIn = MemoryStream[Sessions.AsofLeft]
+    val rIn = MemoryStream[Sessions.AsofRight]
+    val out = Sessions.asofJoinStream(lIn.toDS(), rIn.toDS(), watermark = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("asof_stream_late")
+      .outputMode("append").start()
+    lIn.addData(Sessions.AsofLeft(1L, ts(100), 1L))     // no right yet -> null match
+    q.processAllAvailable()
+    // late in PROCESSING order, event-time before left 1 but inside the
+    // 30-min watermark (wm is ts(70) after batch 1) — so not dropped
+    rIn.addData(Sessions.AsofRight(1L, ts(80), 5.0))
+    q.processAllAvailable()
+    lIn.addData(Sessions.AsofLeft(1L, ts(101), 2L))     // later left -> sees the late right
+    q.processAllAvailable()
+    val got = spark.table("asof_stream_late").as[Sessions.AsofOut].collect()
+      .map(o => o.left_id -> o.asof_value).toMap
+    q.stop()
+    assert(got(1L) === None, "already-emitted left is NOT retro-updated (append contract)")
+    assert(got(2L) === Some(5.0), "the late right serves subsequent lefts")
+  }
+
   test("stream-static dedup drops docs already in the reference corpus") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
