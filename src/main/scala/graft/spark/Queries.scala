@@ -2262,6 +2262,37 @@ object Queries {
       |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
       |ORDER BY event_id""".stripMargin
 
+  /** Interval (range) join: events routed to the part-table value bands
+    * containing them — [[RangeJoin.intervalJoin]]'s bin-equi-join +
+    * giant-interval broadcast shape vs DuckDB's native inequality
+    * (IE) join. Output aggregated per event (count + min/max band id)
+    * so the compare is compact; floor() keeps the point derivation
+    * engine-exact on identical input doubles. */
+  private val qIntervalJoin: Q = (s, dir) => {
+    prep(s, dir)
+    val pts = s.table("events")
+      .select(col("event_id"), expr("CAST(floor(value * 100) AS BIGINT)").as("p"))
+    val ivs = s.table("part")
+      .select(col("p_partkey").as("iid"),
+        expr("CAST(p_partkey * 3 AS BIGINT)").as("lo"),
+        expr("CAST(p_partkey * 3 + p_partkey % 97 AS BIGINT)").as("hi"))
+    RangeJoin.intervalJoin(pts, "p", ivs, "lo", "hi", binWidth = 64L)
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_iv"), min(col("iid")).as("min_iid"),
+        max(col("iid")).as("max_iid"))
+      .orderBy("event_id")
+  }
+  private val oIntervalJoin =
+    """WITH p AS (
+      |  SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS p FROM events),
+      |i AS (
+      |  SELECT p_partkey AS iid, CAST(p_partkey * 3 AS BIGINT) AS lo,
+      |         CAST(p_partkey * 3 + p_partkey % 97 AS BIGINT) AS hi FROM part)
+      |SELECT p.event_id, CAST(count(*) AS BIGINT) AS n_iv,
+      |       min(i.iid) AS min_iid, max(i.iid) AS max_iid
+      |FROM p JOIN i ON p.p >= i.lo AND p.p <= i.hi
+      |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin
+
   // ============================================================== registry
 
   /** name -> (query, oracle). Oracle None => rows-only check. */
@@ -2354,7 +2385,8 @@ object Queries {
     ("b_top_order", qTopOrderPerCustomer, Some(oTopOrderPerCustomer)),
     ("b_events_hourly", qEventsHourly, Some(oEventsHourly)),
     ("b_events_sessions", qEventsSessions, Some(oEventsSessions)),
-    ("b_events_asof", qEventsAsof, Some(oEventsAsof)))
+    ("b_events_asof", qEventsAsof, Some(oEventsAsof)),
+    ("b_interval_join", qIntervalJoin, Some(oIntervalJoin)))
 
   /** Headline subset for BENCH (sf0.1). */
   val benchNames: Seq[String] = Seq(
