@@ -46,7 +46,7 @@ object Bench {
   private val oracleNames = Seq("b_tpch_q1", "b_tpch_q3", "b_tpch_q5",
     "b_events_sessions", "l_text_tokens", "l_ann_top1", "l_dedup_minhash",
     "l_dup_spans", "l_dup_span_removal", "l_decontam_fuzzy",
-    "l_decontam_bloom")
+    "l_decontam_bloom", "b_events_asof", "b_interval_join")
 
   /** DuckDB timings for the headline oracle SQL (VERDICT r7 item 9: record
     * the baseline alongside Spark's numbers so future verdicts can compare

@@ -2394,5 +2394,6 @@ object Queries {
     "t_dwithin_join_sql", "g_flagship_join", "g_flagship_broadcast",
     "l_dedup_minhash", "l_dedup_simhash", "l_ann_top1", "l_ann_ivf", "l_text_tokens",
     "l_dup_spans", "l_dup_span_removal", "l_decontam_fuzzy", "l_decontam_bloom",
-    "b_tpch_q1", "b_tpch_q3", "b_tpch_q5", "b_events_sessions")
+    "b_tpch_q1", "b_tpch_q3", "b_tpch_q5", "b_events_sessions",
+    "b_events_asof", "b_interval_join")
 }
