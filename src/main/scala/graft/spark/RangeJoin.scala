@@ -41,9 +41,13 @@ object RangeJoin {
     // arithmetic (double division would round past 2^53)
     def binOf(c: String) =
       expr(s"(CAST($c AS BIGINT) - pmod(CAST($c AS BIGINT), $binWidth)) div $binWidth")
+    // inverted intervals (hi < lo) can never contain a point, and their
+    // NEGATIVE bin span would sneak past the fan-out cap into a huge
+    // DESCENDING sequence() — drop them before the split
+    val valid = intervals.where(col(hiCol) >= col(loCol))
     val spanBins = binOf(hiCol) - binOf(loCol)
-    val short = intervals.where(spanBins <= maxBinsPerInterval)
-    val long  = intervals.where(spanBins > maxBinsPerInterval)
+    val short = valid.where(spanBins <= maxBinsPerInterval)
+    val long  = valid.where(spanBins > maxBinsPerInterval)
     // sequence(binOf(lo), binOf(hi)) is ≤ maxBinsPerInterval+1 elements
     // by the split above — bounded codegen explode
     val binned = short.withColumn("__bin",

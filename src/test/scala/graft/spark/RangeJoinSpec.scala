@@ -52,6 +52,17 @@ class RangeJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Array((1L, 10L), (2L, 10L), (3L, 11L), (4L, 11L), (4L, 12L), (5L, 12L)))
   }
 
+  test("interval join drops inverted intervals instead of exploding a descending sequence") {
+    val s = spark; import s.implicits._
+    val pts = Seq((1L, 10L)).toDF("pid", "p")
+    // hi far below lo: would be a ~1e8-element descending sequence if the
+    // inverted guard were missing
+    val ivs = Seq((1L, 0L, 20L), (2L, 1000000000L, 5L)).toDF("iid", "lo", "hi")
+    val got = RangeJoin.intervalJoin(pts, "p", ivs, "lo", "hi", binWidth = 10L)
+      .select("pid", "iid").as[(Long, Long)].collect()
+    assert(got === Array((1L, 1L)))
+  }
+
   test("interval join plan is a single equi-join on the bin key") {
     val s = spark; import s.implicits._
     val pts = (1L to 100L).map(i => (i, i * 3)).toDF("pid", "p")

@@ -287,6 +287,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(2L) === Some(5.0), "the late right serves subsequent lefts")
   }
 
+  test("interval join runs stream-static: streaming points against static ranges") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    // both paths exercised: iid 1-2 short (binned equi-join), iid 3 giant
+    // (broadcast) — stateless stream-static joins, append mode, no state
+    val ivs = Seq((1L, 0L, 30L), (2L, 25L, 60L), (3L, -1000000L, 1000000L))
+      .toDF("iid", "lo", "hi")
+    val input = MemoryStream[(Long, Long)]
+    val out = graft.spark.RangeJoin.intervalJoin(
+      input.toDF().toDF("pid", "p"), "p", ivs, "lo", "hi",
+      binWidth = 16L, maxBinsPerInterval = 8)
+    val q = out.select("pid", "iid").writeStream.format("memory")
+      .queryName("interval_stream").outputMode("append").start()
+    input.addData((1L, 10L), (2L, 28L), (3L, 999L))
+    q.processAllAvailable()
+    input.addData((4L, 59L))
+    q.processAllAvailable()
+    val got = spark.table("interval_stream").as[(Long, Long)].collect().sorted
+    q.stop()
+    assert(got === Array((1L, 1L), (1L, 3L), (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 3L), (4L, 2L), (4L, 3L)))
+  }
+
   test("stream-static dedup drops docs already in the reference corpus") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
