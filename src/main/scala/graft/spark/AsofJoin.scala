@@ -36,15 +36,19 @@ object AsofJoin {
 
   /** `left` gains `asof_ts` (matched right timestamp) and the requested
     * right `valueCols` prefixed `asof_` — null when no right row is
-    * at-or-before (or within tolerance). */
+    * at-or-before (or within tolerance). `forward = true` flips the
+    * direction: the EARLIEST right row at-or-after each left row
+    * (DuckDB: `ASOF LEFT JOIN ... ON l.ts <= r.ts`), with the tolerance
+    * then bounding how far ahead the match may be. */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                tsCol: String, valueCols: Seq[String],
-               toleranceSeconds: Long = -1L): DataFrame = {
+               toleranceSeconds: Long = -1L, forward: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty, "asofJoin needs at least one equi-key column")
     require(valueCols.nonEmpty, "asofJoin needs at least one right value column")
     val leftCols = left.columns.toSeq
-    // tag: right rows sort BEFORE left rows at an equal timestamp so the
-    // carried state includes a right row with r.ts == l.ts (>= semantics)
+    // tag: right rows sort BEFORE left rows at an equal timestamp (in the
+    // scan direction) so the carried state includes a right row with
+    // r.ts == l.ts — the inclusive >= / <= semantics
     val carryCols = leftCols.filterNot(c => keyCols.contains(c) || c == tsCol)
     val taggedLeft = left.select(
       (keyCols.map(col) :+ col(tsCol).as("__ts") :+ lit(1).as("__side") :+
@@ -57,8 +61,11 @@ object AsofJoin {
         valueCols.map(c => col(c).as(s"__rv_$c")) ++
         carryCols.map(c =>
           lit(null).cast(left.schema(c).dataType).as(s"__lv_$c")): _*)
+    // forward as-of IS backward as-of under time reversal: scan the
+    // window descending and carry the last-seen right, which is then the
+    // earliest at-or-after — same single shuffle, same running frame
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(if (forward) col("__ts").desc else col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = taggedLeft.unionByName(taggedRight)
       .withColumn("__asof_ts", last(col("__r_ts"), ignoreNulls = true).over(w))
@@ -66,10 +73,12 @@ object AsofJoin {
         s"__asof_$c" -> last(col(s"__rv_$c"), ignoreNulls = true).over(w)).toMap)
       .where(col("__side") === 1)
     // tolerance: a stale match nulls out (left row survives — LEFT join)
+    val gap =
+      if (forward) unix_timestamp(col("__asof_ts")) - unix_timestamp(col("__ts"))
+      else unix_timestamp(col("__ts")) - unix_timestamp(col("__asof_ts"))
     val fresh =
       if (toleranceSeconds < 0) lit(true)
-      else col("__asof_ts").isNotNull &&
-        (unix_timestamp(col("__ts")) - unix_timestamp(col("__asof_ts"))) <= toleranceSeconds
+      else col("__asof_ts").isNotNull && gap <= toleranceSeconds
     carried.select(
       keyCols.map(col) ++
         Seq(col("__ts").as(tsCol),

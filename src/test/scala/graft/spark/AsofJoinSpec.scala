@@ -85,6 +85,39 @@ class AsofJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("forward asof join picks the earliest right at-or-after, brute-force checked") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(90412)
+    val leftRows = (1L to 200L).map(i =>
+      (i, (rnd.nextInt(10) + 1).toLong, ts(rnd.nextInt(800).toLong)))
+    val rightRows = (1 to 10).flatMap { u =>
+      rnd.shuffle((0 until 800).toList).take(20).map(t =>
+        (u.toLong, ts(t.toLong), rnd.nextDouble()))
+    }
+    val got = AsofJoin.asofJoin(
+        leftRows.toDF("event_id", "user_id", "ts"),
+        rightRows.toDF("user_id", "ts", "pval"),
+        Seq("user_id"), "ts", Seq("pval"), forward = true)
+      .select("event_id", "asof_ts", "asof_pval")
+      .as[(Long, Option[Timestamp], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val byKey = rightRows.groupBy(_._1)
+    for ((id, u, lts) <- leftRows) {
+      val expect = byKey.getOrElse(u, Nil)
+        .filter(!_._2.before(lts))
+        .sortBy(_._2.getTime).headOption
+      assert(got(id) === ((expect.map(_._2), expect.map(_._3))),
+        s"event $id user $u ts $lts")
+    }
+    // forward tolerance: matches farther ahead than the bound null out
+    val fGot = AsofJoin.asofJoin(
+        Seq((1L, 10L, ts(100))).toDF("event_id", "user_id", "ts"),
+        Seq((10L, ts(400), 3.0)).toDF("user_id", "ts", "pval"),
+        Seq("user_id"), "ts", Seq("pval"), toleranceSeconds = 60L, forward = true)
+      .select("event_id", "asof_pval").as[(Long, Option[Double])].collect().toMap
+    assert(fGot(1L) === None, "match 300 s ahead exceeds the 60 s bound")
+  }
+
   test("asof join plan is one key-shuffle window pass, no join operator") {
     val s = spark; import s.implicits._
     val left = (1L to 50L).map(i => (i, i % 5, ts(i))).toDF("event_id", "user_id", "ts")
