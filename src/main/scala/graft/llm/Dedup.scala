@@ -323,7 +323,18 @@ object Dedup {
     * through untouched (the two pipelined re-scans cost less than
     * materializing the rows — the same small-input reasoning as
     * [[graft.llm.Ann.boundedClusters]]'s checkpoint gate). Either way, no
-    * cached RDD outlives the consuming query. */
+    * cached RDD outlives the consuming query.
+    *
+    * Bounds: frames built but never executed would leak their armed
+    * listener, so at most [[MaxArmedReleases]] can be armed per JVM —
+    * arming one more force-releases the oldest (its cache recomputes if
+    * still needed; correctness unaffected). Two CONCURRENT calls over
+    * sameResult-identical inputs may release each other's cache early —
+    * the victim query recomputes, again correctness-neutral. */
+  private val MaxArmedReleases = 16
+  private val armedReleases =
+    new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
+
   private[llm] def releasedAfterUse(frame: DataFrame, source: DataFrame): DataFrame = {
     val spark = frame.sparkSession
     val minBytes = spark.conf.getOption("spark.graft.dedup.gramCacheMinBytes")
@@ -335,25 +346,35 @@ object Dedup {
     val cached = frame.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val target = cached.queryExecution.analyzed
     val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
-    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
-      private def maybeRelease(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
-        val touches =
-          try qe.analyzed.exists(p => p.sameResult(target))
-          catch { case _: Throwable => false }
-        if (touches && armed.compareAndSet(true, false)) {
-          cached.unpersist(blocking = false)
-          spark.listenerManager.unregister(this)
-          ()
-        }
+    lazy val release: () => Unit = () => {
+      if (armed.compareAndSet(true, false)) {
+        cached.unpersist(blocking = false)
+        spark.listenerManager.unregister(listener)
+        armedReleases.remove(release)
+        ()
       }
-      override def onSuccess(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution,
-          durationNs: Long): Unit = maybeRelease(qe)
-      override def onFailure(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution,
-          exception: Exception): Unit = maybeRelease(qe)
     }
+    lazy val listener: org.apache.spark.sql.util.QueryExecutionListener =
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        private def maybeRelease(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
+          val touches =
+            try qe.analyzed.exists(p => p.sameResult(target))
+            catch { case _: Throwable => false }
+          if (touches) release()
+        }
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = maybeRelease(qe)
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = maybeRelease(qe)
+      }
     spark.listenerManager.register(listener)
+    armedReleases.add(release)
+    while (armedReleases.size > MaxArmedReleases) {
+      val oldest = armedReleases.poll()
+      if (oldest != null) oldest()
+    }
     cached
   }
 

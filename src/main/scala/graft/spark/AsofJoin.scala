@@ -39,23 +39,37 @@ object AsofJoin {
     * at-or-before (or within tolerance). `forward = true` flips the
     * direction: the EARLIEST right row at-or-after each left row
     * (DuckDB: `ASOF LEFT JOIN ... ON l.ts <= r.ts`), with the tolerance
-    * then bounding how far ahead the match may be. */
+    * then bounding how far ahead the match may be. SQL null semantics: a
+    * null key or null timestamp never compares equal/ordered, so right
+    * rows with nulls match nothing and left rows with nulls emit
+    * unmatched (LEFT join). */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                tsCol: String, valueCols: Seq[String],
                toleranceSeconds: Long = -1L, forward: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty, "asofJoin needs at least one equi-key column")
     require(valueCols.nonEmpty, "asofJoin needs at least one right value column")
     val leftCols = left.columns.toSeq
+    // NULL semantics must match the SQL oracle (ASOF ... ON l.k = r.k AND
+    // l.ts >= r.ts): a NULL key or NULL ts never compares true. Right
+    // rows with nulls can match nothing — drop them (otherwise the
+    // window's nulls-first ordering carries their VALUE columns with
+    // ignoreNulls while skipping their null ts, leaking a value with no
+    // matching timestamp). Left rows with nulls keep LEFT-join semantics:
+    // they bypass the window and emit with null matches.
+    val keyOrTsNull = (keyCols :+ tsCol).map(col(_).isNull).reduce(_ || _)
+    val rightClean = right.where(!keyOrTsNull)
+    val leftClean = left.where(!keyOrTsNull)
+    val leftNullRows = left.where(keyOrTsNull)
     // tag: right rows sort BEFORE left rows at an equal timestamp (in the
     // scan direction) so the carried state includes a right row with
     // r.ts == l.ts — the inclusive >= / <= semantics
     val carryCols = leftCols.filterNot(c => keyCols.contains(c) || c == tsCol)
-    val taggedLeft = left.select(
+    val taggedLeft = leftClean.select(
       (keyCols.map(col) :+ col(tsCol).as("__ts") :+ lit(1).as("__side") :+
         lit(null).cast(left.schema(tsCol).dataType).as("__r_ts")) ++
         valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__rv_$c")) ++
         carryCols.map(c => col(c).as(s"__lv_$c")): _*)
-    val taggedRight = right.select(
+    val taggedRight = rightClean.select(
       (keyCols.map(col) :+ col(tsCol).as("__ts") :+ lit(0).as("__side") :+
         col(tsCol).as("__r_ts")) ++
         valueCols.map(c => col(c).as(s"__rv_$c")) ++
@@ -72,19 +86,30 @@ object AsofJoin {
       .withColumns(valueCols.map(c =>
         s"__asof_$c" -> last(col(s"__rv_$c"), ignoreNulls = true).over(w)).toMap)
       .where(col("__side") === 1)
-    // tolerance: a stale match nulls out (left row survives — LEFT join)
+    // tolerance: a stale match nulls out (left row survives — LEFT join).
+    // Gap in MICROS — unix_timestamp() truncates to whole seconds, which
+    // mis-classifies sub-second gaps against the oracle's interval math
     val gap =
-      if (forward) unix_timestamp(col("__asof_ts")) - unix_timestamp(col("__ts"))
-      else unix_timestamp(col("__ts")) - unix_timestamp(col("__asof_ts"))
+      if (forward) unix_micros(col("__asof_ts")) - unix_micros(col("__ts"))
+      else unix_micros(col("__ts")) - unix_micros(col("__asof_ts"))
     val fresh =
       if (toleranceSeconds < 0) lit(true)
-      else col("__asof_ts").isNotNull && gap <= toleranceSeconds
-    carried.select(
+      else col("__asof_ts").isNotNull && gap <= toleranceSeconds * 1000000L
+    val matched = carried.select(
       keyCols.map(col) ++
         Seq(col("__ts").as(tsCol),
           when(fresh, col("__asof_ts")).otherwise(lit(null)).as("asof_ts")) ++
         valueCols.map(c =>
           when(fresh, col(s"__asof_$c")).otherwise(lit(null)).as(s"asof_$c")) ++
         carryCols.map(c => col(s"__lv_$c").as(c)): _*)
+    // null-key/null-ts left rows: LEFT semantics, unmatched by definition
+    val nullMatched = leftNullRows.select(
+      keyCols.map(col) ++
+        Seq(col(tsCol),
+          lit(null).cast(left.schema(tsCol).dataType).as("asof_ts")) ++
+        valueCols.map(c =>
+          lit(null).cast(right.schema(c).dataType).as(s"asof_$c")) ++
+        carryCols.map(col(_)): _*)
+    matched.unionByName(nullMatched)
   }
 }

@@ -33,7 +33,10 @@ import org.apache.spark.sql.types._
  * sink works on any cluster store), batched `batchRows` rows at a time
  * so executor memory is bounded by batch x row width, not partition
  * size. Arrow is columnar per batch: the write cost is one transpose of
- * each batch, the same cost profile as Spark's own parquet sink.
+ * each batch, the same cost profile as Spark's own parquet sink. Each
+ * task attempt streams to a dot-prefixed attempt file and renames into
+ * place on success, so speculative or zombie duplicate attempts never
+ * interleave writes into the final file.
  */
 object GeoArrow {
 
@@ -87,16 +90,25 @@ object GeoArrow {
       if (rows.nonEmpty) {
         val conf = new org.apache.hadoop.conf.Configuration(false)
         confEntries.foreach { case (k, v) => conf.set(k, v) }
-        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
         val part = new Path(new Path(dirStr), f"part-$pid%05d.arrow")
+        // poor-man's task commit: stream to a dot-prefixed attempt file
+        // (invisible to directory listings) and rename into place only on
+        // success — speculative/zombie duplicate attempts each write
+        // their own temp, and the first completed rename wins, so the
+        // final file is always one attempt's complete output
+        val tmpPart = new Path(new Path(dirStr),
+          f".part-$pid%05d.arrow.attempt-${tc.taskAttemptId()}%d")
         val fs = part.getFileSystem(conf)
         val allocator = new RootAllocator()
         val fields = fieldIdx.map { case (f, _) =>
           arrowField(f, f.name == geometryColumn)
         }
         val vsr = VectorSchemaRoot.create(new ArrowSchema(fields.toSeq.asJava), allocator)
-        val out = fs.create(part, true)
+        val out = fs.create(tmpPart, true)
         val writer = new ArrowFileWriter(vsr, null, Channels.newChannel(out))
+        var committed = false
         try {
           writer.start()
           val batch = rows.grouped(batchRows)
@@ -131,11 +143,20 @@ object GeoArrow {
             writer.writeBatch()
           }
           writer.end()
+          committed = true
         } finally {
           try writer.close() catch { case _: Throwable => () }
           try out.close() catch { case _: Throwable => () }
           vsr.close()
           allocator.close()
+          if (committed) {
+            // first completed attempt wins; losers drop their temp
+            if (fs.exists(part) || !fs.rename(tmpPart, part)) {
+              try fs.delete(tmpPart, false) catch { case _: Throwable => () }
+            }
+          } else {
+            try fs.delete(tmpPart, false) catch { case _: Throwable => () }
+          }
         }
       }
     }

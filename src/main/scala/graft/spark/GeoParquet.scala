@@ -20,10 +20,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * parquet-mr's appendFile (no decode/re-encode — at 100 TB the stamp
  * cost is a file copy, and sits in the writer's commit path, not per
  * row), then the footer is written with the merged key-value map and the
- * original swapped aside (`.geo-bak`) before the sibling is renamed into
- * place — a crash mid-swap always leaves a recoverable full copy (the
- * `.geo-bak` original, or on pre-delete failure the untouched part plus
- * a stray `.geo-tmp` that overwrite-mode rewrites). Edges are declared
+ * original swapped aside (a dot-prefixed `.geo-bak` sibling) before the
+ * sibling is renamed into place — a crash mid-swap always leaves a
+ * recoverable full copy, and because both siblings are dot-prefixed,
+ * directory reads (which skip '.'/'_' files) never double-count a
+ * leftover copy. Edges are declared
  * "spherical": S2 geographies interpolate on great circles, which is
  * exactly GeoParquet's spherical edge model.
  */
@@ -79,8 +80,11 @@ object GeoParquet {
           m.put("geo", geoJson)
           (md.getSchema, m)
         } finally reader.close()
-      val tmp = new Path(part.getParent, part.getName + ".geo-tmp")
-      val bak = new Path(part.getParent, part.getName + ".geo-bak")
+      // DOT-PREFIXED sibling names: Spark/Hadoop directory listings skip
+      // files starting with '.' or '_', so a crash mid-swap can never
+      // leave a byte-complete copy that a directory read double-counts
+      val tmp = new Path(part.getParent, "." + part.getName + ".geo-tmp")
+      val bak = new Path(part.getParent, "." + part.getName + ".geo-bak")
       // build the stamped sibling first; on any failure drop the partial
       // tmp so a retry starts clean and the original is never touched
       var done = false

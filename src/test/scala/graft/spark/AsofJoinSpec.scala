@@ -118,6 +118,43 @@ class AsofJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fGot(1L) === None, "match 300 s ahead exceeds the 60 s bound")
   }
 
+  test("asof join applies SQL null semantics for keys and timestamps") {
+    val s = spark; import s.implicits._
+    val left = Seq(
+      (1L, Some(10L), Some(ts(100))),   // normal match
+      (2L, None, Some(ts(100))),        // null key -> unmatched, row kept
+      (3L, Some(10L), None),            // null ts  -> unmatched, row kept
+      (4L, Some(10L), Some(ts(40)))     // before every VALID right -> null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (Some(10L), Some(ts(50)), 1.0),
+      (None, Some(ts(10)), 666.0),      // null key: must never match
+      (Some(10L), None, 777.0)          // null ts: value must never leak
+    ).toDF("user_id", "ts", "pval")
+    val got = AsofJoin.asofJoin(left, right, Seq("user_id"), "ts", Seq("pval"))
+      .select("event_id", "asof_ts", "asof_pval")
+      .as[(Long, Option[Timestamp], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.size === 4, "every left row survives, including null ones")
+    assert(got(1L) === ((Some(ts(50)), Some(1.0))))
+    assert(got(2L) === ((None, None)), "null key matches nothing")
+    assert(got(3L) === ((None, None)), "null left ts matches nothing")
+    assert(got(4L) === ((None, None)),
+      "null-ts right value must not leak into pre-right lefts")
+  }
+
+  test("asof join tolerance is exact at sub-second resolution") {
+    val s = spark; import s.implicits._
+    def tms(msec: Long) = new Timestamp(1700000000000L + msec)
+    val left = Seq((1L, 10L, tms(1900)), (2L, 10L, tms(990))).toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, tms(0), 4.0)).toDF("user_id", "ts", "pval")
+    val got = AsofJoin.asofJoin(left, right, Seq("user_id"), "ts", Seq("pval"),
+        toleranceSeconds = 1L)
+      .select("event_id", "asof_pval").as[(Long, Option[Double])].collect().toMap
+    assert(got(1L) === None, "1.9 s gap exceeds 1 s (whole-second floor would pass it)")
+    assert(got(2L) === Some(4.0), "0.99 s gap is within 1 s")
+  }
+
   test("asof join plan is one key-shuffle window pass, no join operator") {
     val s = spark; import s.implicits._
     val left = (1L to 50L).map(i => (i, i % 5, ts(i))).toDF("event_id", "user_id", "ts")

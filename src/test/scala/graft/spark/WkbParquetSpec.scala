@@ -89,6 +89,18 @@ class WkbParquetSpec extends AnyFunSuite with BeforeAndAfterAll {
         |FROM geo_back""".stripMargin).collect().head
     assert(rows.getLong(0) === 177)
     assert(rows.getLong(1) === 177)
+
+    // swap siblings are dot-prefixed and cleaned up: nothing visible
+    // beyond the part files, and a LEFTOVER crash sibling (planted here)
+    // is invisible to directory reads — no silent row duplication
+    val files = new java.io.File(out).listFiles().map(_.getName)
+    assert(!files.exists(n => n.contains(".geo-tmp") || n.contains(".geo-bak")),
+      s"swap siblings must be cleaned up, saw: ${files.mkString(",")}")
+    val aPart = files.find(n => n.endsWith(".parquet") && !n.startsWith("_")).get
+    Files.copy(java.nio.file.Paths.get(out, aPart),
+      java.nio.file.Paths.get(out, "." + aPart + ".geo-bak"))
+    assert(spark.read.parquet(out).count() === 177,
+      "a leftover dot-prefixed .geo-bak must not be double-counted")
   }
 
   test("geo footer stamp reaches part files inside partitionBy subdirectories") {
