@@ -186,8 +186,13 @@ object Sessions {
                      watermark: String = "1 hour",
                      idleRetentionMs: Long = 24L * 3600 * 1000): Dataset[AsofOut] = {
     import left.sparkSession.implicits._
-    val taggedLeft = left.map(l => AsofRow(l.key, l.ts, 1, l.left_id, 0.0))
-    val taggedRight = right.map(r => AsofRow(r.key, r.ts, 0, -1L, r.value))
+    // null event times cannot ride a watermark (and would NPE the group
+    // sort) — dropped on both sides, the streaming analogue of the batch
+    // operator's null-never-matches rule
+    val taggedLeft = left.filter(_.ts != null)
+      .map(l => AsofRow(l.key, l.ts, 1, l.left_id, 0.0))
+    val taggedRight = right.filter(_.ts != null)
+      .map(r => AsofRow(r.key, r.ts, 0, -1L, r.value))
     taggedLeft.unionByName(taggedRight)
       .withWatermark("ts", watermark)
       .groupByKey(_.key)

@@ -36,13 +36,18 @@ object FuzzJoins {
       val nL = rnd.nextInt(40)
       val nR = rnd.nextInt(40)
       def t(s: Long) = new Timestamp(1700000000000L + s * 1000L)
-      // unique (key, ts) rights per the contract
+      // unique (key, ts) rights per the contract; ~10% nulls planted in
+      // keys and timestamps on BOTH sides (null never matches; null left
+      // rows still emit — the review-found value-leak class)
+      def nk(k: Long): Option[Long] = if (rnd.nextInt(10) == 0) None else Some(k)
+      def nt(ts: Timestamp): Option[Timestamp] =
+        if (rnd.nextInt(10) == 0) None else Some(ts)
       val rights = rnd.shuffle((1 to nKeys).flatMap { k =>
         rnd.shuffle((0 until 200).toList).take(nR / nKeys.max(1)).map(ts =>
-          (k.toLong, t(ts.toLong), rnd.nextDouble()))
+          (nk(k.toLong), nt(t(ts.toLong)), rnd.nextDouble()))
       }.toList)
       val lefts = (1L to nL.toLong).map(i =>
-        (i, (rnd.nextInt(nKeys) + 1).toLong, t(rnd.nextInt(200).toLong)))
+        (i, nk((rnd.nextInt(nKeys) + 1).toLong), nt(t(rnd.nextInt(200).toLong))))
       if (nL > 0) {
         val got = AsofJoin.asofJoin(
             lefts.toDF("event_id", "key", "ts"),
@@ -51,10 +56,15 @@ object FuzzJoins {
           .select("event_id", "asof_ts", "asof_pval")
           .as[(Long, Option[Timestamp], Option[Double])].collect()
           .map(r => r._1 -> ((r._2, r._3))).toMap
-        val byKey = rights.groupBy(_._1)
-        for ((id, k, lts) <- lefts) {
-          val e = byKey.getOrElse(k, Nil).filter(!_._2.after(lts))
-            .sortBy(_._2.getTime).lastOption
+        val validRights = rights.collect { case (Some(k), Some(ts), v) => (k, ts, v) }
+        val byKey = validRights.groupBy(_._1)
+        for ((id, ko, lo) <- lefts) {
+          val e = (ko, lo) match {
+            case (Some(k), Some(lts)) =>
+              byKey.getOrElse(k, Nil).filter(!_._2.after(lts))
+                .sortBy(_._2.getTime).lastOption
+            case _ => None // null key/ts left: kept, unmatched
+          }
           if (got.get(id) != Some((e.map(_._2), e.map(_._3)))) {
             failures += 1
             println(s"ASOF MISMATCH seed=$seed id=$id got=${got.get(id)} want=$e")
