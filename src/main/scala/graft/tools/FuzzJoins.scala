@@ -81,16 +81,19 @@ object FuzzJoins {
       val cap = 1 + rnd.nextInt(6)
       val nP = rnd.nextInt(60)
       val nI = rnd.nextInt(40)
-      val pts = (1L to nP.toLong).map(i => (i, rnd.nextLong() % 500L))
+      def nv(x: Long): Option[Long] = if (rnd.nextInt(12) == 0) None else Some(x)
+      val pts = (1L to nP.toLong).map(i => (i, nv(rnd.nextLong() % 500L)))
       val ivs = (1L to nI.toLong).map { i =>
         val lo = rnd.nextLong() % 500L
-        // spans cluster around the bin width and the giant cutoff
-        val span = rnd.nextInt(3) match {
+        // spans cluster around the bin width and the giant cutoff;
+        // occasionally inverted (hi < lo — must match nothing, cheaply)
+        val span = rnd.nextInt(4) match {
           case 0 => rnd.nextInt(2 * w.toInt + 2).toLong
           case 1 => (cap.toLong * w) + rnd.nextInt(3) - 1
+          case 2 => -(1L + rnd.nextInt(1000))
           case _ => rnd.nextInt(1000).toLong
         }
-        (i, lo, lo + span.max(0))
+        (i, nv(lo), nv(lo + span))
       }
       if (nP > 0 && nI > 0) {
         val got = RangeJoin.intervalJoin(
@@ -98,7 +101,8 @@ object FuzzJoins {
             binWidth = w, maxBinsPerInterval = cap)
           .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
         val want = (for {
-          (pid, p) <- pts; (iid, lo, hi) <- ivs if p >= lo && p <= hi
+          (pid, Some(p)) <- pts
+          (iid, Some(lo), Some(hi)) <- ivs if p >= lo && p <= hi
         } yield (pid, iid)).sorted
         if (got != want) {
           failures += 1
