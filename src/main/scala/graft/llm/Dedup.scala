@@ -316,25 +316,14 @@ object Dedup {
   /** Persist `frame` (MEMORY_AND_DISK) for intra-query branch reuse IF
     * `source` is big enough that the saved re-derivation beats the cache
     * write — gate `spark.graft.dedup.gramCacheMinBytes` (default 1 GiB)
-    * against Catalyst's optimized-plan size estimate — and arm a
-    * self-deregistering QueryExecutionListener that unpersists the cache
-    * as soon as the FIRST query whose analyzed plan contains `frame`
+    * against Catalyst's optimized-plan size estimate — and arm the shared
+    * query-scoped release ([[graft.spark.CacheLifecycle.releaseAfterUse]])
+    * so the cache unpersists as soon as the FIRST query consuming `frame`
     * completes, success or failure. Below the gate the frame passes
     * through untouched (the two pipelined re-scans cost less than
     * materializing the rows — the same small-input reasoning as
     * [[graft.llm.Ann.boundedClusters]]'s checkpoint gate). Either way, no
-    * cached RDD outlives the consuming query.
-    *
-    * Bounds: frames built but never executed would leak their armed
-    * listener, so at most [[MaxArmedReleases]] can be armed per JVM —
-    * arming one more force-releases the oldest (its cache recomputes if
-    * still needed; correctness unaffected). Two CONCURRENT calls over
-    * sameResult-identical inputs may release each other's cache early —
-    * the victim query recomputes, again correctness-neutral. */
-  private val MaxArmedReleases = 16
-  private val armedReleases =
-    new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
-
+    * cached RDD outlives the consuming query. */
   private[llm] def releasedAfterUse(frame: DataFrame, source: DataFrame): DataFrame = {
     val spark = frame.sparkSession
     val minBytes = spark.conf.getOption("spark.graft.dedup.gramCacheMinBytes")
@@ -344,38 +333,7 @@ object Dedup {
       catch { case _: Throwable => BigInt(Long.MaxValue) }
     if (srcBytes < minBytes) return frame
     val cached = frame.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val target = cached.queryExecution.analyzed
-    val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
-    lazy val release: () => Unit = () => {
-      if (armed.compareAndSet(true, false)) {
-        cached.unpersist(blocking = false)
-        spark.listenerManager.unregister(listener)
-        armedReleases.remove(release)
-        ()
-      }
-    }
-    lazy val listener: org.apache.spark.sql.util.QueryExecutionListener =
-      new org.apache.spark.sql.util.QueryExecutionListener {
-        private def maybeRelease(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
-          val touches =
-            try qe.analyzed.exists(p => p.sameResult(target))
-            catch { case _: Throwable => false }
-          if (touches) release()
-        }
-        override def onSuccess(funcName: String,
-            qe: org.apache.spark.sql.execution.QueryExecution,
-            durationNs: Long): Unit = maybeRelease(qe)
-        override def onFailure(funcName: String,
-            qe: org.apache.spark.sql.execution.QueryExecution,
-            exception: Exception): Unit = maybeRelease(qe)
-      }
-    spark.listenerManager.register(listener)
-    armedReleases.add(release)
-    while (armedReleases.size > MaxArmedReleases) {
-      val oldest = armedReleases.poll()
-      if (oldest != null) oldest()
-    }
-    cached
+    graft.spark.CacheLifecycle.releaseAfterUse(Seq(cached), cached)
   }
 
   /** Per-doc array of per-position word-n-gram MD5 digests, built in one

@@ -59,6 +59,16 @@ object Queries {
              (c_custkey % 360) - 180 + 0.25 AS lon,
              (c_custkey % 160) - 80 + 0.25 AS lat
       FROM customer""")
+    // jittered point table for ranking oracles: the regular `pts` grid is
+    // full of mirror-symmetric EXACTLY-equidistant pairs, which the
+    // xyz-chord and haversine routes fp-tie-break differently; the
+    // id-dependent jitter (pure integer arithmetic, engine-portable)
+    // makes every cross-point distance comparison decisive
+    s.sql("""CREATE OR REPLACE TEMP VIEW jpts AS
+      SELECT c_custkey AS id,
+             (c_custkey % 360) - 180 + 0.25 + ((c_custkey * 37) % 89) / 400.0 AS lon,
+             (c_custkey % 160) - 80 + 0.25 + ((c_custkey * 53) % 79) / 500.0 AS lat
+      FROM customer""")
     // duplicate-augmented docs (guaranteed exact dups for dedup oracles)
     s.sql("""CREATE OR REPLACE TEMP VIEW docs_aug AS
       SELECT doc_id, text FROM documents
@@ -77,6 +87,11 @@ object Queries {
       |  CAST((c_custkey % 160) - 80 AS INT) AS lat_i,
       |  CAST((c_custkey % 360) - 180 + 0.25 AS DOUBLE) AS lon,
       |  CAST((c_custkey % 160) - 80 + 0.25 AS DOUBLE) AS lat FROM customer)""".stripMargin
+  private val oracleJpts =
+    """jpts AS (SELECT c_custkey AS id,
+      |  (c_custkey % 360) - 180 + 0.25 + ((c_custkey * 37) % 89) / 400.0 AS lon,
+      |  (c_custkey % 160) - 80 + 0.25 + ((c_custkey * 53) % 79) / 500.0 AS lat
+      |  FROM customer)""".stripMargin
   private val oracleDocsAug =
     """docs_aug AS (SELECT doc_id, text FROM documents
       | UNION ALL
@@ -893,6 +908,32 @@ object Queries {
       |FROM (SELECT id, s2_geogpoint(lon, lat) AS g FROM pts) a
       |JOIN (SELECT id, s2_geogpoint(lon, lat) AS g FROM pts) b
       |  ON s2_dwithin(a.g, b.g, 300000.0) AND a.id < b.id""".stripMargin)
+
+  /** kNN join through the certified expanding-neighborhood search
+    * ([[KnnJoin.knn]]): 3 nearest neighbors per jittered customer point,
+    * self-matches excluded. The oracle recomputes all-pairs haversine with
+    * the identical (distance, id) tie-break; the jittered `jpts` grid has
+    * no mirror-symmetric equidistant pairs, so both engines rank
+    * decisively (see the jpts view comment). */
+  private val qKnnJoin = (s: SparkSession, dir: String) => {
+    prep(s, dir)
+    val pts = s.sql("SELECT id, s2_geogpoint(lon, lat) AS g FROM jpts")
+    KnnJoin.knn(pts, "id", "g", pts, "id", "g", k = 3,
+        pairFilter = Some(col("id") =!= col("nbr_id")))
+      .select(col("id"), col("nbr_id"), col("rank").cast("int").as("rank"))
+      .orderBy("id", "nbr_id")
+  }
+  private val oKnnJoin =
+    s"""WITH $oracleJpts,
+       |d AS (SELECT a.id, b.id AS nbr_id,
+       |  2*6371010*asin(sqrt(sin(radians(b.lat-a.lat)/2)^2 +
+       |    cos(radians(a.lat))*cos(radians(b.lat))*sin(radians(b.lon-a.lon)/2)^2)) AS dist
+       |  FROM jpts a JOIN jpts b ON a.id <> b.id)
+       |SELECT id, nbr_id, rank FROM (
+       |  SELECT id, nbr_id,
+       |    CAST(row_number() OVER (PARTITION BY id ORDER BY dist, nbr_id) AS INTEGER) AS rank
+       |  FROM d) r
+       |WHERE rank <= 3 ORDER BY id, nbr_id""".stripMargin
 
   /** Batch twin of the STREAM-STREAM distance join
     * (graft.streaming.GeoEnrich.dwithinJoin): on batch frames the
@@ -2329,6 +2370,7 @@ object Queries {
     ("t_dwithin", qDwithinScale, Some(oDwithinScale)),
     ("t_dwithin_join", qDwithinJoin, Some(oDwithinJoin)),
     ("t_dwithin_join_sql", qDwithinJoinSql, Some(oDwithinJoin)),
+    ("t_knn_join", qKnnJoin, Some(oKnnJoin)),
     ("b_stream_dwithin", qStreamDwithin, Some(oStreamDwithin)),
     ("t_distance", qDistanceScale, Some(oDistanceScale)),
     ("t_covering", qCoveringScale, Some(oCoveringScale)),

@@ -1,0 +1,126 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class KnnJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", false)
+      .appName("graft-knn-test").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    S2Functions.ensureRegistered(spark)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Brute-force expectation: haversine distance, rank by (dist, id). */
+  private def expected(pts: Seq[(Long, Double, Double)], k: Int,
+                       excludeSelf: Boolean): Set[(Long, Long, Int)] = {
+    def hav(a: (Double, Double), b: (Double, Double)): Double = {
+      val dLat = math.toRadians(b._2 - a._2); val dLon = math.toRadians(b._1 - a._1)
+      val s = math.pow(math.sin(dLat / 2), 2) +
+        math.cos(math.toRadians(a._2)) * math.cos(math.toRadians(b._2)) * math.pow(math.sin(dLon / 2), 2)
+      2 * 6371010.0 * math.asin(math.min(1.0, math.sqrt(s)))
+    }
+    pts.flatMap { case (id, lon, lat) =>
+      pts.filter(p => !excludeSelf || p._1 != id)
+        .map(p => (p._1, hav((lon, lat), (p._2, p._3))))
+        .sortBy { case (pid, d) => (d, pid) }
+        .take(k).zipWithIndex
+        .map { case ((pid, _), i) => (id, pid, i + 1) }
+    }.toSet
+  }
+
+  private def ptsDf(pts: Seq[(Long, Double, Double)]) = {
+    val s = spark; import s.implicits._
+    pts.toDF("id", "lon", "lat")
+      .select(col("id"), expr("s2_geogpoint(lon, lat)").as("g"))
+  }
+
+  test("self kNN matches brute-force ranking on a city grid") {
+    // jittered grid: mirror-symmetric point pairs are EXACTLY equidistant
+    // in real arithmetic, and the xyz-chord and haversine routes break
+    // such fp ties differently — the operator's determinism contract is
+    // (distance, id) ordering over tie-free inputs, so the fixture jitters
+    // each axis by the other index to kill the grid's mirror symmetry
+    val pts = for {
+      i <- 0 until 12; j <- 0 until 8
+    } yield ((i * 8 + j).toLong, -120.0 + i * 7.3 + 0.13 * j, -40.0 + j * 9.1 + 0.17 * i)
+    val df = ptsDf(pts)
+    val got = KnnJoin.knn(df, "id", "g", df, "id", "g", k = 3,
+        pairFilter = Some(col("id") =!= col("nbr_id")))
+      .select("id", "nbr_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === expected(pts, 3, excludeSelf = true))
+  }
+
+  test("escalation: sparse antipodal points still find their k neighbors") {
+    // two tight clusters on opposite sides of the globe plus an isolated
+    // pole point: k=4 forces every cluster member to certify locally for
+    // 3 neighbors but escalate (eventually to the broadcast fallback) for
+    // the 4th, which lives across the planet
+    val pts = Seq(
+      (0L, 10.0, 10.0), (1L, 10.01, 10.0), (2L, 10.0, 10.01), (3L, 10.022, 10.013),
+      (10L, -170.0, -10.0), (11L, -170.01, -10.0), (12L, -170.0, -10.01),
+      (20L, 0.0, 89.9))
+    val df = ptsDf(pts)
+    val got = KnnJoin.knn(df, "id", "g", df, "id", "g", k = 4,
+        pairFilter = Some(col("id") =!= col("nbr_id")))
+      .select("id", "nbr_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === expected(pts, 4, excludeSelf = true))
+  }
+
+  test("k larger than corpus emits only the ranks that exist") {
+    val pts = Seq((0L, 0.0, 0.0), (1L, 1.0, 0.0), (2L, 2.0, 0.0))
+    val df = ptsDf(pts)
+    val got = KnnJoin.knn(df, "id", "g", df, "id", "g", k = 10,
+        pairFilter = Some(col("id") =!= col("nbr_id")))
+      .select("id", "nbr_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === expected(pts, 10, excludeSelf = true))
+    assert(got.size === 6) // 3 queries x 2 available neighbors
+  }
+
+  test("asymmetric sides: left queries against a separate right corpus") {
+    val stations = Seq((100L, 0.0, 0.0), (101L, 0.5, 0.0), (102L, 5.0, 5.0))
+    val queries = Seq((0L, 0.1, 0.0), (1L, 4.9, 5.1))
+    val got = KnnJoin.knn(ptsDf(queries), "id", "g", ptsDf(stations), "id", "g", k = 1)
+      .select("id", "nbr_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === Set((0L, 100L, 1), (1L, 102L, 1)))
+  }
+
+  test("dist_m agrees with haversine within fp tolerance") {
+    val pts = Seq((0L, 0.0, 0.0), (1L, 3.0, 4.0))
+    val df = ptsDf(pts)
+    val got = KnnJoin.knn(df, "id", "g", df, "id", "g", k = 1,
+        pairFilter = Some(col("id") =!= col("nbr_id")))
+      .where(col("id") === 0L).select("dist_m").collect().head.getDouble(0)
+    val dLat = math.toRadians(4.0); val dLon = math.toRadians(3.0)
+    val s = math.pow(math.sin(dLat / 2), 2) + math.cos(0.0) * math.cos(math.toRadians(4.0)) * math.pow(math.sin(dLon / 2), 2)
+    val expectedM = 2 * 6371010.0 * math.asin(math.sqrt(s))
+    assert(math.abs(got - expectedM) / expectedM < 1e-9)
+  }
+
+  test("round caches release once a consuming query completes") {
+    val pts = (0 until 40).map(i => (i.toLong, (i % 8) * 1.0, (i / 8) * 1.0))
+    val df = ptsDf(pts)
+    val out = KnnJoin.knn(df, "id", "g", df, "id", "g", k = 2,
+      pairFilter = Some(col("id") =!= col("nbr_id")))
+    assert(out.count() === 80)
+    // the QueryExecutionListener fires asynchronously after onSuccess
+    val deadline = System.nanoTime() + 10e9.toLong
+    def cachedNow(): Int =
+      spark.sparkContext.getPersistentRDDs.count { case (_, rdd) =>
+        rdd.getStorageLevel.useMemory || rdd.getStorageLevel.useDisk }
+    while (cachedNow() > 0 && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(cachedNow() === 0, "kNN round caches must not survive the consuming query")
+  }
+}
