@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
-import org.apache.arrow.vector.ipc.ArrowFileWriter
+import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter}
 import org.apache.arrow.vector.types.{FloatingPointPrecision, TimeUnit}
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
 import org.apache.hadoop.fs.Path
@@ -160,5 +160,149 @@ object GeoArrow {
         }
       }
     }
+  }
+
+  /** SeekableByteChannel over a Hadoop FSDataInputStream — Arrow's file
+    * reader needs random access; HDFS-style streams expose it as
+    * seek/getPos. */
+  private final class FsChannel(in: org.apache.hadoop.fs.FSDataInputStream, len: Long)
+      extends java.nio.channels.SeekableByteChannel {
+    private var closed = false
+    override def read(dst: java.nio.ByteBuffer): Int = {
+      val tmp = new Array[Byte](dst.remaining())
+      val n = in.read(tmp, 0, tmp.length)
+      if (n > 0) dst.put(tmp, 0, n)
+      n
+    }
+    override def write(src: java.nio.ByteBuffer): Int = throw new UnsupportedOperationException
+    override def position(): Long = in.getPos
+    override def position(newPosition: Long): java.nio.channels.SeekableByteChannel = {
+      in.seek(newPosition); this
+    }
+    override def size(): Long = len
+    override def truncate(size: Long): java.nio.channels.SeekableByteChannel =
+      throw new UnsupportedOperationException
+    override def isOpen: Boolean = !closed
+    override def close(): Unit = { closed = true; in.close() }
+  }
+
+  /** Map an Arrow field back to the Spark type [[arrowField]] wrote. */
+  private def sparkType(f: Field): DataType = f.getType match {
+    case _: ArrowType.Binary => BinaryType
+    case _: ArrowType.Utf8 => StringType
+    case t: ArrowType.Int if t.getBitWidth == 64 => LongType
+    case t: ArrowType.Int if t.getBitWidth == 32 => IntegerType
+    case t: ArrowType.FloatingPoint if t.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
+    case _: ArrowType.Bool => BooleanType
+    case t: ArrowType.Timestamp if t.getUnit == TimeUnit.MICROSECOND => TimestampType
+    case other => throw new IllegalArgumentException(
+      s"GeoArrow source does not map Arrow type $other (column ${f.getName})")
+  }
+
+  /**
+   * Read a [[writeGeoArrow]]-layout directory of Arrow IPC part files back
+   * into a DataFrame — the ingest half of the interchange contract, so a
+   * dataset exported for GeoPandas (or produced BY an Arrow writer using
+   * the same `geoarrow.wkb` convention) round-trips without parquet in
+   * the middle. Columns tagged with the extension metadata surface it in
+   * the Spark column metadata (keys `geoarrow` = extension name,
+   * `geoarrow_meta` = extension metadata JSON); feed such columns to
+   * s2_geogfromwkb to re-enter the geography domain.
+   *
+   * Scale shape: one Spark task per IPC file (files are the writer's
+   * partitions), each streaming record batches through the Hadoop FS API
+   * — no driver collect, executor memory bounded by batch size. The
+   * driver opens only the FIRST file, for the schema.
+   */
+  def readGeoArrow(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val parts = fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".arrow"))
+      .sortBy(_.getName)
+    require(parts.nonEmpty, s"no part-*.arrow files under $dir")
+    // schema (incl. extension tags) from the first part, read on the driver
+    val arrowSchema = {
+      val allocator = new RootAllocator()
+      val ch = new FsChannel(fs.open(parts.head), fs.getFileStatus(parts.head).getLen)
+      val reader = new ArrowFileReader(ch, allocator)
+      try reader.getVectorSchemaRoot.getSchema
+      finally {
+        try reader.close() catch { case _: Throwable => () }
+        try ch.close() catch { case _: Throwable => () }
+        allocator.close()
+      }
+    }
+    val sparkFields = arrowSchema.getFields.asScala.map { f =>
+      val mb = new MetadataBuilder()
+      val ext = f.getMetadata.asScala
+      ext.get("ARROW:extension:name").foreach(mb.putString("geoarrow", _))
+      ext.get("ARROW:extension:metadata").foreach(mb.putString("geoarrow_meta", _))
+      StructField(f.getName, sparkType(f), f.isNullable, mb.build())
+    }.toSeq
+    val schema = StructType(sparkFields)
+    val types = sparkFields.map(_.dataType).toArray
+    val confEntries = conf.iterator().asScala.map(e => e.getKey -> e.getValue).toArray
+    val files = parts.map(_.toString)
+    val rdd = spark.sparkContext.parallelize(files.toIndexedSeq, files.length)
+      .mapPartitions { paths =>
+        val hconf = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => hconf.set(k, v) }
+        paths.flatMap { pathStr =>
+          val p = new Path(pathStr)
+          val pfs = p.getFileSystem(hconf)
+          val allocator = new RootAllocator()
+          val ch = new FsChannel(pfs.open(p), pfs.getFileStatus(p).getLen)
+          val reader = new ArrowFileReader(ch, allocator)
+          val vsrIn = reader.getVectorSchemaRoot
+          // batches stream lazily; close everything when the file drains
+          new Iterator[Row] {
+            private var i = 0
+            private var n = 0
+            private var open = true
+            private def advance(): Unit =
+              while (open && i >= n) {
+                if (reader.loadNextBatch()) { n = vsrIn.getRowCount; i = 0 }
+                else {
+                  open = false
+                  try reader.close() catch { case _: Throwable => () }
+                  try ch.close() catch { case _: Throwable => () }
+                  allocator.close()
+                }
+              }
+            override def hasNext: Boolean = { advance(); open }
+            override def next(): Row = {
+              advance()
+              val vals = new Array[Any](types.length)
+              var c = 0
+              while (c < types.length) {
+                val v = vsrIn.getVector(c)
+                vals(c) =
+                  if (v.isNull(i)) null
+                  else types(c) match {
+                    case BinaryType => v.asInstanceOf[VarBinaryVector].get(i)
+                    case StringType => new String(v.asInstanceOf[VarCharVector].get(i),
+                      java.nio.charset.StandardCharsets.UTF_8)
+                    case LongType => v.asInstanceOf[BigIntVector].get(i)
+                    case IntegerType => v.asInstanceOf[IntVector].get(i)
+                    case DoubleType => v.asInstanceOf[Float8Vector].get(i)
+                    case BooleanType => v.asInstanceOf[BitVector].get(i) == 1
+                    case TimestampType =>
+                      val us = v.asInstanceOf[TimeStampMicroTZVector].get(i)
+                      val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+                      ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+                      ts
+                    case _ => null
+                  }
+                c += 1
+              }
+              i += 1
+              Row.fromSeq(vals.toIndexedSeq)
+            }
+          }
+        }
+      }
+    spark.createDataFrame(rdd, schema)
   }
 }

@@ -84,6 +84,42 @@ class GeoArrowSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(seen(1L)._2 === "halifax")
   }
 
+  test("geoarrow source round-trips the sink output incl. nulls and metadata") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("geoarrow_rt").toFile.getAbsolutePath
+    val df = Seq(
+      (1L, Some("POINT (-64 45)"), Some("halifax"), Some(2.5), Some(true)),
+      (2L, Some("POINT (0 51.5)"), None, None, Some(false)),
+      (3L, Some("LINESTRING (0 0, 1 1)"), Some("seg"), Some(-1.0), None),
+      (4L, None, Some("nowhere"), Some(0.0), Some(true))
+    ).toDF("id", "wkt", "name", "score", "flag")
+      .select(col("id"),
+        expr("s2_aswkb(s2_geogfromtext(wkt))").as("geog"),
+        col("name"), col("score"), col("flag"),
+        to_timestamp(lit("2026-01-02 03:04:05.123456")).as("ts"))
+    GeoArrow.writeGeoArrow(df.repartition(2), dir, "geog")
+
+    val back = GeoArrow.readGeoArrow(spark, dir)
+    // geometry column metadata survives the trip
+    val gMeta = back.schema("geog").metadata
+    assert(gMeta.getString("geoarrow") === "geoarrow.wkb")
+    assert(gMeta.getString("geoarrow_meta") === """{"edges":"spherical"}""")
+    assert(back.schema("name").metadata.json === "{}")
+    // values: compare via a canonical projection (WKB re-parsed through the
+    // engine so byte-for-byte geometry survival is exercised end-to-end)
+    def canon(d: org.apache.spark.sql.DataFrame) = d.select(
+        col("id"),
+        expr("s2_astext(s2_geogfromwkb(geog))").as("wkt"),
+        col("name"), col("score"), col("flag"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"))
+      .collect().map(r => (0 until r.length).map(i => if (r.isNullAt(i)) null else r.get(i)).toList)
+      .sortBy(_.head.asInstanceOf[Long])
+    assert(canon(back).toList === canon(df).toList)
+    // distributed read: one task per part file
+    assert(back.rdd.getNumPartitions === new java.io.File(dir).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".arrow")))
+  }
+
   test("geoarrow sink rejects unsupported column types with a named column") {
     val s = spark; import s.implicits._
     val df = Seq((1L, Array(1.0f, 2.0f))).toDF("id", "emb")
