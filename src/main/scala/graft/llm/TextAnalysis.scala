@@ -56,6 +56,67 @@ object TextAnalysis {
     greatest(least(alphaTerm - punctPenalty + lenTerm * 0.2, lit(1.0)), lit(0.0))
   }
 
+  // ----------------------------------------------------------- gopher rules
+
+  /** Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training Gopher",
+    * arXiv:2112.11446, Table A1): the published heuristic filter suite for
+    * web-scale training corpora. Pure built-in expressions — the whole
+    * filter codegens, no UDF, so it runs at scan speed inside
+    * WholeStageCodegen and streams with zero state.
+    *
+    * Signals (struct):
+    *  - n_words, mean_word_len (rules: 50 <= n <= 100k; 3 <= mean <= 10)
+    *  - symbol_ratio: ('#' + '...') occurrences per word (rule: <= 0.1)
+    *  - bullet_frac / ellipsis_frac: lines starting with a bullet
+    *    (-, *, •) / ending with an ellipsis (rules: <= 0.9 / <= 0.3)
+    *  - alpha_word_frac: words containing an alphabetic char (rule: >= 0.8)
+    *  - n_stop: distinct hits among the required stop words (rule: >= 2;
+    *    the paper's English list is the default — corpora in another
+    *    language or domain pass their own, the knob the paper itself
+    *    turns per-language)
+    *  - passes: every rule holds */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherSignals(text: Column,
+                    requiredWords: Seq[String] = GopherStopWords): Column = {
+    val t = coalesce(text, lit(""))
+    val w = split(trim(t), "\\s+")
+    val nWords = when(length(trim(t)) === 0, lit(0)).otherwise(size(w))
+    val denom = greatest(nWords, lit(1)).cast("double")
+    val sumLen = aggregate(w, lit(0L), (acc, x) => acc + length(x))
+    val meanLen = sumLen.cast("double") / denom
+    val nHash = (length(t) - length(regexp_replace(t, "#", ""))).cast("double")
+    val nEll = ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3).cast("double")
+    val symbolRatio = (nHash + nEll) / denom
+    val lines = split(t, "\n")
+    val nLines = greatest(size(lines), lit(1)).cast("double")
+    val bulletFrac = size(filter(lines, l => {
+      val h = substring(ltrim(l), 1, 1)
+      h === "-" || h === "*" || h === "•"
+    })).cast("double") / nLines
+    val ellipsisFrac = size(filter(lines, l =>
+      rtrim(l).endsWith("...") || rtrim(l).endsWith("…"))).cast("double") / nLines
+    val alphaFrac = size(filter(w, x => x.rlike("[A-Za-z]"))).cast("double") / denom
+    val nStop = size(array_intersect(
+      array_distinct(transform(w, x => lower(x))),
+      array(requiredWords.map(lit): _*)))
+    val passes = nWords.geq(50) && nWords.leq(100000) &&
+      meanLen.geq(3.0) && meanLen.leq(10.0) &&
+      symbolRatio.leq(0.1) && bulletFrac.leq(0.9) && ellipsisFrac.leq(0.3) &&
+      alphaFrac.geq(0.8) && nStop.geq(2)
+    struct(
+      nWords.cast("long").as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(symbolRatio, 6).as("symbol_ratio"),
+      round(bulletFrac, 6).as("bullet_frac"),
+      round(ellipsisFrac, 6).as("ellipsis_frac"),
+      round(alphaFrac, 6).as("alpha_word_frac"),
+      nStop.cast("long").as("n_stop"),
+      passes.as("passes"))
+  }
+
   // ----------------------------------------------------------- language id
 
   /** Tiny trigram+stopword language model: en/de/fr/es + CJK range for zh.

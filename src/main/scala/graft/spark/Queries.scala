@@ -1719,6 +1719,64 @@ object Queries {
        |FROM docs_aug a JOIN docs_aug b ON a.text = b.text AND a.doc_id < b.doc_id
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Gopher rules (Rae et al. 2021 Table A1) over documents: every signal
+    * recomputed in DuckDB list-lambda SQL; doubles rounded to 6 in both.
+    * The required-word list is the corpus' own high-frequency vocabulary
+    * (the synthetic corpus holds at most one English Gopher stop word per
+    * doc, which would reject every row and leave the rule untested). */
+  private val gopherCorpusWords =
+    Seq("join", "hash", "row", "batch", "scan", "column", "filter", "merge")
+  private val qGopherRules = dfQ { s =>
+    s.table("documents")
+      .select(col("doc_id"),
+        TextAnalysis.gopherSignals(col("text"), gopherCorpusWords).as("g"))
+      .select(col("doc_id"), col("g.n_words").as("n_words"),
+        col("g.mean_word_len").as("mean_word_len"),
+        col("g.symbol_ratio").as("symbol_ratio"),
+        col("g.bullet_frac").as("bullet_frac"),
+        col("g.ellipsis_frac").as("ellipsis_frac"),
+        col("g.alpha_word_frac").as("alpha_word_frac"),
+        col("g.n_stop").as("n_stop"), col("g.passes").as("passes"))
+      .orderBy("doc_id")
+  }
+  private val oGopherRules =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+      |      ELSE len(regexp_split_to_array(trim(coalesce(text,'')), '\s+')) END AS n_words,
+      |    regexp_split_to_array(trim(coalesce(text,'')), '\s+') AS ws,
+      |    string_split(coalesce(text,''), chr(10)) AS lines,
+      |    coalesce(text,'') AS t
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, n_words,
+      |    greatest(n_words, 1) AS denom,
+      |    list_sum(list_transform(ws, x -> CAST(length(x) AS BIGINT))) AS sum_len,
+      |    length(t) - length(replace(t, '#', '')) AS n_hash,
+      |    (length(t) - length(replace(t, '...', ''))) // 3 AS n_ell,
+      |    len(list_filter(lines, l -> substring(ltrim(l), 1, 1) IN ('-', '*', '•'))) AS n_bullet,
+      |    len(list_filter(lines, l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…'))) AS n_ellline,
+      |    greatest(len(lines), 1) AS n_lines,
+      |    len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+      |    len(list_intersect(list_distinct(list_transform(ws, x -> lower(x))),
+      |      ['join','hash','row','batch','scan','column','filter','merge'])) AS n_stop
+      |  FROM m)
+      |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+      |  round(CAST(sum_len AS DOUBLE) / denom, 6) AS mean_word_len,
+      |  round(CAST(n_hash + n_ell AS DOUBLE) / denom, 6) AS symbol_ratio,
+      |  round(CAST(n_bullet AS DOUBLE) / n_lines, 6) AS bullet_frac,
+      |  round(CAST(n_ellline AS DOUBLE) / n_lines, 6) AS ellipsis_frac,
+      |  round(CAST(n_alpha AS DOUBLE) / denom, 6) AS alpha_word_frac,
+      |  CAST(n_stop AS BIGINT) AS n_stop,
+      |  (n_words BETWEEN 50 AND 100000
+      |    AND (CAST(sum_len AS DOUBLE) / denom) BETWEEN 3.0 AND 10.0
+      |    AND (CAST(n_hash + n_ell AS DOUBLE) / denom) <= 0.1
+      |    AND (CAST(n_bullet AS DOUBLE) / n_lines) <= 0.9
+      |    AND (CAST(n_ellline AS DOUBLE) / n_lines) <= 0.3
+      |    AND (CAST(n_alpha AS DOUBLE) / denom) >= 0.8
+      |    AND n_stop >= 2) AS passes
+      |FROM s ORDER BY doc_id""".stripMargin
+
   private val qMultimodal = dfQ { s =>
     val docs = s.table("documents")
     val media = Multimodal.fakeMediaFromText(docs, "doc_id", "text")
@@ -2415,6 +2473,7 @@ object Queries {
     ("l_text_quality", qTextQuality, Some(oTextQuality)),
     ("l_text_langid", qTextLangid, Some(oTextLangid)),
     ("l_text_fingerprint", qTextFingerprint, Some(oTextFingerprint)),
+    ("l_gopher_rules", qGopherRules, Some(oGopherRules)),
     ("l_multimodal", qMultimodal, Some(oMultimodal)),
     ("l_multimodal_resize", qMultimodalResize, Some(oMultimodalResize)),
     ("l_multimodal_decode", qMultimodalDecode, Some(oMultimodalDecode)),

@@ -605,6 +605,35 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"target-like doc ${got(0)._3} should outweigh off-target ${got(1)._3}")
   }
 
+  test("gopherSignals computes each rule's signal and the pass flag") {
+    val s = spark; import s.implicits._
+    val good = ((1 to 60).map(i => s"alpha$i the of and that").mkString(" "))
+    val docs = Seq(
+      (1L, good),                                   // 300 words, stops, clean -> passes
+      (2L, ""),                                     // empty -> n_words 0, fails
+      (3L, "- one\n- two\n- three\nplain"),         // 3/4 bullet lines
+      (4L, "start...\nmiddle...\nplain\nplain"),    // 2/4 ellipsis lines
+      (5L, "# # # tag " + (1 to 60).map(i => s"w$i the of and that").mkString(" ")), // symbols
+      (6L, "12345 67890 999 " + good)               // digit-only words dilute alpha frac
+    ).toDF("doc_id", "text")
+    val g = docs.select($"doc_id",
+        graft.llm.TextAnalysis.gopherSignals($"text").as("g"))
+      .select($"doc_id", $"g.n_words", $"g.mean_word_len", $"g.symbol_ratio",
+        $"g.bullet_frac", $"g.ellipsis_frac", $"g.alpha_word_frac", $"g.n_stop", $"g.passes")
+      .orderBy("doc_id").collect()
+    assert(g(0).getLong(1) === 300L && g(0).getBoolean(8) === true)
+    assert(g(1).getLong(1) === 0L && g(1).getBoolean(8) === false)
+    assert(g(2).getDouble(4) === 0.75)     // bullet_frac
+    assert(g(3).getDouble(5) === 0.5)      // ellipsis_frac
+    assert(g(4).getDouble(3) > 0.0 && g(4).getLong(7) === 4L)
+    assert(g(5).getDouble(6) < 1.0)        // digit words lower alpha_word_frac
+    // custom required-word list swaps the vocabulary prior
+    val custom = docs.where($"doc_id" === 1L)
+      .select(graft.llm.TextAnalysis.gopherSignals($"text", Seq("alpha1", "alpha2"))
+        .getField("n_stop")).head().getLong(0)
+    assert(custom === 2L)
+  }
+
   test("rebalanceByGroup rank is a distributed prefix sum: >1 task per group") {
     val s = spark; import s.implicits._
     val df = (0L until 40000L).map(i => (i, if (i % 2 == 0) "a" else "b"))

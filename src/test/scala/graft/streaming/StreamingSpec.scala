@@ -445,6 +445,24 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(0)._3 >= 0.0 && rows(0)._3 <= 1.0)
   }
 
+  test("gopher-rules gate filters an ingestion stream statelessly") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val input = MemoryStream[(Long, String)]
+    val good = (1 to 60).map(i => s"word$i the of and that").mkString(" ") // 300 words, stops present
+    val bad = "too short to pass"
+    val out = input.toDF().toDF("id", "text")
+      .select($"id", graft.llm.TextAnalysis.gopherSignals($"text").getField("passes").as("ok"))
+      .where($"ok")
+    val q = out.writeStream.format("memory").queryName("gopher_stream").start()
+    input.addData((1L, good), (2L, bad))
+    q.processAllAvailable()
+    val kept = spark.table("gopher_stream").as[(Long, Boolean)].collect().map(_._1).toSet
+    q.stop()
+    assert(kept === Set(1L), "the 300-word doc passes, the 4-word doc is gated out")
+  }
+
   test("stream-stream dwithin join pairs nearby events within the time window") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
