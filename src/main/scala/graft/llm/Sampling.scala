@@ -140,6 +140,38 @@ object Sampling {
       .drop("__pid", "__opid", "__ogrp", "__off")
   }
 
+  /** Deterministic global shuffle for training order: every row gets
+    * `pos` — its 0-based position in the corpus ordered by
+    * md5(seed:key) with the key as tie-break. The order depends only on
+    * (seed, key): reproducible across reruns, partitionings, and engines
+    * (the property a training run's data order needs for resumability),
+    * and a new seed is a fresh epoch-level permutation.
+    *
+    * Scale shape: range-repartition on the hash (Spark's distributed
+    * sort — every task gets a contiguous hash range), then the same
+    * two-pass prefix sum as [[capTokenBudget]]: per-partition counts,
+    * broadcast cumulative offsets, per-partition row_number. No global
+    * window, no single-reducer sort; writing the result partitionBy-free
+    * in `pos` order IS the shuffled training corpus. */
+  def shufflePositions(df: DataFrame, idCol: String, seed: String): DataFrame = {
+    val withH = df.withColumn("__h",
+      md5(concat(lit(seed + ":"), col(idCol).cast("string"))))
+    // pin the sampled range boundaries: repartitionByRange re-samples on
+    // re-execution, and the pid must be identical in both passes
+    val parts = withH.repartitionByRange(col("__h"), col(idCol)).localCheckpoint()
+    val withPid = parts.withColumn("__pid", spark_partition_id())
+    val counts = withPid.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
+    // one row per partition: the single-partition window is over a
+    // task-count-sized frame, not the corpus
+    val wOff = Window.orderBy(col("__pid"))
+    val offsets = counts.withColumn("__off", sum(col("__c")).over(wOff) - col("__c"))
+      .select(col("__pid").as("__opid"), col("__off"))
+    val wIn = Window.partitionBy(col("__pid")).orderBy(col("__h"), col(idCol))
+    withPid.join(broadcast(offsets), col("__pid") === col("__opid"))
+      .withColumn("pos", col("__off") + row_number().over(wIn) - 1)
+      .drop("__h", "__pid", "__opid", "__off")
+  }
+
   def capTokenBudget(df: DataFrame, groupCol: String, idCol: String,
                      tokenCol: String, budget: Long): DataFrame =
     withRunningSum(df, groupCol, idCol, tokenCol, "__cum")

@@ -63,10 +63,10 @@ private[spark] final case class KnnTopKOut(cnt: Long, d2: Array[Double], ids: Ar
  */
 object KnnJoin {
 
-  private val MinWidthL0Meters: Double = 0.9428090415820634 * S2EdgeDist.EarthRadiusMeters
+  private[graft] val MinWidthL0Meters: Double = 0.9428090415820634 * S2EdgeDist.EarthRadiusMeters
 
   /** Squared chord length subtended by `meters` of geodesic. */
-  private def chord2OfMeters(meters: Double): Double = {
+  private[graft] def chord2OfMeters(meters: Double): Double = {
     val half = Math.min(meters / S2EdgeDist.EarthRadiusMeters, Math.PI) / 2.0
     val c = 2.0 * Math.sin(half)
     c * c
@@ -138,6 +138,12 @@ object KnnJoin {
       if (stats == null) 1e6
       else stats.rowCount.map(_.toDouble)
         .getOrElse((stats.sizeInBytes / 64).toDouble.max(1.0))
+    levelForCount(n, k)
+  }
+
+  /** Finest level whose 3×3 neighborhood still expects ≥ ~4k of `n`
+    * uniformly-spread points. Shared with the stream-static enrich. */
+  private[graft] def levelForCount(n: Double, k: Int): Int = {
     // expected candidates in 9 cells at level L: 9 * n / (6 * 4^L) >= 4k
     var l = 0
     while (l < 12 && 9.0 * n / (6.0 * Math.pow(4.0, l + 1)) >= 4.0 * k) l += 1

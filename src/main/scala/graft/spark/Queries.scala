@@ -935,6 +935,33 @@ object Queries {
        |  FROM d) r
        |WHERE rank <= 3 ORDER BY id, nbr_id""".stripMargin
 
+  /** Bench-shaped kNN: a bounded query side (1/149 of the points) against
+    * the full corpus keeps the all-pairs haversine oracle tractable at
+    * bench SFs, so the artifact records a Spark-vs-DuckDB ratio for the
+    * operator; aggregated output (count + id/rank sums) stays one row. */
+  private val qKnnBench = (s: SparkSession, dir: String) => {
+    prep(s, dir)
+    val pts = s.sql("SELECT id, s2_geogpoint(lon, lat) AS g FROM jpts")
+    val queries = pts.where(col("id") % 149 === 0)
+    KnnJoin.knn(queries, "id", "g", pts, "id", "g", k = 3,
+        pairFilter = Some(col("id") =!= col("nbr_id")))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("nbr_id")).cast("long").as("sum_nbr"),
+        sum(col("rank")).cast("long").as("sum_rank"))
+  }
+  private val oKnnBench =
+    s"""WITH $oracleJpts,
+       |d AS (SELECT a.id, b.id AS nbr_id,
+       |  2*6371010*asin(sqrt(sin(radians(b.lat-a.lat)/2)^2 +
+       |    cos(radians(a.lat))*cos(radians(b.lat))*sin(radians(b.lon-a.lon)/2)^2)) AS dist
+       |  FROM jpts a JOIN jpts b ON a.id % 149 = 0 AND a.id <> b.id),
+       |r AS (SELECT id, nbr_id,
+       |    row_number() OVER (PARTITION BY id ORDER BY dist, nbr_id) AS rk
+       |  FROM d)
+       |SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(nbr_id) AS BIGINT) AS sum_nbr,
+       |  CAST(sum(rk) AS BIGINT) AS sum_rank
+       |FROM r WHERE rk <= 3""".stripMargin
+
   /** Batch twin of the STREAM-STREAM distance join
     * (graft.streaming.GeoEnrich.dwithinJoin): on batch frames the
     * watermark nodes fold away and the identical plan runs — cell-ring
@@ -1224,6 +1251,18 @@ object Queries {
        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM filtered) AS n_filtered,
        |       (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_kept,
        |       (SELECT CAST(sum(n_tok) AS BIGINT) FROM kept) AS n_tokens""".stripMargin
+
+  /** Deterministic global shuffle: distributed md5-order positions must
+    * equal DuckDB's single-node row_number over the same ordering. */
+  private val qShuffle = dfQ { s =>
+    Sampling.shufflePositions(s.table("documents"), "doc_id", "s42")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+      .orderBy("doc_id")
+  }
+  private val oShuffle =
+    """SELECT doc_id,
+      |  CAST(row_number() OVER (ORDER BY md5('s42:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Deterministic hash split + sample: assignment depends only on the
     * key's md5, so both engines compute the identical row sets. */
@@ -2429,6 +2468,7 @@ object Queries {
     ("t_dwithin_join", qDwithinJoin, Some(oDwithinJoin)),
     ("t_dwithin_join_sql", qDwithinJoinSql, Some(oDwithinJoin)),
     ("t_knn_join", qKnnJoin, Some(oKnnJoin)),
+    ("b_knn", qKnnBench, Some(oKnnBench)),
     ("b_stream_dwithin", qStreamDwithin, Some(oStreamDwithin)),
     ("t_distance", qDistanceScale, Some(oDistanceScale)),
     ("t_covering", qCoveringScale, Some(oCoveringScale)),
@@ -2443,6 +2483,7 @@ object Queries {
     ("l_dedup_resolve", qDedupResolve, Some(oDedupResolve)),
     ("l_pipeline", qPipeline, Some(oPipeline)),
     ("l_sample", qSample, Some(oSample)),
+    ("l_shuffle", qShuffle, Some(oShuffle)),
     ("l_token_budget", qTokenBudget, Some(oTokenBudget)),
     ("l_decontam", qDecontam, Some(oDecontam)),
     ("l_decontam_fuzzy", qDecontamFuzzy, Some(oDecontamFuzzy)),
@@ -2496,5 +2537,5 @@ object Queries {
     "l_dedup_minhash", "l_dedup_simhash", "l_ann_top1", "l_ann_ivf", "l_text_tokens",
     "l_dup_spans", "l_dup_span_removal", "l_decontam_fuzzy", "l_decontam_bloom",
     "b_tpch_q1", "b_tpch_q3", "b_tpch_q5", "b_events_sessions",
-    "b_events_asof", "b_interval_join")
+    "b_events_asof", "b_interval_join", "b_knn")
 }

@@ -35,6 +35,121 @@ object GeoEnrich {
   }
 
   /**
+   * Stream-static k-nearest-neighbor enrichment: tag each streaming point
+   * event with its k nearest points from a STATIC corpus (stations,
+   * cities, POIs) — the streaming twin of [[graft.spark.KnnJoin.knn]],
+   * which cannot run on a stream (its certification loop is a driver-side
+   * multi-job escalation).
+   *
+   * The static corpus is collected and broadcast (the bounded small-side
+   * contract of [[enrichPoints]] / [[graft.llm.Ann.bruteForceTopK]]'s
+   * query side) together with a level-L cell index built once on the
+   * driver; each event then runs the SAME certified expanding-neighborhood
+   * search as the batch join — 3×3 ring probe at level L, k-bounded
+   * insertion, kMinWidth certification, level-coarsening escalation,
+   * full-scan fallback — entirely inside one stateless scalar UDF, so the
+   * operator needs no watermark, keeps no state, and joins nothing: at
+   * stream scale the cost is O(candidates-in-ring) per event against an
+   * in-memory index. Ranking is identical to the batch join (squared
+   * chord, (dist, id) tie-break), so batch replays of the stream agree
+   * bit-for-bit — spec-pinned against KnnJoin.knn.
+   *
+   * Output: input rows exploded to k rows each with `nbr_id`, `rank`
+   * (1..k), `dist_m`; events keep fewer than k rows when the corpus is
+   * smaller than k. The same call works on batch frames.
+   */
+  def knnEnrich(events: DataFrame, lonCol: String, latCol: String,
+                corpus: DataFrame, idCol: String, geogCol: String,
+                k: Int): DataFrame = {
+    require(k >= 1 && k <= 1024, s"knnEnrich(): k must be in 1..1024, got $k")
+    val spark = events.sparkSession
+    S2Functions.ensureRegistered(spark)
+    import spark.implicits._
+    // non-point / null geographies drop, like the batch join
+    val rows = corpus
+      .select(col(idCol).cast("long").as("id"),
+        call_function("s2_point_xyz", col(geogCol)).as("xyz"))
+      .where(size(col("xyz")) === 3)
+      .as[(Long, Array[Double])].collect()
+    val n = rows.length
+    val ids = new Array[Long](n)
+    val xs = new Array[Double](n); val ys = new Array[Double](n); val zs = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      ids(i) = rows(i)._1
+      xs(i) = rows(i)._2(0); ys(i) = rows(i)._2(1); zs(i) = rows(i)._2(2)
+      i += 1
+    }
+    val level = graft.spark.KnnJoin.levelForCount(n.toDouble.max(1.0), k)
+    val buckets = new java.util.HashMap[java.lang.Long, scala.collection.mutable.ArrayBuffer[Int]]()
+    i = 0
+    while (i < n) {
+      val c = graft.core.S2CellId.parent(graft.core.S2CellId.fromPoint(xs(i), ys(i), zs(i)), level)
+      var b = buckets.get(c)
+      if (b == null) { b = scala.collection.mutable.ArrayBuffer[Int](); buckets.put(c, b) }
+      b += i
+      i += 1
+    }
+    val index = new java.util.HashMap[java.lang.Long, Array[Int]]()
+    buckets.forEach((c, b) => { index.put(c, b.toArray); () })
+    val bc = spark.sparkContext.broadcast((ids, xs, ys, zs, index, level))
+
+    val knnFn = udf((lon: Double, lat: Double) => {
+      val (bIds, bXs, bYs, bZs, bIdx, l0) = bc.value
+      val p = graft.core.S2Point.fromLatLngDegrees(lat, lon)
+      val c30 = graft.core.S2CellId.fromPoint(p.x, p.y, p.z)
+      val kd = new Array[Double](k); val ki = new Array[Long](k)
+      var kept = 0
+      def scan(cands: Iterator[Int]): Unit = cands.foreach { idx =>
+        val dx = p.x - bXs(idx); val dy = p.y - bYs(idx); val dz = p.z - bZs(idx)
+        val d2 = dx * dx + dy * dy + dz * dz
+        val id = bIds(idx)
+        if (kept < k || d2 < kd(kept - 1) || (d2 == kd(kept - 1) && id < ki(kept - 1))) {
+          // insertion by (d2, id)
+          var lo = 0; var hi = kept
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (kd(mid) < d2 || (kd(mid) == d2 && ki(mid) < id)) lo = mid + 1 else hi = mid
+          }
+          val last = Math.min(kept, k - 1)
+          var j = last
+          while (j > lo) { kd(j) = kd(j - 1); ki(j) = ki(j - 1); j -= 1 }
+          if (lo < k) { kd(lo) = d2; ki(lo) = id; if (kept < k) kept += 1 }
+        }
+      }
+      var lvl = l0
+      var done = false
+      while (!done && lvl >= 0) {
+        kept = 0
+        val cells = graft.spark.S2Functions.cellsWithNeighborsRing(
+          Array(graft.core.S2CellId.parent(c30, lvl)), 1)
+        var ci = 0
+        while (ci < cells.length) {
+          val arr = bIdx.get(cells(ci))
+          if (arr != null) scan(arr.iterator)
+          ci += 1
+        }
+        val bound = graft.spark.KnnJoin.chord2OfMeters(
+          graft.spark.KnnJoin.MinWidthL0Meters / (1L << lvl))
+        if (kept >= k && kd(k - 1) <= bound) done = true
+        else lvl -= 1
+      }
+      if (!done) { kept = 0; scan((0 until bIds.length).iterator) } // full-scan fallback
+      (0 until kept).map { r =>
+        val dist = Math.asin(Math.min(Math.sqrt(kd(r)) / 2.0, 1.0)) * 2.0 *
+          graft.core.S2EdgeDist.EarthRadiusMeters
+        (ki(r), r + 1, dist)
+      }
+    })
+    events
+      .withColumn("__knn", explode(knnFn(col(lonCol).cast("double"), col(latCol).cast("double"))))
+      .withColumn("nbr_id", col("__knn._1"))
+      .withColumn("rank", col("__knn._2"))
+      .withColumn("dist_m", col("__knn._3"))
+      .drop("__knn")
+  }
+
+  /**
    * Stream-stream distance join: pairs of point events from two streams
    * that are within `meters` of each other AND within `windowSeconds` of
    * event time — the streaming twin of [[graft.spark.S2Join.dwithin]].

@@ -634,6 +634,27 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(custom === 2L)
   }
 
+  test("shufflePositions is a deterministic permutation from a distributed sort") {
+    val s = spark; import s.implicits._
+    val df = (0L until 5000L).map(i => (i, s"doc$i")).toDF("id", "payload")
+    val out = Sampling.shufflePositions(df, "id", "seedA")
+    val positions = out.select("pos").as[Long].collect().sorted
+    assert(positions === (0L until 5000L).toArray, "pos is a 0-based permutation")
+    // deterministic: same (seed, key) -> same position, under any partitioning
+    val again = Sampling.shufflePositions(df.repartition(13), "id", "seedA")
+      .select("id", "pos").as[(Long, Long)].collect().toMap
+    val first = out.select("id", "pos").as[(Long, Long)].collect().toMap
+    assert(again === first)
+    // a different seed is a different permutation
+    val other = Sampling.shufflePositions(df, "id", "seedB")
+      .select("id", "pos").as[(Long, Long)].collect().toMap
+    assert(other !== first)
+    // the order work is distributed: the rank window is __pid-scoped (a
+    // global, partition-less window would collapse the sort into one task)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("__pid"), s"rank window not partition-id-scoped:\n$plan")
+  }
+
   test("rebalanceByGroup rank is a distributed prefix sum: >1 task per group") {
     val s = spark; import s.implicits._
     val df = (0L until 40000L).map(i => (i, if (i % 2 == 0) "a" else "b"))

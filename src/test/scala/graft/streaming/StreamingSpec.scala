@@ -463,6 +463,50 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept === Set(1L), "the 300-word doc passes, the 4-word doc is gated out")
   }
 
+  test("knnEnrich on a batch frame equals the batch KnnJoin bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    graft.spark.S2Functions.ensureRegistered(s)
+    val rnd = new scala.util.Random(7)
+    val corpusPts = (0 until 80).map(i =>
+      (100L + i, rnd.nextDouble() * 360 - 180, rnd.nextDouble() * 160 - 80))
+    val eventPts = (0 until 25).map(i =>
+      (i.toLong, rnd.nextDouble() * 360 - 180, rnd.nextDouble() * 160 - 80))
+    val corpus = corpusPts.toDF("id", "lon", "lat")
+      .select($"id", org.apache.spark.sql.functions.expr("s2_geogpoint(lon, lat)").as("g"))
+    val events = eventPts.toDF("event_id", "lon", "lat")
+    val enriched = GeoEnrich.knnEnrich(events, "lon", "lat", corpus, "id", "g", k = 3)
+      .select($"event_id", $"nbr_id", $"rank", $"dist_m")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val eventGeog = events.select($"event_id",
+      org.apache.spark.sql.functions.expr("s2_geogpoint(lon, lat)").as("g"))
+    val batch = graft.spark.KnnJoin.knn(eventGeog, "event_id", "g", corpus, "id", "g", k = 3)
+      .select($"event_id", $"nbr_id", $"rank", $"dist_m")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(enriched === batch)
+  }
+
+  test("knnEnrich tags a stream statelessly with its nearest corpus points") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    graft.spark.S2Functions.ensureRegistered(s)
+    val corpus = Seq((100L, 0.0, 0.0), (101L, 0.5, 0.0), (102L, 120.0, 45.0))
+      .toDF("id", "lon", "lat")
+      .select($"id", org.apache.spark.sql.functions.expr("s2_geogpoint(lon, lat)").as("g"))
+    val input = MemoryStream[(Long, Double, Double)]
+    val out = GeoEnrich.knnEnrich(input.toDF().toDF("event_id", "lon", "lat"),
+      "lon", "lat", corpus, "id", "g", k = 1)
+    val q = out.writeStream.format("memory").queryName("knn_stream").start()
+    input.addData((1L, 0.1, 0.0), (2L, 119.0, 44.0))
+    q.processAllAvailable()
+    val got = spark.table("knn_stream")
+      .select("event_id", "nbr_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    q.stop()
+    assert(got === Set((1L, 100L, 1), (2L, 102L, 1)))
+  }
+
   test("stream-stream dwithin join pairs nearby events within the time window") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
