@@ -115,6 +115,35 @@ object GeoParquet {
     }
   }
 
+  /** Read a GeoParquet dataset with the geometry column self-described:
+    * plain `spark.read.parquet` (full pushdown/pruning/vectorized scan —
+    * the footer stamp changed no data pages), plus the `geo` footer's
+    * primary column surfaced as Spark column metadata (keys
+    * `geoparquet` = the footer JSON, mirroring how
+    * [[GeoArrow.readGeoArrow]] surfaces the Arrow extension tags), so
+    * downstream code can locate the WKB column without out-of-band
+    * knowledge and feed it to s2_geogfromwkb. Datasets without a `geo`
+    * footer read unchanged. */
+  def readGeoParquet(spark: SparkSession, dir: String): DataFrame = {
+    val df = spark.read.parquet(dir)
+    readGeoMetadata(spark, dir) match {
+      case None => df
+      case Some(json) =>
+        val primary = "\"primary_column\"\\s*:\\s*\"([^\"]+)\"".r
+          .findFirstMatchIn(json).map(_.group(1))
+        primary.filter(df.schema.fieldNames.contains) match {
+          case None => df
+          case Some(geomCol) =>
+            val meta = new org.apache.spark.sql.types.MetadataBuilder()
+              .putString("geoparquet", json).build()
+            df.select(df.schema.fieldNames.map { f =>
+              if (f == geomCol) org.apache.spark.sql.functions.col(f).as(f, meta)
+              else org.apache.spark.sql.functions.col(f)
+            }.toIndexedSeq: _*)
+        }
+    }
+  }
+
   /** Read back the `geo` footer JSON of the first part file under `dir`
     * (None when absent) — the read half of the interop contract. */
   def readGeoMetadata(spark: SparkSession, dir: String): Option[String] = {

@@ -103,6 +103,25 @@ class WkbParquetSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a leftover dot-prefixed .geo-bak must not be double-counted")
   }
 
+  test("readGeoParquet surfaces the geo footer as column metadata") {
+    val dir = Files.createTempDirectory("graft_geopq_read").toString
+    val out = s"$dir/cities_geo.parquet"
+    val df = spark.sql(
+      "SELECT name, s2_aswkb(geog) AS geometry FROM s2_data_cities")
+    GeoParquet.writeGeoParquet(df, out, "geometry")
+    val back = GeoParquet.readGeoParquet(spark, out)
+    val meta = back.schema("geometry").metadata
+    assert(meta.contains("geoparquet"), "geometry column must carry the footer")
+    assert(meta.getString("geoparquet").contains("\"primary_column\":\"geometry\""))
+    assert(back.schema("name").metadata.json === "{}")
+    assert(back.count() === 243)
+    // a dataset without the footer reads unchanged
+    val plainOut = s"$dir/plain.parquet"
+    df.write.parquet(plainOut)
+    val plain = GeoParquet.readGeoParquet(spark, plainOut)
+    assert(plain.schema("geometry").metadata.json === "{}")
+  }
+
   test("geo footer stamp reaches part files inside partitionBy subdirectories") {
     val dir = Files.createTempDirectory("graft_geopart").toString
     val out = s"$dir/cities_geo_by_cell"
