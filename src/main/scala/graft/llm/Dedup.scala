@@ -178,6 +178,38 @@ object Dedup {
       minhashSignature(col(textCol), numHashes).as("sig")), numHashes, bands)
   }
 
+  /** LSH candidate pairs VERIFIED by exact word-set Jaccard — the
+    * standard two-stage near-dedup (candidate generation by banding,
+    * then exact verification on the candidate set only): a pair
+    * survives iff |A ∩ B| * 1000 >= minJaccardPermille * |A ∪ B| over
+    * the docs' distinct word sets. The threshold is integer permille so
+    * the cut is EXACT — no float boundary can disagree across engines.
+    * Output: (id_a, id_b, n_common, n_union); jaccard = n_common/n_union.
+    *
+    * Scale shape: candidates come from the banded equi-join (never
+    * all-pairs); the word arrays are then attached by two id equi-joins
+    * and the intersect/union sizes are per-pair codegen array ops —
+    * verification cost is O(candidates × doc length), the candidate set
+    * being LSH-small is the whole point of the two-stage design. */
+  def verifiedNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                           numHashes: Int = 64, bands: Int = 8,
+                           minJaccardPermille: Int = 700): DataFrame = {
+    require(minJaccardPermille >= 0 && minJaccardPermille <= 1000,
+      s"minJaccardPermille must be in 0..1000, got $minJaccardPermille")
+    val cands = minhashCandidatePairs(df, idCol, textCol, numHashes, bands)
+    val words = df.select(col(idCol),
+      array_distinct(filter(split(trim(col(textCol)), "\\s+"), w => w =!= "")).as("__ws"))
+    cands
+      .join(words.select(col(idCol).as("id_a"), col("__ws").as("__wa")), "id_a")
+      .join(words.select(col(idCol).as("id_b"), col("__ws").as("__wb")), "id_b")
+      .withColumn("n_common", size(array_intersect(col("__wa"), col("__wb"))))
+      .withColumn("n_union", size(array_union(col("__wa"), col("__wb"))))
+      .where(col("n_common") * 1000 >= lit(minJaccardPermille) * col("n_union"))
+      .select(col("id_a"), col("id_b"),
+        col("n_common").cast("long").as("n_common"),
+        col("n_union").cast("long").as("n_union"))
+  }
+
   /** Estimated jaccard from two signatures (fraction of equal components). */
   def minhashJaccardEstimate(sigA: Column, sigB: Column): Column =
     aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),

@@ -1135,6 +1135,33 @@ object Queries {
        |WHERE a.canon = b.canon
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Two-stage near-dedup: LSH candidates verified by EXACT word-set
+    * Jaccard at 700 permille — the DuckDB oracle replays the identical
+    * minhash chain AND the identical integer-permille cut, so the
+    * verified pair set (with exact intersect/union sizes) must match
+    * row-for-row. The Spark side uses 4 bands to match the shared chain. */
+  private val qDedupVerified = dfQ { s =>
+    Dedup.verifiedNearDupPairs(s.table("docs_aug"), "doc_id", "text",
+        numHashes = 64, bands = 4, minJaccardPermille = 700)
+      .orderBy("id_a", "id_b")
+  }
+  private val oDedupVerified =
+    s"""WITH $oracleDocsAug,
+       |${oracleMinhashChain("docs_aug")},
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.sub = b.sub AND a.doc_id < b.doc_id),
+       |wsets AS (SELECT doc_id,
+       |  list_distinct(list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> len(w) > 0)) AS ws
+       |  FROM docs_aug)
+       |SELECT id_a, id_b,
+       |  CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT) AS n_common,
+       |  CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS BIGINT) AS n_union
+       |FROM cands JOIN wsets a ON cands.id_a = a.doc_id JOIN wsets b ON cands.id_b = b.doc_id
+       |WHERE len(list_intersect(a.ws, b.ws)) * 1000 >= 700 * len(list_distinct(list_concat(a.ws, b.ws)))
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** Shingle-MinHash candidates restricted to byte-identical pairs ==
     * exact dup set (identical texts share every shingle, so every planted
     * dup must surface as a candidate in all bands). */
@@ -2478,6 +2505,7 @@ object Queries {
     ("l_dedup_pairs", qDedupPairs, Some(oDedupPairs)),
     ("l_dedup_minhash", qDedupMinhash, Some(oDedupMinhash)),
     ("l_dedup_minhash_shingle", qDedupMinhashShingle, Some(oDedupPairs)),
+    ("l_dedup_verified", qDedupVerified, Some(oDedupVerified)),
     ("l_dedup_simhash", qDedupSimhash, Some(oDedupPairs)),
     ("l_dedup_clusters", qDedupClusters, Some(oDedupClusters)),
     ("l_dedup_resolve", qDedupResolve, Some(oDedupResolve)),
