@@ -1279,6 +1279,105 @@ object Queries {
        |       (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_kept,
        |       (SELECT CAST(sum(n_tok) AS BIGINT) FROM kept) AS n_tokens""".stripMargin
 
+  /** Capstone pipeline composing the round-12 operators end-to-end:
+    * Gopher quality gate → two-stage verified near-dedup (greedy
+    * keep-first: drop the higher id of every verified pair) → 8-gram
+    * decontamination against the eval half → hash split → deterministic
+    * global shuffle → per-split corpus stats. Every stage is the
+    * production operator; the oracle replays the whole pipeline in one
+    * DuckDB SQL from the proven per-stage fragments. */
+  private val qPipeline2 = dfQ { s =>
+    val docs = s.table("documents")
+    val gated = docs.where(
+      TextAnalysis.gopherSignals(col("text"), gopherCorpusWords).getField("passes"))
+    val pairs = Dedup.verifiedNearDupPairs(gated, "doc_id", "text",
+      numHashes = 64, bands = 4, minJaccardPermille = 950)
+    val kept = gated.join(pairs.select(col("id_b").as("__drop")).distinct(),
+      col("doc_id") === col("__drop"), "left_anti")
+    val ev = docs.where(col("doc_id") % 2 === 0)
+    val train = kept.where(col("doc_id") % 2 === 1)
+    val contam = TextAnalysis.contaminationPairs(train, ev, "doc_id", "text", n = 8)
+      .select(col("train_id").as("__cid")).distinct()
+    val clean = train.join(contam, col("doc_id") === col("__cid"), "left_anti")
+    // 150-permille shares (vs the production 50) so the ~90 surviving
+    // docs populate all three splits and the oracle row tests them
+    val split = Sampling.assignSplit(clean, "doc_id", valPermille = 150, testPermille = 150)
+    val shuffled = Sampling.shufflePositions(split, "doc_id", "ep0")
+    shuffled.groupBy("split").agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text"))).cast("long").as("n_tokens"),
+        min(col("pos")).cast("long").as("min_pos"))
+      .orderBy("split")
+  }
+  private val oPipeline2 =
+    s"""WITH gm AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+       |      ELSE len(regexp_split_to_array(trim(coalesce(text,'')), '\\s+')) END AS n_words,
+       |    regexp_split_to_array(trim(coalesce(text,'')), '\\s+') AS gws,
+       |    string_split(coalesce(text,''), chr(10)) AS glines,
+       |    coalesce(text,'') AS gt
+       |  FROM documents),
+       |gs AS (
+       |  SELECT doc_id, text, n_words,
+       |    greatest(n_words, 1) AS denom,
+       |    list_sum(list_transform(gws, x -> CAST(length(x) AS BIGINT))) AS sum_len,
+       |    length(gt) - length(replace(gt, '#', '')) AS n_hash,
+       |    (length(gt) - length(replace(gt, '...', ''))) // 3 AS n_ell,
+       |    len(list_filter(glines, l -> substring(ltrim(l), 1, 1) IN ('-', '*', '•'))) AS n_bullet,
+       |    len(list_filter(glines, l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…'))) AS n_ellline,
+       |    greatest(len(glines), 1) AS n_lines,
+       |    len(list_filter(gws, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+       |    len(list_intersect(list_distinct(list_transform(gws, x -> lower(x))),
+       |      ['join','hash','row','batch','scan','column','filter','merge'])) AS n_stop
+       |  FROM gm),
+       |gated AS (
+       |  SELECT doc_id, text FROM gs
+       |  WHERE n_words BETWEEN 50 AND 100000
+       |    AND (CAST(sum_len AS DOUBLE) / denom) BETWEEN 3.0 AND 10.0
+       |    AND (CAST(n_hash + n_ell AS DOUBLE) / denom) <= 0.1
+       |    AND (CAST(n_bullet AS DOUBLE) / n_lines) <= 0.9
+       |    AND (CAST(n_ellline AS DOUBLE) / n_lines) <= 0.3
+       |    AND (CAST(n_alpha AS DOUBLE) / denom) >= 0.8
+       |    AND n_stop >= 2),
+       |${oracleMinhashChain("gated")},
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.sub = b.sub AND a.doc_id < b.doc_id),
+       |wsets AS (SELECT doc_id,
+       |  list_distinct(list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> len(w) > 0)) AS ws
+       |  FROM gated),
+       |vdrop AS (
+       |  SELECT DISTINCT id_b FROM cands
+       |  JOIN wsets a ON cands.id_a = a.doc_id JOIN wsets b ON cands.id_b = b.doc_id
+       |  WHERE len(list_intersect(a.ws, b.ws)) * 1000 >= 950 * len(list_distinct(list_concat(a.ws, b.ws)))),
+       |kept AS (SELECT doc_id, text FROM gated WHERE doc_id NOT IN (SELECT id_b FROM vdrop)),
+       |dw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS dws
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |dgrams AS (SELECT doc_id, array_to_string(dws[i:i+7], ' ') AS g
+       |  FROM dw, LATERAL unnest(generate_series(1, greatest(len(dws) - 7, 0))) t(i)),
+       |contam AS (
+       |  SELECT DISTINCT t.doc_id FROM dgrams t JOIN dgrams e ON t.g = e.g
+       |  WHERE t.doc_id % 2 = 1 AND e.doc_id % 2 = 0
+       |    AND t.doc_id IN (SELECT doc_id FROM kept)),
+       |clean AS (
+       |  SELECT doc_id, text FROM kept
+       |  WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM contam)),
+       |lab AS (SELECT doc_id, text,
+       |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 1000 < 150 THEN 'test'
+       |         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 1000 < 300 THEN 'val'
+       |         ELSE 'train' END AS split
+       |  FROM clean),
+       |pos AS (SELECT doc_id, split, text,
+       |    row_number() OVER (ORDER BY md5('ep0:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+       |  FROM lab)
+       |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+       |    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS n_tokens,
+       |  CAST(min(pos) AS BIGINT) AS min_pos
+       |FROM pos GROUP BY split ORDER BY split""".stripMargin
+
   /** Deterministic global shuffle: distributed md5-order positions must
     * equal DuckDB's single-node row_number over the same ordering. */
   private val qShuffle = dfQ { s =>
@@ -2510,6 +2609,7 @@ object Queries {
     ("l_dedup_clusters", qDedupClusters, Some(oDedupClusters)),
     ("l_dedup_resolve", qDedupResolve, Some(oDedupResolve)),
     ("l_pipeline", qPipeline, Some(oPipeline)),
+    ("l_pipeline2", qPipeline2, Some(oPipeline2)),
     ("l_sample", qSample, Some(oSample)),
     ("l_shuffle", qShuffle, Some(oShuffle)),
     ("l_token_budget", qTokenBudget, Some(oTokenBudget)),
