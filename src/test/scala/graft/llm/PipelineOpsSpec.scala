@@ -605,6 +605,33 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"target-like doc ${got(0)._3} should outweigh off-target ${got(1)._3}")
   }
 
+  test("verifiedNearDupPairs: exact threshold holds; word-set-identical pairs guaranteed") {
+    val s = spark; import s.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base),                                   // identical word set to 2
+      (2L, "kappa " + base),                        // same set, reordered+dup word
+      (3L, base + " lambda"),                       // 10/11 = 909 permille vs 1,2
+      (4L, base.split(" ").take(5).mkString(" ")),  // 5/10 = 500 vs 1
+      (5L, "unrelated words entirely different from others")
+    ).toDF("doc_id", "text")
+    val got = Dedup.verifiedNearDupPairs(docs, "doc_id", "text",
+        numHashes = 64, bands = 8, minJaccardPermille = 900)
+      .select("id_a", "id_b", "n_common", "n_union")
+      .as[(Long, Long, Long, Long)].collect()
+    // the exact cut holds on every emitted pair
+    got.foreach { case (a, b, c, u) =>
+      assert(c * 1000 >= 900 * u, s"pair ($a,$b) violates the 900-permille cut: $c/$u") }
+    // identical word sets collide in every band -> guaranteed presence
+    assert(got.exists(p => p._1 == 1L && p._2 == 2L), "identical word-set pair missing")
+    val pairSet = got.map(p => (p._1, p._2)).toSet
+    assert(!pairSet.contains((1L, 4L)) && !pairSet.contains((1L, 5L)),
+      "below-threshold pairs must never be emitted")
+    // n_common/n_union are the exact word-set sizes
+    val p12 = got.find(p => p._1 == 1L && p._2 == 2L).get
+    assert(p12._3 === 10L && p12._4 === 10L)
+  }
+
   test("gopherSignals computes each rule's signal and the pass flag") {
     val s = spark; import s.implicits._
     val good = ((1 to 60).map(i => s"alpha$i the of and that").mkString(" "))
