@@ -1,7 +1,6 @@
 package graft.spark
 
-import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.core.S2EdgeDist
@@ -72,53 +71,6 @@ object KnnJoin {
     c * c
   }
 
-  /** Bounded top-k accumulator over (d2, id) candidate pairs — buffer
-    * state never exceeds k entries, so map-side partials stay k-bounded
-    * regardless of cell density. */
-  private final class TopKAgg(k: Int)
-      extends Aggregator[(Double, Long), KnnTopKBuf, KnnTopKOut] {
-    override def zero: KnnTopKBuf = KnnTopKBuf(0L, Array.emptyDoubleArray, Array.emptyLongArray)
-
-    private def insert(b: KnnTopKBuf, d2: Double, id: Long): KnnTopKBuf = {
-      val n = b.d2.length
-      if (n >= k && (d2 > b.d2(n - 1) || (d2 == b.d2(n - 1) && id >= b.ids(n - 1))))
-        return KnnTopKBuf(b.cnt + 1, b.d2, b.ids)
-      // binary search for the insertion point by (d2, id)
-      var lo = 0; var hi = n
-      while (lo < hi) {
-        val mid = (lo + hi) >>> 1
-        if (b.d2(mid) < d2 || (b.d2(mid) == d2 && b.ids(mid) < id)) lo = mid + 1 else hi = mid
-      }
-      val m = Math.min(n + 1, k)
-      val nd = new Array[Double](m); val ni = new Array[Long](m)
-      System.arraycopy(b.d2, 0, nd, 0, lo); System.arraycopy(b.ids, 0, ni, 0, lo)
-      nd(lo) = d2; ni(lo) = id
-      val tail = m - lo - 1
-      if (tail > 0) { System.arraycopy(b.d2, lo, nd, lo + 1, tail); System.arraycopy(b.ids, lo, ni, lo + 1, tail) }
-      KnnTopKBuf(b.cnt + 1, nd, ni)
-    }
-
-    override def reduce(b: KnnTopKBuf, in: (Double, Long)): KnnTopKBuf = insert(b, in._1, in._2)
-
-    override def merge(a: KnnTopKBuf, b: KnnTopKBuf): KnnTopKBuf = {
-      val m = Math.min(a.d2.length + b.d2.length, k)
-      val nd = new Array[Double](m); val ni = new Array[Long](m)
-      var i = 0; var j = 0; var o = 0
-      while (o < m) {
-        val takeA = j >= b.d2.length || (i < a.d2.length &&
-          (a.d2(i) < b.d2(j) || (a.d2(i) == b.d2(j) && a.ids(i) <= b.ids(j))))
-        if (takeA) { nd(o) = a.d2(i); ni(o) = a.ids(i); i += 1 }
-        else { nd(o) = b.d2(j); ni(o) = b.ids(j); j += 1 }
-        o += 1
-      }
-      KnnTopKBuf(a.cnt + b.cnt, nd, ni)
-    }
-
-    override def finish(b: KnnTopKBuf): KnnTopKOut = KnnTopKOut(b.cnt, b.d2, b.ids)
-    override def bufferEncoder: Encoder[KnnTopKBuf] = Encoders.product[KnnTopKBuf]
-    override def outputEncoder: Encoder[KnnTopKOut] = Encoders.product[KnnTopKOut]
-  }
-
   /** Squared chord between two xyz unit vectors (array<double> of 3). */
   private def chord2(l: Column, r: Column): Column = {
     def d(i: Int) = element_at(l, i) - element_at(r, i)
@@ -164,7 +116,7 @@ object KnnJoin {
     S2Functions.ensureRegistered(spark)
     import spark.implicits._
 
-    val topk = udaf(new TopKAgg(k))
+    val topk = TopK.boundedTopK(k)
     // level-30 point cell + unit vector, computed once per row; non-point
     // and null geographies drop (xyz size != 3)
     def keyed(df: DataFrame, id: String, geog: String, cell: String, xyz: String): DataFrame =

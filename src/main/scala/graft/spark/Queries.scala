@@ -2452,6 +2452,20 @@ object Queries {
       |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
       | FROM orders) t WHERE rn = 1 ORDER BY o_custkey""".stripMargin
 
+  /** Same result as b_top_order through the k-bounded Aggregator instead
+    * of the window: map-side partials cap at k, so the exchange carries
+    * groups × k rows — the shape that survives a hot customer with 10^9
+    * orders, where the window serializes the group into one sorting task.
+    * Shares b_top_order's oracle: the outputs must be identical. */
+  private val qTopOrderAgg = (s: SparkSession, dir: String) => {
+    prep(s, dir)
+    TopK.topKPerGroup(
+        s.table("orders").select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        Seq("o_custkey"), "o_orderkey", "o_totalprice", k = 1, descending = true)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey")
+  }
+
   private val qEventsHourly = sqlQ(
     """SELECT event_type, CAST(date_trunc('hour', ts) AS BIGINT) AS hour_epoch,
       | CAST(count(*) AS BIGINT) AS n, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
@@ -2653,6 +2667,7 @@ object Queries {
     ("b_tpch_q3", qTpchQ3, Some(oTpchQ3)),
     ("b_tpch_q5", qTpchQ5, Some(oTpchQ5)),
     ("b_top_order", qTopOrderPerCustomer, Some(oTopOrderPerCustomer)),
+    ("b_top_order_agg", qTopOrderAgg, Some(oTopOrderPerCustomer)),
     ("b_events_hourly", qEventsHourly, Some(oEventsHourly)),
     ("b_events_sessions", qEventsSessions, Some(oEventsSessions)),
     ("b_events_asof", qEventsAsof, Some(oEventsAsof)),
@@ -2665,5 +2680,5 @@ object Queries {
     "l_dedup_minhash", "l_dedup_simhash", "l_ann_top1", "l_ann_ivf", "l_text_tokens",
     "l_dup_spans", "l_dup_span_removal", "l_decontam_fuzzy", "l_decontam_bloom",
     "b_tpch_q1", "b_tpch_q3", "b_tpch_q5", "b_events_sessions",
-    "b_events_asof", "b_interval_join", "b_knn")
+    "b_events_asof", "b_interval_join", "b_knn", "b_top_order", "b_top_order_agg")
 }
