@@ -67,7 +67,11 @@ object TopK {
     override def outputEncoder: Encoder[KnnTopKOut] = Encoders.product[KnnTopKOut]
   }
 
-  private[spark] def boundedTopK(k: Int) = udaf(new BoundedTopKAgg(k))
+  /** The raw UDAF — usable directly in batch OR streaming aggregations
+    * (state per group is k entries; watermarks evict window groups).
+    * Input (score asc, id); output struct (cnt, d2 = sorted scores,
+    * ids = matching ids). */
+  private[graft] def boundedTopK(k: Int) = udaf(new BoundedTopKAgg(k))
 
   /**
    * The k best (idCol, scoreCol) rows per group. `descending = false`

@@ -463,6 +463,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept === Set(1L), "the 300-word doc passes, the 4-word doc is gated out")
   }
 
+  test("k-bounded top-k aggregator runs in a watermarked streaming window") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // continuous "top-2 events per type per hour": the same k-bounded
+    // Aggregator as batch TopK/KnnJoin inside a streaming groupBy — state
+    // per (type, window) group is k entries, watermark-evicted
+    val topk = graft.spark.TopK.boundedTopK(2)
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val out = input.toDF().toDF("id", "ts", "typ", "value")
+      .withWatermark("ts", "2 hours")
+      .groupBy($"typ", window($"ts", "1 hour"))
+      .agg(topk(negate($"value"), $"id").as("tk"))
+      .select($"typ", posexplode(arrays_zip($"tk.ids".as("i"), $"tk.d2".as("s"))).as(Seq("pos", "z")))
+      .select($"typ", $"z.i".as("id"), (col("pos") + 1).as("rank"))
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("topk_stream").start()
+    input.addData(
+      (1L, ts(10), "a", 5.0), (2L, ts(20), "a", 9.0), (3L, ts(30), "a", 7.0),
+      (4L, ts(15), "b", 1.0))
+    q.processAllAvailable()
+    val got = spark.table("topk_stream").select("typ", "id", "rank")
+      .as[(String, Long, Int)].collect().toSet
+    q.stop()
+    // top-2 by value desc for 'a' is ids 2 (9.0) then 3 (7.0); 'b' has one
+    assert(got === Set(("a", 2L, 1), ("a", 3L, 2), ("b", 4L, 1)))
+  }
+
   test("knnEnrich on a batch frame equals the batch KnnJoin bit-for-bit") {
     val s = spark
     import s.implicits._
