@@ -3,6 +3,7 @@ package graft.spark
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -129,6 +130,76 @@ object CellExpressions {
     override def prettyName: String = "s2_cell_token"
   }
 
+  /** Cast-graph natives (SURVEY §1.4): the cell <-> geography casts were the
+    * last SQL-surface functions riding ScalaUDF; these keep them inside the
+    * codegen span with the exact UDF semantics (incl. the reference's
+    * "Can't convert ..." / "Cell not valid <...>" error texts). */
+  case class S2CellCenterToGeogExpr(child: Expression) extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(cell: Any): Any =
+      S2Native.cellCenterToGeog(cell.asInstanceOf[Long])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.spark.S2Native.cellCenterToGeog($c)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "s2_cellcenter_to_geog"
+  }
+
+  case class S2CellToGeogExpr(child: Expression) extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(cell: Any): Any =
+      S2Native.cellToGeog(cell.asInstanceOf[Long])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.spark.S2Native.cellToGeog($c)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "s2_cell_to_geog"
+  }
+
+  case class S2GeogToCellCenterExpr(child: Expression) extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = LongType
+    override def nullSafeEval(b: Any): Any =
+      S2Native.geogToCellCenter(b.asInstanceOf[Array[Byte]])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.spark.S2Native.geogToCellCenter($c)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "s2_geog_to_cellcenter"
+  }
+
+  case class S2CellUnionToGeogExpr(child: Expression) extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(ids: Any): Any =
+      S2Native.cellUnionToGeog(ids.asInstanceOf[ArrayData])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.spark.S2Native.cellUnionToGeog($c)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "s2_cellunion_to_geog"
+  }
+
+  case class S2CellUnionNormalizeExpr(child: Expression) extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(ids: Any): Any =
+      S2Native.cellUnionNormalize(ids.asInstanceOf[ArrayData])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.spark.S2Native.cellUnionNormalize($c)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "s2_cellunion_normalize"
+  }
+
+  case class S2CellUnionFromListExpr(child: Expression) extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(ids: Any): Any =
+      S2Native.cellUnionFromList(ids.asInstanceOf[ArrayData])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.spark.S2Native.cellUnionFromList($c)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "s2_cellunion_from_list"
+  }
+
   /** Install native builders over the UDF fallbacks on the SQL surface. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -153,5 +224,16 @@ object CellExpressions {
     put1("s2_cell_range_max", a => S2CellRangeMaxExpr(l(a)))
     put2("s2_cell_contains", (a, b) => S2CellContainsExpr(l(a), l(b)))
     put1("s2_cell_token", a => S2CellTokenExpr(l(a)))
+    def bin(e: Expression) = if (e.dataType == BinaryType) e else Cast(e, BinaryType)
+    def arrL(e: Expression) = e.dataType match {
+      case ArrayType(LongType, _) => e
+      case _ => Cast(e, ArrayType(LongType))
+    }
+    put1("s2_cellcenter_to_geog", a => S2CellCenterToGeogExpr(l(a)))
+    put1("s2_cell_to_geog", a => S2CellToGeogExpr(l(a)))
+    put1("s2_geog_to_cellcenter", a => S2GeogToCellCenterExpr(bin(a)))
+    put1("s2_cellunion_to_geog", a => S2CellUnionToGeogExpr(arrL(a)))
+    put1("s2_cellunion_normalize", a => S2CellUnionNormalizeExpr(arrL(a)))
+    put1("s2_cellunion_from_list", a => S2CellUnionFromListExpr(arrL(a)))
   }
 }

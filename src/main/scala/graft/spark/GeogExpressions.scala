@@ -75,6 +75,46 @@ object S2Native {
   def maxDistance(a: Array[Byte], b: Array[Byte]): Double =
     Relate.maxDistanceMeters(S2Functions.shapesOf(a), S2Functions.shapesOf(b))
 
+  // ---- cast-graph kernels (SURVEY §1.4): cell <-> geography casts, promoted
+  // from the ScalaUDF fallbacks so the SQL surface stays inside codegen
+  def cellCenterToGeog(id: Long): Array[Byte] =
+    GeoCodec.encode(graft.core.Geography.CellCenter(id))
+
+  def cellToGeog(id: Long): Array[Byte] =
+    if (!S2CellId.isValid(id)) GeoCodec.encode(graft.core.Geography.Polygons(Vector.empty))
+    else GeoCodec.encode(graft.core.Geography.Polygons(Vector(Vector(S2CellId.vertices(id).toVector))))
+
+  def geogToCellCenter(b: Array[Byte]): Long =
+    if (GeoCodec.isEmptyBlob(b)) S2CellId.Sentinel
+    else if (GeoCodec.kindOf(b) == GeoCodec.KindCellCenter) GeoCodec.cellCenterIdOf(b)
+    else S2Measure.singlePoint(GeoCodec.decode(b)) match {
+      case Some(p) => S2CellId.fromPoint(p.x, p.y, p.z)
+      case None => throw new IllegalArgumentException(
+        "Can't convert geography that is not empty nor a single point to S2_CELL_CENTER")
+    }
+
+  def cellUnionToGeog(ids: ArrayData): Array[Byte] = {
+    val valid = ids.toLongArray().filter(S2CellId.isValid)
+    if (valid.isEmpty) GeoCodec.encode(graft.core.Geography.Polygons(Vector.empty))
+    else GeoCodec.encode(graft.core.Geography.Polygons(
+      valid.toVector.map(id => Vector(S2CellId.vertices(id).toVector))))
+  }
+
+  def cellUnionNormalize(ids: ArrayData): ArrayData =
+    new GenericArrayData(Covering.normalize(ids.toLongArray()))
+
+  def cellUnionFromList(ids: ArrayData): ArrayData = {
+    val arr = ids.toLongArray()
+    var i = 0
+    while (i < arr.length) {
+      if (!S2CellId.isValid(arr(i)))
+        throw new IllegalArgumentException(
+          s"Cell not valid <${S2CellId.toDebugString(arr(i))}>")
+      i += 1
+    }
+    new GenericArrayData(Covering.normalize(arr))
+  }
+
   private val EmptyXyz = new GenericArrayData(Array.emptyDoubleArray)
 
   /** Unit vector [x,y,z] of a SINGLE plain point geography; empty array for
