@@ -540,4 +540,194 @@ object Ann {
       // bucket (one row per id) and the probe side's buckets are distinct
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
   }
+
+  /**
+   * Product-quantization codebooks (Jégou, Douze & Schmid 2011, "Product
+   * Quantization for Nearest Neighbor Search"): the vector space splits
+   * into `m` equal subspaces, each with its own `ksub`-centroid codebook,
+   * so a dim-float vector compresses to m bytes — dim*4/m compression
+   * (64-dim float → 8 bytes is 32×), the storage/scan regime where a
+   * 100-TB embedding corpus becomes a ~3-TB code table.
+   *
+   * Training is driver-side Lloyd's over a BOUNDED deterministic id-hash
+   * sample (the same TakeOrderedAndProject + bounded small-side contract
+   * as [[ivfTopK]]'s coarse quantizer; PQ codebooks are sample-trained in
+   * every production system — the corpus is never collected). Sample
+   * order, init (the first ksub sample rows in hash order), and the
+   * fixed-order driver accumulation are all partitioning-independent, so
+   * the codebooks are bit-identical across runs — the l_ann_pq oracle row
+   * pins exact recall values on top of a floor assertion.
+   */
+  def pqTrain(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
+              sampleN: Int = 512, idCol: String = "vec_id",
+              vecCol: String = "embedding", iters: Int = 8): Array[Array[Array[Float]]] = {
+    require(m > 0 && ksub > 1 && ksub <= 256 && sampleN >= ksub,
+      "pqTrain: need m > 0, 1 < ksub <= 256 (byte codes), sampleN >= ksub")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .orderBy(xxhash64(col("id")).asc, col("id").asc)
+      .limit(sampleN)
+      .as[(Long, Array[Float])].collect().map(_._2)
+    require(sample.nonEmpty, "pqTrain: empty corpus")
+    val dim = sample(0).length
+    require(dim % m == 0, s"pqTrain: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    Array.tabulate(m) { j =>
+      val off = j * sub
+      val nc = math.min(ksub, sample.length)
+      val cents = Array.tabulate(nc) { c =>
+        java.util.Arrays.copyOfRange(sample(c), off, off + sub)
+      }
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(nc, sub)(0.0)
+        val counts = new Array[Long](nc)
+        sample.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue; var c = 0
+          while (c < nc) {
+            var d = 0.0; var i = 0
+            while (i < sub) { val t = v(off + i) - cents(c)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < sub) { sums(best)(i) += v(off + i); i += 1 }
+        }
+        var c = 0
+        while (c < nc) {
+          if (counts(c) > 0) {
+            var i = 0
+            while (i < sub) { cents(c)(i) = (sums(c)(i) / counts(c)).toFloat; i += 1 }
+          }
+          c += 1
+        }
+        it += 1
+      }
+      cents
+    }
+  }
+
+  /** Nearest-centroid (squared-L2) code of one vector, one byte/subspace. */
+  private def pqCode(cb: Array[Array[Array[Float]]], v: Array[Float]): Array[Byte] = {
+    val m = cb.length
+    val sub = v.length / m
+    val code = new Array[Byte](m)
+    var j = 0
+    while (j < m) {
+      val cents = cb(j); val off = j * sub
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cents.length) {
+        var d = 0.0; var i = 0
+        while (i < sub) { val t = v(off + i) - cents(c)(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      code(j) = best.toByte
+      j += 1
+    }
+    code
+  }
+
+  /** Compress each vector to its m-byte PQ code — the at-rest column a
+    * pipeline stores next to (or instead of) the raw embedding. One
+    * broadcast-codebook map pass, no shuffle; identical vectors get
+    * identical codes (the planted-copy tests rely on this). */
+  def pqEncode(df: DataFrame, codebooks: Array[Array[Array[Float]]],
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cbB = spark.sparkContext.broadcast(codebooks)
+    df.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val cb = cbB.value
+        rows.map { case (id, v) => (id, pqCode(cb, v)) }
+      }.toDF(idCol, "pq_code")
+  }
+
+  /**
+   * Approximate top-k by asymmetric distance computation (ADC) over PQ
+   * codes: cosine(q, c) ≈ dot(q, recon(c)) / (|q| · |recon(c)|), where
+   * recon(c) is the code's reconstruction — dot(q, recon(c)) is m table
+   * lookups into a per-query (m × ksub) table of subspace dot products,
+   * and |recon(c)|² is m lookups into a query-independent table of
+   * centroid squared norms. The query keeps full precision (asymmetric),
+   * so quantization error enters once, not twice.
+   *
+   * Scale shape: the corpus streams as m-byte codes (dim·4/m less scan
+   * I/O than [[bruteForceTopK]]), scoring is table lookups instead of a
+   * dim-length float loop, queries are bounded-broadcast, and the
+   * reduction is the same per-partition bounded k-heap → only
+   * partitions × |Q| × k candidate rows reach the final window.
+   */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, m: Int = 8,
+             ksub: Int = 16, sampleN: Int = 512,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cb = pqTrain(corpus, m, ksub, sampleN, idCol, vecCol)
+    val codes = pqEncode(corpus, cb, idCol, vecCol)
+    val qArr = queries.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].collect()
+    val qB = spark.sparkContext.broadcast(qArr)
+    val cbB = spark.sparkContext.broadcast(cb)
+    val cands = codes.select(col(idCol), col("pq_code")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val qs = qB.value; val cbv = cbB.value
+        val mm = cbv.length
+        // query-independent: per-centroid reconstructed squared norms
+        val cn2 = Array.tabulate(mm) { j =>
+          cbv(j).map { cent =>
+            var s = 0.0; var i = 0
+            while (i < cent.length) { s += cent(i) * cent(i); i += 1 }
+            s
+          }
+        }
+        // per-query: subspace dot-product tables + full-precision norms
+        val tabs = qs.map { case (_, qv) =>
+          val sub = qv.length / mm
+          Array.tabulate(mm) { j =>
+            val off = j * sub
+            cbv(j).map { cent =>
+              var s = 0.0; var i = 0
+              while (i < cent.length) { s += qv(off + i) * cent(i); i += 1 }
+              s
+            }
+          }
+        }
+        val qNorms = qs.map { case (_, qv) => normFn(qv) }
+        val ord = Ordering.by[(Long, Double), (Double, Long)] { case (cid, s) => (-s, cid) }
+        val heaps = Array.fill(qs.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Long, Double)](ord))
+        rows.foreach { case (cId, code) =>
+          var rn2 = 0.0; var j = 0
+          while (j < mm) { rn2 += cn2(j)(code(j) & 0xff); j += 1 }
+          val rNorm = math.sqrt(rn2)
+          var qi = 0
+          while (qi < qs.length) {
+            if (qs(qi)._1 != cId) {
+              val tab = tabs(qi)
+              var dotv = 0.0; var jj = 0
+              while (jj < mm) { dotv += tab(jj)(code(jj) & 0xff); jj += 1 }
+              val sim = if (rNorm == 0.0) 0.0 else dotv / (qNorms(qi) * rNorm)
+              val h = heaps(qi)
+              if (h.size < k) h.enqueue((cId, sim))
+              else {
+                val (wId, wSim) = h.head
+                if (sim > wSim || (sim == wSim && cId < wId)) { h.dequeue(); h.enqueue((cId, sim)) }
+              }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (cId, s) => (qs(qi)._1, cId, s) }
+        }
+      }.toDF("q_id", "c_id", "sim")
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
+    cands.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rank"))
+  }
 }

@@ -1773,6 +1773,30 @@ object Queries {
     """SELECT CAST(0.12 AS DOUBLE) AS lsh_recall, CAST(0.47 AS DOUBLE) AS ivf_recall,
       | true AS lsh_floor, true AS ivf_floor, CAST(100 AS BIGINT) AS n_pairs""".stripMargin
 
+  /** Recall@10 of product-quantization ADC search (8 subspaces × 64
+    * centroids: 64-float vectors → 8-byte codes, 32× compression — the
+    * at-rest scale path for embedding search) against exact brute force.
+    * Deterministic sample + driver Lloyd's pin the exact recall value;
+    * the floor assertion trips on a quality regression. */
+  private val qAnnPq = dfQ { s =>
+    val emb = s.table("embeddings")
+    val queries = emb.where(col("vec_id") % 50 === 0)
+    val exact = Ann.bruteForceTopK(queries, emb, 10).select("q_id", "c_id")
+    val pq = Ann.pqTopK(queries, emb, 10, ksub = 64).select("q_id", "c_id")
+    val hits = exact.join(pq, Seq("q_id", "c_id"), "left_semi")
+      .agg(count(lit(1)).cast("double").as("pq_hits"))
+    val total = exact.agg(count(lit(1)).cast("double").as("total"))
+    hits.crossJoin(total)
+      .select(
+        round(col("pq_hits") / col("total"), 4).as("pq_recall"),
+        (col("pq_hits") / col("total") >= 0.30).as("pq_floor"),
+        lit(8).as("code_bytes"), lit(256).as("raw_bytes"),
+        col("total").cast("long").as("n_pairs"))
+  }
+  private val oAnnPq =
+    """SELECT CAST(0.41 AS DOUBLE) AS pq_recall, true AS pq_floor,
+      | 8 AS code_bytes, 256 AS raw_bytes, CAST(100 AS BIGINT) AS n_pairs""".stripMargin
+
   /** Embedding near-dup: planted exact copies must be recovered by the
     * SRP-LSH bucketed pair generator (cosine(v, v) = 1 >= threshold). */
   private val qEmbedNearDup = dfQ { s =>
@@ -2661,6 +2685,7 @@ object Queries {
     ("l_multimodal_resize", qMultimodalResize, Some(oMultimodalResize)),
     ("l_multimodal_decode", qMultimodalDecode, Some(oMultimodalDecode)),
     ("l_ann_recall", qAnnRecall, Some(oAnnRecall)),
+    ("l_ann_pq", qAnnPq, Some(oAnnPq)),
     ("l_frame_sample", qFrameSample, Some(oFrameSample)),
     ("b_tpch_q1", qTpchQ1, Some(oTpchQ1)),
     ("b_tpch_q6", qTpchQ6, Some(oTpchQ6)),
@@ -2677,7 +2702,7 @@ object Queries {
   val benchNames: Seq[String] = Seq(
     "t_point_in_poly", "t_cover_refine_join", "t_cells", "t_dwithin", "t_dwithin_join",
     "t_dwithin_join_sql", "g_flagship_join", "g_flagship_broadcast",
-    "l_dedup_minhash", "l_dedup_simhash", "l_ann_top1", "l_ann_ivf", "l_text_tokens",
+    "l_dedup_minhash", "l_dedup_simhash", "l_ann_top1", "l_ann_ivf", "l_ann_pq", "l_text_tokens",
     "l_dup_spans", "l_dup_span_removal", "l_decontam_fuzzy", "l_decontam_bloom",
     "b_tpch_q1", "b_tpch_q3", "b_tpch_q5", "b_events_sessions",
     "b_events_asof", "b_interval_join", "b_knn", "b_top_order", "b_top_order_agg")

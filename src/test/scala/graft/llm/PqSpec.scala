@@ -1,0 +1,70 @@
+package graft.llm
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product-quantization ANN: codebook determinism, code identity for
+  * identical vectors, the m-byte compression contract, planted-copy
+  * recovery through ADC scoring, and a recall floor vs brute force. */
+class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", false)
+      .appName("graft-pq-test").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("pqTrain is deterministic and shaped m x ksub x dim/m") {
+    val a = Ann.pqTrain(emb, m = 8, ksub = 16, sampleN = 128)
+    val b = Ann.pqTrain(emb.repartition(7), m = 8, ksub = 16, sampleN = 128)
+    assert(a.length === 8)
+    assert(a.forall(cb => cb.length === 16 && cb.forall(_.length === 8)))
+    for (j <- a.indices; c <- a(j).indices)
+      assert(java.util.Arrays.equals(a(j)(c), b(j)(c)),
+        s"codebook ($j,$c) differs across partitionings")
+  }
+
+  test("identical vectors get identical m-byte codes") {
+    val s = spark; import s.implicits._
+    val cb = Ann.pqTrain(emb, m = 8, ksub = 16, sampleN = 128)
+    val copies = emb.where(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val codes = Ann.pqEncode(emb.select("vec_id", "embedding").unionAll(copies), cb)
+      .as[(Long, Array[Byte])].collect().toMap
+    assert(codes.values.forall(_.length === 8), "code must be m = 8 bytes")
+    for ((id, code) <- codes if id >= 100000)
+      assert(java.util.Arrays.equals(code, codes(id - 100000)),
+        s"copy $id code differs from original")
+  }
+
+  test("planted exact copies rank their original in the ADC top-10") {
+    val copies = emb.where(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionAll(copies)
+    val top = Ann.pqTopK(copies, corpus, k = 10, ksub = 64)
+      .where(col("c_id") === col("q_id") - 100000)
+    val nq = copies.count()
+    assert(top.count() === nq, s"every one of the $nq planted copies must recover its original")
+  }
+
+  test("ADC recall@10 vs brute force clears the floor") {
+    val queries = emb.where(col("vec_id") % 50 === 0)
+    val exact = Ann.bruteForceTopK(queries, emb, 10).select("q_id", "c_id")
+    val pq = Ann.pqTopK(queries, emb, 10, ksub = 64).select("q_id", "c_id")
+    val hits = exact.join(pq, Seq("q_id", "c_id"), "left_semi").count()
+    val total = exact.count()
+    assert(total > 0)
+    val recall = hits.toDouble / total
+    assert(recall >= 0.25, f"recall@10 $recall%.3f below floor 0.25")
+  }
+}
