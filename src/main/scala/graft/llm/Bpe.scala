@@ -1,0 +1,158 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed byte-pair-encoding tokenizer training and application
+ * (Sennrich, Haddow & Birch 2016, "Neural Machine Translation of Rare
+ * Words with Subword Units" — the word-level variant used by GPT-2-style
+ * tokenizers: words never merge across boundaries, an end-of-word marker
+ * closes each word).
+ *
+ * Scale shape: training touches corpus-shaped data exactly once. Pass 1
+ * reduces the corpus to the word-frequency table with a map-side partial
+ * `groupBy(word).count` — vocabulary-bounded by Heaps' law (millions of
+ * rows where the corpus has billions of documents). Each of the K merge
+ * rounds then runs over that vocab-bounded table only: explode adjacent
+ * symbol pairs weighted by word count, map-side partial `sum`, and a
+ * ONE-ROW TakeOrdered argmax with the deterministic (count desc, pair
+ * asc) tiebreak — exact integer counts, so the learned merges are
+ * engine- and partitioning-independent (the l_bpe_train oracle pins them
+ * as literal values). The winning pair broadcasts back and one map pass
+ * rewrites the symbol arrays; no corpus re-scan, no window, no collect
+ * beyond the 1-row argmax. Per-round frames are persisted and the
+ * previous round's cache is unpersisted as soon as its successor
+ * materializes (the same discipline as Dedup.connectedComponents).
+ */
+object Bpe {
+
+  /** Lowercased letter-run words of a text column (the pre-tokenizer). */
+  private def words(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(lower(trim(col(textCol))), "[^a-z]+")).as("w"))
+      .where(length(col("w")) > 0)
+
+  private val EOW = "</w>"
+
+  /**
+   * Learn the first `numMerges` BPE merges over a text column.
+   * Returns (rank, left, right, pair_count): rank 1 is the first (most
+   * frequent) merge; pair_count is the exact corpus-weighted count of the
+   * adjacent pair at the time it was merged. Words below `minCount`
+   * occurrences are dropped before training (rare-word noise cut —
+   * standard practice, and it bounds the table further).
+   */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+            minCount: Long = 1L): DataFrame = {
+    require(numMerges >= 0, "numMerges must be >= 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val vocab = words(df, textCol)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+      .select(concat(split(col("w"), ""), array(lit(EOW))).as("syms"), col("cnt"))
+
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var cur = vocab.persist()
+    var prev: DataFrame = null
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      // adjacent symbol pairs of every word, weighted by word count;
+      // map-side partial sum then a single-row TakeOrdered argmax
+      val top = cur
+        .select(col("cnt"), explode(expr(
+          """filter(
+            |  transform(syms, (s, i) ->
+            |    IF(i < size(syms) - 1, struct(s AS l, syms[i + 1] AS r),
+            |       CAST(NULL AS STRUCT<l: STRING, r: STRING>))),
+            |  p -> p IS NOT NULL)""".stripMargin)).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").as("pc"))
+        .orderBy(col("pc").desc, col("l").asc, col("r").asc)
+        .limit(1)
+        .as[(String, String, Long)]
+        .collect()
+      if (prev != null) { prev.unpersist(blocking = false); prev = null }
+      top.headOption match {
+        case None => exhausted = true
+        case Some((l, r, pc)) =>
+          merges += ((rank, l, r, pc))
+          val mergeOne = udf((syms: Seq[String]) => {
+            val out = scala.collection.mutable.ArrayBuffer[String]()
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+                out += (l + r); i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            out.toSeq
+          })
+          prev = cur
+          cur = cur.select(mergeOne(col("syms")).as("syms"), col("cnt")).persist()
+          rank += 1
+      }
+    }
+    cur.unpersist(blocking = false)
+    if (prev != null) prev.unpersist(blocking = false)
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** Greedy-rank BPE application of one word (chars + EOW), lowest-rank
+    * present pair merges first — the standard encode algorithm. */
+  private def applyWord(word: String,
+                        rankOf: Map[(String, String), Int]): Seq[String] = {
+    var syms = (word.map(_.toString) :+ EOW).toArray
+    var done = false
+    while (!done && syms.length > 1) {
+      var bestRank = Int.MaxValue; var bestAt = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        rankOf.get((syms(i), syms(i + 1))) match {
+          case Some(rk) if rk < bestRank => bestRank = rk; bestAt = i
+          case _ =>
+        }
+        i += 1
+      }
+      if (bestAt < 0) done = true
+      else {
+        // merge every non-overlapping occurrence of the winning pair
+        val (l, r) = (syms(bestAt), syms(bestAt + 1))
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+            out += (l + r); j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.toArray
+      }
+    }
+    syms.toSeq
+  }
+
+  /**
+   * Tokenize a text column with learned merges: adds `outCol` holding the
+   * subword token array. One broadcast-merges map pass — stateless per
+   * row, streams. A per-document word→tokens memo exploits Zipf (the
+   * few hot words dominate token mass, so repeats hit the cache).
+   */
+  def encode(df: DataFrame, textCol: String, merges: Seq[(String, String)],
+             outCol: String = "bpe_tokens"): DataFrame = {
+    val spark = df.sparkSession
+    val rankB = spark.sparkContext.broadcast(
+      merges.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap)
+    val enc = udf((text: String) => {
+      if (text == null) Seq.empty[String]
+      else {
+        val rankOf = rankB.value
+        val memo = scala.collection.mutable.HashMap[String, Seq[String]]()
+        text.toLowerCase.split("[^a-z]+").iterator.filter(_.nonEmpty)
+          .flatMap(w => memo.getOrElseUpdate(w, applyWord(w, rankOf)))
+          .toSeq
+      }
+    })
+    df.withColumn(outCol, enc(col(textCol)))
+  }
+}

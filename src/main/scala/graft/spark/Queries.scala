@@ -3,7 +3,7 @@ package graft.spark
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Ann, Boilerplate, Dedup, Multimodal, Sampling, TextAnalysis}
+import graft.llm.{Ann, Boilerplate, Bpe, Dedup, Multimodal, Sampling, TextAnalysis}
 import S2Functions.S2
 
 /**
@@ -1797,6 +1797,39 @@ object Queries {
     """SELECT CAST(0.41 AS DOUBLE) AS pq_recall, true AS pq_floor,
       | 8 AS code_bytes, 256 AS raw_bytes, CAST(100 AS BIGINT) AS n_pairs""".stripMargin
 
+  /** Distributed BPE tokenizer training (Sennrich et al. 2016): the first
+    * 12 learned merges over the documents corpus. Exact integer pair
+    * counts + deterministic (count desc, pair asc) tiebreak make the merge
+    * table engine- and partitioning-exact, so it pins as literal values
+    * (measured once at the correctness SF; BpeSpec separately proves the
+    * distributed trainer equals a driver-side reference implementation). */
+  private val qBpeTrain = dfQ { s =>
+    Bpe.train(s.table("documents"), "text", numMerges = 12, minCount = 2)
+      .orderBy("rank")
+  }
+  private val oBpeTrain = """SELECT * FROM (VALUES
+      | (1, 'e', 'r', CAST(4568 AS BIGINT)), (2, 'e', '</w>', CAST(4473 AS BIGINT)),
+      | (3, 'n', '</w>', CAST(2834 AS BIGINT)), (4, 'er', '</w>', CAST(2779 AS BIGINT)),
+      | (5, 'o', 'w', CAST(2747 AS BIGINT)), (6, 'ow', '</w>', CAST(2747 AS BIGINT)),
+      | (7, 'o', 'r', CAST(2696 AS BIGINT)), (8, 's', 't', CAST(2676 AS BIGINT)),
+      | (9, 'h', '</w>', CAST(1884 AS BIGINT)), (10, 'a', 't', CAST(1845 AS BIGINT)),
+      | (11, 'l', 'u', CAST(1831 AS BIGINT)), (12, 'i', 'n', CAST(1796 AS BIGINT))
+      |) AS t(rank, "left", "right", pair_count) ORDER BY rank""".stripMargin
+
+  /** Apply the learned merges back to the corpus: total subword tokens and
+    * distinct-subword vocabulary — the two numbers a tokenizer-training
+    * pipeline reports. Exact integers, pinned. */
+  private val qBpeEncode = dfQ { s =>
+    val docs = s.table("documents")
+    val merges = Bpe.train(docs, "text", numMerges = 12, minCount = 2)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    Bpe.encode(docs, "text", merges)
+      .select(explode(col("bpe_tokens")).as("tok"))
+      .agg(count(lit(1)).as("total_tokens"),
+        countDistinct(col("tok")).as("vocab_size"))
+  }
+  private val oBpeEncode = "SELECT CAST(116798 AS BIGINT) AS total_tokens, CAST(35 AS BIGINT) AS vocab_size"
+
   /** Embedding near-dup: planted exact copies must be recovered by the
     * SRP-LSH bucketed pair generator (cosine(v, v) = 1 >= threshold). */
   private val qEmbedNearDup = dfQ { s =>
@@ -2686,6 +2719,8 @@ object Queries {
     ("l_multimodal_decode", qMultimodalDecode, Some(oMultimodalDecode)),
     ("l_ann_recall", qAnnRecall, Some(oAnnRecall)),
     ("l_ann_pq", qAnnPq, Some(oAnnPq)),
+    ("l_bpe_train", qBpeTrain, Some(oBpeTrain)),
+    ("l_bpe_encode", qBpeEncode, Some(oBpeEncode)),
     ("l_frame_sample", qFrameSample, Some(oFrameSample)),
     ("b_tpch_q1", qTpchQ1, Some(oTpchQ1)),
     ("b_tpch_q6", qTpchQ6, Some(oTpchQ6)),
@@ -2703,7 +2738,7 @@ object Queries {
     "t_point_in_poly", "t_cover_refine_join", "t_cells", "t_dwithin", "t_dwithin_join",
     "t_dwithin_join_sql", "g_flagship_join", "g_flagship_broadcast",
     "l_dedup_minhash", "l_dedup_simhash", "l_ann_top1", "l_ann_ivf", "l_ann_pq", "l_text_tokens",
-    "l_dup_spans", "l_dup_span_removal", "l_decontam_fuzzy", "l_decontam_bloom",
+    "l_dup_spans", "l_dup_span_removal", "l_decontam_fuzzy", "l_decontam_bloom", "l_bpe_train",
     "b_tpch_q1", "b_tpch_q3", "b_tpch_q5", "b_events_sessions",
     "b_events_asof", "b_interval_join", "b_knn", "b_top_order", "b_top_order_agg")
 }
