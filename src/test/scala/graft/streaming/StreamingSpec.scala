@@ -411,6 +411,49 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows === Set(2L))
   }
 
+  test("pq encoding compresses an embedding stream statelessly, matching batch codes") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val corpus = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cb = graft.llm.Ann.pqTrain(corpus, m = 8, ksub = 16, sampleN = 128)
+    val batch = graft.llm.Ann.pqEncode(corpus.limit(20), cb)
+      .as[(Long, Array[Byte])].collect().toMap
+    val input = MemoryStream[(Long, Array[Float])]
+    val out = graft.llm.Ann.pqEncode(input.toDF().toDF("vec_id", "embedding"), cb)
+    val q = out.writeStream.format("memory").queryName("pq_stream")
+      .outputMode("append").start()
+    val rows = corpus.limit(20).select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    input.addData(rows.toIndexedSeq)
+    q.processAllAvailable()
+    val streamed = spark.table("pq_stream").as[(Long, Array[Byte])].collect().toMap
+    q.stop()
+    assert(streamed.keySet === batch.keySet)
+    for ((id, code) <- streamed)
+      assert(java.util.Arrays.equals(code, batch(id)), s"stream code differs for $id")
+  }
+
+  test("bpe encoding tokenizes a text stream statelessly, matching batch tokens") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"))
+    val texts = Seq((1L, "lowest estates"), (2L, "stole tests"))
+    val batch = graft.llm.Bpe.encode(texts.toDF("doc_id", "text"), "text", merges)
+      .select("doc_id", "bpe_tokens").as[(Long, Seq[String])].collect().toMap
+    val input = MemoryStream[(Long, String)]
+    val out = graft.llm.Bpe.encode(input.toDF().toDF("doc_id", "text"), "text", merges)
+      .select("doc_id", "bpe_tokens")
+    val q = out.writeStream.format("memory").queryName("bpe_stream")
+      .outputMode("append").start()
+    input.addData(texts)
+    q.processAllAvailable()
+    val streamed = spark.table("bpe_stream").as[(Long, Seq[String])].collect().toMap
+    q.stop()
+    assert(streamed === batch)
+  }
+
   test("stateless geo expressions run on streams") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
