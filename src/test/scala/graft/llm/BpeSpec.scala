@@ -110,6 +110,27 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(words(0) === words(2))
   }
 
+  test("differential fuzz: distributed trainer equals the reference on random corpora") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(42)
+    for (seed <- 1 to 15) {
+      val nWords = 3 + rnd.nextInt(12)
+      val alphabet = "abcd"
+      val docs = (1 to nWords).map { _ =>
+        val len = 1 + rnd.nextInt(6)
+        val w = (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+        val reps = 1 + rnd.nextInt(5)
+        Seq.fill(reps)(w).mkString(" ")
+      }
+      val got = Bpe.train(docs.toDF("text"), "text", 5)
+        .orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
+      val wc = docs.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, ws) => (w, ws.size.toLong) }
+      val want = referenceBpe(wc, 5)
+      assert(got === want, s"seed $seed: corpus ${docs.mkString("|")}")
+    }
+  }
+
   test("encode with no merges yields character tokens") {
     val s = spark; import s.implicits._
     val toks = Bpe.encode(Seq("ab cd").toDF("text"), "text", Seq.empty)
