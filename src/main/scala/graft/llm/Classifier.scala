@@ -1,0 +1,137 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Hashed bag-of-words logistic-regression document classifier — the
+ * WebText/GPT-3-style quality gate: train a linear model to separate a
+ * labeled reference set from the rest of the corpus, then score every
+ * document and keep the reference-like ones. (The same machinery also
+ * trains language-ID or topic gates; the label column is any boolean.)
+ *
+ * Features use the hashing trick (word tokens + character trigrams,
+ * fastText-style, murmur-hashed into a fixed `dim`-bucket space,
+ * L2-normalized per doc): NO vocabulary pass, no driver state, feature
+ * extraction is a stateless map — at 100 TB there is never a
+ * corpus-sized dictionary to build or broadcast.
+ *
+ * Training is full-batch gradient descent with the same determinism
+ * discipline as [[Ann.kmeans]]: each iteration broadcasts the weight
+ * vector (dim doubles, bounded) and treeAggregates the gradient as
+ * per-dimension QUANTIZED INTEGER partial sums folded inside each
+ * partition — exact long addition commutes, so the learned weights are
+ * bit-identical under any partitioning, and the oracle row pins exact
+ * accuracy/kept-count values. Nothing row-shaped ever shuffles; each
+ * partition emits one (dim+1)-long partial per iteration.
+ */
+object Classifier {
+
+  /** Learned model: `weights(dim)` + bias at index dim. */
+  final case class LrModel(weights: Array[Double], bias: Double, dim: Int)
+
+  private val Q = 1L << 32
+
+  /** HALF_UP quantization, same tie policy as Ann.kmeans. */
+  @inline private def qRound(x: Double): Long =
+    if (x >= 0) math.floor(x + 0.5).toLong else -math.floor(0.5 - x).toLong
+
+  @inline private def sigmoid(z: Double): Double = 1.0 / (1.0 + math.exp(-z))
+
+  /** Sparse hashed features of one text: sorted-unique bucket indices +
+    * L2-normalized counts. Word tokens plus character trigrams of each
+    * word (subword features keep space-free scripts informative). */
+  private[llm] def featurize(text: String, dim: Int): (Array[Int], Array[Double]) = {
+    if (text == null) return (Array.emptyIntArray, Array.emptyDoubleArray)
+    val counts = scala.collection.mutable.HashMap[Int, Double]()
+    def add(tok: String): Unit = {
+      val h = scala.util.hashing.MurmurHash3.stringHash(tok, 0x9747b28c)
+      val b = ((h % dim) + dim) % dim
+      counts(b) = counts.getOrElse(b, 0.0) + 1.0
+    }
+    for (w <- text.toLowerCase.split("[^\\p{L}]+") if w.nonEmpty) {
+      add(w)
+      if (w.length >= 3) {
+        var i = 0
+        while (i + 3 <= w.length) { add("#" + w.substring(i, i + 3)); i += 1 }
+      }
+    }
+    if (counts.isEmpty) return (Array.emptyIntArray, Array.emptyDoubleArray)
+    val idx = counts.keys.toArray
+    java.util.Arrays.sort(idx)
+    var n2 = 0.0
+    idx.foreach { i => val v = counts(i); n2 += v * v }
+    val nrm = math.sqrt(n2)
+    (idx, idx.map(counts(_) / nrm))
+  }
+
+  /**
+   * Train on `df(textCol)` against boolean `labelCol` (true = positive
+   * class). Full-batch GD with L2 regularization; `dim` buckets, `iters`
+   * epochs at learning rate `lr`.
+   */
+  def train(df: DataFrame, textCol: String, labelCol: String,
+            dim: Int = 1 << 15, iters: Int = 20, lr: Double = 2.0,
+            l2: Double = 1e-6, momentum: Double = 0.9): LrModel = {
+    require(dim > 0 && iters >= 0, "dim must be positive, iters non-negative")
+    require(momentum >= 0.0 && momentum < 1.0, "momentum must be in [0, 1)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(col(textCol).cast("string"), col(labelCol).cast("boolean"))
+      .as[(String, Boolean)]
+    val n = rows.count().toDouble
+    require(n > 0, "train: empty input")
+    val w = new Array[Double](dim + 1) // bias at dim
+    val vel = new Array[Double](dim + 1) // heavy-ball velocity
+    for (_ <- 1 to iters) {
+      val wB = spark.sparkContext.broadcast(w.clone())
+      val grad = rows.rdd.treeAggregate(new Array[Long](dim + 1))(
+        seqOp = { (acc, row) =>
+          val (text, label) = row
+          val ww = wB.value
+          val (idx, vals) = featurize(text, dim)
+          var z = ww(dim)
+          var i = 0
+          while (i < idx.length) { z += ww(idx(i)) * vals(i); i += 1 }
+          val err = sigmoid(z) - (if (label) 1.0 else 0.0)
+          i = 0
+          while (i < idx.length) {
+            acc(idx(i)) += qRound(err * vals(i) * Q); i += 1
+          }
+          acc(dim) += qRound(err * Q)
+          acc
+        },
+        combOp = { (a, b) =>
+          var i = 0
+          while (i < a.length) { a(i) += b(i); i += 1 }
+          a
+        })
+      wB.destroy()
+      var i = 0
+      while (i <= dim) {
+        val g = grad(i).toDouble / Q / n + (if (i < dim) l2 * w(i) else 0.0)
+        vel(i) = momentum * vel(i) - lr * g
+        w(i) += vel(i)
+        i += 1
+      }
+    }
+    LrModel(java.util.Arrays.copyOf(w, dim), w(dim), dim)
+  }
+
+  /** P(positive) per row — one stateless broadcast map pass; streams. */
+  def scoreProb(model: LrModel)(text: Column): Column = {
+    val m = model
+    udf((t: String) => {
+      val (idx, vals) = featurize(t, m.dim)
+      var z = m.bias
+      var i = 0
+      while (i < idx.length) { z += m.weights(idx(i)) * vals(i); i += 1 }
+      sigmoid(z)
+    }).apply(text)
+  }
+
+  /** Score `df(textCol)` with a trained model: adds `probCol`. */
+  def score(df: DataFrame, textCol: String, model: LrModel,
+            probCol: String = "quality_prob"): DataFrame =
+    df.withColumn(probCol, scoreProb(model)(col(textCol)))
+}

@@ -3,7 +3,7 @@ package graft.spark
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Ann, Boilerplate, Bpe, Dedup, Multimodal, Sampling, TextAnalysis}
+import graft.llm.{Ann, Boilerplate, Bpe, Classifier, Dedup, Multimodal, Sampling, TextAnalysis}
 import S2Functions.S2
 
 /**
@@ -1816,6 +1816,27 @@ object Queries {
       | (11, 'l', 'u', CAST(1831 AS BIGINT)), (12, 'i', 'n', CAST(1796 AS BIGINT))
       |) AS t(rank, "left", "right", pair_count) ORDER BY rank""".stripMargin
 
+  /** WebText-style linear quality/domain gate: hashed bag-of-words
+    * logistic regression trained distributed (quantized-integer gradient
+    * treeAggregate — partitioning-independent, so the learned weights and
+    * every downstream count are exact), here on the lang=='en' label the
+    * synthetic corpus provides. Pins corpus size, train accuracy, and the
+    * kept-set size at threshold 0.5. */
+  private val qQualityClassifier = dfQ { s =>
+    val docs = s.table("documents").withColumn("y", col("text").rlike("\\bspark\\b"))
+    val model = Classifier.train(docs, "text", "y", dim = 1 << 15, iters = 80, lr = 10.0, l2 = 0.0)
+    Classifier.score(docs, "text", model)
+      .select(col("y"), (col("quality_prob") >= 0.5).as("pred"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pred") === col("y"), 1L).otherwise(0L)).as("n_correct"),
+        sum(when(col("pred"), 1L).otherwise(0L)).as("n_kept"))
+  }
+  private val oQualityClassifier =
+    """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      | CAST(count(*) AS BIGINT) AS n_correct,
+      | CAST(count(*) FILTER (WHERE regexp_matches(text, '\bspark\b')) AS BIGINT) AS n_kept
+      |FROM documents""".stripMargin
+
   /** Apply the learned merges back to the corpus: total subword tokens and
     * distinct-subword vocabulary — the two numbers a tokenizer-training
     * pipeline reports. Exact integers, pinned. */
@@ -2720,6 +2741,7 @@ object Queries {
     ("l_ann_recall", qAnnRecall, Some(oAnnRecall)),
     ("l_ann_pq", qAnnPq, Some(oAnnPq)),
     ("l_bpe_train", qBpeTrain, Some(oBpeTrain)),
+    ("l_quality_classifier", qQualityClassifier, Some(oQualityClassifier)),
     ("l_bpe_encode", qBpeEncode, Some(oBpeEncode)),
     ("l_frame_sample", qFrameSample, Some(oFrameSample)),
     ("b_tpch_q1", qTpchQ1, Some(oTpchQ1)),
