@@ -40,6 +40,20 @@ object Ann {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  // Native codegen scoring (spark/VecExpressions): the UDF forms above stay
+  // as the session-free Column API; the candidate-pair join paths register
+  // the natives on the frame's session and score with zero per-pair
+  // allocations (the UDF converter copies both arrays on every call).
+  private def nativeDot(spark: org.apache.spark.sql.SparkSession,
+                        a: Column, b: Column): Column = {
+    graft.spark.VecExpressions.ensureRegistered(spark)
+    call_function("vec_dot", a, b)
+  }
+  private def nativeNorm(spark: org.apache.spark.sql.SparkSession, a: Column): Column = {
+    graft.spark.VecExpressions.ensureRegistered(spark)
+    call_function("vec_norm", a)
+  }
+
   /**
    * Exact top-k neighbors for each query row against the corpus.
    *
@@ -214,14 +228,15 @@ object Ann {
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int = 8,
               idCol: String = "vec_id", vecCol: String = "embedding",
               maxBucket: Int = 4096): DataFrame = {
+    val sess = queries.sparkSession
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-      norm(col(vecCol)).as("q_norm"),
+      nativeNorm(sess, col(vecCol)).as("q_norm"),
       packBits(srpSignature(col(vecCol), bits), bits).as("sig"))
     // multiprobe: original bucket + each 1-bit flip
     val probes0 = q.withColumn("bucket",
       explode(array(col("sig") +: flips(col("sig"), bits): _*)))
     val c0 = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
-      norm(col(vecCol)).as("c_norm"),
+      nativeNorm(sess, col(vecCol)).as("c_norm"),
       packBits(srpSignature(col(vecCol), bits), bits).as("bucket"))
     val (c, probes) = saltBuckets(c0, "c_id", probes0, maxBucket)
     // norms hoisted to one UDF per ROW above: each candidate pair pays a
@@ -232,7 +247,8 @@ object Ann {
     // most once — a distinct here would be a pure extra shuffle
     val scored = c.join(probes.hint("shuffle_hash"), Seq("bucket"))
       .where(col("q_id") =!= col("c_id"))
-      .withColumn("sim", dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+      .withColumn("sim",
+        nativeDot(sess, col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
       .select("q_id", "c_id", "sim")
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -291,15 +307,16 @@ object Ann {
 
     val c = assign(corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec")),
       "c_id", "c_vec", 1, "cell")
-      .withColumn("c_norm", norm(col("c_vec")))
+      .withColumn("c_norm", nativeNorm(spark, col("c_vec")))
     val q = assign(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")),
       "q_id", "q_vec", nprobe, "cell")
-      .withColumn("q_norm", norm(col("q_vec")))
+      .withColumn("q_norm", nativeNorm(spark, col("q_vec")))
     // each corpus row is in exactly one cell and a query's nprobe cells are
     // distinct centroid numbers, so every (q,c) pair joins at most once —
     // no pair dedupe, the rank window below is the only shuffle
     val scored = c.join(q, Seq("cell")).where(col("q_id") =!= col("c_id"))
-      .withColumn("sim", dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+      .withColumn("sim",
+        nativeDot(spark, col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
       .select("q_id", "c_id", "sim")
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
@@ -434,13 +451,15 @@ object Ann {
                          vecCol: String = "embedding",
                          targetClusterSize: Int = 1024,
                          maxSplitDepth: Int = 3): DataFrame = {
+    val sess = df.sparkSession
     val clustered = boundedClusters(df, idCol, vecCol, k, iters,
         targetClusterSize, maxSplitDepth)
       .select(col(idCol).as("id"), col(vecCol).as("vec"), col("cluster"))
-      .withColumn("nrm", norm(col("vec")))
+      .withColumn("nrm", nativeNorm(sess, col("vec")))
     clustered.as("a").join(clustered.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
-      .withColumn("sim", dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
+      .withColumn("sim",
+        nativeDot(sess, col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
       .where(col("sim") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
   }
@@ -524,8 +543,9 @@ object Ann {
   def cosineNearDupPairs(df: DataFrame, threshold: Double, bits: Int = 8,
                          idCol: String = "vec_id", vecCol: String = "embedding",
                          maxBucket: Int = 4096): DataFrame = {
+    val sess = df.sparkSession
     val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      norm(col(vecCol)).as("nrm"),
+      nativeNorm(sess, col(vecCol)).as("nrm"),
       packBits(srpSignature(col(vecCol), bits), bits).as("sig"))
     val probes0 = v.withColumn("bucket",
       explode(array(col("sig") +: flips(col("sig"), bits): _*)))
@@ -534,7 +554,8 @@ object Ann {
     val (base, probes) = saltBuckets(base0, "id", probes0, maxBucket)
     base.as("a").join(probes.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("sim", dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
+      .withColumn("sim",
+        nativeDot(sess, col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
       .where(col("sim") >= threshold)
       // at most one match per pair: the base side carries only its own sig
       // bucket (one row per id) and the probe side's buckets are distinct

@@ -1,0 +1,44 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native vec_dot / vec_norm scoring expressions: value semantics match
+  * the UDF kernels (min-length dot, L2 norm), nulls propagate, non-float
+  * arrays cast, and plans carry no UDF node. */
+class VecExprSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", 2)
+      .config("spark.ui.enabled", false)
+      .appName("graft-vec-expr").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    VecExpressions.ensureRegistered(spark)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def one(sql: String): Any = spark.sql(sql).collect()(0).get(0)
+
+  test("dot and norm match hand values; min-length and null semantics") {
+    assert(one("SELECT vec_dot(array(1.0F, 2.0F, 3.0F), array(4.0F, 5.0F, 6.0F))") === 32.0)
+    // length mismatch: shorter length wins (the UDF kernel's contract)
+    assert(one("SELECT vec_dot(array(1.0F, 2.0F, 3.0F), array(10.0F))") === 10.0)
+    assert(one("SELECT vec_norm(array(3.0F, 4.0F))") === 5.0)
+    assert(one("SELECT vec_norm(array())") === 0.0)
+    assert(one("SELECT vec_dot(CAST(NULL AS ARRAY<FLOAT>), array(1.0F))") === null)
+    // int arrays cast to float transparently
+    assert(one("SELECT vec_dot(array(1, 2), array(3, 4))") === 11.0)
+  }
+
+  test("no UDF node in a vec-scored plan") {
+    val plan = spark.sql(
+      "SELECT vec_dot(a, b) / (vec_norm(a) * vec_norm(b)) FROM " +
+        "(SELECT array(1.0F, 2.0F) AS a, array(3.0F, 4.0F) AS b)")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), plan)
+  }
+}
