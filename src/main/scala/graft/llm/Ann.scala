@@ -668,6 +668,34 @@ object Ann {
       }.toDF(idCol, "pq_code")
   }
 
+  /** Reconstruct approximate vectors from PQ codes (centroid lookup per
+    * subspace) — the read path of the compressed at-rest representation:
+    * store 8-byte codes, decode on demand for downstream consumers that
+    * need vector-shaped input. One broadcast map pass; decode(encode(v))
+    * is each subspace's nearest centroid, so reconstruction error is the
+    * quantizer's (PqSpec bounds it against the trivial zero vector). */
+  def pqDecode(df: DataFrame, codebooks: Array[Array[Array[Float]]],
+               idCol: String = "vec_id", codeCol: String = "pq_code",
+               outCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cbB = spark.sparkContext.broadcast(codebooks)
+    df.select(col(idCol).cast("long"), col(codeCol)).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val cb = cbB.value
+        val sub = if (cb.isEmpty) 0 else cb(0)(0).length
+        rows.map { case (id, code) =>
+          val out = new Array[Float](cb.length * sub)
+          var j = 0
+          while (j < cb.length) {
+            System.arraycopy(cb(j)(code(j) & 0xff), 0, out, j * sub, sub)
+            j += 1
+          }
+          (id, out)
+        }
+      }.toDF(idCol, outCol)
+  }
+
   /**
    * Approximate top-k by asymmetric distance computation (ADC) over PQ
    * codes: cosine(q, c) ≈ dot(q, recon(c)) / (|q| · |recon(c)|), where

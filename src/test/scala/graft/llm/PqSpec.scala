@@ -57,6 +57,33 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.count() === nq, s"every one of the $nq planted copies must recover its original")
   }
 
+  test("codes round-trip parquet and decode to better-than-zero reconstructions") {
+    val s = spark; import s.implicits._
+    val cb = Ann.pqTrain(emb, m = 8, ksub = 16, sampleN = 128)
+    val out = java.nio.file.Files.createTempDirectory("pqcodes").toString
+    Ann.pqEncode(emb, cb).write.mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out)
+    // at-rest codes are 8 bytes/vector (32x smaller than 64 floats)
+    assert(back.schema("pq_code").dataType === org.apache.spark.sql.types.BinaryType)
+    val joined = Ann.pqDecode(back, cb)
+      .withColumnRenamed("embedding", "recon")
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .as[(Long, Array[Float], Array[Float])].collect()
+    assert(joined.length === emb.count())
+    // mean squared reconstruction error must beat the zero-vector baseline
+    // (i.e. the codebooks carry real signal), per vector
+    var worse = 0
+    joined.foreach { case (_, recon, orig) =>
+      var errQ = 0.0; var errZ = 0.0; var i = 0
+      while (i < orig.length) {
+        val d = orig(i) - recon(i); errQ += d * d
+        errZ += orig(i).toDouble * orig(i); i += 1
+      }
+      if (errQ >= errZ) worse += 1
+    }
+    assert(worse === 0, s"$worse vectors reconstruct no better than the zero vector")
+  }
+
   test("ADC recall@10 vs brute force clears the floor") {
     val queries = emb.where(col("vec_id") % 50 === 0)
     val exact = Ann.bruteForceTopK(queries, emb, 10).select("q_id", "c_id")

@@ -454,6 +454,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed === batch)
   }
 
+  test("trained quality classifier gates an ingestion stream statelessly") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val good = (1 to 30).map(i => (s"thoughtful analysis with careful prose item$i", true))
+    val bad = (1 to 30).map(i => (s"spam spam click here now item$i", false))
+    val model = graft.llm.Classifier.train(
+      (good ++ bad).toDF("text", "y"), "text", "y", dim = 1 << 12, iters = 30, lr = 5.0)
+    val input = MemoryStream[(Long, String)]
+    val out = input.toDF().toDF("doc_id", "text")
+      .where(graft.llm.Classifier.scoreProb(model)(col("text")) >= 0.5)
+    val q = out.writeStream.format("memory").queryName("cls_stream")
+      .outputMode("append").start()
+    input.addData(
+      (1L, "a thoughtful careful analysis"),
+      (2L, "spam click now"),
+      (3L, "careful prose"))
+    q.processAllAvailable()
+    val kept = spark.table("cls_stream").select("doc_id").as[Long].collect().toSet
+    q.stop()
+    assert(kept === Set(1L, 3L))
+  }
+
   test("stateless geo expressions run on streams") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
