@@ -53,6 +53,14 @@ object Ann {
     graft.spark.VecExpressions.ensureRegistered(spark)
     call_function("vec_norm", a)
   }
+  // bit-identical native form of packBits(srpSignature(v, bits), bits) —
+  // the parity spec in VecExprSpec and the pinned l_ann_recall values
+  // hold it to the lambda chain's exact outputs
+  private def nativeSrpPacked(spark: org.apache.spark.sql.SparkSession,
+                              a: Column, bits: Int, seed: Int = 42): Column = {
+    graft.spark.VecExpressions.ensureRegistered(spark)
+    call_function("vec_srp_packed", a, lit(bits), lit(seed))
+  }
 
   /**
    * Exact top-k neighbors for each query row against the corpus.
@@ -231,13 +239,13 @@ object Ann {
     val sess = queries.sparkSession
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       nativeNorm(sess, col(vecCol)).as("q_norm"),
-      packBits(srpSignature(col(vecCol), bits), bits).as("sig"))
+      nativeSrpPacked(sess, col(vecCol), bits).as("sig"))
     // multiprobe: original bucket + each 1-bit flip
     val probes0 = q.withColumn("bucket",
       explode(array(col("sig") +: flips(col("sig"), bits): _*)))
     val c0 = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
       nativeNorm(sess, col(vecCol)).as("c_norm"),
-      packBits(srpSignature(col(vecCol), bits), bits).as("bucket"))
+      nativeSrpPacked(sess, col(vecCol), bits).as("bucket"))
     val (c, probes) = saltBuckets(c0, "c_id", probes0, maxBucket)
     // norms hoisted to one UDF per ROW above: each candidate pair pays a
     // single dot-product call instead of dot + two norms
@@ -546,7 +554,7 @@ object Ann {
     val sess = df.sparkSession
     val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       nativeNorm(sess, col(vecCol)).as("nrm"),
-      packBits(srpSignature(col(vecCol), bits), bits).as("sig"))
+      nativeSrpPacked(sess, col(vecCol), bits).as("sig"))
     val probes0 = v.withColumn("bucket",
       explode(array(col("sig") +: flips(col("sig"), bits): _*)))
       .select(col("id"), col("vec"), col("nrm"), col("bucket"))

@@ -31,6 +31,38 @@ object VecNative {
     while (i < n) { val v = a.getFloat(i).toDouble; s += v * v; i += 1 }
     math.sqrt(s)
   }
+
+  /**
+   * Packed signed-random-projection LSH signature — BIT-IDENTICAL to the
+   * original Catalyst-lambda chain
+   * `packBits(transform(planes, p -> sum_i(±v_i by xxhash64(seed,p,i)
+   * parity) >= 0))`: the same XXH64.hashInt chain Spark's `xxhash64`
+   * runs (internal seed 42, then seed/plane/dim ints folded in order),
+   * the same left-to-right double accumulation, the same `>= 0` bit and
+   * little-endian packing. One pass over the vector per plane instead of
+   * `bits` materialized lambda arrays per row — the pinned LSH recall
+   * values (l_ann_recall) prove the outputs unchanged.
+   */
+  def srpPacked(v: ArrayData, bits: Int, seed: Int): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val n = v.numElements()
+    val h1 = XXH64.hashInt(seed, 42L)
+    var packed = 0L
+    var p = 0
+    while (p < bits) {
+      val h2 = XXH64.hashInt(p, h1)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val x = v.getFloat(i)
+        s += (if ((XXH64.hashInt(i, h2) & 1L) == 1L) x else -x).toDouble
+        i += 1
+      }
+      if (s >= 0) packed |= 1L << p
+      p += 1
+    }
+    packed
+  }
 }
 
 object VecExpressions {
@@ -58,6 +90,18 @@ object VecExpressions {
     override def prettyName: String = "vec_norm"
   }
 
+  case class VecSrpPackedExpr(child: Expression, bits: Int, seed: Int)
+      extends UnaryExpression {
+    override def nullIntolerant: Boolean = true
+    override def dataType: DataType = LongType
+    override def nullSafeEval(a: Any): Any =
+      VecNative.srpPacked(a.asInstanceOf[ArrayData], bits, seed)
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.spark.VecNative.srpPacked($c, $bits, $seed)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "vec_srp_packed"
+  }
+
   /** Idempotent session registration — the ANN join paths call this at
     * build time so library users need no explicit register step. */
   def ensureRegistered(spark: SparkSession): Unit = {
@@ -73,5 +117,19 @@ object VecExpressions {
     }
     put("vec_dot", 2)(a => VecDotExpr(arrF(a(0)), arrF(a(1))))
     put("vec_norm", 1)(a => VecNormExpr(arrF(a(0))))
+    put("vec_srp_packed", 3) { a =>
+      def c(e: Expression, what: String): Int = {
+        if (!e.foldable)
+          throw new IllegalArgumentException(s"vec_srp_packed(): $what must be a constant")
+        Cast(e, IntegerType).eval() match {
+          case x: java.lang.Integer => x.intValue
+          case _ => throw new IllegalArgumentException(
+            s"vec_srp_packed(): $what must be a constant")
+        }
+      }
+      val bits = c(a(1), "bits"); val seed = c(a(2), "seed")
+      require(bits > 0 && bits <= 63, "vec_srp_packed(): bits must be in [1, 63]")
+      VecSrpPackedExpr(arrF(a(0)), bits, seed)
+    }
   }
 }

@@ -34,6 +34,24 @@ class VecExprSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(one("SELECT vec_dot(array(1, 2), array(3, 4))") === 11.0)
   }
 
+  test("vec_srp_packed is bit-identical to the lambda-chain signature") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for (bits <- Seq(8, 12)) {
+      val both = emb.select(
+        graft.llm.Ann.packBits(graft.llm.Ann.srpSignature(col("embedding"), bits), bits)
+          .as("lambda"),
+        call_function("vec_srp_packed", col("embedding"), lit(bits), lit(42)).as("native"))
+      assert(both.where(col("lambda") =!= col("native")).count() === 0,
+        s"bits=$bits: native SRP diverges from the lambda chain")
+    }
+    // constant-argument contract
+    val e = intercept[Exception] {
+      spark.sql("SELECT vec_srp_packed(array(1.0F), CAST(rand()*8 AS INT), 42)")
+    }
+    assert(e.getMessage.contains("bits must be a constant"))
+  }
+
   test("no UDF node in a vec-scored plan") {
     val plan = spark.sql(
       "SELECT vec_dot(a, b) / (vec_norm(a) * vec_norm(b)) FROM " +
