@@ -325,6 +325,78 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("long").as("n_tok"), avg(col("__nll")).as("surprisal"))
   }
 
+  /**
+   * Interpolated bigram language-model scoring — the CCNet-style
+   * perplexity filter one order above [[unigramSurprisal]]:
+   * `P(w_i | w_{i-1}) = λ·c(w_{i-1} w_i)/c(w_{i-1}) + (1−λ)·c(w_i)/N`,
+   * with per-doc output (n_big bigram events, mean −ln P). λ is an
+   * integer permille so both engines derive the identical double.
+   *
+   * Scale shape: the model is two count tables — unigrams
+   * (vocabulary-bounded) and observed bigrams (Heaps-law sublinear) —
+   * each built by ONE map-side partial-agg shuffle; scoring explodes a
+   * doc's bigram events once and equi-joins the tables on their keys
+   * (AQE broadcasts either side when it fits). No corpus-wide window,
+   * nothing quadratic; the model tables are the bounded state a 100-TB
+   * run would persist and reuse.
+   */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String,
+                      lambdaPermille: Int = 700): DataFrame = {
+    require(lambdaPermille >= 0 && lambdaPermille <= 1000,
+      "lambdaPermille must be in [0, 1000]")
+    val lam = lambdaPermille / 1000.0
+    val words = df.where(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__w"))
+    val events = words.where(size(col("__w")) >= 2)
+      .select(col(idCol), explode(expr(
+        """filter(
+          |  transform(__w, (x, i) ->
+          |    IF(i < size(__w) - 1, struct(x AS w1, __w[i + 1] AS w2),
+          |       CAST(NULL AS STRUCT<w1: STRING, w2: STRING>))),
+          |  p -> p IS NOT NULL)""".stripMargin)).as("__e"))
+      .select(col(idCol), col("__e.w1").as("w1"), col("__e.w2").as("w2"))
+    val toks = words.select(col(idCol), explode(col("__w")).as("token"))
+    val uc = toks.groupBy("token").agg(count(lit(1)).as("__uc"))
+    val bc = events.groupBy("w1", "w2").agg(count(lit(1)).as("__bc"))
+    val total = toks.agg(sum(lit(1L)).as("__N"))
+    events
+      .join(bc, Seq("w1", "w2"))
+      .join(uc.select(col("token").as("w1"), col("__uc").as("__c1")), Seq("w1"))
+      .join(uc.select(col("token").as("w2"), col("__uc").as("__c2")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        (-org.apache.spark.sql.functions.log(
+          lit(lam) * col("__bc").cast("double") / col("__c1").cast("double") +
+            lit(1.0 - lam) * col("__c2").cast("double") / col("__N").cast("double")))
+          .as("__nll"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_big"), avg(col("__nll")).as("surprisal"))
+  }
+
+  /**
+   * Corpus snapshot diff — the curation-iteration primitive: classify
+   * every doc id across two corpus versions as added / removed /
+   * changed / unchanged by CONTENT fingerprint (md5 of the text), so a
+   * re-crawled doc with identical bytes is "unchanged" regardless of
+   * row order or partitioning. One full-outer equi-join on the id over
+   * (id, md5) projections — the corpus text never shuffles.
+   */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
+                 idCol: String, textCol: String): DataFrame = {
+    // null text gets a sentinel hash so a present-but-null row is never
+    // misread as an absent one by the outer-join null checks
+    val o = oldDf.select(col(idCol).as("id"),
+      coalesce(md5(col(textCol).cast("binary")), lit("__null__")).as("__oh"))
+    val n = newDf.select(col(idCol).as("id"),
+      coalesce(md5(col(textCol).cast("binary")), lit("__null__")).as("__nh"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("__oh").isNull, "added")
+          .when(col("__nh").isNull, "removed")
+          .when(col("__oh") =!= col("__nh"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   // ------------------------------------------------ tf-idf top terms
 
   /** Per-document top-k TF-IDF terms (sklearn-style smooth idf:

@@ -2288,6 +2288,62 @@ object Queries {
       |FROM w JOIN cnt USING (token)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Interpolated bigram LM surprisal (λ = 0.7): the CCNet-style filter
+    * one order above l_unigram_ppl; DuckDB replays the identical count
+    * tables and interpolation formula. */
+  private val qBigramPpl = dfQ { s =>
+    TextAnalysis.bigramSurprisal(s.table("documents"), "doc_id", "text")
+      .select(col("doc_id"), col("n_big"),
+        round(col("surprisal"), 4).as("surprisal_r"))
+      .orderBy("doc_id")
+  }
+  private val oBigramPpl =
+    """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |ev AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+      |  FROM d WHERE len(w) >= 2),
+      |toks AS (SELECT doc_id, unnest(w) AS token FROM d),
+      |uc AS (SELECT token, count(*) AS c FROM toks GROUP BY 1),
+      |bc AS (SELECT w1, w2, count(*) AS c2 FROM ev GROUP BY 1, 2),
+      |tot AS (SELECT count(*) AS N FROM toks)
+      |SELECT ev.doc_id, CAST(count(*) AS BIGINT) AS n_big,
+      |  round(avg(-ln(0.7 * CAST(bc.c2 AS DOUBLE) / u1.c
+      |    + 0.3 * CAST(u2.c AS DOUBLE) / (SELECT N FROM tot))), 4) AS surprisal_r
+      |FROM ev JOIN bc USING (w1, w2)
+      |  JOIN uc u1 ON u1.token = ev.w1 JOIN uc u2 ON u2.token = ev.w2
+      |GROUP BY ev.doc_id ORDER BY doc_id""".stripMargin
+
+  /** Corpus snapshot diff: old = full corpus; new drops doc_id%7==0,
+    * rewrites text for %5==0, adds shifted ids — the operator must
+    * classify every id by content hash exactly as the SQL replay does. */
+  private val qCorpusDiff = dfQ { s =>
+    val docs = s.table("documents")
+    val newDf = docs.where(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" [edited]")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(docs.where(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    TextAnalysis.corpusDiff(docs, newDf, "doc_id", "text")
+      .groupBy("status").agg(count(lit(1)).as("n"))
+      .orderBy("status")
+  }
+  private val oCorpusDiff =
+    """WITH o AS (SELECT doc_id, md5(text) AS h FROM documents),
+      |n AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [edited]' ELSE text END) AS h
+      |  FROM documents WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, md5(text) AS h
+      |  FROM documents WHERE doc_id % 11 = 0),
+      |j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS id, o.h AS oh, n.h AS nh
+      |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+      |SELECT CASE WHEN oh IS NULL THEN 'added' WHEN nh IS NULL THEN 'removed'
+      |  WHEN oh <> nh THEN 'changed' ELSE 'unchanged' END AS status,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------- corpus data card
 
   /** Release-style per-source summary table. The oracle replays the
@@ -2720,6 +2776,8 @@ object Queries {
     ("l_pack", qPack, Some(oPack)),
     ("l_vocab", qVocab, Some(oVocab)),
     ("l_unigram_ppl", qUnigramPpl, Some(oUnigramPpl)),
+    ("l_bigram_ppl", qBigramPpl, Some(oBigramPpl)),
+    ("l_corpus_diff", qCorpusDiff, Some(oCorpusDiff)),
     ("l_data_card", qDataCard, Some(oDataCard)),
     ("l_quality_gate", qQualityGate, Some(oQualityGate)),
     ("l_chunk", qChunk, Some(oChunk)),

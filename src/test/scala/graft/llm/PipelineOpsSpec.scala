@@ -693,4 +693,36 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = res.queryExecution.executedPlan.toString
     assert(plan.contains("__pid"), s"rank window not partition-id-scoped:\n$plan")
   }
+
+  test("bigramSurprisal matches a hand computation") {
+    val s = spark; import s.implicits._
+    // corpus: "a b a" and "a b" -> unigrams a:3 b:2, N=5
+    // bigrams: (a,b):2, (b,a):1
+    val df = Seq((1L, "a b a"), (2L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramSurprisal(df, "doc_id", "text", lambdaPermille = 700)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    val pAB = 0.7 * 2.0 / 3.0 + 0.3 * 2.0 / 5.0 // P(b|a)
+    val pBA = 0.7 * 1.0 / 2.0 + 0.3 * 3.0 / 5.0 // P(a|b)
+    val d1 = (-math.log(pAB) + -math.log(pBA)) / 2.0
+    val d2 = -math.log(pAB)
+    assert(got.length === 2)
+    assert(got(0)._1 === 1L && got(0)._2 === 2L && math.abs(got(0)._3 - d1) < 1e-12)
+    assert(got(1)._1 === 2L && got(1)._2 === 1L && math.abs(got(1)._3 - d2) < 1e-12)
+    // single-token docs produce no bigram events
+    val none = TextAnalysis.bigramSurprisal(Seq((9L, "solo")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(none.count() === 0)
+  }
+
+  test("corpusDiff classifies by content hash, null-text-safe") {
+    val s = spark; import s.implicits._
+    val old = Seq((1L, "same"), (2L, "will change"), (3L, "gone"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val neu = Seq((1L, "same"), (2L, "changed!"), (5L, "fresh"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextAnalysis.corpusDiff(old, neu, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 5L -> "added"))
+  }
 }
