@@ -77,19 +77,28 @@ object Classifier {
     require(momentum >= 0.0 && momentum < 1.0, "momentum must be in [0, 1)")
     val spark = df.sparkSession
     import spark.implicits._
+    // featurize ONCE and keep the sparse vectors for the whole training
+    // loop — the corpus text is read and hashed a single time, each of
+    // the `iters` epochs re-reads only the compact (indices, values,
+    // label) rows from executor storage (spilling to disk if they don't
+    // fit), not the raw corpus
     val rows = df.select(col(textCol).cast("string"), col(labelCol).cast("boolean"))
       .as[(String, Boolean)]
-    val n = rows.count().toDouble
+      .rdd.map { case (text, label) =>
+        val (idx, vals) = featurize(text, dim)
+        (idx, vals, label)
+      }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = rows.count().toDouble // materializes the featurized cache
     require(n > 0, "train: empty input")
     val w = new Array[Double](dim + 1) // bias at dim
     val vel = new Array[Double](dim + 1) // heavy-ball velocity
     for (_ <- 1 to iters) {
       val wB = spark.sparkContext.broadcast(w.clone())
-      val grad = rows.rdd.treeAggregate(new Array[Long](dim + 1))(
+      val grad = rows.treeAggregate(new Array[Long](dim + 1))(
         seqOp = { (acc, row) =>
-          val (text, label) = row
+          val (idx, vals, label) = row
           val ww = wB.value
-          val (idx, vals) = featurize(text, dim)
           var z = ww(dim)
           var i = 0
           while (i < idx.length) { z += ww(idx(i)) * vals(i); i += 1 }
@@ -115,6 +124,7 @@ object Classifier {
         i += 1
       }
     }
+    rows.unpersist(blocking = false)
     LrModel(java.util.Arrays.copyOf(w, dim), w(dim), dim)
   }
 
