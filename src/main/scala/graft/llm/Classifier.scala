@@ -144,4 +144,45 @@ object Classifier {
   def score(df: DataFrame, textCol: String, model: LrModel,
             probCol: String = "quality_prob"): DataFrame =
     df.withColumn(probCol, scoreProb(model)(col(textCol)))
+
+  /**
+   * Deterministic MODEL-FREE text embedding: the hashed sparse features
+   * random-projected to `dim` dense dimensions with ±1 signs derived
+   * from MurmurHash3 parity (the SRP trick applied as a projection), then
+   * L2-normalized. Identical texts embed identically (the ANN planted-copy
+   * oracles transfer), similar word/trigram multisets land nearby — the
+   * cheap dense-retrieval baseline that connects the text stack to the
+   * Ann operators (near-dup, top-k, PQ) when no learned encoder exists.
+   * Stateless broadcast-free map pass; streams.
+   */
+  def textEmbedding(df: DataFrame, textCol: String, dim: Int = 64,
+                    featureDim: Int = 1 << 15, seed: Int = 7,
+                    outCol: String = "embedding"): DataFrame = {
+    require(dim > 0 && featureDim > 0, "dims must be positive")
+    val emb = udf((t: String) => {
+      val (idx, vals) = featurize(t, featureDim)
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < idx.length) {
+        val x = vals(i)
+        var d = 0
+        while (d < dim) {
+          val h = scala.util.hashing.MurmurHash3.productHash((idx(i), d), seed)
+          if ((h & 1) == 1) out(d) += x.toFloat else out(d) -= x.toFloat
+          d += 1
+        }
+        i += 1
+      }
+      var n2 = 0.0
+      var d = 0
+      while (d < dim) { n2 += out(d).toDouble * out(d); d += 1 }
+      if (n2 > 0) {
+        val inv = (1.0 / math.sqrt(n2)).toFloat
+        d = 0
+        while (d < dim) { out(d) *= inv; d += 1 }
+      }
+      out
+    })
+    df.withColumn(outCol, emb(col(textCol)))
+  }
 }

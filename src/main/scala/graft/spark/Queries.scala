@@ -2313,6 +2313,25 @@ object Queries {
       |  JOIN uc u1 ON u1.token = ev.w1 JOIN uc u2 ON u2.token = ev.w2
       |GROUP BY ev.doc_id ORDER BY doc_id""".stripMargin
 
+  /** Model-free text embeddings (hashed features random-projected with
+    * deterministic ±1 signs, L2-normalized) feeding the ANN near-dup
+    * stack: planted exact text copies embed identically, so the SRP-LSH
+    * pair generator must recover every one — the planted-copy oracle
+    * transferred from l_embed_neardup to embeddings DERIVED from text. */
+  private val qTextEmbed = dfQ { s =>
+    val docs = s.table("documents")
+    val emb = Classifier.textEmbedding(docs, "text")
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    val aug = emb.unionAll(emb.where(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    Ann.cosineNearDupPairs(aug, threshold = 0.9999)
+      .where(col("id_b") === col("id_a") + 100000)
+      .select("id_a", "id_b").orderBy("id_a")
+  }
+  private val oTextEmbed =
+    """SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM documents
+      |WHERE doc_id % 25 = 0 ORDER BY id_a""".stripMargin
+
   /** Corpus snapshot diff: old = full corpus; new drops doc_id%7==0,
     * rewrites text for %5==0, adds shifted ids — the operator must
     * classify every id by content hash exactly as the SQL replay does. */
@@ -2778,6 +2797,7 @@ object Queries {
     ("l_unigram_ppl", qUnigramPpl, Some(oUnigramPpl)),
     ("l_bigram_ppl", qBigramPpl, Some(oBigramPpl)),
     ("l_corpus_diff", qCorpusDiff, Some(oCorpusDiff)),
+    ("l_text_embed", qTextEmbed, Some(oTextEmbed)),
     ("l_data_card", qDataCard, Some(oDataCard)),
     ("l_quality_gate", qQualityGate, Some(oQualityGate)),
     ("l_chunk", qChunk, Some(oChunk)),

@@ -52,6 +52,30 @@ class ClassifierSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Classifier.featurize("!!! 123", 16)._1.isEmpty)
   }
 
+  test("textEmbedding: unit-norm, deterministic, identity on equal text, similarity order") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumps"),          // exact copy of 1
+      (3L, "the quick brown fox leaps"),          // near copy
+      (4L, "completely unrelated financial data") // far
+    ).toDF("doc_id", "text")
+    val got = Classifier.textEmbedding(df, "text")
+      .select("doc_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    got.values.foreach { v =>
+      assert(math.abs(math.sqrt(v.map(x => x.toDouble * x).sum) - 1.0) < 1e-6)
+    }
+    assert(java.util.Arrays.equals(got(1L), got(2L)), "equal text must embed equal")
+    assert(cos(got(1L), got(3L)) > cos(got(1L), got(4L)),
+      "near copy must score closer than unrelated text")
+    // repartitioning cannot change a stateless per-row embedding
+    val again = Classifier.textEmbedding(df.repartition(5), "text")
+      .select("doc_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    for ((k, v) <- got) assert(java.util.Arrays.equals(v, again(k)))
+  }
+
   test("subword trigrams make unseen inflections score like their stems") {
     val s = spark; import s.implicits._
     val df = corpus
