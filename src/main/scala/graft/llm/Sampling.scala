@@ -83,6 +83,44 @@ object Sampling {
     * the same two-pass distributed prefix-sum as [[capTokenBudget]]
     * (range partition → per-chunk counts → broadcast offsets → per-chunk
     * row_number), so a group never collapses into one task. */
+  /**
+   * Temperature-based mixture targets (the multilingual/multi-domain
+   * sampling rule: p_g ∝ n_g^α with α < 1 upweighting rare groups;
+   * α = 0.5 is the common square-root temperature). Returns the permille
+   * share map [[rebalanceByGroup]] consumes.
+   *
+   * Engine-exact by construction: each group's weight quantizes
+   * independently to an integer (floor(n^α · 2^20) — for α = 0.5 both
+   * the JVM and any IEEE engine compute the identical correctly-rounded
+   * sqrt, so the quantized weight is bit-equal), and shares come from
+   * ORDER-FREE integer arithmetic (q_g·1000 div Σq) — no float sum whose
+   * accumulation order could flip a floor boundary between engines. A
+   * group whose share floors to 0 permille is dropped (callers merge
+   * long tails first). The group catalog is bounded (the same contract
+   * as the shares map itself), so the collect is bounded.
+   */
+  def temperatureShares(df: DataFrame, groupCol: String,
+                        alphaPermille: Int = 500): Map[String, Int] = {
+    require(alphaPermille >= 0 && alphaPermille <= 1000,
+      "alphaPermille must be in [0, 1000]")
+    val alpha = alphaPermille / 1000.0
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(count(lit(1)).as("__n"))
+      .as[(String, Long)].collect()
+    val Q = 1L << 20
+    val q = counts.map { case (g, n) =>
+      val w = if (alphaPermille == 500) math.sqrt(n.toDouble)
+              else math.pow(n.toDouble, alpha)
+      (g, math.floor(w * Q).toLong)
+    }
+    val sum = q.map(_._2).sum
+    require(sum > 0, "temperatureShares: empty input")
+    q.map { case (g, qi) => g -> (qi * 1000L / sum).toInt }
+      .filter(_._2 > 0).toMap
+  }
+
   def rebalanceByGroup(df: DataFrame, groupCol: String, idCol: String,
                        sharesPermille: Map[String, Int]): DataFrame = {
     require(sharesPermille.nonEmpty && sharesPermille.values.forall(_ > 0) &&

@@ -2313,6 +2313,27 @@ object Queries {
       |  JOIN uc u1 ON u1.token = ev.w1 JOIN uc u2 ON u2.token = ev.w2
       |GROUP BY ev.doc_id ORDER BY doc_id""".stripMargin
 
+  /** Temperature-based domain mixing (p_g ∝ n_g^0.5, the multilingual
+    * square-root sampling rule) composed with the permille rebalancer:
+    * per-group quantized-integer share math is engine-exact, so DuckDB
+    * replays shares, the water-level T, and the kept counts exactly. */
+  private val qTempMix = dfQ { s =>
+    val docs = s.table("documents")
+    val shares = Sampling.temperatureShares(docs, "source", alphaPermille = 500)
+    Sampling.rebalanceByGroup(docs, "source", "doc_id", shares)
+      .groupBy("source").agg(count(lit(1)).as("kept"))
+      .orderBy("source")
+  }
+  private val oTempMix =
+    """WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY 1),
+      |q AS (SELECT source, cnt,
+      |  CAST(floor(sqrt(CAST(cnt AS DOUBLE)) * 1048576) AS BIGINT) AS qi FROM c),
+      |s AS (SELECT source, cnt, qi * 1000 // (SELECT sum(qi) FROM q) AS share FROM q),
+      |s2 AS (SELECT * FROM s WHERE share > 0),
+      |t AS (SELECT min(cnt * 1000 // share) AS T FROM s2)
+      |SELECT source, CAST(share * (SELECT T FROM t) // 1000 AS BIGINT) AS kept
+      |FROM s2 ORDER BY source""".stripMargin
+
   /** Model-free text embeddings (hashed features random-projected with
     * deterministic ±1 signs, L2-normalized) feeding the ANN near-dup
     * stack: planted exact text copies embed identically, so the SRP-LSH
@@ -2798,6 +2819,7 @@ object Queries {
     ("l_bigram_ppl", qBigramPpl, Some(oBigramPpl)),
     ("l_corpus_diff", qCorpusDiff, Some(oCorpusDiff)),
     ("l_text_embed", qTextEmbed, Some(oTextEmbed)),
+    ("l_temp_mix", qTempMix, Some(oTempMix)),
     ("l_data_card", qDataCard, Some(oDataCard)),
     ("l_quality_gate", qQualityGate, Some(oQualityGate)),
     ("l_chunk", qChunk, Some(oChunk)),

@@ -86,4 +86,21 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val maxIds = res.groupBy("grp").agg(max("id")).as[(Int, Long)].collect().toMap
     assert(maxIds === Map(0 -> 29844L, 1 -> 29845L))
   }
+
+  test("temperatureShares upweights rare groups; exact quantized-integer math") {
+    val s = spark; import s.implicits._
+    val df = (Seq.fill(100)("big") ++ Seq.fill(4)("rare")).zipWithIndex
+      .map { case (g, i) => (i.toLong, g) }.toDF("id", "grp")
+    val shares = Sampling.temperatureShares(df, "grp", alphaPermille = 500)
+    // sqrt weights 10 : 2 -> quantized exactly -> 833 / 166 permille
+    assert(shares === Map("big" -> 833, "rare" -> 166))
+    // proportional (alpha = 1000) stays count-shaped
+    val prop = Sampling.temperatureShares(df, "grp", alphaPermille = 1000)
+    assert(prop === Map("big" -> 961, "rare" -> 38))
+    // composition: the rebalancer keeps exactly share*T/1000 per group
+    val kept = Sampling.rebalanceByGroup(df, "grp", "id", shares)
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    // T = min(100*1000/833, 4*1000/166) = min(120, 24) = 24
+    assert(kept === Map("big" -> (833L * 24 / 1000), "rare" -> (166L * 24 / 1000)))
+  }
 }
