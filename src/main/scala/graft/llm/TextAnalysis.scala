@@ -326,6 +326,51 @@ object TextAnalysis {
   }
 
   /**
+   * Ingest-time unigram-LM quality gate — the streaming twin of
+   * [[unigramSurprisal]] (CCNet's filter-at-ingest shape): the model is
+   * the corpus's top-`maxVocab` token counts plus the total, collected
+   * ONCE and broadcast (bounded by construction — the Zipf head carries
+   * the mass; everything past it is OOV); the returned function maps a
+   * text column to its Laplace-smoothed mean surprisal
+   * `avg ln((N + V + 1) / (c_tok + 1))` as a fully STATELESS per-row
+   * column that scores a Structured Streaming ingestion stream with
+   * zero state and zero shuffle. When `maxVocab` covers the whole
+   * vocabulary the formula is SQL-replayable exactly (the l_surprisal_gate
+   * oracle); under truncation the semantics are "rare token = OOV",
+   * which only sharpens the gate.
+   */
+  def unigramGateScore(corpus: DataFrame, textCol: String,
+                       maxVocab: Int = 1 << 16): Column => Column = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val counts = corpus
+      .where(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val n = counts.agg(sum("c")).as[Long].head()
+    val top = counts.orderBy(col("c").desc, col("token").asc).limit(maxVocab)
+      .as[(String, Long)].collect()
+    val vocabB = spark.sparkContext.broadcast(top.toMap)
+    val vSize = top.length
+    val score = udf((t: String) => {
+      if (t == null) null
+      else {
+        val toks = t.trim.split("\\s+").filter(_.nonEmpty)
+        if (toks.isEmpty) null
+        else {
+          val m = vocabB.value
+          var s = 0.0
+          toks.foreach { tok =>
+            s += math.log((n + vSize + 1).toDouble / (m.getOrElse(tok, 0L) + 1).toDouble)
+          }
+          java.lang.Double.valueOf(s / toks.length)
+        }
+      }
+    })
+    (c: Column) => score(c)
+  }
+
+  /**
    * Interpolated bigram language-model scoring — the CCNet-style
    * perplexity filter one order above [[unigramSurprisal]]:
    * `P(w_i | w_{i-1}) = λ·c(w_{i-1} w_i)/c(w_{i-1}) + (1−λ)·c(w_i)/N`,

@@ -2313,6 +2313,29 @@ object Queries {
       |  JOIN uc u1 ON u1.token = ev.w1 JOIN uc u2 ON u2.token = ev.w2
       |GROUP BY ev.doc_id ORDER BY doc_id""".stripMargin
 
+  /** Ingest-time unigram-LM gate: broadcast bounded model, stateless
+    * scoring column (streams); with maxVocab covering the whole corpus
+    * vocabulary the Laplace-smoothed formula replays exactly in SQL. */
+  private val qSurprisalGate = dfQ { s =>
+    val docs = s.table("documents")
+    val score = TextAnalysis.unigramGateScore(docs, "text", maxVocab = 1 << 16)
+    docs.select(col("doc_id"), round(score(col("text")), 4).as("surprisal_r"))
+      .withColumn("flagged", col("surprisal_r") > 3.6)
+      .orderBy("doc_id")
+  }
+  private val oSurprisalGate =
+    """WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |cnt AS (SELECT token, count(*) AS c FROM w GROUP BY 1),
+      |tot AS (SELECT sum(c) AS N FROM cnt), v AS (SELECT count(*) AS V FROM cnt)
+      |SELECT doc_id,
+      |  round(avg(ln(CAST((SELECT N FROM tot) + (SELECT V FROM v) + 1 AS DOUBLE)
+      |    / CAST(c + 1 AS DOUBLE))), 4) AS surprisal_r,
+      |  round(avg(ln(CAST((SELECT N FROM tot) + (SELECT V FROM v) + 1 AS DOUBLE)
+      |    / CAST(c + 1 AS DOUBLE))), 4) > 3.6 AS flagged
+      |FROM w JOIN cnt USING (token)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Temperature-based domain mixing (p_g ∝ n_g^0.5, the multilingual
     * square-root sampling rule) composed with the permille rebalancer:
     * per-group quantized-integer share math is engine-exact, so DuckDB
@@ -2820,6 +2843,7 @@ object Queries {
     ("l_corpus_diff", qCorpusDiff, Some(oCorpusDiff)),
     ("l_text_embed", qTextEmbed, Some(oTextEmbed)),
     ("l_temp_mix", qTempMix, Some(oTempMix)),
+    ("l_surprisal_gate", qSurprisalGate, Some(oSurprisalGate)),
     ("l_data_card", qDataCard, Some(oDataCard)),
     ("l_quality_gate", qQualityGate, Some(oQualityGate)),
     ("l_chunk", qChunk, Some(oChunk)),

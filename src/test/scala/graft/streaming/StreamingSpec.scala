@@ -454,6 +454,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed === batch)
   }
 
+  test("unigram-LM surprisal gate scores an ingestion stream statelessly, matching batch") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val corpus = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val score = graft.llm.TextAnalysis.unigramGateScore(corpus, "text")
+    val sample = corpus.limit(15).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val batch = sample.toSeq.toDF("doc_id", "text")
+      .select(col("doc_id"), round(score(col("text")), 6).as("s"))
+      .as[(Long, Double)].collect().toMap
+    val input = MemoryStream[(Long, String)]
+    val out = input.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), round(score(col("text")), 6).as("s"))
+    val q = out.writeStream.format("memory").queryName("gate_stream")
+      .outputMode("append").start()
+    input.addData(sample.toIndexedSeq)
+    q.processAllAvailable()
+    val streamed = spark.table("gate_stream").as[(Long, Double)].collect().toMap
+    q.stop()
+    assert(streamed === batch)
+  }
+
   test("trained quality classifier gates an ingestion stream statelessly") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
