@@ -567,20 +567,24 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val docs = (1L to 200L).map { id =>
       (id, s"shared eight token run here for all docs tail$id")
     }.toDF("doc_id", "text")
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    // other suites may persist concurrently on the shared SparkContext:
+    // judge only the RDD ids THIS test's queries create (diff vs baseline)
+    def newIds(baseline: Set[Int]): Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet -- baseline
+    val base0 = spark.sparkContext.getPersistentRDDs.keySet.toSet
     // default gate (1 GiB): a tiny input must not persist anything at all
     Dedup.duplicateSpans(docs, "doc_id", "text", n = 8).collect()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+    assert(newIds(base0).isEmpty,
       "below the size gate, no gram cache should ever be created")
     // gate forced to 0: the cache exists for the query, then is released
     // by the QueryExecutionListener (async — poll with a deadline)
     spark.conf.set("spark.graft.dedup.gramCacheMinBytes", "0")
     try {
+      val base1 = spark.sparkContext.getPersistentRDDs.keySet.toSet
       Dedup.removeDuplicateSpans(docs, "doc_id", "text", n = 8).collect()
       val end = System.currentTimeMillis + 30000
-      while (spark.sparkContext.getPersistentRDDs.nonEmpty &&
-             System.currentTimeMillis < end) Thread.sleep(50)
-      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      while (newIds(base1).nonEmpty && System.currentTimeMillis < end) Thread.sleep(50)
+      assert(newIds(base1).isEmpty,
         "gram cache must be unpersisted when the consuming query completes")
     } finally spark.conf.unset("spark.graft.dedup.gramCacheMinBytes")
   }
