@@ -600,43 +600,7 @@ object Ann {
       .limit(sampleN)
       .as[(Long, Array[Float])].collect().map(_._2)
     require(sample.nonEmpty, "pqTrain: empty corpus")
-    val dim = sample(0).length
-    require(dim % m == 0, s"pqTrain: dim $dim not divisible by m=$m")
-    val sub = dim / m
-    Array.tabulate(m) { j =>
-      val off = j * sub
-      val nc = math.min(ksub, sample.length)
-      val cents = Array.tabulate(nc) { c =>
-        java.util.Arrays.copyOfRange(sample(c), off, off + sub)
-      }
-      var it = 0
-      while (it < iters) {
-        val sums = Array.fill(nc, sub)(0.0)
-        val counts = new Array[Long](nc)
-        sample.foreach { v =>
-          var best = 0; var bestD = Double.MaxValue; var c = 0
-          while (c < nc) {
-            var d = 0.0; var i = 0
-            while (i < sub) { val t = v(off + i) - cents(c)(i); d += t * t; i += 1 }
-            if (d < bestD) { bestD = d; best = c }
-            c += 1
-          }
-          counts(best) += 1
-          var i = 0
-          while (i < sub) { sums(best)(i) += v(off + i); i += 1 }
-        }
-        var c = 0
-        while (c < nc) {
-          if (counts(c) > 0) {
-            var i = 0
-            while (i < sub) { cents(c)(i) = (sums(c)(i) / counts(c)).toFloat; i += 1 }
-          }
-          c += 1
-        }
-        it += 1
-      }
-      cents
-    }
+    pqTrainLocal(sample, m, ksub, iters)
   }
 
   /** Nearest-centroid (squared-L2) code of one vector, one byte/subspace. */
@@ -674,6 +638,223 @@ object Ann {
         val cb = cbB.value
         rows.map { case (id, v) => (id, pqCode(cb, v)) }
       }.toDF(idCol, "pq_code")
+  }
+
+  /**
+   * IVF-PQ approximate top-k — the canonical billion-scale index shape
+   * (coarse quantizer routes each vector to one of `nlist` cells; a
+   * product quantizer codes the RESIDUAL v − centroid, which is far
+   * tighter than coding raw vectors; queries probe `nprobe` cells and
+   * score codes by ADC): at 100 TB the at-rest index is (cell, m bytes)
+   * per vector — written `partitionBy(cell)`, a query's scan prunes to
+   * its probe cells' partitions.
+   *
+   * Everything trains on bounded, deterministic state: coarse centroids
+   * are the [[ivfTopK]] id-hash sample; PQ codebooks train driver-side
+   * on the residuals of the same bounded sample; the per-(cell, code)
+   * cross-terms ADC needs (dot(centroid, codeword), ‖codeword‖²,
+   * dot(q, centroid)) are nlist×m×ksub-bounded lookup tables. Scoring:
+   * cosine(q, centroid_cell + recon_residual) with the query at full
+   * precision — dot and norm decompose into table lookups, so a
+   * candidate costs 2m lookups, no float-vector math. Corpus pass
+   * shape = [[pqTopK]]'s bounded per-partition k-heaps, with non-probed
+   * cells skipped per query before any scoring.
+   */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 64,
+                sampleN: Int = 512, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // coarse centroids: the ivfTopK deterministic id-hash sample contract
+    val sampled = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .orderBy(xxhash64(col("id")).asc, col("id").asc)
+      .limit(math.max(nlist, sampleN))
+      .as[(Long, Array[Float])].collect()
+    require(sampled.nonEmpty, "ivfPqTopK: empty corpus")
+    val cents: Array[Array[Float]] = sampled.take(nlist).sortBy(_._1).map(_._2)
+    val dim = cents(0).length
+
+    def nearestCell(v: Array[Float]): Int = {
+      val vn = normFn(v)
+      var best = 0; var bestS = Double.MinValue; var c = 0
+      while (c < cents.length) {
+        val s = dotFn(v, cents(c)) / (vn * normFn(cents(c)) + 1e-300)
+        if (s > bestS) { bestS = s; best = c }
+        c += 1
+      }
+      best
+    }
+    def residual(v: Array[Float]): Array[Float] = {
+      val ct = cents(nearestCell(v))
+      val r = new Array[Float](dim)
+      var i = 0
+      while (i < dim) { r(i) = v(i) - ct(i); i += 1 }
+      r
+    }
+    // PQ codebooks on the SAMPLE's residuals (driver-side, bounded)
+    val resSample = sampled.map(s => residual(s._2))
+    val cb = pqTrainLocal(resSample, m, ksub)
+
+    val centsB = spark.sparkContext.broadcast(cents)
+    val cbB = spark.sparkContext.broadcast(cb)
+    // compressed index: (id, cell, m-byte residual code)
+    val codes = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val cc = centsB.value; val cbv = cbB.value
+        rows.map { case (id, v) =>
+          var best = 0; var bestS = Double.MinValue; var c = 0
+          val vn = normFn(v)
+          while (c < cc.length) {
+            val s = dotFn(v, cc(c)) / (vn * normFn(cc(c)) + 1e-300)
+            if (s > bestS) { bestS = s; best = c }
+            c += 1
+          }
+          val ct = cc(best)
+          val r = new Array[Float](v.length)
+          var i = 0
+          while (i < v.length) { r(i) = v(i) - ct(i); i += 1 }
+          (id, best, pqCode(cbv, r))
+        }
+      }.toDF(idCol, "cell", "pq_code")
+
+    val qArr = queries.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].collect()
+    val qB = spark.sparkContext.broadcast(qArr)
+    val sub = dim / m
+    // query-independent cross tables: per (cell ∅, subspace, codeword)
+    val cw2 = Array.tabulate(m) { j =>          // ‖codeword‖² per subspace
+      cb(j).map { w => var s = 0.0; var i = 0; while (i < w.length) { s += w(i) * w(i); i += 1 }; s }
+    }
+    val centDotCw = Array.tabulate(cents.length) { c =>   // dot(centroid_sub, codeword)
+      Array.tabulate(m) { j =>
+        val off = j * sub
+        cb(j).map { w =>
+          var s = 0.0; var i = 0
+          while (i < w.length) { s += cents(c)(off + i) * w(i); i += 1 }
+          s
+        }
+      }
+    }
+    val centN2 = cents.map(ct => { var s = 0.0; var i = 0; while (i < ct.length) { s += ct(i).toDouble * ct(i); i += 1 }; s })
+    val tablesB = spark.sparkContext.broadcast((cw2, centDotCw, centN2))
+
+    val cands = codes.select(col(idCol), col("cell"), col("pq_code"))
+      .as[(Long, Int, Array[Byte])]
+      .mapPartitions { rows =>
+        val qs = qB.value; val cc = centsB.value; val cbv = cbB.value
+        val (cw2v, cdcw, cn2) = tablesB.value
+        val mm = cbv.length
+        // per query: probe-cell set, per-subspace dot tables vs residual
+        // codewords, and dot(q, centroid) per cell
+        val probeSets = new Array[Array[Boolean]](qs.length)
+        val qTabs = new Array[Array[Array[Double]]](qs.length)
+        val qCentDots = new Array[Array[Double]](qs.length)
+        val qNorms = new Array[Double](qs.length)
+        var qi = 0
+        while (qi < qs.length) {
+          val qv = qs(qi)._2
+          qNorms(qi) = normFn(qv)
+          val cd = cc.map(ct => dotFn(qv, ct))
+          qCentDots(qi) = cd
+          val scored = cc.indices.map { c =>
+            (c, cd(c) / (qNorms(qi) * math.sqrt(cn2(c)) + 1e-300))
+          }.sortBy { case (c, s) => (-s, c) }.take(nprobe).map(_._1)
+          val set = new Array[Boolean](cc.length)
+          scored.foreach(set(_) = true)
+          probeSets(qi) = set
+          qTabs(qi) = Array.tabulate(mm) { j =>
+            val off = j * (qv.length / mm)
+            cbv(j).map { w =>
+              var s = 0.0; var i = 0
+              while (i < w.length) { s += qv(off + i) * w(i); i += 1 }
+              s
+            }
+          }
+          qi += 1
+        }
+        val ord = Ordering.by[(Long, Double), (Double, Long)] { case (cid, s) => (-s, cid) }
+        val heaps = Array.fill(qs.length)(
+          scala.collection.mutable.PriorityQueue.empty[(Long, Double)](ord))
+        rows.foreach { case (cId, cell, code) =>
+          // reconstructed norm² = ‖centroid‖² + 2·dot(centroid, res) + ‖res‖²
+          var cdr = 0.0; var r2 = 0.0; var j = 0
+          while (j < mm) {
+            val b = code(j) & 0xff
+            cdr += cdcw(cell)(j)(b); r2 += cw2v(j)(b); j += 1
+          }
+          val rn = math.sqrt(math.max(cn2(cell) + 2.0 * cdr + r2, 0.0))
+          var q2 = 0
+          while (q2 < qs.length) {
+            if (probeSets(q2)(cell) && qs(q2)._1 != cId) {
+              val tab = qTabs(q2)
+              var qdr = 0.0; var jj = 0
+              while (jj < mm) { qdr += tab(jj)(code(jj) & 0xff); jj += 1 }
+              val sim = if (rn == 0.0) 0.0
+                        else (qCentDots(q2)(cell) + qdr) / (qNorms(q2) * rn)
+              val h = heaps(q2)
+              if (h.size < k) h.enqueue((cId, sim))
+              else {
+                val (wId, wSim) = h.head
+                if (sim > wSim || (sim == wSim && cId < wId)) { h.dequeue(); h.enqueue((cId, sim)) }
+              }
+            }
+            q2 += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi2) =>
+          h.iterator.map { case (cId, s) => (qs(qi2)._1, cId, s) }
+        }
+      }.toDF("q_id", "c_id", "sim")
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
+    cands.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rank"))
+  }
+
+  /** Driver-side PQ Lloyd's over already-materialized vectors (the
+    * bounded-sample half of [[pqTrain]], shared with residual training). */
+  private def pqTrainLocal(sample: Array[Array[Float]], m: Int, ksub: Int,
+                           iters: Int = 8): Array[Array[Array[Float]]] = {
+    require(sample.nonEmpty, "pqTrainLocal: empty sample")
+    val dim = sample(0).length
+    require(dim % m == 0, s"pqTrainLocal: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    Array.tabulate(m) { j =>
+      val off = j * sub
+      val nc = math.min(ksub, sample.length)
+      val cents = Array.tabulate(nc) { c =>
+        java.util.Arrays.copyOfRange(sample(c), off, off + sub)
+      }
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(nc, sub)(0.0)
+        val counts = new Array[Long](nc)
+        sample.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue; var c = 0
+          while (c < nc) {
+            var d = 0.0; var i = 0
+            while (i < sub) { val t = v(off + i) - cents(c)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < sub) { sums(best)(i) += v(off + i); i += 1 }
+        }
+        var c = 0
+        while (c < nc) {
+          if (counts(c) > 0) {
+            var i = 0
+            while (i < sub) { cents(c)(i) = (sums(c)(i) / counts(c)).toFloat; i += 1 }
+          }
+          c += 1
+        }
+        it += 1
+      }
+      cents
+    }
   }
 
   /** Reconstruct approximate vectors from PQ codes (centroid lookup per

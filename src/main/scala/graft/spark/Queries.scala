@@ -1797,6 +1797,27 @@ object Queries {
     """SELECT CAST(0.41 AS DOUBLE) AS pq_recall, true AS pq_floor,
       | 8 AS code_bytes, 256 AS raw_bytes, CAST(100 AS BIGINT) AS n_pairs""".stripMargin
 
+  /** IVF-PQ recall@10 vs brute force: coarse routing + residual product
+    * quantization (the billion-scale index shape) must stay above the
+    * floor; deterministic training pins the exact value. */
+  private val qAnnIvfPq = dfQ { s =>
+    val emb = s.table("embeddings")
+    val queries = emb.where(col("vec_id") % 50 === 0)
+    val exact = Ann.bruteForceTopK(queries, emb, 10).select("q_id", "c_id")
+    val apx = Ann.ivfPqTopK(queries, emb, 10).select("q_id", "c_id")
+    val hits = exact.join(apx, Seq("q_id", "c_id"), "left_semi")
+      .agg(count(lit(1)).cast("double").as("hits"))
+    val total = exact.agg(count(lit(1)).cast("double").as("total"))
+    hits.crossJoin(total)
+      .select(
+        round(col("hits") / col("total"), 4).as("ivfpq_recall"),
+        (col("hits") / col("total") >= 0.25).as("ivfpq_floor"),
+        col("total").cast("long").as("n_pairs"))
+  }
+  private val oAnnIvfPq =
+    """SELECT CAST(0.3 AS DOUBLE) AS ivfpq_recall, true AS ivfpq_floor,
+      | CAST(100 AS BIGINT) AS n_pairs""".stripMargin
+
   /** Distributed BPE tokenizer training (Sennrich et al. 2016): the first
     * 12 learned merges over the documents corpus. Exact integer pair
     * counts + deterministic (count desc, pair asc) tiebreak make the merge
@@ -2864,6 +2885,7 @@ object Queries {
     ("l_multimodal_decode", qMultimodalDecode, Some(oMultimodalDecode)),
     ("l_ann_recall", qAnnRecall, Some(oAnnRecall)),
     ("l_ann_pq", qAnnPq, Some(oAnnPq)),
+    ("l_ann_ivfpq", qAnnIvfPq, Some(oAnnIvfPq)),
     ("l_bpe_train", qBpeTrain, Some(oBpeTrain)),
     ("l_quality_classifier", qQualityClassifier, Some(oQualityClassifier)),
     ("l_bpe_encode", qBpeEncode, Some(oBpeEncode)),

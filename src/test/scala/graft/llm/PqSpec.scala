@@ -84,6 +84,24 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(worse === 0, s"$worse vectors reconstruct no better than the zero vector")
   }
 
+  test("IVF-PQ: planted copies recover their original; deterministic under repartition") {
+    val copies = emb.where(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionAll(copies)
+    // identical vector -> identical coarse cell AND identical residual
+    // code, and the query probes its own cell first: the original must
+    // appear in the ADC top-10
+    val top = Ann.ivfPqTopK(copies, corpus, k = 10)
+      .where(col("c_id") === col("q_id") - 100000)
+    assert(top.count() === copies.count())
+    val s = spark; import s.implicits._
+    val a = Ann.ivfPqTopK(copies, corpus.repartition(3), k = 3)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val b = Ann.ivfPqTopK(copies, corpus.repartition(11), k = 3)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(a === b, "IVF-PQ results must be partitioning-independent")
+  }
+
   test("ADC recall@10 vs brute force clears the floor") {
     val queries = emb.where(col("vec_id") % 50 === 0)
     val exact = Ann.bruteForceTopK(queries, emb, 10).select("q_id", "c_id")
