@@ -2905,7 +2905,8 @@ object Queries {
   val benchNames: Seq[String] = Seq(
     "t_point_in_poly", "t_cover_refine_join", "t_cells", "t_dwithin", "t_dwithin_join",
     "t_dwithin_join_sql", "g_flagship_join", "g_flagship_broadcast",
-    "l_dedup_minhash", "l_dedup_simhash", "l_ann_top1", "l_ann_ivf", "l_ann_pq", "l_text_tokens",
+    "l_dedup_minhash", "l_dedup_simhash", "l_ann_top1", "l_ann_ivf", "l_ann_pq",
+    "l_ann_ivfpq", "l_text_tokens",
     "l_dup_spans", "l_dup_span_removal", "l_decontam_fuzzy", "l_decontam_bloom", "l_bpe_train",
     "b_tpch_q1", "b_tpch_q3", "b_tpch_q5", "b_events_sessions",
     "b_events_asof", "b_interval_join", "b_knn", "b_top_order", "b_top_order_agg")
