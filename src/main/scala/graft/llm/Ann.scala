@@ -664,19 +664,17 @@ object Ann {
                 nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 64,
                 sampleN: Int = 512, idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    // coarse centroids: the ivfTopK deterministic id-hash sample contract
-    val sampled = corpus
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .orderBy(xxhash64(col("id")).asc, col("id").asc)
-      .limit(math.max(nlist, sampleN))
-      .as[(Long, Array[Float])].collect()
-    require(sampled.nonEmpty, "ivfPqTopK: empty corpus")
-    val cents: Array[Array[Float]] = sampled.take(nlist).sortBy(_._1).map(_._2)
-    val dim = cents(0).length
+    val model = ivfPqTrain(corpus, nlist, m, ksub, sampleN, idCol, vecCol)
+    ivfPqSearch(model, ivfPqEncode(model, corpus, idCol, vecCol),
+      queries, k, nprobe, idCol, vecCol)
+  }
 
-    def nearestCell(v: Array[Float]): Int = {
+  /** Bounded IVF-PQ model: `nlist` coarse centroids + m×ksub residual
+    * codebooks — a few hundred KB broadcast, never corpus-sized. */
+  final case class IvfPqModel(cents: Array[Array[Float]],
+                              codebooks: Array[Array[Array[Float]]]) {
+    def dim: Int = cents(0).length
+    private[llm] def nearestCell(v: Array[Float]): Int = {
       val vn = normFn(v)
       var best = 0; var bestS = Double.MinValue; var c = 0
       while (c < cents.length) {
@@ -686,40 +684,74 @@ object Ann {
       }
       best
     }
-    def residual(v: Array[Float]): Array[Float] = {
-      val ct = cents(nearestCell(v))
+  }
+
+  /** Train the bounded IVF-PQ model driver-side: coarse centroids from
+    * the [[ivfTopK]] deterministic id-hash sample, PQ codebooks by
+    * Lloyd's on the same sample's RESIDUALS (v − centroid). */
+  def ivfPqTrain(corpus: DataFrame, nlist: Int = 16, m: Int = 8,
+                 ksub: Int = 64, sampleN: Int = 512, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): IvfPqModel = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sampled = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .orderBy(xxhash64(col("id")).asc, col("id").asc)
+      .limit(math.max(nlist, sampleN))
+      .as[(Long, Array[Float])].collect()
+    require(sampled.nonEmpty, "ivfPqTrain: empty corpus")
+    val cents: Array[Array[Float]] = sampled.take(nlist).sortBy(_._1).map(_._2)
+    val dim = cents(0).length
+    val pre = IvfPqModel(cents, Array.empty)
+    val resSample = sampled.map { case (_, v) =>
+      val ct = cents(pre.nearestCell(v))
       val r = new Array[Float](dim)
       var i = 0
       while (i < dim) { r(i) = v(i) - ct(i); i += 1 }
       r
     }
-    // PQ codebooks on the SAMPLE's residuals (driver-side, bounded)
-    val resSample = sampled.map(s => residual(s._2))
-    val cb = pqTrainLocal(resSample, m, ksub)
+    IvfPqModel(cents, pqTrainLocal(resSample, m, ksub))
+  }
 
-    val centsB = spark.sparkContext.broadcast(cents)
-    val cbB = spark.sparkContext.broadcast(cb)
-    // compressed index: (id, cell, m-byte residual code)
-    val codes = corpus.select(col(idCol).cast("long"), col(vecCol))
+  /** Compress a corpus to the (id, cell, m-byte residual code) index rows
+    * in one stateless pass. At rest, write `partitionBy("cell")` so a
+    * search's scan prunes to its probe cells' partitions (asserted in
+    * PqSpec); the same map runs unchanged on a stream. */
+  def ivfPqEncode(model: IvfPqModel, df: DataFrame,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val modelB = spark.sparkContext.broadcast(model)
+    df.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
       .mapPartitions { rows =>
-        val cc = centsB.value; val cbv = cbB.value
+        val mv = modelB.value
         rows.map { case (id, v) =>
-          var best = 0; var bestS = Double.MinValue; var c = 0
-          val vn = normFn(v)
-          while (c < cc.length) {
-            val s = dotFn(v, cc(c)) / (vn * normFn(cc(c)) + 1e-300)
-            if (s > bestS) { bestS = s; best = c }
-            c += 1
-          }
-          val ct = cc(best)
+          val best = mv.nearestCell(v)
+          val ct = mv.cents(best)
           val r = new Array[Float](v.length)
           var i = 0
           while (i < v.length) { r(i) = v(i) - ct(i); i += 1 }
-          (id, best, pqCode(cbv, r))
+          (id, best, pqCode(mv.codebooks, r))
         }
       }.toDF(idCol, "cell", "pq_code")
+  }
 
+  /** ADC search over an encoded index (see [[ivfPqTopK]] for the score
+    * decomposition). The union of all queries' probe cells is computed
+    * driver-side and applied as a `cell IN (...)` filter BEFORE the scan,
+    * so a parquet index partitioned by cell reads only probed partitions. */
+  def ivfPqSearch(model: IvfPqModel, codes: DataFrame, queries: DataFrame,
+                  k: Int, nprobe: Int = 4, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val cents = model.cents
+    val cb = model.codebooks
+    val dim = model.dim
+    val m = cb.length
+    val cbB = spark.sparkContext.broadcast(cb)
     val qArr = queries.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])].collect()
     val qB = spark.sparkContext.broadcast(qArr)
@@ -739,42 +771,49 @@ object Ann {
       }
     }
     val centN2 = cents.map(ct => { var s = 0.0; var i = 0; while (i < ct.length) { s += ct(i).toDouble * ct(i); i += 1 }; s })
-    val tablesB = spark.sparkContext.broadcast((cw2, centDotCw, centN2))
+    // per query (bounded by the collect contract): probe-cell set,
+    // per-subspace dot tables vs residual codewords, dot(q, centroid)
+    // per cell — all driver-side so the probe union prunes the scan
+    val probeSets = new Array[Array[Boolean]](qArr.length)
+    val qTabs = new Array[Array[Array[Double]]](qArr.length)
+    val qCentDots = new Array[Array[Double]](qArr.length)
+    val qNorms = new Array[Double](qArr.length)
+    var qi0 = 0
+    while (qi0 < qArr.length) {
+      val qv = qArr(qi0)._2
+      qNorms(qi0) = normFn(qv)
+      val cd = cents.map(ct => dotFn(qv, ct))
+      qCentDots(qi0) = cd
+      val scored = cents.indices.map { c =>
+        (c, cd(c) / (qNorms(qi0) * math.sqrt(centN2(c)) + 1e-300))
+      }.sortBy { case (c, s) => (-s, c) }.take(nprobe).map(_._1)
+      val set = new Array[Boolean](cents.length)
+      scored.foreach(set(_) = true)
+      probeSets(qi0) = set
+      qTabs(qi0) = Array.tabulate(m) { j =>
+        val off = j * sub
+        cb(j).map { w =>
+          var s = 0.0; var i = 0
+          while (i < w.length) { s += qv(off + i) * w(i); i += 1 }
+          s
+        }
+      }
+      qi0 += 1
+    }
+    val probedCells: Seq[Int] =
+      cents.indices.filter(c => probeSets.exists(_(c)))
+    val tablesB = spark.sparkContext.broadcast(
+      (cw2, centDotCw, centN2, probeSets, qTabs, qCentDots, qNorms))
 
+    // cell IN (probe union) BEFORE the scan: on a partitionBy("cell")
+    // parquet index this is partition pruning, not a row filter
     val cands = codes.select(col(idCol), col("cell"), col("pq_code"))
+      .where(col("cell").isin(probedCells.map(Integer.valueOf): _*))
       .as[(Long, Int, Array[Byte])]
       .mapPartitions { rows =>
-        val qs = qB.value; val cc = centsB.value; val cbv = cbB.value
-        val (cw2v, cdcw, cn2) = tablesB.value
+        val qs = qB.value; val cbv = cbB.value
+        val (cw2v, cdcw, cn2, probeSets, qTabs, qCentDots, qNorms) = tablesB.value
         val mm = cbv.length
-        // per query: probe-cell set, per-subspace dot tables vs residual
-        // codewords, and dot(q, centroid) per cell
-        val probeSets = new Array[Array[Boolean]](qs.length)
-        val qTabs = new Array[Array[Array[Double]]](qs.length)
-        val qCentDots = new Array[Array[Double]](qs.length)
-        val qNorms = new Array[Double](qs.length)
-        var qi = 0
-        while (qi < qs.length) {
-          val qv = qs(qi)._2
-          qNorms(qi) = normFn(qv)
-          val cd = cc.map(ct => dotFn(qv, ct))
-          qCentDots(qi) = cd
-          val scored = cc.indices.map { c =>
-            (c, cd(c) / (qNorms(qi) * math.sqrt(cn2(c)) + 1e-300))
-          }.sortBy { case (c, s) => (-s, c) }.take(nprobe).map(_._1)
-          val set = new Array[Boolean](cc.length)
-          scored.foreach(set(_) = true)
-          probeSets(qi) = set
-          qTabs(qi) = Array.tabulate(mm) { j =>
-            val off = j * (qv.length / mm)
-            cbv(j).map { w =>
-              var s = 0.0; var i = 0
-              while (i < w.length) { s += qv(off + i) * w(i); i += 1 }
-              s
-            }
-          }
-          qi += 1
-        }
         val ord = Ordering.by[(Long, Double), (Double, Long)] { case (cid, s) => (-s, cid) }
         val heaps = Array.fill(qs.length)(
           scala.collection.mutable.PriorityQueue.empty[(Long, Double)](ord))

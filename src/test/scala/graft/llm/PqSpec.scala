@@ -102,6 +102,27 @@ class PqSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a === b, "IVF-PQ results must be partitioning-independent")
   }
 
+  test("IVF-PQ index persists partitionBy(cell); search prunes to probe partitions") {
+    val s = spark; import s.implicits._
+    val model = Ann.ivfPqTrain(emb, nlist = 16, m = 8, ksub = 64, sampleN = 512)
+    val codes = Ann.ivfPqEncode(model, emb)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    codes.write.mode("overwrite").partitionBy("cell").parquet(path)
+    val onDisk = spark.read.parquet(path)
+      .select(col("vec_id"), col("cell").cast("int"), col("pq_code"))
+    val queries = emb.where(col("vec_id") % 100 === 0)
+    val fromDisk = Ann.ivfPqSearch(model, onDisk, queries, k = 5)
+    // probe-union filter reaches the partitioned scan, not a row filter
+    val plan = fromDisk.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"cell IN (probes) must prune partitions; plan:\n${plan.take(2000)}")
+    val inMem = Ann.ivfPqSearch(model, codes, queries, k = 5)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val disk = fromDisk
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(disk === inMem, "at-rest index search must equal in-memory search")
+  }
+
   test("ADC recall@10 vs brute force clears the floor") {
     val queries = emb.where(col("vec_id") % 50 === 0)
     val exact = Ann.bruteForceTopK(queries, emb, 10).select("q_id", "c_id")

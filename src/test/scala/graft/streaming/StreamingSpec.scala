@@ -434,6 +434,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(java.util.Arrays.equals(code, batch(id)), s"stream code differs for $id")
   }
 
+  test("ivf-pq encoding routes and codes an embedding stream statelessly, matching batch") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val corpus = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = graft.llm.Ann.ivfPqTrain(corpus, nlist = 8, m = 8, ksub = 16, sampleN = 128)
+    val batch = graft.llm.Ann.ivfPqEncode(model, corpus.limit(20))
+      .as[(Long, Int, Array[Byte])].collect()
+      .map { case (id, cell, code) => id -> ((cell, code)) }.toMap
+    val input = MemoryStream[(Long, Array[Float])]
+    val out = graft.llm.Ann.ivfPqEncode(model, input.toDF().toDF("vec_id", "embedding"))
+    val q = out.writeStream.format("memory").queryName("ivfpq_stream")
+      .outputMode("append").start()
+    val rows = corpus.limit(20).select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    input.addData(rows.toIndexedSeq)
+    q.processAllAvailable()
+    val streamed = spark.table("ivfpq_stream").as[(Long, Int, Array[Byte])]
+      .collect().map { case (id, cell, code) => id -> ((cell, code)) }.toMap
+    q.stop()
+    assert(streamed.keySet === batch.keySet)
+    for ((id, (cell, code)) <- streamed) {
+      assert(cell === batch(id)._1, s"stream cell differs for $id")
+      assert(java.util.Arrays.equals(code, batch(id)._2), s"stream code differs for $id")
+    }
+  }
+
   test("bpe encoding tokenizes a text stream statelessly, matching batch tokens") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
