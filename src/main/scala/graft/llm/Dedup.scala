@@ -210,6 +210,45 @@ object Dedup {
         col("n_union").cast("long").as("n_union"))
   }
 
+  /** At-rest MinHash-LSH band index of a corpus: one row per (doc, band)
+    * with the band's 64-bit bucket key — the persistent half of
+    * incremental near-dedup. At 100 TB, write it once
+    * `bucketBy(N, "band", "bucket").sortBy(...)` (saveAsTable): every
+    * subsequent batch check joins against it with ONLY the batch side
+    * shuffling (asserted in IncrementalDedupSpec), and appending a
+    * digested batch is a union of its own bandIndex rows — the corpus
+    * text is never re-read. */
+  def bandIndex(df: DataFrame, idCol: String, textCol: String,
+                numHashes: Int = 64, bands: Int = 8): DataFrame =
+    df.select(col(idCol).as("id"),
+        minhashSignature(col(textCol), numHashes).as("sig"))
+      .select(col("id"),
+        posexplode(lshBandBuckets(col("sig"), numHashes, bands)).as(Seq("band", "bucket")))
+
+  /** Incremental near-dedup: check a NEW batch against an existing
+    * [[bandIndex]] without touching the corpus text. Output, one row per
+    * batch doc: (idCol, dup, dup_of) where dup_of is the smallest index
+    * doc id sharing any band bucket (null → novel). Batch bands come
+    * from the same signature chain, so an exact copy of an indexed doc
+    * collides in every band by construction.
+    *
+    * Scale shape: one (band, bucket) equi-join — the index side reads
+    * pre-bucketed storage with no exchange, the batch side shuffles its
+    * own bands only — then a map-side partial min per batch doc. Cost
+    * per batch is O(batch × collisions), independent of corpus size. */
+  def nearDupAgainstIndex(batch: DataFrame, index: DataFrame, idCol: String,
+                          textCol: String, numHashes: Int = 64,
+                          bands: Int = 8): DataFrame = {
+    val b = bandIndex(batch, idCol, textCol, numHashes, bands)
+    val hits = b
+      .join(index.select(col("id").as("__iid"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .groupBy(col("id")).agg(min(col("__iid")).as("dup_of"))
+    batch.select(col(idCol))
+      .join(hits.select(col("id").as(idCol), col("dup_of")), Seq(idCol), "left")
+      .select(col(idCol), col("dup_of").isNotNull.as("dup"), col("dup_of"))
+  }
+
   /** Estimated jaccard from two signatures (fraction of equal components). */
   def minhashJaccardEstimate(sigA: Column, sigB: Column): Column =
     aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),

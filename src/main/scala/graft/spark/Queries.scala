@@ -1624,6 +1624,46 @@ object Queries {
        |WHERE ca.canon = cb.canon
        |ORDER BY train_id, eval_id""".stripMargin
 
+  /** Incremental near-dedup: a NEW batch checked against the persisted
+    * [[Dedup.bandIndex]] of the existing corpus — the production shape
+    * for continuously updated corpora (the corpus text is never
+    * re-read; each batch costs batch × collisions). Batch = exact
+    * copies of every 10th doc (must flag dup, collide in all bands) +
+    * salted variants of every (10k+5)th doc (one unique token appended).
+    * The oracle replays the shared minhash chain and the same
+    * min-collider aggregation, so dup/dup_of are engine-exact. */
+  private val qDedupIncremental = dfQ { s =>
+    val docs = s.table("documents").where(length(trim(col("text"))) > 0)
+    val copies = docs.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val salted = docs.where(col("doc_id") % 10 === 5)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(" zz"), col("doc_id").cast("string")).as("text"))
+    val batch = copies.unionByName(salted)
+    val index = Dedup.bandIndex(docs, "doc_id", "text", numHashes = 64, bands = 4)
+    Dedup.nearDupAgainstIndex(batch, index, "doc_id", "text",
+        numHashes = 64, bands = 4)
+      .orderBy("doc_id")
+  }
+  private val oDedupIncremental =
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0),
+       |copies AS (SELECT doc_id + 1000000 AS doc_id, text FROM d WHERE doc_id % 10 = 0),
+       |salted AS (SELECT doc_id + 2000000 AS doc_id,
+       |    text || ' zz' || CAST(doc_id AS VARCHAR) AS text FROM d WHERE doc_id % 10 = 5),
+       |batch AS (SELECT * FROM copies UNION ALL SELECT * FROM salted),
+       |allc AS (SELECT doc_id, text FROM d UNION ALL SELECT doc_id, text FROM batch),
+       |${oracleMinhashChain("allc")},
+       |hits AS (
+       |  SELECT b.doc_id, min(i.doc_id) AS dup_of
+       |  FROM bands b JOIN bands i
+       |    ON b.band = i.band AND b.bucket = i.bucket AND b.sub = i.sub
+       |  WHERE b.doc_id IN (SELECT doc_id FROM batch)
+       |    AND i.doc_id IN (SELECT doc_id FROM d)
+       |  GROUP BY b.doc_id)
+       |SELECT bt.doc_id, h.dup_of IS NOT NULL AS dup, h.dup_of
+       |FROM batch bt LEFT JOIN hits h ON bt.doc_id = h.doc_id
+       |ORDER BY bt.doc_id""".stripMargin
+
   /** BLOOM decontamination: the zero-corpus-shuffle membership shape —
     * eval-side gram positions build a broadcast bitset, the train side is
     * scanned map-side-only. Planted: every 6th even (eval) doc re-enters
@@ -2837,6 +2877,7 @@ object Queries {
     ("l_dedup_minhash", qDedupMinhash, Some(oDedupMinhash)),
     ("l_dedup_minhash_shingle", qDedupMinhashShingle, Some(oDedupPairs)),
     ("l_dedup_verified", qDedupVerified, Some(oDedupVerified)),
+    ("l_dedup_incremental", qDedupIncremental, Some(oDedupIncremental)),
     ("l_dedup_simhash", qDedupSimhash, Some(oDedupPairs)),
     ("l_dedup_clusters", qDedupClusters, Some(oDedupClusters)),
     ("l_dedup_resolve", qDedupResolve, Some(oDedupResolve)),
