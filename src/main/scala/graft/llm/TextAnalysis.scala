@@ -21,6 +21,24 @@ object TextAnalysis {
     when(org.apache.spark.sql.functions.length(trim(text)) === 0, lit(0))
       .otherwise(size(split(trim(text), "\\s+")))
 
+  /** Ingest-time text canonicalization — the step every web-scale corpus
+    * runs before fingerprinting/dedup (CCNet, Gopher, RefinedWeb): Unicode
+    * NFC composition (é as one codepoint whether the crawl delivered it
+    * composed or decomposed, so fingerprints agree), C0/DEL control strip,
+    * whitespace-run collapse to single spaces, trim. Stateless per row —
+    * runs unchanged on a stream; both the NFC table and the regexes are
+    * engine-portable (DuckDB's nfc_normalize replays it exactly). */
+  val normalizeTextFn: String => String = (s: String) =>
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      .replaceAll("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+      .replaceAll("\\s+", " ").trim
+
+  /** [[normalizeTextFn]] as a column (UDF — the NFC table has no Catalyst
+    * builtin; the regex passes alone would be codegen but must run after
+    * composition). */
+  def normalizeText(text: Column): Column = udf(normalizeTextFn).apply(text)
+
   /** BPE-ish subword count: letter runs, digits, and punctuation each count;
     * a long letter run costs ceil(len/4) tokens (crude BPE cost model). */
   def bpeishTokenCount(text: Column): Column = {

@@ -2176,6 +2176,34 @@ object Queries {
     * from doc_id) so every row exercises real redaction; both engines
     * build the identical corpus, so the oracle hash pins the exact
     * redacted strings and per-category counts. */
+  /** Ingest canonicalization differential: both engines fabricate the
+    * SAME dirty text (tabs, double spaces, a BEL control char, \u0301-decomposed
+    * e-acute up front and the composed form at the back) and
+    * normalize it (NFC + control strip + whitespace collapse + trim).
+    * NFC must merge the two e-acute spellings, so clean text, codepoint count
+    * and md5 are engine-exact. */
+  private val qTextNormalize = dfQ { s =>
+    val docs = s.table("documents")
+    val dirty = concat(lit("\te\u0301  "), col("text"),
+      lit("  \u0007ok \u00e9\u0301 "), col("doc_id").cast("string"), lit("\r\n"))
+    docs.select(col("doc_id"), TextAnalysis.normalizeText(dirty).as("clean"))
+      .select(col("doc_id"), length(col("clean")).as("n_cp"),
+        md5(encode(col("clean"), "UTF-8")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+  private val oTextNormalize =
+    """WITH inj AS (
+      |  SELECT doc_id, chr(9) || 'e' || chr(769) || '  ' || text ||
+      |    '  ' || chr(7) || 'ok ' || chr(233) || chr(769) || ' ' ||
+      |    CAST(doc_id AS VARCHAR) || chr(13) || chr(10) AS t
+      |  FROM documents),
+      |n AS (SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(nfc_normalize(t),
+      |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), '\s+', ' ', 'g')) AS clean
+      |  FROM inj)
+      |SELECT doc_id, CAST(length(clean) AS INT) AS n_cp, md5(clean) AS clean_md5
+      |FROM n ORDER BY doc_id""".stripMargin
+
   private val qTextRedact = dfQ { s =>
     val docs = s.table("documents")
     val t = concat(col("text"), lit(" Contact user"), col("doc_id").cast("string"),
@@ -2894,6 +2922,7 @@ object Queries {
     ("l_dup_span_removal", qDupSpanRemoval, Some(oDupSpanRemoval)),
     ("l_tfidf", qTfidf, Some(oTfidf)),
     ("l_source_overlap", qSourceOverlap, Some(oSourceOverlap)),
+    ("l_text_normalize", qTextNormalize, Some(oTextNormalize)),
     ("l_text_redact", qTextRedact, Some(oTextRedact)),
     ("l_text_repetition", qTextRepetition, Some(oTextRepetition)),
     ("l_line_dedup", qLineDedup, Some(oLineDedup)),

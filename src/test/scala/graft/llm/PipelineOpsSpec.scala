@@ -31,6 +31,20 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((r._2, r._3, r._4, r._5) === ((2L, 1L, 1L, 1L)))
   }
 
+  test("normalizeText composes NFC, strips controls, collapses whitespace, idempotent") {
+    val s = spark; import s.implicits._
+    val dirty = " cafe\u0301   menu\t\u0007\tcaf\u00e9\r\nend "
+    val once = Seq(dirty).toDF("t")
+      .select(TextAnalysis.normalizeText($"t").as("c")).as[String].head()
+    // decomposed and composed e-acute must land on the SAME codepoint
+    assert(once === "caf\u00e9 menu caf\u00e9 end")
+    val twice = Seq(once).toDF("t")
+      .select(TextAnalysis.normalizeText($"t").as("c")).as[String].head()
+    assert(twice === once, "normalization must be idempotent")
+    assert(TextAnalysis.normalizeTextFn(null) === null)
+    assert(TextAnalysis.normalizeTextFn(" \u0000\u001f  ") === "")
+  }
+
   test("redactPii leaves clean text alone") {
     val s = spark; import s.implicits._
     val r = Seq("no pii here, just words and the number 7")
