@@ -89,6 +89,36 @@ object Sessions {
         col("n_bands"), (col("n_bands") === bands).as("novel"))
   }
 
+  /** Stream-vs-INDEX near-dedup: flag incoming docs that are LSH
+    * candidates against a STATIC [[graft.llm.Dedup.bandIndex]] of the
+    * historical corpus — the streaming twin of
+    * [[graft.llm.Dedup.nearDupAgainstIndex]] and the ingest shape at
+    * 100 TB: the corpus text is never touched, the stream side computes
+    * its own signatures statelessly, the (band, bucket) semi-join prunes
+    * against the at-rest index, and the only state is the
+    * watermark-bounded first-collision dedup per doc id. Output: one row
+    * per flagged doc (idCol, tsCol) — its word-set MinHash collided with
+    * the index in at least one band (the LSH CANDIDATE test, same
+    * contract as [[nearDedupStream]]: false-positive colliders flag too;
+    * verification is downstream). Novel docs do not appear; feed the
+    * flags to a left-anti against the batch, or invert with a join, as
+    * the pipeline needs. */
+  def nearDupAgainstIndexStream(docs: DataFrame, index: DataFrame,
+                                idCol: String, textCol: String,
+                                tsCol: String = "ts", watermark: String = "1 hour",
+                                numHashes: Int = 64, bands: Int = 8): DataFrame = {
+    val sig = graft.llm.Dedup.minhashSignature(col(textCol), numHashes)
+    val idxBuckets = index.select(col("band"), col("bucket")).distinct()
+    docs
+      .withColumn("__bks", graft.llm.Dedup.lshBandBuckets(sig, numHashes, bands))
+      .select(col(idCol), col(tsCol),
+        posexplode(col("__bks")).as(Seq("band", "bucket")))
+      .join(idxBuckets, Seq("band", "bucket"), "left_semi")
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+      .select(col(idCol), col(tsCol))
+  }
+
   /** Stream-static dedup/decontamination: drop incoming docs whose
     * content fingerprint already exists in a STATIC reference corpus
     * (historical data, an eval set to keep out of training). A

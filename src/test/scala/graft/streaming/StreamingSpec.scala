@@ -332,6 +332,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows === Set(2L, 4L))
   }
 
+  test("stream-vs-index near-dedup flags the batch dup set against a static band index") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val corpus = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where(length(trim(col("text"))) > 0)
+    val index = graft.llm.Dedup.bandIndex(corpus, "doc_id", "text",
+      numHashes = 64, bands = 4)
+    // batch of copies (must flag) + salted variants (flag iff batch says so)
+    val batch = corpus.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionByName(corpus.where(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" zz"), col("doc_id").cast("string")).as("text")))
+    val expected = graft.llm.Dedup.nearDupAgainstIndex(batch, index,
+        "doc_id", "text", numHashes = 64, bands = 4)
+      .where(col("dup")).select("doc_id").as[Long].collect().toSet
+    val rows = batch.select("doc_id", "text").as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val out = Sessions.nearDupAgainstIndexStream(
+      input.toDF().toDF("doc_id", "text", "ts"), index, "doc_id", "text",
+      numHashes = 64, bands = 4)
+    val q = out.writeStream.format("memory").queryName("index_neardup_stream")
+      .outputMode("append").start()
+    input.addData(rows.toIndexedSeq.map { case (id, t) =>
+      (id, t, Timestamp.valueOf("2026-01-01 00:00:00")) })
+    q.processAllAvailable()
+    val streamed = spark.table("index_neardup_stream")
+      .select("doc_id").as[Long].collect().toSet
+    q.stop()
+    assert(streamed === expected,
+      "streamed index-collision set must equal the batch nearDupAgainstIndex dup set")
+    // every exact copy of an indexed doc must be flagged
+    assert(rows.map(_._1).filter(_ < 2000000L).forall(streamed.contains))
+  }
+
   test("bloom contamination flag filters an ingestion stream statelessly") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
