@@ -216,6 +216,44 @@ object Sampling {
       .where(col("__cum") <= budget)
       .drop("__cum")
 
+  /** Deterministic token-bounded shard layout — the trainer-handoff
+    * step: docs laid end-to-end in `idCol` order, each assigned the
+    * shard its FIRST token lands in (`shard = (cum − n_tok) div
+    * tokensPerShard`), all integer arithmetic, so the layout is
+    * bit-reproducible on any engine and any partitioning. A doc longer
+    * than `tokensPerShard` occupies its start shard (shards can
+    * overflow by at most one doc — the greedy layout trainers expect;
+    * pair with [[graft.llm.TextAnalysis.chunkText]] upstream if hard
+    * caps are needed). Write the result `partitionBy("shard")` and each
+    * shard is one self-contained training file set.
+    *
+    * Scale shape: the same two-pass distributed prefix sum as
+    * [[capTokenBudget]] (per-partition partials, broadcast offsets, a
+    * within-partition window) — no global window, no single reducer. */
+  def assignShards(df: DataFrame, idCol: String, tokenCol: String,
+                   tokensPerShard: Long): DataFrame = {
+    require(tokensPerShard > 0, s"tokensPerShard must be positive, got $tokensPerShard")
+    // exact integer floor-div: (x − x mod N) is divisible by N, so the
+    // double division is exact and the cast loses nothing
+    val start = col("__cum") - col(tokenCol)
+    withRunningSum(df.withColumn("__sg", lit(0)), "__sg", idCol, tokenCol, "__cum")
+      .withColumn("shard",
+        ((start - pmod(start, lit(tokensPerShard))) / tokensPerShard).cast("long"))
+      .drop("__sg", "__cum")
+  }
+
+  /** Per-shard manifest of an [[assignShards]] layout: doc count, token
+    * count, id range — the sidecar a training job reads to plan epochs.
+    * One partial-agg shuffle over shard ids (thousands of rows, never
+    * corpus-sized). */
+  def shardManifest(assigned: DataFrame, idCol: String,
+                    tokenCol: String): DataFrame =
+    assigned.groupBy("shard").agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum(col(tokenCol)).cast("long").as("n_tokens"),
+      min(col(idCol)).as("first_id"),
+      max(col(idCol)).as("last_id"))
+
   /** Concatenative sequence packing — the "pack the token stream into
     * fixed-length training sequences" step: within each group, documents
     * are laid end-to-end in id order into one token stream, and sequence

@@ -1422,6 +1422,31 @@ object Queries {
         sum("n_tok").cast("long").as("tok"))
       .orderBy("grp")
   }
+  /** Token-bounded shard export manifest: docs laid end-to-end in id
+    * order, shard = floor(start_token / 5000); the oracle replays the
+    * same window prefix sum with integer division, so shard boundaries,
+    * counts and id ranges are engine-exact. */
+  private val qExportShards = dfQ { s =>
+    val docs = s.table("documents")
+    val toks = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+    val assigned = Sampling.assignShards(toks, "doc_id", "n_tok", 5000L)
+    Sampling.shardManifest(assigned, "doc_id", "n_tok")
+      .orderBy("shard")
+  }
+  private val oExportShards =
+    """WITH toks AS (SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
+      |  FROM documents),
+      |cum AS (SELECT doc_id, n_tok,
+      |    sum(n_tok) OVER (ORDER BY doc_id) AS c FROM toks),
+      |assigned AS (SELECT doc_id, n_tok, (c - n_tok) // 5000 AS shard FROM cum)
+      |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |  min(doc_id) AS first_id, max(doc_id) AS last_id
+      |FROM assigned GROUP BY shard ORDER BY shard""".stripMargin
+
   private val oTokenBudget =
     """WITH toks AS (SELECT doc_id,
       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 4 AS grp,
@@ -2914,6 +2939,7 @@ object Queries {
     ("l_sample", qSample, Some(oSample)),
     ("l_shuffle", qShuffle, Some(oShuffle)),
     ("l_token_budget", qTokenBudget, Some(oTokenBudget)),
+    ("l_export_shards", qExportShards, Some(oExportShards)),
     ("l_decontam", qDecontam, Some(oDecontam)),
     ("l_decontam_fuzzy", qDecontamFuzzy, Some(oDecontamFuzzy)),
     ("l_decontam_bloom", qDecontamBloom, Some(oDecontamBloom)),

@@ -87,6 +87,28 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(maxIds === Map(0 -> 29844L, 1 -> 29845L))
   }
 
+  test("assignShards: greedy first-token layout, exact boundaries, partition-independent") {
+    val s = spark; import s.implicits._
+    // tokens: 40, 40, 40 -> shard 0 holds [0,120); doc 4 starts at 120
+    // (shard 1); doc 5 is a 250-token overflow doc starting in shard 1;
+    // doc 6 starts at 410 -> shard 4; zero-token doc 7 starts at 440
+    val df = Seq((1L, 40L), (2L, 40L), (3L, 40L), (4L, 40L),
+      (5L, 250L), (6L, 30L), (7L, 0L)).toDF("doc_id", "n_tok")
+    val got = Sampling.assignShards(df, "doc_id", "n_tok", 100L)
+      .select("doc_id", "shard").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got === Array((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L),
+      (5L, 1L), (6L, 4L), (7L, 4L)))
+    val again = Sampling.assignShards(df.repartition(5), "doc_id", "n_tok", 100L)
+      .select("doc_id", "shard").as[(Long, Long)].collect().sortBy(_._1)
+    assert(again === got, "shard layout must be partitioning-independent")
+    val man = Sampling.shardManifest(
+        Sampling.assignShards(df, "doc_id", "n_tok", 100L), "doc_id", "n_tok")
+      .orderBy("shard")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(man === Array((0L, 3L, 120L, 1L, 3L), (1L, 2L, 290L, 4L, 5L),
+      (4L, 2L, 30L, 6L, 7L)))
+  }
+
   test("temperatureShares upweights rare groups; exact quantized-integer math") {
     val s = spark; import s.implicits._
     val df = (Seq.fill(100)("big") ++ Seq.fill(4)("rare")).zipWithIndex
