@@ -647,6 +647,7 @@ object TextAnalysis {
   def register(spark: SparkSession): Unit = {
     spark.udf.register("doc_lang_id", langIdFn)
     spark.udf.register("doc_fingerprint", fingerprintFn)
+    spark.udf.register("doc_normalize", normalizeTextFn)
     ()
   }
 }

@@ -3004,6 +3004,7 @@ object Queries {
     "l_dedup_minhash", "l_dedup_simhash", "l_ann_top1", "l_ann_ivf", "l_ann_pq",
     "l_ann_ivfpq", "l_text_tokens",
     "l_dup_spans", "l_dup_span_removal", "l_decontam_fuzzy", "l_decontam_bloom", "l_bpe_train",
+    "l_dedup_incremental", "l_export_shards",
     "b_tpch_q1", "b_tpch_q3", "b_tpch_q5", "b_events_sessions",
     "b_events_asof", "b_interval_join", "b_knn", "b_top_order", "b_top_order_agg")
 }

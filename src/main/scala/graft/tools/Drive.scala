@@ -54,6 +54,10 @@ object Drive {
         TextAnalysis.fingerprint($"text").as("fp"))
       .show(3, truncate = 40)
 
+    val norm = spark.sql(
+      "SELECT doc_normalize('  a\\tb   c  ') AS c")
+    println("doc_normalize SQL = [" + norm.head().getString(0) + "]")
+
     val mh = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
     println("minhash candidate pairs = " + mh.count())
     val sh = Dedup.simhashCandidatePairs(docs, "doc_id", "text")
