@@ -217,6 +217,105 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Parsed PCM WAV: sample rate, channel count, 16/8-bit samples
+    * mono-mixed to [-1, 1] floats. */
+  private[llm] case class Wav(sampleRate: Int, channels: Int,
+                              bitsPerSample: Int, samples: Array[Float])
+
+  /** REAL audio decode for canonical RIFF/WAVE PCM (the one uncompressed
+    * format a JVM can parse with zero external libs): walks the chunk
+    * list, accepts PCM (format tag 1) at 8 or 16 bits, mono-mixes
+    * channels to floats in [-1, 1]. Returns None for anything else
+    * (mp3/ogg/flac — swap in an ffmpeg/JNI decoder in production), so
+    * callers fall back to [[decodeStub]] and the pipeline stays total. */
+  def decodeWav(payload: Array[Byte]): Option[Wav] = {
+    if (payload == null || payload.length < 44) return scala.None
+    def ascii(off: Int, n: Int) = new String(payload, off, n, "US-ASCII")
+    if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE") return scala.None
+    def u16(off: Int) = (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8)
+    def u32(off: Int) = ((payload(off) & 0xffL) | ((payload(off + 1) & 0xffL) << 8) |
+      ((payload(off + 2) & 0xffL) << 16) | ((payload(off + 3) & 0xffL) << 24))
+    var off = 12
+    var fmt: Option[(Int, Int, Int, Int)] = scala.None // (tag, channels, rate, bits)
+    var data: Option[(Int, Int)] = scala.None          // (offset, len)
+    while (off + 8 <= payload.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = ascii(off, 4)
+      val len = u32(off + 4).toInt
+      if (id == "fmt " && off + 8 + 16 <= payload.length)
+        fmt = Some((u16(off + 8), u16(off + 10), u32(off + 12).toInt, u16(off + 22)))
+      else if (id == "data")
+        data = Some((off + 8, math.min(len, payload.length - off - 8)))
+      off += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    (fmt, data) match {
+      case (Some((1, ch, rate, bits)), Some((dOff, dLen)))
+          if ch >= 1 && rate > 0 && (bits == 8 || bits == 16) =>
+        val bytesPerSample = bits / 8
+        val frames = dLen / (bytesPerSample * ch)
+        val out = new Array[Float](frames)
+        var f = 0
+        while (f < frames) {
+          var acc = 0.0f
+          var c = 0
+          while (c < ch) {
+            val p = dOff + (f * ch + c) * bytesPerSample
+            acc += (if (bits == 16)
+              ((payload(p) & 0xff) | (payload(p + 1) << 8)).toShort / 32768.0f
+            else ((payload(p) & 0xff) - 128) / 128.0f)
+            c += 1
+          }
+          out(f) = acc / ch
+          f += 1
+        }
+        Some(Wav(rate, ch, bits, out))
+      case _ => scala.None
+    }
+  }
+
+  private[llm] case class AudioOut(media_id: Long, format: String,
+    sample_rate: Int, n_samples: Long, duration_ms: Long,
+    rms: Double, zcr: Double, peak: Double)
+
+  /** Per-partition audio feature extraction — the audio twin of
+    * [[describeImages]]: RMS energy, zero-crossing rate (per sample) and
+    * peak amplitude over the mono mix, the classic VAD/quality triplet a
+    * curation pipeline gates on. WAV payloads get the real decode;
+    * everything else falls back to interpreting the raw bytes as 8-bit
+    * PCM at 8 kHz (deterministic, keeps the pipeline total). All math is
+    * per-row and streams through mapPartitions — stateless at 100 TB. */
+  def audioFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    def feats(id: Long, fmt: String, rate: Int, s: Array[Float]): AudioOut = {
+      var sum2 = 0.0; var zc = 0L; var peak = 0.0
+      var i = 0
+      while (i < s.length) {
+        sum2 += s(i).toDouble * s(i)
+        if (i > 0 && (s(i) >= 0) != (s(i - 1) >= 0)) zc += 1
+        val a = math.abs(s(i).toDouble); if (a > peak) peak = a
+        i += 1
+      }
+      val n = s.length
+      AudioOut(id, fmt, rate, n,
+        if (rate == 0) 0L else n.toLong * 1000L / rate,
+        if (n == 0) 0.0 else math.sqrt(sum2 / n),
+        if (n <= 1) 0.0 else zc.toDouble / (n - 1), peak)
+    }
+    media.select("media_id", "payload").as[IdPayload].mapPartitions { rows =>
+      rows.map { m =>
+        decodeWav(m.payload) match {
+          case Some(w) => feats(m.media_id, s"wav/pcm${w.bitsPerSample}", w.sampleRate, w.samples)
+          case scala.None =>
+            val raw = if (m.payload == null) Array.empty[Byte] else m.payload
+            val s = new Array[Float](raw.length)
+            var i = 0
+            while (i < raw.length) { s(i) = ((raw(i) & 0xff) - 128) / 128.0f; i += 1 }
+            feats(m.media_id, "raw/8bit", 8000, s)
+        }
+      }
+    }.toDF()
+  }
+
   /** Frame-sampling shape for video-like payloads: split payload into
     * fixed-size "frames", keep every `stride`-th — pure built-ins. */
   def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame =

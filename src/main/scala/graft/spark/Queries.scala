@@ -2134,6 +2134,35 @@ object Queries {
     * half-black/half-white fixtures), and the resize path re-encodes a real
     * PNG whose re-decode confirms the target dimensions and preserved pixel
     * statistics (nearest-neighbor of a solid/half image is itself). */
+  /** Audio feature differential on the raw-PCM fallback path: the
+    * documents corpus is pure ASCII, so payload bytes == char codes and
+    * DuckDB can replay the ((byte − 128)/128) sample math, the RMS, the
+    * peak and the integer duration exactly (all chars < 0x80 → every
+    * sample negative → zcr = 0 by construction, also pinned). */
+  private val qMultimodalAudio = dfQ { s =>
+    val media = Multimodal.fakeMediaFromText(s.table("documents"), "doc_id", "text")
+    Multimodal.audioFeatures(media)
+      .select(col("media_id").as("doc_id"), col("format"), col("sample_rate"),
+        col("n_samples"), col("duration_ms"),
+        round(col("rms"), 6).as("rms"), col("zcr"),
+        round(col("peak"), 6).as("peak"))
+      .orderBy("doc_id")
+  }
+  private val oMultimodalAudio =
+    """WITH ch AS (
+      |  SELECT doc_id, unnest(range(1, length(text) + 1)) AS i FROM documents),
+      |s AS (SELECT doc_id, (ascii(substr(text, i, 1)) - 128) / 128.0 AS v FROM ch),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n, sqrt(avg(v * v)) AS rms, max(abs(v)) AS pk
+      |  FROM s GROUP BY doc_id)
+      |SELECT d.doc_id, 'raw/8bit' AS format, 8000 AS sample_rate,
+      |  CAST(coalesce(agg.n, 0) AS BIGINT) AS n_samples,
+      |  coalesce(agg.n, 0) * 1000 // 8000 AS duration_ms,
+      |  round(coalesce(agg.rms, 0.0), 6) AS rms, CAST(0.0 AS DOUBLE) AS zcr,
+      |  round(coalesce(agg.pk, 0.0), 6) AS peak
+      |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   private val qMultimodalDecode = dfQ { s =>
     import s.implicits._
     val solid = pngFixture(6, 4, (_, _) => 0xFF8000) // R=255 G=128 B=0
@@ -2979,6 +3008,7 @@ object Queries {
     ("l_multimodal", qMultimodal, Some(oMultimodal)),
     ("l_multimodal_resize", qMultimodalResize, Some(oMultimodalResize)),
     ("l_multimodal_decode", qMultimodalDecode, Some(oMultimodalDecode)),
+    ("l_multimodal_audio", qMultimodalAudio, Some(oMultimodalAudio)),
     ("l_ann_recall", qAnnRecall, Some(oAnnRecall)),
     ("l_ann_pq", qAnnPq, Some(oAnnPq)),
     ("l_ann_ivfpq", qAnnIvfPq, Some(oAnnIvfPq)),

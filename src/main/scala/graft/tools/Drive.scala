@@ -103,6 +103,9 @@ object Drive {
     val feats = Multimodal.extractFeatures(media)
     println("media features: " + feats.count() + " rows, dim=" +
       feats.select(size($"features")).first().getInt(0))
+    val audio = Multimodal.audioFeatures(media)
+    println("audio features: " + audio.count() + " rows, formats=" +
+      audio.select($"format").distinct().as[String].collect().sorted.mkString(","))
 
     // plan sanity: the cover-refine join should be a shuffle equi-join
     joined.explain("simple")

@@ -30,6 +30,65 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     assert(f(6) === 0.0f && f(7) === 1.0f) // bottom quadrants likewise
   }
 
+  /** Canonical 44-byte-header PCM WAV from float samples (16-bit LE). */
+  private def wav(sampleRate: Int, channels: Int,
+                  samples: Array[Float]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => bb.putShort(math.round(s * 32767f).toShort))
+    bb.array()
+  }
+
+  test("WAV PCM decode: header fields, sine RMS/ZCR/peak, stereo mono-mix") {
+    // 440 Hz sine, 0.5 amplitude, 1/10 s at 8 kHz
+    val sr = 8000; val n = 800
+    val sine = Array.tabulate(n)(i =>
+      (0.5 * math.sin(2 * math.Pi * 440 * i / sr)).toFloat)
+    val Some(w) = Multimodal.decodeWav(wav(sr, 1, sine))
+    assert(w.sampleRate === sr && w.channels === 1 && w.bitsPerSample === 16)
+    assert(w.samples.length === n)
+    // quantization keeps every sample within 1/32767 of the source
+    assert(w.samples.zip(sine).forall { case (a, b) => math.abs(a - b) < 2e-4 })
+    // stereo with inverted channels mono-mixes to ~silence
+    val inter = new Array[Float](2 * n)
+    for (i <- 0 until n) { inter(2 * i) = sine(i); inter(2 * i + 1) = -sine(i) }
+    val Some(st) = Multimodal.decodeWav(wav(sr, 2, inter))
+    assert(st.channels === 2 && st.samples.length === n)
+    assert(st.samples.forall(s => math.abs(s) < 2e-4))
+  }
+
+  test("audioFeatures: sine energy exact, non-WAV falls back to raw PCM") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", false)
+      .config("spark.sql.shuffle.partitions", 2).getOrCreate()
+    try {
+      import spark.implicits._
+      val sr = 8000; val n = 800
+      val sine = Array.tabulate(n)(i =>
+        (0.5 * math.sin(2 * math.Pi * 440 * i / sr)).toFloat)
+      val media = Seq(
+        (1L, wav(sr, 1, sine)),
+        (2L, "not audio at all".getBytes("UTF-8"))).toDF("media_id", "payload")
+      val rows = Multimodal.audioFeatures(media).orderBy("media_id")
+        .as[(Long, String, Int, Long, Long, Double, Double, Double)].collect()
+      val (_, fmt, rate, ns, durMs, rms, zcr, peak) = rows(0)
+      assert(fmt === "wav/pcm16" && rate === sr && ns === n && durMs === 100L)
+      assert(math.abs(rms - 0.5 / math.sqrt(2)) < 1e-3)  // sine RMS = A/sqrt(2)
+      // 440 Hz for 0.1 s -> 44 cycles -> ~88 crossings
+      assert(math.abs(zcr * (n - 1) - 88) <= 2)
+      assert(math.abs(peak - 0.5) < 1e-3)
+      val (_, fmt2, rate2, ns2, _, _, _, _) = rows(1)
+      assert(fmt2 === "raw/8bit" && rate2 === 8000 && ns2 === 16L)
+    } finally spark.stop()
+  }
+
   test("non-image payloads are rejected, not mis-decoded") {
     assert(Multimodal.decodeImage("just some text".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.decodeImage(null).isEmpty)
