@@ -320,6 +320,63 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token"))
       .limit(k)
 
+  /** Deterministic count-min bucket: row r's bucket for a token is the
+    * first 7 hex chars of md5("r:token") mod w — md5 so a SQL engine
+    * replays the sketch bit-for-bit (swap in xxhash64 in production if
+    * the 4 digests/occurrence show up in a profile). */
+  private[llm] def cmsBucket(token: String, r: Int, w: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest((r + ":" + token).getBytes("UTF-8"))
+    val hex = d.take(4).map(b => f"$b%02x").mkString.take(7)
+    (java.lang.Long.parseLong(hex, 16) % w).toInt
+  }
+
+  /** Count-min sketch of corpus token frequencies (Cormode & Muthu 2005):
+    * a d×w long matrix where cell (r, b) totals every token hashing to
+    * bucket b under row r's hash; a token's estimate is the MIN over its
+    * d cells — always ≥ the true count, tight for heavy hitters.
+    *
+    * Scale shape: ONE `treeAggregate` pass over the exploded tokens —
+    * each partition folds into its own d×w matrix (a few KB), partials
+    * merge elementwise up a tree; token occurrences are never shuffled,
+    * which is the whole point vs an exact groupBy at 100 TB. The result
+    * is a driver-side bounded object, broadcastable for scoring. */
+  def countMinSketch(df: DataFrame, idCol: String, textCol: String,
+                     d: Int = 4, w: Int = 256): Array[Array[Long]] = {
+    require(d > 0 && w > 0, s"countMinSketch: need d, w > 0, got d=$d w=$w")
+    val spark = df.sparkSession
+    import spark.implicits._
+    tokenOccurrences(df, idCol, textCol).select("token").as[String].rdd
+      .treeAggregate(Array.fill(d, w)(0L))(
+        (m, tok) => {
+          var r = 0
+          while (r < d) { m(r)(cmsBucket(tok, r, w)) += 1; r += 1 }
+          m
+        },
+        (a, b) => {
+          var r = 0
+          while (r < d) {
+            var c = 0
+            while (c < w) { a(r)(c) += b(r)(c); c += 1 }
+            r += 1
+          }
+          a
+        })
+  }
+
+  /** CMS point estimate: min over the token's d cells. */
+  def cmsEstimate(sketch: Array[Array[Long]], token: String): Long = {
+    val w = sketch(0).length
+    var best = Long.MaxValue
+    var r = 0
+    while (r < sketch.length) {
+      val v = sketch(r)(cmsBucket(token, r, w))
+      if (v < best) best = v
+      r += 1
+    }
+    best
+  }
+
   /** Per-document mean unigram surprisal ("perplexity filtering" with the
     * corpus itself as the LM): each token costs ln(N / count(token)) nats,
     * where N is the corpus token total; a doc of common words scores low,

@@ -2134,6 +2134,41 @@ object Queries {
     * half-black/half-white fixtures), and the resize path re-encodes a real
     * PNG whose re-decode confirms the target dimensions and preserved pixel
     * statistics (nearest-neighbor of a solid/half image is itself). */
+  /** Count-min sketch differential: both engines materialize the same
+    * 4×256 sketch (md5 bucket hashing) and the exact top-10 tokens; the
+    * CMS point estimates — and the ≥-true overestimate invariant — must
+    * match cell-for-cell. */
+  private val qCmsTokens = dfQ { s =>
+    val docs = s.table("documents")
+    val sk = TextAnalysis.countMinSketch(docs, "doc_id", "text", d = 4, w = 256)
+    val est = udf((t: String) => TextAnalysis.cmsEstimate(sk, t))
+    TextAnalysis.topTokens(docs, "doc_id", "text", 10)
+      .select(col("token"), col("cnt").cast("long").as("n_true"),
+        est(col("token")).as("n_cms"))
+      .withColumn("overestimates", col("n_cms") >= col("n_true"))
+      .orderBy(col("n_true").desc, col("token"))
+  }
+  private val oCmsTokens =
+    """WITH occ AS (
+      |  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                            w -> len(w) > 0)) AS token
+      |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+      |cnt AS (SELECT token, count(*) AS n FROM occ GROUP BY token),
+      |top AS (SELECT token, n FROM cnt ORDER BY n DESC, token LIMIT 10),
+      |cell AS (
+      |  SELECT r.r, ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || token), 1, 7))::BIGINT % 256 AS b,
+      |         CAST(sum(n) AS BIGINT) AS tot
+      |  FROM cnt CROSS JOIN range(0, 4) r(r) GROUP BY 1, 2),
+      |tb AS (
+      |  SELECT t.token, t.n, r.r,
+      |         ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || t.token), 1, 7))::BIGINT % 256 AS b
+      |  FROM top t CROSS JOIN range(0, 4) r(r))
+      |SELECT tb.token, CAST(tb.n AS BIGINT) AS n_true,
+      |  min(cell.tot) AS n_cms, min(cell.tot) >= tb.n AS overestimates
+      |FROM tb JOIN cell ON tb.r = cell.r AND tb.b = cell.b
+      |GROUP BY tb.token, tb.n
+      |ORDER BY n_true DESC, token""".stripMargin
+
   /** Audio feature differential on the raw-PCM fallback path: the
     * documents corpus is pure ASCII, so payload bytes == char codes and
     * DuckDB can replay the ((byte − 128)/128) sample math, the RMS, the
@@ -3009,6 +3044,7 @@ object Queries {
     ("l_multimodal_resize", qMultimodalResize, Some(oMultimodalResize)),
     ("l_multimodal_decode", qMultimodalDecode, Some(oMultimodalDecode)),
     ("l_multimodal_audio", qMultimodalAudio, Some(oMultimodalAudio)),
+    ("l_cms_tokens", qCmsTokens, Some(oCmsTokens)),
     ("l_ann_recall", qAnnRecall, Some(oAnnRecall)),
     ("l_ann_pq", qAnnPq, Some(oAnnPq)),
     ("l_ann_ivfpq", qAnnIvfPq, Some(oAnnIvfPq)),

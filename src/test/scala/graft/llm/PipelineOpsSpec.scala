@@ -164,6 +164,34 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("__pid"), s"offset window not partition-id-scoped:\n$plan")
   }
 
+  test("countMinSketch: overestimate invariant, row sums, partition-independence") {
+    val s = spark; import s.implicits._
+    val docs = (1L to 200L).map { i =>
+      (i, Seq.fill((i % 7).toInt + 1)(s"w${i % 13}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val sk = TextAnalysis.countMinSketch(docs, "doc_id", "text", d = 4, w = 32)
+    val exact = docs.select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").count().as[(String, Long)].collect().toMap
+    val total = exact.values.sum
+    // every row of the sketch totals every occurrence exactly once
+    for (r <- sk.indices) assert(sk(r).sum === total, s"row $r sum")
+    // CMS never underestimates
+    for ((t, n) <- exact)
+      assert(TextAnalysis.cmsEstimate(sk, t) >= n, s"underestimate for $t")
+    // deterministic under repartitioning (treeAggregate merge is
+    // elementwise addition — commutative)
+    val sk2 = TextAnalysis.countMinSketch(docs.repartition(7), "doc_id", "text",
+      d = 4, w = 32)
+    for (r <- sk.indices)
+      assert(java.util.Arrays.equals(sk(r), sk2(r)), s"row $r differs")
+    // with w >> vocab, estimates are exact (no collisions for 13 tokens
+    // is not guaranteed at w=32; re-check at w=4096 where md5 spread
+    // makes collisions vanish for this vocab)
+    val wide = TextAnalysis.countMinSketch(docs, "doc_id", "text", d = 4, w = 4096)
+    for ((t, n) <- exact)
+      assert(TextAnalysis.cmsEstimate(wide, t) === n, s"wide sketch off for $t")
+  }
+
   test("topTokens counts tokens with deterministic tie-break") {
     val s = spark; import s.implicits._
     val docs = Seq((1L, "b a a"), (2L, "  c b  "), (3L, ""), (4L, null.asInstanceOf[String]))
