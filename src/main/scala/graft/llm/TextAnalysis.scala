@@ -324,11 +324,19 @@ object TextAnalysis {
     * first 7 hex chars of md5("r:token") mod w — md5 so a SQL engine
     * replays the sketch bit-for-bit (swap in xxhash64 in production if
     * the 4 digests/occurrence show up in a profile). */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   private[llm] def cmsBucket(token: String, r: Int, w: Int): Int = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest((r + ":" + token).getBytes("UTF-8"))
-    val hex = d.take(4).map(b => f"$b%02x").mkString.take(7)
-    (java.lang.Long.parseLong(hex, 16) % w).toInt
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest((r + ":" + token).getBytes("UTF-8"))
+    // first 7 hex chars = top 28 bits of the first 4 bytes
+    val bits28 = (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) >>> 4
+    (bits28 % w).toInt
   }
 
   /** Count-min sketch of corpus token frequencies (Cormode & Muthu 2005):
