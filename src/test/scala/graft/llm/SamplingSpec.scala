@@ -109,6 +109,28 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
       (4L, 2L, 30L, 6L, 7L)))
   }
 
+  test("assignShards equals a sequential fold on seeded random corpora") {
+    val s = spark; import s.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val n = 50 + rnd.nextInt(200)
+      val per = 1L + rnd.nextInt(500)
+      // ids deliberately sparse/unsorted-on-input; token counts incl. 0
+      val rows = (1 to n).map(i => (i * 7L + rnd.nextInt(5),
+        rnd.nextInt(3 * per.toInt).toLong)).distinctBy(_._1)
+      // sequential reference: running total in id order
+      var cum = 0L
+      val expected = rows.sortBy(_._1).map { case (id, t) =>
+        val shard = cum / per; cum += t; (id, shard)
+      }.toMap
+      val got = Sampling.assignShards(
+          rnd.shuffle(rows).toDF("doc_id", "n_tok").repartition(1 + rnd.nextInt(6)),
+          "doc_id", "n_tok", per)
+        .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+      assert(got === expected, s"seed $seed (per=$per, n=${rows.size})")
+    }
+  }
+
   test("temperatureShares upweights rare groups; exact quantized-integer math") {
     val s = spark; import s.implicits._
     val df = (Seq.fill(100)("big") ++ Seq.fill(4)("rare")).zipWithIndex
