@@ -597,6 +597,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(0)._3 >= 0.0 && rows(0)._3 <= 1.0)
   }
 
+  test("audio feature extraction runs on a stream, matching batch rows") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val payloads = Seq(
+      (1L, "raw pcm stand-in bytes".getBytes("UTF-8")),
+      (2L, Array.empty[Byte]))
+    val batch = graft.llm.Multimodal.audioFeatures(
+        payloads.toDF("media_id", "payload"))
+      .as[(Long, String, Int, Long, Long, Double, Double, Double)]
+      .collect().toSet
+    val input = MemoryStream[(Long, Array[Byte])]
+    val out = graft.llm.Multimodal.audioFeatures(
+      input.toDF().toDF("media_id", "payload"))
+    val q = out.writeStream.format("memory").queryName("audio_stream")
+      .outputMode("append").start()
+    input.addData(payloads)
+    q.processAllAvailable()
+    val streamed = spark.table("audio_stream")
+      .as[(Long, String, Int, Long, Long, Double, Double, Double)]
+      .collect().toSet
+    q.stop()
+    assert(streamed === batch)
+  }
+
   test("gopher-rules gate filters an ingestion stream statelessly") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
