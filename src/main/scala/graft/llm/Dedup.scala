@@ -805,6 +805,29 @@ object Dedup {
     df.join(drop, df(idCol) === col("__drop_id"), "left_anti")
   }
 
+  /** Quality-aware cluster resolution: keep the HIGHEST-scoring doc per
+    * duplicate cluster ((score desc, id asc) tie-break) instead of
+    * [[dedupByPairs]]' min-id policy — the production choice when
+    * near-dups differ in quality (keep the longest / cleanest / highest
+    * classifier score). Same pointer-jumping connected components; the
+    * winner per cluster is one `max_by` partial aggregation over the
+    * cluster-labeled SCORES (id + score rows only — texts never join
+    * this path), then an anti-join drops the losers. Unclustered docs
+    * always survive. */
+  def dedupByPairsBest(df: DataFrame, idCol: String, pairs: DataFrame,
+                       scoreCol: String): DataFrame = {
+    val scored = connectedComponents(pairs)
+      .join(df.select(col(idCol).as("id"), col(scoreCol).as("__sc")), Seq("id"))
+    // lexicographic (score, -id) max == (score desc, id asc) winner
+    val winners = scored.groupBy("cluster_id")
+      .agg(max_by(col("id"), struct(col("__sc"), (lit(-1L) * col("id")).as("__negid")))
+        .as("win_id"))
+    val losers = scored.join(winners, Seq("cluster_id"))
+      .where(col("id") =!= col("win_id"))
+      .select(col("id").as("__drop_id"))
+    df.join(losers, df(idCol) === col("__drop_id"), "left_anti")
+  }
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.udf.register("ngram_jaccard", ngramJaccardFn)
     spark.udf.register("simhash", simhashFn)

@@ -1238,6 +1238,48 @@ object Queries {
        |       (SELECT count(DISTINCT cluster_id) FROM comp) AS n_clusters,
        |       (SELECT max(c) FROM (SELECT count(*) AS c FROM comp GROUP BY cluster_id)) AS max_cluster""".stripMargin
 
+  /** Quality-aware cluster resolution: keep the best-scoring doc per
+    * exact-dup cluster (score desc, id asc) — planted copies share text,
+    * so a deterministic md5-derived score differentiates them and the
+    * winner often ISN'T the min id (n_swapped pins that the policy
+    * really engaged). The oracle replays the closure recursively plus
+    * the same ranking. */
+  private val qDedupResolveBest = dfQ { s =>
+    val docs = s.table("docs_aug")
+      .withColumn("score", Sampling.hashBucket(col("doc_id"), 1000))
+    val pairs = Dedup.exactDupPairs(docs, "doc_id", "text")
+    val kept = Dedup.dedupByPairsBest(docs, "doc_id", pairs, "score")
+    val comp = Dedup.connectedComponents(pairs)
+      .join(docs.select(col("doc_id").as("id"), col("score")), Seq("id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+      .orderBy(col("score").desc, col("id").asc)
+    val swapped = comp.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && col("id") =!= col("cluster_id"))
+    docs.agg(count(lit(1)).as("n_docs")).crossJoin(
+        kept.agg(count(lit(1)).as("n_kept"))).crossJoin(
+        swapped.agg(count(lit(1)).as("n_swapped")))
+      .select(col("n_docs").cast("long"), col("n_kept").cast("long"),
+        col("n_swapped").cast("long"))
+  }
+  private val oDedupResolveBest =
+    s"""WITH RECURSIVE $oracleDocsAug,
+       |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM docs_aug a JOIN docs_aug b
+       |    ON md5(a.text) = md5(b.text) AND a.text = b.text AND a.doc_id < b.doc_id),
+       |edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (SELECT s AS id, d AS r FROM edges
+       |  UNION
+       |  SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id),
+       |comp AS (SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id),
+       |sc AS (SELECT doc_id, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 1000 AS score
+       |  FROM docs_aug),
+       |rank AS (SELECT comp.id, comp.cluster_id,
+       |    row_number() OVER (PARTITION BY cluster_id ORDER BY score DESC, id ASC) AS rn
+       |  FROM comp JOIN sc ON comp.id = sc.doc_id)
+       |SELECT (SELECT count(*) FROM docs_aug) AS n_docs,
+       |  (SELECT count(*) FROM docs_aug) - (SELECT count(*) FROM rank WHERE rn > 1) AS n_kept,
+       |  (SELECT count(*) FROM rank WHERE rn = 1 AND id <> cluster_id) AS n_swapped""".stripMargin
+
   /** End-to-end training-data pipeline: quality gate (token count +
     * integer-exact alpha-ratio threshold — no float boundary risk) →
     * exact-dup pairs → cluster resolution → representative-only corpus →
@@ -2998,6 +3040,7 @@ object Queries {
     ("l_dedup_simhash", qDedupSimhash, Some(oDedupPairs)),
     ("l_dedup_clusters", qDedupClusters, Some(oDedupClusters)),
     ("l_dedup_resolve", qDedupResolve, Some(oDedupResolve)),
+    ("l_dedup_resolve_best", qDedupResolveBest, Some(oDedupResolveBest)),
     ("l_pipeline", qPipeline, Some(oPipeline)),
     ("l_pipeline2", qPipeline2, Some(oPipeline2)),
     ("l_sample", qSample, Some(oSample)),

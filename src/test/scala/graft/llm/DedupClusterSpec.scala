@@ -61,6 +61,24 @@ class DedupClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept === Array(1L, 4L, 5L)) // min of {1,2,3}, singleton 4, min of {5,6}
   }
 
+  test("dedupByPairsBest keeps the highest-scoring doc per cluster, id tie-break") {
+    val s = spark; import s.implicits._
+    // cluster {1,2,3}: scores 5,9,9 -> winner 2 (score desc, id asc);
+    // singleton 4 always kept; cluster {5,6}: scores 1,7 -> winner 6
+    val docs = Seq((1L, "a", 5L), (2L, "a", 9L), (3L, "a", 9L),
+      (4L, "b", 0L), (5L, "c", 1L), (6L, "c", 7L))
+      .toDF("doc_id", "text", "score")
+    val pairs = Dedup.exactDupPairs(docs, "doc_id", "text")
+    val kept = Dedup.dedupByPairsBest(docs, "doc_id", pairs, "score")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(2L, 4L, 6L))
+    // deterministic under repartitioning
+    val again = Dedup.dedupByPairsBest(docs.repartition(5), "doc_id",
+        Dedup.exactDupPairs(docs.repartition(5), "doc_id", "text"), "score")
+      .select("doc_id").as[Long].collect().sorted
+    assert(again === kept)
+  }
+
   test("random graphs match an in-memory union-find (deterministic seed)") {
     val rnd = new scala.util.Random(0xD5EF)
     for (_ <- 1 to 3) {
