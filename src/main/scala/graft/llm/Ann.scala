@@ -47,11 +47,11 @@ object Ann {
   private def nativeDot(spark: org.apache.spark.sql.SparkSession,
                         a: Column, b: Column): Column = {
     graft.spark.VecExpressions.ensureRegistered(spark)
-    call_function("vec_dot", a, b)
+    call_function(graft.spark.VecExpressions.InternalDot, a, b)
   }
   private def nativeNorm(spark: org.apache.spark.sql.SparkSession, a: Column): Column = {
     graft.spark.VecExpressions.ensureRegistered(spark)
-    call_function("vec_norm", a)
+    call_function(graft.spark.VecExpressions.InternalNorm, a)
   }
   // bit-identical native form of packBits(srpSignature(v, bits), bits) —
   // the parity spec in VecExprSpec and the pinned l_ann_recall values
@@ -59,7 +59,7 @@ object Ann {
   private def nativeSrpPacked(spark: org.apache.spark.sql.SparkSession,
                               a: Column, bits: Int, seed: Int = 42): Column = {
     graft.spark.VecExpressions.ensureRegistered(spark)
-    call_function("vec_srp_packed", a, lit(bits), lit(seed))
+    call_function(graft.spark.VecExpressions.InternalSrpPacked, a, lit(bits), lit(seed))
   }
 
   /**
@@ -857,6 +857,10 @@ object Ann {
   private def pqTrainLocal(sample: Array[Array[Float]], m: Int, ksub: Int,
                            iters: Int = 8): Array[Array[Array[Float]]] = {
     require(sample.nonEmpty, "pqTrainLocal: empty sample")
+    // Codes are stored as bytes (`best.toByte` in pqCode): ksub > 256 would
+    // silently wrap codes modulo 256 and corrupt every search result.
+    require(m > 0 && ksub > 1 && ksub <= 256,
+      "pqTrainLocal: need m > 0, 1 < ksub <= 256 (byte codes)")
     val dim = sample(0).length
     require(dim % m == 0, s"pqTrainLocal: dim $dim not divisible by m=$m")
     val sub = dim / m

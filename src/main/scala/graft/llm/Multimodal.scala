@@ -238,15 +238,25 @@ object Multimodal {
     var off = 12
     var fmt: Option[(Int, Int, Int, Int)] = scala.None // (tag, channels, rate, bits)
     var data: Option[(Int, Int)] = scala.None          // (offset, len)
-    while (off + 8 <= payload.length && (fmt.isEmpty || data.isEmpty)) {
+    var malformed = false
+    while (!malformed && off + 8 <= payload.length && (fmt.isEmpty || data.isEmpty)) {
       val id = ascii(off, 4)
+      // The 32-bit chunk length is untrusted corpus input: a size above
+      // Int.MaxValue turns negative under .toInt, which would stall the
+      // walk (zero/negative advance → infinite loop on an executor) or
+      // blow up array math downstream. Treat it as malformed and bail.
       val len = u32(off + 4).toInt
-      if (id == "fmt " && off + 8 + 16 <= payload.length)
-        fmt = Some((u16(off + 8), u16(off + 10), u32(off + 12).toInt, u16(off + 22)))
-      else if (id == "data")
-        data = Some((off + 8, math.min(len, payload.length - off - 8)))
-      off += 8 + len + (len & 1) // chunks are word-aligned
+      if (len < 0) malformed = true
+      else {
+        if (id == "fmt " && off + 8 + 16 <= payload.length)
+          fmt = Some((u16(off + 8), u16(off + 10), u32(off + 12).toInt, u16(off + 22)))
+        else if (id == "data")
+          data = Some((off + 8, math.max(0, math.min(len, payload.length - off - 8))))
+        off += 8 + len + (len & 1) // chunks are word-aligned
+        if (off < 0) malformed = true // Int overflow on the advance
+      }
     }
+    if (malformed) return scala.None
     (fmt, data) match {
       case (Some((1, ch, rate, bits)), Some((dOff, dLen)))
           if ch >= 1 && rate > 0 && (bits == 8 || bits == 16) =>

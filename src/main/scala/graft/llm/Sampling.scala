@@ -115,9 +115,12 @@ object Sampling {
               else math.pow(n.toDouble, alpha)
       (g, math.floor(w * Q).toLong)
     }
-    val sum = q.map(_._2).sum
+    // BigInt for the share division: qi * 1000 overflows Long once a group
+    // holds ~9e9 rows at alpha≈1.0, which would yield negative shares that
+    // the > 0 filter silently drops — a wrong mixture instead of an error.
+    val sum = q.map(qv => BigInt(qv._2)).sum
     require(sum > 0, "temperatureShares: empty input")
-    q.map { case (g, qi) => g -> (qi * 1000L / sum).toInt }
+    q.map { case (g, qi) => g -> (BigInt(qi) * 1000 / sum).toInt }
       .filter(_._2 > 0).toMap
   }
 

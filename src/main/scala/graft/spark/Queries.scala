@@ -1483,7 +1483,8 @@ object Queries {
       |  FROM documents),
       |cum AS (SELECT doc_id, n_tok,
       |    sum(n_tok) OVER (ORDER BY doc_id) AS c FROM toks),
-      |assigned AS (SELECT doc_id, n_tok, (c - n_tok) // 5000 AS shard FROM cum)
+      |assigned AS (SELECT doc_id, n_tok,
+      |    CAST((c - n_tok) // 5000 AS BIGINT) AS shard FROM cum)
       |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
       |  min(doc_id) AS first_id, max(doc_id) AS last_id

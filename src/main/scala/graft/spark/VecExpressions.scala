@@ -102,8 +102,19 @@ object VecExpressions {
     override def prettyName: String = "vec_srp_packed"
   }
 
+  /** Collision-proof names the library join paths resolve through — a
+    * user-registered `vec_dot` must never be able to hijack (or be
+    * clobbered by) graft's internal scoring. */
+  val InternalDot = "__graft_vec_dot"
+  val InternalNorm = "__graft_vec_norm"
+  val InternalSrpPacked = "__graft_vec_srp_packed"
+
   /** Idempotent session registration — the ANN join paths call this at
-    * build time so library users need no explicit register step. */
+    * build time so library users need no explicit register step. The
+    * `__graft_`-prefixed internal names are always (re)bound; the public
+    * `vec_*` aliases are claimed only while the name is free, so calling
+    * a library method like lshTopK can never silently replace a function
+    * the user registered under the same name. */
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     def put(name: String, n: Int)(f: Seq[Expression] => Expression): Unit =
@@ -111,13 +122,24 @@ object VecExpressions {
         require(args.size == n, s"$name expects $n arguments")
         f(args)
       }, "built-in")
+    def putIfAbsent(name: String, n: Int)(f: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(
+            org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        put(name, n)(f)
     def arrF(e: Expression) = e.dataType match {
       case ArrayType(FloatType, _) => e
       case _ => Cast(e, ArrayType(FloatType))
     }
-    put("vec_dot", 2)(a => VecDotExpr(arrF(a(0)), arrF(a(1))))
-    put("vec_norm", 1)(a => VecNormExpr(arrF(a(0))))
-    put("vec_srp_packed", 3) { a =>
+    val dotB = (a: Seq[Expression]) => VecDotExpr(arrF(a(0)), arrF(a(1)))
+    val normB = (a: Seq[Expression]) => VecNormExpr(arrF(a(0)))
+    // the __graft_ prefix makes an existing binding necessarily ours, so
+    // register-if-absent is correct for the internal names too (and keeps
+    // repeated ensureRegistered calls from logging replace warnings)
+    putIfAbsent(InternalDot, 2)(dotB)
+    putIfAbsent(InternalNorm, 1)(normB)
+    putIfAbsent("vec_dot", 2)(dotB)
+    putIfAbsent("vec_norm", 1)(normB)
+    val srpB = (a: Seq[Expression]) => {
       def c(e: Expression, what: String): Int = {
         if (!e.foldable)
           throw new IllegalArgumentException(s"vec_srp_packed(): $what must be a constant")
@@ -131,5 +153,7 @@ object VecExpressions {
       require(bits > 0 && bits <= 63, "vec_srp_packed(): bits must be in [1, 63]")
       VecSrpPackedExpr(arrF(a(0)), bits, seed)
     }
+    putIfAbsent(InternalSrpPacked, 3)(srpB)
+    putIfAbsent("vec_srp_packed", 3)(srpB)
   }
 }

@@ -89,6 +89,30 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("hostile WAV chunk sizes terminate cleanly instead of looping") {
+    def withChunk(id: String, len: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(64)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(56)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put(id.getBytes("US-ASCII")).putInt(len)
+      bb.array()
+    }
+    // u32 size 0xFFFFFFF8 -> len = -8 -> advance of 0: must bail, not spin
+    assert(Multimodal.decodeWav(withChunk("JUNK", 0xFFFFFFF8)).isEmpty)
+    // negative advance (-16) would walk backwards forever without the guard
+    assert(Multimodal.decodeWav(withChunk("JUNK", 0xFFFFFFF0)).isEmpty)
+    // positive len that overflows the Int advance (8 + len wraps negative)
+    assert(Multimodal.decodeWav(withChunk("JUNK", Int.MaxValue - 3)).isEmpty)
+    // declared data length far past the payload end: clamped, no crash
+    val sine = Array.tabulate(80)(i => (0.5 * math.sin(i / 4.0)).toFloat)
+    val ok = wav(8000, 1, sine)
+    val bb = java.nio.ByteBuffer.wrap(ok).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(40, 1 << 20) // data chunk claims 1 MiB; only 160 B present
+    val Some(w) = Multimodal.decodeWav(ok)
+    assert(w.samples.length === 80)
+  }
+
   test("non-image payloads are rejected, not mis-decoded") {
     assert(Multimodal.decodeImage("just some text".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.decodeImage(null).isEmpty)

@@ -52,6 +52,23 @@ class VecExprSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("bits must be a constant"))
   }
 
+  test("ensureRegistered never clobbers a user-registered vec_* function") {
+    val s2 = spark.newSession()
+    // user claims vec_dot first with their own semantics (always 99.0)
+    s2.udf.register("vec_dot", (_: Array[Float], _: Array[Float]) => 99.0)
+    VecExpressions.ensureRegistered(s2)
+    assert(s2.sql("SELECT vec_dot(array(1.0F), array(2.0F))")
+      .collect()(0).get(0) === 99.0, "user's vec_dot was clobbered")
+    // the library's internal name still resolves to the native kernel
+    assert(s2.sql(s"SELECT ${VecExpressions.InternalDot}(array(1.0F, 2.0F), array(3.0F, 4.0F))")
+      .collect()(0).get(0) === 11.0)
+    // and on a fresh session the public alias is claimed as usual
+    val s3 = spark.newSession()
+    VecExpressions.ensureRegistered(s3)
+    assert(s3.sql("SELECT vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F))")
+      .collect()(0).get(0) === 11.0)
+  }
+
   test("no UDF node in a vec-scored plan") {
     val plan = spark.sql(
       "SELECT vec_dot(a, b) / (vec_norm(a) * vec_norm(b)) FROM " +

@@ -57,6 +57,45 @@ def main():
             print(f"FAIL {name}: spark result unreadable: {e}")
             n_fail += 1
             continue
+        # Type guard: the driver's hash is sensitive to the PANDAS dtype the
+        # DuckDB result converts to, not the exact SQL type — int widths all
+        # land as ints (the r12 gate passed BIGINT-vs-INTEGER rows), but
+        # HUGEINT converts to float64, which is exactly how l_export_shards
+        # went hash-red with cell-identical values. Flag (a) any oracle
+        # column whose type leaves the integer family (HUGEINT/DECIMAL from
+        # a window sum or //), and (b) cross-family mismatches between the
+        # spark dump and the oracle.
+        def family(t):
+            t = t.upper()
+            if "HUGEINT" in t or "DECIMAL" in t:
+                return "float"  # pandas converts these to float64
+
+            if any(k in t for k in ("TINYINT", "SMALLINT", "INTEGER",
+                                    "BIGINT", "UINTEGER", "UBIGINT",
+                                    "USMALLINT", "UTINYINT")):
+                return "int"
+            if any(k in t for k in ("FLOAT", "DOUBLE", "REAL")):
+                return "float"
+            if "BOOL" in t:
+                return "bool"
+            if any(k in t for k in ("TIMESTAMP", "DATE", "TIME")):
+                return "temporal"
+            return t  # VARCHAR, BLOB, LIST/STRUCT compare exactly
+        otypes = dict(zip(con.sql(sql).columns,
+                          [str(t) for t in con.sql(sql).types]))
+        srel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+        stypes = dict(zip(srel.columns, [str(t) for t in srel.types]))
+        type_errs = []
+        for c, ot in sorted(otypes.items()):
+            if "HUGEINT" in ot.upper():
+                type_errs.append(f"oracle col {c} is {ot} (cast it to BIGINT)")
+            st = stypes.get(c)
+            if st is not None and family(st) != family(ot):
+                type_errs.append(f"col {c}: spark={st} oracle={ot}")
+        if type_errs:
+            print(f"FAIL {name}: type mismatch: {'; '.join(type_errs)}")
+            n_fail += 1
+            continue
         oc, orn = norm_rows(ocols, orows)
         sc, srn = norm_rows(scols, srows)
         if oc != sc:
