@@ -43,14 +43,29 @@ object Bpe {
    * standard practice, and it bounds the table further).
    */
   def train(df: DataFrame, textCol: String, numMerges: Int,
-            minCount: Long = 1L): DataFrame = {
+            minCount: Long = 1L,
+            maxLocalVocab: Long = 2000000L): DataFrame = {
     require(numMerges >= 0, "numMerges must be >= 0")
     val spark = df.sparkSession
     import spark.implicits._
 
-    val vocab = words(df, textCol)
+    val wordCounts = words(df, textCol)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= minCount)
+
+    // Fast path: the corpus scan (the only data-proportional stage) stays
+    // distributed, but when the word-count table is bounded — it almost
+    // always is; Heaps' law keeps it far below the corpus — the K merge
+    // rounds run driver-side over the collected vocab instead of paying
+    // 2 Spark jobs (pair-count argmax + rewrite) per round. At sf0.1 this
+    // cut l_bpe_train from 3.8 s to roughly the corpus-scan time. The
+    // distributed loop below remains the fallback for unbounded vocabs
+    // (spec-pinned to produce identical merges).
+    val capped = wordCounts.limit((maxLocalVocab + 1).toInt)
+      .as[(String, Long)].collect()
+    if (capped.length <= maxLocalVocab) return trainLocal(spark, capped, numMerges)
+
+    val vocab = wordCounts
       .select(concat(split(col("w"), ""), array(lit(EOW))).as("syms"), col("cnt"))
 
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
@@ -96,6 +111,71 @@ object Bpe {
     }
     cur.unpersist(blocking = false)
     if (prev != null) prev.unpersist(blocking = false)
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** Driver-side merge loop over a collected (word, count) vocab — exact
+    * same pair counts, (count desc, pair asc) tiebreak, and greedy
+    * left-to-right merge as the distributed loop (BpeLocalParitySpec +
+    * FuzzBpe hold the two paths identical). */
+  private def trainLocal(spark: org.apache.spark.sql.SparkSession,
+                         vocab: Array[(String, Long)],
+                         numMerges: Int): DataFrame = {
+    import spark.implicits._
+    val seqs: Array[Array[String]] =
+      vocab.map { case (w, _) => w.map(_.toString).toArray :+ EOW }
+    val cnts: Array[Long] = vocab.map(_._2)
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val pc = new java.util.HashMap[(String, String), Long]()
+      var i = 0
+      while (i < seqs.length) {
+        val s = seqs(i); val c = cnts(i)
+        var j = 0
+        while (j < s.length - 1) {
+          pc.merge((s(j), s(j + 1)), c, (a, b) => a + b)
+          j += 1
+        }
+        i += 1
+      }
+      if (pc.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        val it = pc.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val k = e.getKey; val v = e.getValue
+          if (best == null || v > best._2 ||
+              (v == best._2 && (k._1 < best._1._1 ||
+                (k._1 == best._1._1 && k._2 < best._1._2)))) best = (k, v)
+        }
+        val ((l, r), c) = best
+        merges += ((rank, l, r, c))
+        i = 0
+        while (i < seqs.length) {
+          val s = seqs(i)
+          var hit = false
+          var j = 0
+          while (!hit && j < s.length - 1) {
+            hit = s(j) == l && s(j + 1) == r; j += 1
+          }
+          if (hit) {
+            val out = scala.collection.mutable.ArrayBuffer[String]()
+            j = 0
+            while (j < s.length) {
+              if (j < s.length - 1 && s(j) == l && s(j + 1) == r) {
+                out += (l + r); j += 2
+              } else { out += s(j); j += 1 }
+            }
+            seqs(i) = out.toArray
+          }
+          i += 1
+        }
+        rank += 1
+      }
+    }
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
   }
 

@@ -1936,14 +1936,48 @@ object Queries {
     Bpe.train(s.table("documents"), "text", numMerges = 12, minCount = 2)
       .orderBy("rank")
   }
-  private val oBpeTrain = """SELECT * FROM (VALUES
-      | (1, 'e', 'r', CAST(4568 AS BIGINT)), (2, 'e', '</w>', CAST(4473 AS BIGINT)),
-      | (3, 'n', '</w>', CAST(2834 AS BIGINT)), (4, 'er', '</w>', CAST(2779 AS BIGINT)),
-      | (5, 'o', 'w', CAST(2747 AS BIGINT)), (6, 'ow', '</w>', CAST(2747 AS BIGINT)),
-      | (7, 'o', 'r', CAST(2696 AS BIGINT)), (8, 's', 't', CAST(2676 AS BIGINT)),
-      | (9, 'h', '</w>', CAST(1884 AS BIGINT)), (10, 'a', 't', CAST(1845 AS BIGINT)),
-      | (11, 'l', 'u', CAST(1831 AS BIGINT)), (12, 'i', 'n', CAST(1796 AS BIGINT))
-      |) AS t(rank, "left", "right", pair_count) ORDER BY rank""".stripMargin
+  /** Full 12-round DuckDB replay of the BPE merge loop (was pinned VALUES
+    * until r13, which left the most expensive bench row with no oracle
+    * ratio). Symbol sequences ride a double-spaced string so a plain
+    * `replace(' l  r ', ' lr ')` is exactly the greedy left-to-right
+    * non-overlapping merge; each round's argmax uses the same
+    * (count desc, pair asc) tiebreak as Bpe.train. MATERIALIZED keeps the
+    * chained CTEs from inlining exponentially. */
+  private def bpeReplaySql(k: Int, minCount: Long): String = {
+    val head =
+      s"""WITH w AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(regexp_split_to_array(lower(trim(text)), '[^a-z]+')) AS w
+         |    FROM documents) t
+         |  WHERE length(w) > 0 GROUP BY w HAVING count(*) >= $minCount
+         |),
+         |v0 AS MATERIALIZED (
+         |  SELECT ' ' || array_to_string(regexp_split_to_array(w, ''), '  ') || '  </w> ' AS s, cnt FROM w
+         |)""".stripMargin
+    val rounds = (1 to k).map { i =>
+      val p = i - 1
+      s"""p$i AS MATERIALIZED (
+         |  SELECT l[i] AS a, l[i+1] AS b, CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM (SELECT str_split(trim(s), '  ') AS l, cnt FROM v$p) t,
+         |       LATERAL unnest(generate_series(1, len(l)-1)) u(i)
+         |  GROUP BY 1, 2
+         |),
+         |b$i AS MATERIALIZED (
+         |  SELECT $i AS rank, a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1
+         |),
+         |v$i AS MATERIALIZED (
+         |  SELECT replace(s,
+         |    ' ' || (SELECT a FROM b$i) || '  ' || (SELECT b FROM b$i) || ' ',
+         |    ' ' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || ' ') AS s, cnt
+         |  FROM v$p
+         |)""".stripMargin
+    }
+    val sel = (1 to k)
+      .map(i => s"""SELECT rank, a AS "left", b AS "right", c AS pair_count FROM b$i""")
+      .mkString(" UNION ALL ")
+    (head +: rounds).mkString(",\n") + "\n" + sel + " ORDER BY rank"
+  }
+  private val oBpeTrain = bpeReplaySql(12, 2)
 
   /** WebText-style linear quality/domain gate: hashed bag-of-words
     * logistic regression trained distributed (quantized-integer gradient

@@ -65,7 +65,11 @@ object FuzzBpe {
         val w = (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
         Seq.fill(1 + rnd.nextInt(6))(w).mkString(" ")
       }
-      val got = Bpe.train(docs.toDF("text"), "text", merges, minCount)
+      // alternate the driver-local fast path and the distributed merge
+      // loop across seeds so both stay pinned to the reference
+      val maxLocal = if (seed % 2 == 0) 0L else 2000000L
+      val got = Bpe.train(docs.toDF("text"), "text", merges, minCount,
+          maxLocalVocab = maxLocal)
         .orderBy("rank")
         .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
       val wc = docs.flatMap(_.split("\\s+")).filter(_.nonEmpty)

@@ -81,6 +81,18 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a === b)
   }
 
+  test("driver-local fast path equals the distributed merge loop") {
+    val s = spark; import s.implicits._
+    // corpus with deliberate count ties so the (count desc, pair asc)
+    // tiebreak is exercised on both paths
+    val docs = (corpus ++ Seq("abab abab", "cdcd cdcd")).toDF("text")
+    val local = Bpe.train(docs, "text", 8)
+      .orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
+    val dist = Bpe.train(docs, "text", 8, maxLocalVocab = 0L)
+      .orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
+    assert(local === dist)
+  }
+
   test("minCount drops rare words from training") {
     val s = spark; import s.implicits._
     val df = (Seq.fill(10)("aaab") ++ Seq("zzzz")).toDF("text")
