@@ -34,10 +34,18 @@ object TextAnalysis {
       .replaceAll("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
       .replaceAll("\\s+", " ").trim
 
-  /** [[normalizeTextFn]] as a column (UDF — the NFC table has no Catalyst
-    * builtin; the regex passes alone would be codegen but must run after
-    * composition). */
-  def normalizeText(text: Column): Column = udf(normalizeTextFn).apply(text)
+  /** [[normalizeTextFn]] as a column — a native codegen expression
+    * (spark/TextExpressions) since r13: the declared hot ingest surface
+    * should not ride a per-row ScalaUDF converter. Falls back to the UDF
+    * only when no session is active (e.g. building columns before any
+    * SparkSession exists). */
+  def normalizeText(text: Column): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(spark) =>
+        graft.spark.TextExpressions.ensureRegistered(spark)
+        call_function(graft.spark.TextExpressions.InternalNormalize, text)
+      case None => udf(normalizeTextFn).apply(text)
+    }
 
   /** BPE-ish subword count: letter runs, digits, and punctuation each count;
     * a long letter run costs ceil(len/4) tokens (crude BPE cost model). */

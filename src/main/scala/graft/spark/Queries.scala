@@ -1926,6 +1926,23 @@ object Queries {
     """SELECT CAST(0.3 AS DOUBLE) AS ivfpq_recall, true AS ivfpq_floor,
       | CAST(100 AS BIGINT) AS n_pairs""".stripMargin
 
+  /** BENCH-shaped IVF-PQ: a FIXED 100-query panel against the growing
+    * corpus, index end-to-end (train + encode + search), NO brute-force
+    * side. r12's verdict flagged the old bench row (l_ann_ivfpq, kept
+    * above as the correctness/recall audit) as superlinear BY ROW DESIGN —
+    * its query set grew with the corpus and it embedded its own quadratic
+    * exact-search oracle, so the bench measured the oracle, not the index.
+    * Deterministic training pins the aggregate at the gate SF. */
+  private val qAnnIvfPqBench = dfQ { s =>
+    val emb = s.table("embeddings")
+    val panel = emb.where(col("vec_id") < 100)
+    Ann.ivfPqTopK(panel, emb, 10)
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        sum(col("c_id")).cast("long").as("sum_c"))
+  }
+  private val oAnnIvfPqBench =
+    """SELECT CAST(1000 AS BIGINT) AS n_pairs, CAST(257763 AS BIGINT) AS sum_c""".stripMargin
+
   /** Distributed BPE tokenizer training (Sennrich et al. 2016): the first
     * 12 learned merges over the documents corpus. Exact integer pair
     * counts + deterministic (count desc, pair asc) tiebreak make the merge
@@ -3126,6 +3143,7 @@ object Queries {
     ("l_ann_recall", qAnnRecall, Some(oAnnRecall)),
     ("l_ann_pq", qAnnPq, Some(oAnnPq)),
     ("l_ann_ivfpq", qAnnIvfPq, Some(oAnnIvfPq)),
+    ("l_ann_ivfpq_bench", qAnnIvfPqBench, Some(oAnnIvfPqBench)),
     ("l_bpe_train", qBpeTrain, Some(oBpeTrain)),
     ("l_quality_classifier", qQualityClassifier, Some(oQualityClassifier)),
     ("l_bpe_encode", qBpeEncode, Some(oBpeEncode)),
@@ -3146,7 +3164,7 @@ object Queries {
     "t_point_in_poly", "t_cover_refine_join", "t_cells", "t_dwithin", "t_dwithin_join",
     "t_dwithin_join_sql", "g_flagship_join", "g_flagship_broadcast",
     "l_dedup_minhash", "l_dedup_simhash", "l_ann_top1", "l_ann_ivf", "l_ann_pq",
-    "l_ann_ivfpq", "l_text_tokens",
+    "l_ann_ivfpq_bench", "l_text_tokens",
     "l_dup_spans", "l_dup_span_removal", "l_decontam_fuzzy", "l_decontam_bloom", "l_bpe_train",
     "l_dedup_incremental", "l_export_shards",
     "b_tpch_q1", "b_tpch_q3", "b_tpch_q5", "b_events_sessions",
