@@ -148,6 +148,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.spark.GraftExtensions")
+      // Scan parallelism: the big-SF replica tables are ~11 MB part files,
+      // so the 128 MB default bins ~10 files per task — 1.1 GB lineitem
+      // scans on 10 of 32 cores. 32 MB bins (+1 MB open cost — local files
+      // open cheap) put ~50 tasks on the sf10 scan: q1 0.87 -> 0.73 s,
+      // q3 4.2 -> 3.2 s in the r13 A/B. Small SFs are unaffected (single
+      // sub-32 MB files either way).
+      .config("spark.sql.files.maxPartitionBytes", (32L * 1024 * 1024).toString)
+      .config("spark.sql.files.openCostInBytes", (1L * 1024 * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
