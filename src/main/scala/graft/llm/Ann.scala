@@ -852,6 +852,51 @@ object Ann {
       .select(col("q_id"), col("c_id"), col("sim"), col("rank"))
   }
 
+  /**
+   * Persist an IVF-PQ index AT REST: the codes table partitioned by cell,
+   * plus the bounded model (coarse centroids + residual codebooks) as two
+   * small parquet sidecars. Because [[ivfPqSearch]] filters
+   * `cell IN (probe union)` BEFORE its scan, a search against the loaded
+   * index becomes Spark PARTITION PRUNING — it reads only the nprobe cell
+   * directories a query panel routes to, so query cost is independent of
+   * corpus size at rest. This is the ANN twin of the persisted near-dedup
+   * band index (Dedup.writeBandIndex): build once, serve forever.
+   */
+  def ivfPqWriteIndex(model: IvfPqModel, codes: DataFrame, path: String,
+                      idCol: String = "vec_id"): Unit = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    codes.select(col(idCol), col("cell"), col("pq_code"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    model.cents.zipWithIndex.toSeq
+      .map { case (v, c) => (c, v) }
+      .toDF("cell", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/cents")
+    (for ((cbj, j) <- model.codebooks.zipWithIndex.toSeq; (w, c) <- cbj.zipWithIndex)
+      yield (j, c, w))
+      .toDF("subspace", "code", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Load an index written by [[ivfPqWriteIndex]]: the bounded model is
+    * collected (a few hundred KB); the codes stay a lazy cell-partitioned
+    * scan for [[ivfPqSearch]] to prune. */
+  def ivfPqLoadIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                     idCol: String = "vec_id"): (IvfPqModel, DataFrame) = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$path/cents")
+      .select(col("cell").cast("int"), col("vec"))
+      .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
+    val cbRows = spark.read.parquet(s"$path/codebooks")
+      .select(col("subspace").cast("int"), col("code").cast("int"), col("vec"))
+      .as[(Int, Int, Array[Float])].collect()
+    val codebooks = cbRows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rs) => rs.sortBy(_._2).map(_._3) }.toArray
+    val codes = spark.read.parquet(s"$path/codes")
+      .select(col(idCol), col("cell").cast("int").as("cell"), col("pq_code"))
+    (IvfPqModel(cents, codebooks), codes)
+  }
+
   /** Driver-side PQ Lloyd's over already-materialized vectors (the
     * bounded-sample half of [[pqTrain]], shared with residual training). */
   private def pqTrainLocal(sample: Array[Array[Float]], m: Int, ksub: Int,

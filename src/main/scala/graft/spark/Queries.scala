@@ -1943,6 +1943,43 @@ object Queries {
   private val oAnnIvfPqBench =
     """SELECT CAST(1000 AS BIGINT) AS n_pairs, CAST(257763 AS BIGINT) AS sum_c""".stripMargin
 
+  /** IVF-PQ index AT REST: write the cell-partitioned codes + bounded
+    * model sidecars, reload, search the fixed panel from the persisted
+    * index, and prove it returns exactly the in-memory search's pairs.
+    * The search's probe-union cell filter becomes partition pruning on
+    * the loaded index (IvfPqPersistSpec pins the pruned-scan plan), so
+    * query cost at rest is independent of corpus size — the production
+    * serving shape. All actions are eager; the returned frame is a
+    * materialized one-row literal, so the temp index dir never outlives
+    * the build. */
+  private val qAnnIvfPqPersist = dfQ { s =>
+    import s.implicits._
+    val emb = s.table("embeddings")
+    val panel = emb.where(col("vec_id") < 100)
+    val model = Ann.ivfPqTrain(emb)
+    val codes = Ann.ivfPqEncode(model, emb)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx")
+    try {
+      Ann.ivfPqWriteIndex(model, codes, dir.toString)
+      val (m2, c2) = Ann.ivfPqLoadIndex(s, dir.toString)
+      val mem = Ann.ivfPqSearch(model, codes, panel, 10).select("q_id", "c_id")
+      val disk = Ann.ivfPqSearch(m2, c2, panel, 10).select("q_id", "c_id")
+      val onlyDisk = disk.exceptAll(mem).count()
+      val onlyMem = mem.exceptAll(disk).count()
+      val (n, sumC) = disk.agg(count(lit(1)).cast("long"),
+        sum(col("c_id")).cast("long")).as[(Long, Long)].head()
+      Seq((n, sumC, onlyDisk + onlyMem == 0L))
+        .toDF("n_pairs", "sum_c", "disk_matches_memory")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+  private val oAnnIvfPqPersist =
+    """SELECT CAST(1000 AS BIGINT) AS n_pairs, CAST(257763 AS BIGINT) AS sum_c,
+      | true AS disk_matches_memory""".stripMargin
+
   /** Distributed BPE tokenizer training (Sennrich et al. 2016): the first
     * 12 learned merges over the documents corpus. Exact integer pair
     * counts + deterministic (count desc, pair asc) tiebreak make the merge
@@ -3144,6 +3181,7 @@ object Queries {
     ("l_ann_pq", qAnnPq, Some(oAnnPq)),
     ("l_ann_ivfpq", qAnnIvfPq, Some(oAnnIvfPq)),
     ("l_ann_ivfpq_bench", qAnnIvfPqBench, Some(oAnnIvfPqBench)),
+    ("l_ann_ivfpq_persist", qAnnIvfPqPersist, Some(oAnnIvfPqPersist)),
     ("l_bpe_train", qBpeTrain, Some(oBpeTrain)),
     ("l_quality_classifier", qQualityClassifier, Some(oQualityClassifier)),
     ("l_bpe_encode", qBpeEncode, Some(oBpeEncode)),
