@@ -2972,6 +2972,59 @@ object Queries {
       .orderBy("o_custkey")
   }
 
+  /** Semi-structured props: the events table carries a JSON VARCHAR
+    * payload (`{"k": N}`) that no row exercised until r13. Spark parses
+    * with get_json_object (codegen JsonPath — no UDF, pushdown-friendly
+    * projection); the oracle replays with DuckDB's json extension. At
+    * 100 TB this is the telemetry-ingest shape: JSON stays a string at
+    * rest, typed extraction happens in the scan projection, and the
+    * aggregate rides the same single exchange as any grouped count. */
+  private val qEventsJson = sqlQ(
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      | CAST(min(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+      | CAST(max(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+  private val oEventsJson =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      | CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+      | CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Ordered conversion funnel (view -> click within 24 h -> purchase
+    * within 24 h): each stage is a per-user min-timestamp aggregate
+    * joined to the prior stage with the ordering + window conjuncts in
+    * the join filter — three aggregate+join stages, no window function,
+    * no per-user event sorting. At 100 TB every stage shuffles on
+    * user_id (the same key), so AQE reuses the partitioning and the
+    * heavy events relation is scanned once per referenced stage with the
+    * event_type filter pushed to the scan. */
+  private val qEventsFunnel = sqlQ(
+    """WITH v AS (SELECT user_id, min(ts) AS t FROM events
+      |     WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN v ON e.user_id = v.user_id
+      |     WHERE e.event_type = 'click' AND e.ts > v.t
+      |       AND CAST(e.ts AS DOUBLE) - CAST(v.t AS DOUBLE) <= 86400 GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN c ON e.user_id = c.user_id
+      |     WHERE e.event_type = 'purchase' AND e.ts > c.t
+      |       AND CAST(e.ts AS DOUBLE) - CAST(c.t AS DOUBLE) <= 86400 GROUP BY e.user_id)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase""".stripMargin)
+  private val oEventsFunnel =
+    """WITH v AS (SELECT user_id, min(ts) AS t FROM events
+      |     WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN v ON e.user_id = v.user_id
+      |     WHERE e.event_type = 'click' AND e.ts > v.t
+      |       AND epoch(e.ts) - epoch(v.t) <= 86400 GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN c ON e.user_id = c.user_id
+      |     WHERE e.event_type = 'purchase' AND e.ts > c.t
+      |       AND epoch(e.ts) - epoch(c.t) <= 86400 GROUP BY e.user_id)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase""".stripMargin
+
   private val qEventsHourly = sqlQ(
     """SELECT event_type, CAST(date_trunc('hour', ts) AS BIGINT) AS hour_epoch,
       | CAST(count(*) AS BIGINT) AS n, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
@@ -3193,6 +3246,8 @@ object Queries {
     ("b_top_order", qTopOrderPerCustomer, Some(oTopOrderPerCustomer)),
     ("b_top_order_agg", qTopOrderAgg, Some(oTopOrderPerCustomer)),
     ("b_events_hourly", qEventsHourly, Some(oEventsHourly)),
+    ("b_events_json", qEventsJson, Some(oEventsJson)),
+    ("b_events_funnel", qEventsFunnel, Some(oEventsFunnel)),
     ("b_events_sessions", qEventsSessions, Some(oEventsSessions)),
     ("b_events_asof", qEventsAsof, Some(oEventsAsof)),
     ("b_interval_join", qIntervalJoin, Some(oIntervalJoin)))
