@@ -993,6 +993,39 @@ object Queries {
       |  AND 2*6371010*asin(sqrt(sin(radians(b.lat-a.lat)/2)^2 +
       |    cos(radians(a.lat))*cos(radians(b.lat))*sin(radians(b.lon-a.lon)/2)^2)) <= 300000""".stripMargin
 
+  /** The STREAMING funnel state machine replayed over the batch events
+    * table (flatMapGroupsWithState executes in batch mode with each
+    * user's full history in one sorted iterator — exactly the stream's
+    * in-order contract), checked against the same three-CTE min-timestamp
+    * SQL as b_events_funnel. Proves stream semantics == batch semantics
+    * on real data, not just the spec fixtures. */
+  private val qStreamFunnel = (s: SparkSession, dir: String) => {
+    prep(s, dir)
+    import s.implicits._
+    val ev = s.table("events")
+      .select(col("ts"), col("user_id"), col("event_type"))
+      .as[graft.streaming.Funnel.FunnelEvent]
+    graft.streaming.Funnel.funnelStream(
+        ev, Seq("view", "click", "purchase"), 86400L)
+      .groupBy(col("stage").cast("int").as("stage"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .orderBy("stage")
+  }
+  private val oStreamFunnel =
+    """WITH v AS (SELECT user_id, min(ts) AS t FROM events
+      |     WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN v ON e.user_id = v.user_id
+      |     WHERE e.event_type = 'click' AND e.ts > v.t
+      |       AND epoch(e.ts) - epoch(v.t) <= 86400 GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN c ON e.user_id = c.user_id
+      |     WHERE e.event_type = 'purchase' AND e.ts > c.t
+      |       AND epoch(e.ts) - epoch(c.t) <= 86400 GROUP BY e.user_id)
+      |SELECT stage, n FROM (
+      |  SELECT 1 AS stage, (SELECT CAST(count(*) AS BIGINT) FROM v) AS n
+      |  UNION ALL SELECT 2, (SELECT CAST(count(*) AS BIGINT) FROM c)
+      |  UNION ALL SELECT 3, (SELECT CAST(count(*) AS BIGINT) FROM p)) t
+      |WHERE n > 0 ORDER BY stage""".stripMargin
+
   /** Pole triangles (0 0, n 0, 0 90) have closed-form spherical measures:
     * area = R^2 * radians(n) (the spherical excess IS n at the pole) and
     * perimeter = R * radians(n + 180) — an independent arithmetic oracle
@@ -3169,6 +3202,7 @@ object Queries {
     ("t_knn_join", qKnnJoin, Some(oKnnJoin)),
     ("b_knn", qKnnBench, Some(oKnnBench)),
     ("b_stream_dwithin", qStreamDwithin, Some(oStreamDwithin)),
+    ("b_stream_funnel", qStreamFunnel, Some(oStreamFunnel)),
     ("t_distance", qDistanceScale, Some(oDistanceScale)),
     ("t_covering", qCoveringScale, Some(oCoveringScale)),
     ("t_measures", qMeasuresScale, Some(oMeasuresScale)),

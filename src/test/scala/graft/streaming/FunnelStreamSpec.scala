@@ -1,0 +1,104 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming funnel == the batch b_events_funnel SQL on the same rows:
+  * stage counts match the three-CTE min-timestamp formulation, strict
+  * ordering and the per-stage window hold, multi-batch delivery with
+  * state carried across triggers produces the same advances, and a
+  * restart (second view) does NOT re-enter the funnel. */
+class FunnelStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", 2)
+      .config("spark.ui.enabled", false)
+      .appName("graft-funnel-stream-test").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+  private val stages = Seq("view", "click", "purchase")
+  private val window = 3600L // 1 hour, minutes-scale fixtures
+
+  /** The batch query's formulation over an in-memory events table. */
+  private def batchFunnel(rows: Seq[Funnel.FunnelEvent]): (Long, Long, Long) = {
+    val s = spark; import s.implicits._
+    rows.toDF("ts", "user_id", "event_type").createOrReplaceTempView("fev")
+    val r = s.sql(
+      s"""WITH v AS (SELECT user_id, min(ts) AS t FROM fev
+         |     WHERE event_type = 'view' GROUP BY user_id),
+         |c AS (SELECT e.user_id, min(e.ts) AS t FROM fev e JOIN v ON e.user_id = v.user_id
+         |     WHERE e.event_type = 'click' AND e.ts > v.t
+         |       AND CAST(e.ts AS DOUBLE) - CAST(v.t AS DOUBLE) <= $window GROUP BY e.user_id),
+         |p AS (SELECT e.user_id, min(e.ts) AS t FROM fev e JOIN c ON e.user_id = c.user_id
+         |     WHERE e.event_type = 'purchase' AND e.ts > c.t
+         |       AND CAST(e.ts AS DOUBLE) - CAST(c.t AS DOUBLE) <= $window GROUP BY e.user_id)
+         |SELECT (SELECT count(*) FROM v), (SELECT count(*) FROM c),
+         |       (SELECT count(*) FROM p)""".stripMargin).as[(Long, Long, Long)].head()
+    r
+  }
+
+  private def streamFunnel(batches: Seq[Seq[Funnel.FunnelEvent]]): Seq[(Long, Int, Timestamp)] = {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val input = MemoryStream[Funnel.FunnelEvent]
+    val name = s"funnel_${System.nanoTime()}"
+    val q = Funnel.funnelStream(input.toDS(), stages, window)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      for (b <- batches) { input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    s.table(name).as[(Long, Int, Timestamp)].collect().toSeq
+  }
+
+  test("stage counts equal the batch SQL, incl. strictness and windows") {
+    val rows = Seq(
+      // user 1 completes: view 0, click +10m, purchase +20m
+      Funnel.FunnelEvent(ts(0), 1, "view"),
+      Funnel.FunnelEvent(ts(10), 1, "click"),
+      Funnel.FunnelEvent(ts(30), 1, "purchase"),
+      // user 2: click at the SAME instant as view (strict > rejects it),
+      // a later click qualifies, purchase outside the window does not
+      Funnel.FunnelEvent(ts(0), 2, "view"),
+      Funnel.FunnelEvent(ts(0), 2, "click"),
+      Funnel.FunnelEvent(ts(5), 2, "click"),
+      Funnel.FunnelEvent(ts(5 + 70), 2, "purchase"), // 70 min > 1 h window
+      // user 3: purchase before any click never counts
+      Funnel.FunnelEvent(ts(0), 3, "view"),
+      Funnel.FunnelEvent(ts(1), 3, "purchase"),
+      // user 4: no view at all — clicks are ignored outright
+      Funnel.FunnelEvent(ts(0), 4, "click"),
+      Funnel.FunnelEvent(ts(1), 4, "purchase"))
+    val (bv, bc, bp) = batchFunnel(rows)
+    val got = streamFunnel(Seq(rows))
+    assert(got.count(_._2 == 1) === bv)
+    assert(got.count(_._2 == 2) === bc)
+    assert(got.count(_._2 == 3) === bp)
+    assert((bv, bc, bp) === (3L, 2L, 1L)) // fixture sanity
+  }
+
+  test("state carries across triggers; a second view cannot restart") {
+    val b1 = Seq(
+      Funnel.FunnelEvent(ts(0), 7, "view"),
+      Funnel.FunnelEvent(ts(5), 7, "click"))
+    val b2 = Seq(
+      Funnel.FunnelEvent(ts(10), 7, "purchase"), // completes across batches
+      Funnel.FunnelEvent(ts(12), 7, "view"),     // post-completion view
+      Funnel.FunnelEvent(ts(13), 7, "click"))    // must NOT re-emit stage 2
+    val got = streamFunnel(Seq(b1, b2))
+    assert(got.map(r => (r._2, r._3)).sortBy(_._1) ===
+      Seq((1, ts(0)), (2, ts(5)), (3, ts(10))))
+    // batch SQL on the union agrees (first-view semantics)
+    assert(batchFunnel(b1 ++ b2) === ((1L, 1L, 1L)))
+  }
+}
