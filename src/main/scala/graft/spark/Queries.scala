@@ -1239,6 +1239,48 @@ object Queries {
        |  SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id)
        |SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  /** Dup-cluster SIZE HISTOGRAM (log2 buckets): the curation diagnostic
+    * that tells a 100-TB pipeline whether duplication is a long tail of
+    * pairs or a few megaclusters (which drive dedup cost and bias).
+    * Singleton docs count in bucket 0; each bucket holds the number of
+    * clusters with floor(log2(size)) = bucket. Derived entirely from the
+    * component labels — texts never join the path. */
+  private val qDedupClusterHist = dfQ { s =>
+    val docs = s.table("docs_aug")
+    val pairs = Dedup.exactDupPairs(docs, "doc_id", "text")
+    val cc = Dedup.connectedComponents(pairs)
+    // docs absent from any pair are singleton clusters of size 1
+    val clustered = cc.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+    val nSingleton = docs.join(cc, docs("doc_id") === cc("id"), "left_anti")
+      .agg(count(lit(1))).as[Long](org.apache.spark.sql.Encoders.scalaLong).head()
+    val hist = clustered
+      .select(floor(log2(col("sz"))).cast("int").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).cast("long").as("n_clusters"))
+    val withSingletons = hist
+      .union(s.range(1).select(lit(0).cast("int").as("bucket"),
+        lit(nSingleton).cast("long").as("n_clusters")))
+      .groupBy("bucket").agg(sum("n_clusters").cast("long").as("n_clusters"))
+    withSingletons.orderBy("bucket")
+  }
+  private val oDedupClusterHist =
+    s"""WITH RECURSIVE $oracleDocsAug,
+       |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM docs_aug a JOIN docs_aug b
+       |    ON md5(a.text) = md5(b.text) AND a.text = b.text AND a.doc_id < b.doc_id),
+       |edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (SELECT s AS id, d AS r FROM edges
+       |  UNION
+       |  SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id),
+       |comp AS (SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id),
+       |sizes AS (SELECT cluster_id, count(*) AS sz FROM comp GROUP BY cluster_id),
+       |hist AS (SELECT CAST(floor(log2(sz)) AS INT) AS bucket,
+       |         CAST(count(*) AS BIGINT) AS n_clusters FROM sizes GROUP BY 1
+       |  UNION ALL
+       |  SELECT 0, (SELECT CAST(count(*) AS BIGINT) FROM docs_aug
+       |             WHERE doc_id NOT IN (SELECT id FROM comp)))
+       |SELECT bucket, CAST(sum(n_clusters) AS BIGINT) AS n_clusters
+       |FROM hist GROUP BY bucket ORDER BY bucket""".stripMargin
+
   /** End-to-end dedup resolve: corpus size before/after keeping exactly
     * one representative per dup cluster, plus cluster-shape stats. */
   private val qDedupResolve = dfQ { s =>
@@ -3215,6 +3257,7 @@ object Queries {
     ("l_dedup_incremental", qDedupIncremental, Some(oDedupIncremental)),
     ("l_dedup_simhash", qDedupSimhash, Some(oDedupPairs)),
     ("l_dedup_clusters", qDedupClusters, Some(oDedupClusters)),
+    ("l_dedup_cluster_hist", qDedupClusterHist, Some(oDedupClusterHist)),
     ("l_dedup_resolve", qDedupResolve, Some(oDedupResolve)),
     ("l_dedup_resolve_best", qDedupResolveBest, Some(oDedupResolveBest)),
     ("l_pipeline", qPipeline, Some(oPipeline)),

@@ -87,6 +87,21 @@ class FunnelStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((bv, bc, bp) === (3L, 2L, 1L)) // fixture sanity
   }
 
+  test("randomized parity: state machine equals the batch SQL on 40 seeds") {
+    for (seed <- 1 to 40) {
+      val rnd = new scala.util.Random(seed)
+      val types = Seq("view", "click", "purchase", "error") // error = noise
+      val rows = (1 to (20 + rnd.nextInt(60))).map { _ =>
+        Funnel.FunnelEvent(ts(rnd.nextInt(300)), 1 + rnd.nextInt(6),
+          types(rnd.nextInt(types.length)))
+      }
+      val (bv, bc, bp) = batchFunnel(rows)
+      val got = streamFunnel(Seq(rows))
+      assert((got.count(_._2 == 1).toLong, got.count(_._2 == 2).toLong,
+        got.count(_._2 == 3).toLong) === ((bv, bc, bp)), s"seed=$seed")
+    }
+  }
+
   test("state carries across triggers; a second view cannot restart") {
     val b1 = Seq(
       Funnel.FunnelEvent(ts(0), 7, "view"),
