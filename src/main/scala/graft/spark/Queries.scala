@@ -3336,7 +3336,8 @@ object Queries {
     "l_dedup_minhash", "l_dedup_simhash", "l_ann_top1", "l_ann_ivf", "l_ann_pq",
     "l_ann_ivfpq_bench", "l_text_tokens",
     "l_dup_spans", "l_dup_span_removal", "l_decontam_fuzzy", "l_decontam_bloom", "l_bpe_train",
-    "l_dedup_incremental", "l_export_shards",
+    "l_dedup_incremental", "l_export_shards", "l_text_normalize",
     "b_tpch_q1", "b_tpch_q3", "b_tpch_q5", "b_events_sessions",
-    "b_events_asof", "b_interval_join", "b_knn", "b_top_order", "b_top_order_agg")
+    "b_events_asof", "b_events_hourly", "b_events_json", "b_events_funnel",
+    "b_interval_join", "b_knn", "b_top_order", "b_top_order_agg")
 }
