@@ -29,6 +29,20 @@ object Sampling {
   def sampleByHash(df: DataFrame, keyCol: String, num: Int, den: Int): DataFrame =
     df.where(hashBucket(col(keyCol), den) < num)
 
+  /** Deterministic PER-ROW WEIGHTED sampling (rejection sampling by
+    * score): keep a row iff its md5-uniform permille draw falls below
+    * `weight` (a [0,1] column, e.g. a quality score) — each doc survives
+    * independently with probability ~weight, the doc-level mixing
+    * primitive behind quality-proportional corpus construction
+    * (cf. CCNet's per-perplexity-bucket sampling). Same determinism
+    * contract as [[sampleByHash]]: the kept set depends only on keys and
+    * weights, so reruns, repartitioning, and corpus growth never flip an
+    * existing row, and any engine can replay the exact row set. Stateless
+    * per row — filters a stream unchanged. */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column): DataFrame =
+    df.where(hashBucket(col(keyCol), 1000) <
+      floor(least(greatest(weight, lit(0.0)), lit(1.0)) * 1000).cast("long"))
+
   /** Deterministic train/val/test split as a `split` column (permille
     * shares). A doc's assignment depends only on its key, so growing the
     * corpus never moves an existing doc between splits. */

@@ -2841,6 +2841,36 @@ object Queries {
       |SELECT q.source, q.doc_id FROM q JOIN thr ON q.source = thr.source
       |WHERE q.qual >= thr.t ORDER BY q.source, doc_id""".stripMargin
 
+  /** Doc-level quality-weighted rejection sampling: keep each doc with
+    * probability ~= its quality score, via the engine-portable md5
+    * permille draw (Sampling.weightedSample). The kept row set is exact
+    * across engines: both compute the identical IEEE double score (the
+    * same expression tree l_text_quality already pins to 4 decimals) and
+    * the identical integer draw. */
+  private val qWeightedSample = dfQ { s =>
+    val docs = s.table("documents")
+    // the synthetic corpus' scores cluster in [0.91, 1]; the x10-9
+    // spread (exact IEEE +/* both engines, unlike pow) makes the keep
+    // probability actually vary so the row proves the semantics
+    Sampling.weightedSample(docs, "doc_id",
+        greatest(TextAnalysis.qualityScore(col("text")) * lit(10.0) - lit(9.0), lit(0.0)))
+      .select("doc_id").orderBy("doc_id")
+  }
+  private val oWeightedSample =
+    """WITH f AS (SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+      |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(length(text), 1)::DOUBLE AS alpha,
+      |    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) / greatest(length(text), 1)::DOUBLE AS punct
+      |  FROM documents),
+      |q AS (SELECT doc_id,
+      |    greatest(least(alpha - 2 * punct + least(n_tok / 20.0, 1.0) * 0.2, 1.0), 0.0) AS qual FROM f),
+      |w AS (SELECT doc_id, greatest(qual * 10.0 - 9.0, 0.0) AS wt FROM q)
+      |SELECT doc_id FROM w
+      |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 1000
+      |      < CAST(floor(least(greatest(wt, 0.0), 1.0) * 1000) AS BIGINT)
+      |ORDER BY doc_id""".stripMargin
+
   /** 120-char chunks with 30-char overlap; chunk counts are integer
     * arithmetic in both engines, substrings are char-based in both. */
   private val qChunk = dfQ { s =>
@@ -3289,6 +3319,7 @@ object Queries {
     ("l_surprisal_gate", qSurprisalGate, Some(oSurprisalGate)),
     ("l_data_card", qDataCard, Some(oDataCard)),
     ("l_quality_gate", qQualityGate, Some(oQualityGate)),
+    ("l_weighted_sample", qWeightedSample, Some(oWeightedSample)),
     ("l_chunk", qChunk, Some(oChunk)),
     ("l_jaccard", qJaccard, Some(oJaccard)),
     ("l_ann_top1", qAnnTop1, Some(oAnnTop1)),

@@ -32,6 +32,30 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.length + rest.length === 2000)
   }
 
+  test("weightedSample: extremes, monotonicity, partition-independence") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1L to 2000L).map(i => (i, (i % 11) / 10.0)).toDF("id", "w")
+    assert(Sampling.weightedSample(df, "id", lit(0.0)).count() === 0L)
+    assert(Sampling.weightedSample(df, "id", lit(1.0)).count() === 2000L)
+    // out-of-range weights clamp instead of exploding
+    assert(Sampling.weightedSample(df, "id", lit(7.5)).count() === 2000L)
+    assert(Sampling.weightedSample(df, "id", lit(-3.0)).count() === 0L)
+    val kept = Sampling.weightedSample(df, "id", col("w"))
+      .select("id").as[Long].collect().toSet
+    // keep rate tracks the mean weight (0.5) on the uniform draw
+    assert(kept.size > 800 && kept.size < 1200, s"got ${kept.size}")
+    // monotone: raising every weight can only ADD rows
+    val keptMore = Sampling.weightedSample(df, "id",
+        least(col("w") + 0.2, lit(1.0)))
+      .select("id").as[Long].collect().toSet
+    assert(kept.subsetOf(keptMore))
+    // the kept set is a pure function of (key, weight)
+    val again = Sampling.weightedSample(df.repartition(7), "id", col("w"))
+      .select("id").as[Long].collect().toSet
+    assert(again === kept)
+  }
+
   test("md5 bucket agrees with a reference computation") {
     val s = spark; import s.implicits._
     // first 7 hex chars of md5("42") = a1d0c6e = 169675886
