@@ -389,6 +389,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows === Set(1L, 3L))
   }
 
+  test("weighted sampling filters an ingestion stream statelessly, matching batch") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val rows = (1L to 500L).map(i => (i, (i % 11) / 10.0))
+    val batchKept = graft.llm.Sampling.weightedSample(
+        rows.toDF("doc_id", "w"), "doc_id", col("w"))
+      .select("doc_id").as[Long].collect().toSet
+    val input = MemoryStream[(Long, Double)]
+    val out = graft.llm.Sampling.weightedSample(
+      input.toDF().toDF("doc_id", "w"), "doc_id", col("w"))
+    val q = out.writeStream.format("memory").queryName("wsample_stream")
+      .outputMode("append").start()
+    input.addData(rows.take(250): _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(250): _*)
+    q.processAllAvailable()
+    val streamKept = spark.table("wsample_stream")
+      .select("doc_id").as[Long].collect().toSet
+    q.stop()
+    assert(streamKept === batchKept)
+  }
+
   test("ingest pipeline (dedup + bloom decontam + chunk) matches its batch twin") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
