@@ -61,11 +61,23 @@ object Bpe {
     // cut l_bpe_train from 3.8 s to roughly the corpus-scan time. The
     // distributed loop below remains the fallback for unbounded vocabs
     // (spec-pinned to produce identical merges).
-    val capped = wordCounts.limit((maxLocalVocab + 1).toInt)
+    // clamp before the Int conversion: maxLocalVocab = Long.MaxValue (a
+    // natural "always local") would wrap limit() to 0 and silently train
+    // on an empty vocab; any cap above Int.MaxValue-1 behaves as that bound
+    val cap = math.min(maxLocalVocab, (Int.MaxValue - 1).toLong).toInt
+    // persist before probing: otherwise the fallback path would pay the
+    // corpus-proportional word-count aggregation TWICE (once for the
+    // capped probe, once for the merge loop's vocab) — exactly when the
+    // corpus is biggest
+    val wcPersisted = wordCounts.persist()
+    val capped = wcPersisted.limit(cap + 1)
       .as[(String, Long)].collect()
-    if (capped.length <= maxLocalVocab) return trainLocal(spark, capped, numMerges)
+    if (capped.length <= cap) {
+      wcPersisted.unpersist(blocking = false)
+      return trainLocal(spark, capped, numMerges)
+    }
 
-    val vocab = wordCounts
+    val vocab = wcPersisted
       .select(concat(split(col("w"), ""), array(lit(EOW))).as("syms"), col("cnt"))
 
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
@@ -111,6 +123,7 @@ object Bpe {
     }
     cur.unpersist(blocking = false)
     if (prev != null) prev.unpersist(blocking = false)
+    wcPersisted.unpersist(blocking = false)
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
   }
 

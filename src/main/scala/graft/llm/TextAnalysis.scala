@@ -36,16 +36,18 @@ object TextAnalysis {
 
   /** [[normalizeTextFn]] as a column — a native codegen expression
     * (spark/TextExpressions) since r13: the declared hot ingest surface
-    * should not ride a per-row ScalaUDF converter. Falls back to the UDF
-    * only when no session is active (e.g. building columns before any
-    * SparkSession exists). */
+    * should not ride a per-row ScalaUDF converter. Built DIRECTLY as an
+    * expression (GraftShim), not through a session's function registry,
+    * so the Column is session-free like the UDF form was — it analyzes
+    * correctly in whatever session the frame belongs to. */
   def normalizeText(text: Column): Column =
-    org.apache.spark.sql.SparkSession.getActiveSession match {
-      case Some(spark) =>
-        graft.spark.TextExpressions.ensureRegistered(spark)
-        call_function(graft.spark.TextExpressions.InternalNormalize, text)
-      case None => udf(normalizeTextFn).apply(text)
-    }
+    org.apache.spark.sql.GraftShim.column(
+      graft.spark.TextExpressions.TextNormalizeExpr(
+        // unconditional cast: the child may be unresolved here, so its
+        // type can't be inspected; string->string folds away at analysis
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          org.apache.spark.sql.GraftShim.expression(text),
+          org.apache.spark.sql.types.StringType)))
 
   /** BPE-ish subword count: letter runs, digits, and punctuation each count;
     * a long letter run costs ceil(len/4) tokens (crude BPE cost model). */

@@ -18,9 +18,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * At 100 TB: state is one (stage, ts) pair per user — bounded by the
  * user population, not the event volume — and expires via event-time
  * timeout once the funnel horizon (stages x window, doubled for slack)
- * has passed, so abandoned funnels cannot accumulate state forever.
- * Late events below the watermark are dropped by the engine, same as
- * every other stateful op in this package.
+ * has passed with no activity, so abandoned funnels cannot accumulate
+ * state forever. The DELIBERATE consequence: a user who goes silent past
+ * the horizon and then reappears starts a NEW funnel (their prior stage
+ * rows stand; fresh stage rows are emitted) — bounded state cannot
+ * remember every user forever, and "re-engagement opens a new funnel" is
+ * the standard production semantics. Batch parity therefore holds for
+ * event histories within one horizon (FunnelStreamSpec pins both the
+ * parity and the post-expiry re-entry). Late events below the watermark
+ * are dropped by the engine, same as every other stateful op here.
  */
 object Funnel {
 
@@ -67,11 +73,15 @@ object Funnel {
             }
             state.update(cur)
             // expire once no event could still advance this user: the
-            // last stage timestamp (or, before any hit, the newest seen
-            // event) plus the full remaining horizon
-            val anchor =
-              if (cur.stage > 0) cur.stageTs
-              else sorted.lastOption.map(_.ts.getTime).getOrElse(0L)
+            // newest activity (stage hit OR seen event) plus the full
+            // horizon. Anchoring on the newest event matters twice over —
+            // it keeps an active user's state alive, and it keeps the
+            // timeout timestamp ABOVE the current watermark (events below
+            // the watermark are dropped before this function runs), which
+            // Spark requires: a stage-k timestamp far in the past would
+            // otherwise make setTimeoutTimestamp throw and kill the query.
+            val newest = sorted.lastOption.map(_.ts.getTime).getOrElse(0L)
+            val anchor = math.max(cur.stageTs, newest)
             state.setTimeoutTimestamp(anchor + horizonMs)
             out.result().iterator
           }

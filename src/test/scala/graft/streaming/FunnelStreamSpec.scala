@@ -102,6 +102,31 @@ class FunnelStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("watermark far past a stage timestamp does not kill the query") {
+    // user 5 hits stage 1 at t0; a flood of other-user events then drives
+    // the watermark far beyond t0 + horizon; user 5's next event must not
+    // make setTimeoutTimestamp throw (timeout ts below watermark)
+    val b1 = Seq(Funnel.FunnelEvent(ts(0), 5, "view"))
+    val b2 = (1 to 5).map(i => Funnel.FunnelEvent(ts(3000 + i), 100L + i, "view"))
+    val b3 = Seq(Funnel.FunnelEvent(ts(3010), 5, "error")) // noise, above watermark
+    val got = streamFunnel(Seq(b1, b2, b3)) // must complete without exception
+    assert(got.count(r => r._1 == 5L && r._2 == 1) === 1)
+  }
+
+  test("post-expiry re-entry opens a NEW funnel (documented bounded-state semantics)") {
+    val b1 = Seq(Funnel.FunnelEvent(ts(0), 9, "view"))
+    // push the watermark (1h delay) past user 9's horizon (2*3*1h = 6h):
+    // watermark after b2 = ts(600) - 60min = ts(540) > ts(0) + 360min
+    val b2 = Seq(Funnel.FunnelEvent(ts(600), 42, "view"))
+    // a batch where user 9 has NO data: their timeout fires, state removed
+    val b3 = Seq(Funnel.FunnelEvent(ts(610), 43, "view"))
+    // user 9 reappears above the watermark: state expired -> new funnel
+    val b4 = Seq(Funnel.FunnelEvent(ts(590), 9, "view"))
+    val got = streamFunnel(Seq(b1, b2, b3, b4))
+    assert(got.filter(_._1 == 9L).map(r => (r._2, r._3)).sortBy(_._2.getTime) ===
+      Seq((1, ts(0)), (1, ts(590))))
+  }
+
   test("state carries across triggers; a second view cannot restart") {
     val b1 = Seq(
       Funnel.FunnelEvent(ts(0), 7, "view"),
