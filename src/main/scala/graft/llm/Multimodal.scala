@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -158,6 +158,112 @@ object Multimodal {
 
   /** Resample a decoded image to the target size (nearest-neighbor via
     * Graphics2D, deterministic) and re-encode as PNG. */
+  /**
+   * 64-bit average-hash (aHash) perceptual fingerprint: bin the image's
+   * luma into an 8x8 grid (area binning — every pixel lands in exactly
+   * one cell, so the hash is resolution-robust and deterministic), set
+   * bit (row*8+col) iff the cell's mean luma exceeds the mean of the 64
+   * cell means. Visually-identical and lightly-edited images land within
+   * a few bits of each other; unrelated images differ in ~32. None for
+   * anything that is not a decodable image.
+   */
+  def aHash64(payload: Array[Byte]): Option[Long] = {
+    if (payload == null || payload.length < 8) return scala.None
+    val png = (payload(0) & 0xff) == 0x89 && payload(1) == 'P'.toByte &&
+      payload(2) == 'N'.toByte && payload(3) == 'G'.toByte
+    val jpeg = (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8
+    if (!png && !jpeg) return scala.None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) return scala.None
+      val w = img.getWidth; val h = img.getHeight
+      if (w <= 0 || h <= 0) return scala.None
+      val cell = new Array[Double](64)
+      val cellN = new Array[Long](64)
+      var y = 0
+      while (y < h) {
+        val gy = math.min(y * 8 / h, 7)
+        var x = 0
+        while (x < w) {
+          val gx = math.min(x * 8 / w, 7)
+          val rgb = img.getRGB(x, y)
+          val luma = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+            0.114 * (rgb & 0xff)
+          cell(gy * 8 + gx) += luma
+          cellN(gy * 8 + gx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var mean = 0.0
+      var i = 0
+      while (i < 64) {
+        cell(i) = if (cellN(i) == 0) 0.0 else cell(i) / cellN(i)
+        mean += cell(i); i += 1
+      }
+      mean /= 64
+      var hash = 0L
+      i = 0
+      while (i < 64) {
+        if (cell(i) > mean) hash |= (1L << i)
+        i += 1
+      }
+      Some(hash)
+    } catch { case _: Exception => scala.None }
+  }
+
+  private[llm] case class HashOut(media_id: Long, ahash: Option[Long])
+
+  /** Per-partition perceptual hashing: (media_id, ahash) with null for
+    * undecodable payloads. Stateless per row — streams unchanged. */
+  def imageHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[IdPayload]
+      .mapPartitions(rows => rows.map(m => HashOut(m.media_id, aHash64(m.payload))))
+      .toDF("media_id", "ahash")
+  }
+
+  /**
+   * Image NEAR-DEDUP via banded aHash — the multimodal twin of
+   * Dedup.simhashPairs: split the 64-bit hash into `maxHamming + 1`
+   * blocks; by pigeonhole, two hashes within `maxHamming` bits share at
+   * least one identical block, so candidates come from a block-value
+   * equi-join (never all pairs) and the exact Hamming filter
+   * (bit_count(xor) <= maxHamming) runs on candidates only. At 100 TB the
+   * shuffle key is (block index, block value) — well distributed unless
+   * the corpus is one giant near-dup class, which is exactly what the
+   * histogram diagnostic would surface first.
+   */
+  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      "imageNearDupPairs: maxHamming must be in [0, 15] (block count <= 16)")
+    val nBlocks = maxHamming + 1
+    val width = 64 / nBlocks // uneven tail bits join the last block
+    val hashes = imageHashes(media).where(col("ahash").isNotNull)
+    // static per-block shifts (shift amounts must be literals in Spark)
+    def blocks(h: Column): Column = array((0 until nBlocks).map { i =>
+      val shifted = shiftrightunsigned(h, i * width)
+      val v = if (i == nBlocks - 1) shifted
+              else shifted.bitwiseAND(lit((1L << width) - 1))
+      struct(lit(i).as("block_ix"), v.as("block_val"))
+    }: _*)
+    val sides = hashes.select(col("media_id"), col("ahash"),
+        explode(blocks(col("ahash"))).as("b"))
+      .select(col("media_id"), col("ahash"),
+        col("b.block_ix").as("block_ix"), col("b.block_val").as("block_val"))
+    val a = sides.select(col("media_id").as("id_a"), col("ahash").as("ha"),
+      col("block_ix"), col("block_val"))
+    val b = sides.select(col("media_id").as("id_b"), col("ahash").as("hb"),
+      col("block_ix"), col("block_val"))
+    a.join(b, Seq("block_ix", "block_val"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "ha", "hb").distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   private def resizeImage(payload: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] = {
     if (payload == null) return scala.None
     val png = payload.length >= 8 && (payload(0) & 0xff) == 0x89 && payload(1) == 'P'.toByte

@@ -2335,6 +2335,31 @@ object Queries {
     out.toByteArray
   }
 
+  /** Image NEAR-DEDUP over real PNG payloads: perceptual aHash fingerprints
+    * (8x8 luma grid) band-joined on pigeonhole blocks (Multimodal
+    * .imageNearDupPairs — the multimodal twin of SimHash near-dedup).
+    * Fixtures: a checkerboard, a one-pixel edit of it (near-dup), a
+    * half-split image (unrelated), and a non-image payload (dropped);
+    * javax.imageio decode is deterministic so the pair list pins. */
+  private val qImageNearDup = dfQ { s =>
+    import s.implicits._
+    val base = pngFixture(32, 32, (x, y) => if ((x / 4 + y / 4) % 2 == 0) 0 else 0xFFFFFF)
+    // flip one ENTIRE 4x4 grid cell (not one pixel): exactly one aHash
+    // bit moves, a genuinely nonzero perceptual distance
+    val near = pngFixture(32, 32, (x, y) =>
+      if (x < 4 && y < 4) 0xFFFFFF else if ((x / 4 + y / 4) % 2 == 0) 0 else 0xFFFFFF)
+    val far = pngFixture(32, 32, (x, _) => if (x < 16) 0 else 0xFFFFFF)
+    val junk = "not an image".getBytes("UTF-8")
+    val media = Seq((1L, base), (2L, near), (3L, far), (4L, junk))
+      .toDF("media_id", "payload")
+    Multimodal.imageNearDupPairs(media, maxHamming = 3)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+  private val oImageNearDup =
+    """SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT)))
+      | t(id_a, id_b, hamming) ORDER BY id_a, id_b""".stripMargin
+
   /** REAL image decode through the Spark pipeline: width/height/format come
     * from javax.imageio reading actual PNG bytes (solid-color and
     * half-black/half-white fixtures), and the resize path re-encodes a real
@@ -3334,6 +3359,7 @@ object Queries {
     ("l_text_fingerprint", qTextFingerprint, Some(oTextFingerprint)),
     ("l_gopher_rules", qGopherRules, Some(oGopherRules)),
     ("l_multimodal", qMultimodal, Some(oMultimodal)),
+    ("l_image_neardup", qImageNearDup, Some(oImageNearDup)),
     ("l_multimodal_resize", qMultimodalResize, Some(oMultimodalResize)),
     ("l_multimodal_decode", qMultimodalDecode, Some(oMultimodalDecode)),
     ("l_multimodal_audio", qMultimodalAudio, Some(oMultimodalAudio)),

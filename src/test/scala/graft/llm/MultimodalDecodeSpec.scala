@@ -113,6 +113,50 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     assert(w.samples.length === 80)
   }
 
+  test("aHash64: solid is zero, structure sets bits, edits move few bits") {
+    // solid: every cell equals the mean -> strict > sets no bit
+    assert(Multimodal.aHash64(png(16, 16, (_, _) => 0x808080)) === Some(0L))
+    // left-dark/right-bright: exactly the 32 right-half cells set
+    val Some(half) = Multimodal.aHash64(png(16, 16, (x, _) => if (x < 8) 0 else 0xFFFFFF))
+    assert(java.lang.Long.bitCount(half) === 32)
+    // a light edit (one corner pixel) moves at most a couple of bits
+    val base = png(32, 32, (x, y) => if ((x / 4 + y / 4) % 2 == 0) 0 else 0xFFFFFF)
+    val edited = png(32, 32, (x, y) =>
+      if (x == 0 && y == 0) 0xFFFFFF else if ((x / 4 + y / 4) % 2 == 0) 0 else 0xFFFFFF)
+    val (Some(hb), Some(he)) = (Multimodal.aHash64(base), Multimodal.aHash64(edited))
+    assert(java.lang.Long.bitCount(hb ^ he) <= 2)
+    // an unrelated image is far away
+    val Some(hu) = Multimodal.aHash64(png(32, 32, (x, _) => if (x < 16) 0 else 0xFFFFFF))
+    assert(java.lang.Long.bitCount(hb ^ hu) > 10)
+    // non-images hash to None
+    assert(Multimodal.aHash64("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("imageNearDupPairs finds planted near-dups through the block join") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.sql.shuffle.partitions", 2)
+      .config("spark.ui.enabled", false).appName("graft-imagededup-test")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      import spark.implicits._
+      val base = png(32, 32, (x, y) => if ((x / 4 + y / 4) % 2 == 0) 0 else 0xFFFFFF)
+      val near = png(32, 32, (x, y) =>
+        if (x == 0 && y == 0) 0xFFFFFF else if ((x / 4 + y / 4) % 2 == 0) 0 else 0xFFFFFF)
+      val far = png(32, 32, (x, _) => if (x < 16) 0 else 0xFFFFFF)
+      val junk = "not an image".getBytes("UTF-8")
+      val media = Seq((1L, base), (2L, near), (3L, far), (4L, junk))
+        .toDF("media_id", "payload")
+      val pairs = Multimodal.imageNearDupPairs(media, maxHamming = 3)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(pairs === Set((1L, 2L)))
+      // the candidate plan is a block equi-join, never a cartesian product
+      val plan = Multimodal.imageNearDupPairs(media, maxHamming = 3)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Cartesian"), plan)
+    } finally spark.stop()
+  }
+
   test("non-image payloads are rejected, not mis-decoded") {
     assert(Multimodal.decodeImage("just some text".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.decodeImage(null).isEmpty)
