@@ -225,44 +225,113 @@ object Multimodal {
   }
 
   /**
-   * Image NEAR-DEDUP via banded aHash — the multimodal twin of
-   * Dedup.simhashPairs: split the 64-bit hash into `maxHamming + 1`
-   * blocks; by pigeonhole, two hashes within `maxHamming` bits share at
-   * least one identical block, so candidates come from a block-value
-   * equi-join (never all pairs) and the exact Hamming filter
-   * (bit_count(xor) <= maxHamming) runs on candidates only. At 100 TB the
-   * shuffle key is (block index, block value) — well distributed unless
-   * the corpus is one giant near-dup class, which is exactly what the
-   * histogram diagnostic would surface first.
+   * Generic banded 64-bit Hamming near-dup join (the block-permutation
+   * LSH generalized from Dedup.simhashCandidatePairs): split each hash
+   * into `maxHamming + 1` blocks — by pigeonhole, two hashes within
+   * `maxHamming` bits share at least one identical block — so candidates
+   * come from a (block index, block value) equi-join, never all pairs,
+   * and the exact bit_count(xor) filter runs on candidates only. A pair
+   * sharing several blocks is emitted only from its FIRST equal block
+   * (derived from the two hashes already carried), so no distinct over
+   * the pair set. Input: (id, h). Output: (id_a, id_b, hamming).
    */
-  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+  private[llm] def hamming64Pairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
-      "imageNearDupPairs: maxHamming must be in [0, 15] (block count <= 16)")
+      "hamming64Pairs: maxHamming must be in [0, 15] (block count <= 16)")
     val nBlocks = maxHamming + 1
     val width = 64 / nBlocks // uneven tail bits join the last block
-    val hashes = imageHashes(media).where(col("ahash").isNotNull)
     // static per-block shifts (shift amounts must be literals in Spark)
-    def blocks(h: Column): Column = array((0 until nBlocks).map { i =>
+    def blockVal(h: Column, i: Int): Column = {
       val shifted = shiftrightunsigned(h, i * width)
-      val v = if (i == nBlocks - 1) shifted
-              else shifted.bitwiseAND(lit((1L << width) - 1))
-      struct(lit(i).as("block_ix"), v.as("block_val"))
-    }: _*)
-    val sides = hashes.select(col("media_id"), col("ahash"),
-        explode(blocks(col("ahash"))).as("b"))
-      .select(col("media_id"), col("ahash"),
-        col("b.block_ix").as("block_ix"), col("b.block_val").as("block_val"))
-    val a = sides.select(col("media_id").as("id_a"), col("ahash").as("ha"),
-      col("block_ix"), col("block_val"))
-    val b = sides.select(col("media_id").as("id_b"), col("ahash").as("hb"),
-      col("block_ix"), col("block_val"))
-    a.join(b, Seq("block_ix", "block_val"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "ha", "hb").distinct()
-      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+      if (i == nBlocks - 1) shifted
+      else shifted.bitwiseAND(lit((1L << width) - 1))
+    }
+    val blocks = hashes.select(col("id"), col("h"),
+        explode(array((0 until nBlocks).map(i =>
+          struct(lit(i).as("blk"), blockVal(col("h"), i).as("bucket"))): _*)).as("bk"))
+      .select(col("id"), col("h"), col("bk.blk").as("blk"), col("bk.bucket").as("bucket"))
+    def blockEq(i: Int): Column = blockVal(col("a.h"), i) === blockVal(col("b.h"), i)
+    val firstBlk = (0 until nBlocks - 1).foldRight(lit(nBlocks - 1): Column) {
+      (i, acc) => when(blockEq(i), lit(i)).otherwise(acc)
+    }
+    blocks.as("a").hint("shuffle_hash").join(blocks.as("b").hint("shuffle_hash"),
+        col("a.blk") === col("b.blk") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id") && col("a.blk") === firstBlk)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.h").bitwiseXOR(col("b.h"))).cast("int").as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
   }
+
+  /** Image NEAR-DEDUP via banded aHash — the multimodal twin of SimHash
+    * near-dedup, riding [[hamming64Pairs]]. Undecodable payloads are
+    * dropped before the join. */
+  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    hamming64Pairs(
+      imageHashes(media).where(col("ahash").isNotNull)
+        .select(col("media_id").as("id"), col("ahash").as("h")),
+      maxHamming)
+
+  /**
+   * 64-bit audio ENVELOPE hash: the decoded mono signal is binned into 64
+   * equal frames; bit f is set iff frame f's mean |amplitude| exceeds the
+   * mean over all frames. Captures the loudness contour (bursts, silences,
+   * fades) — the cheap deterministic analogue of an acoustic fingerprint:
+   * re-encodes and small edits of the same recording land within a few
+   * bits, unrelated envelopes differ in ~32. WAV-only (None otherwise);
+   * steady tones hash to 0 by construction, so this keys on dynamics, not
+   * pitch. */
+  def audioHash64(payload: Array[Byte]): Option[Long] = {
+    decodeWav(payload) match {
+      case Some(w) if w.samples.length >= 64 =>
+        val n = w.samples.length
+        val sum = new Array[Double](64)
+        val cnt = new Array[Long](64)
+        var i = 0
+        while (i < n) {
+          val f = math.min((i.toLong * 64 / n).toInt, 63)
+          sum(f) += math.abs(w.samples(i).toDouble)
+          cnt(f) += 1
+          i += 1
+        }
+        var mean = 0.0
+        var f = 0
+        while (f < 64) {
+          sum(f) = if (cnt(f) == 0) 0.0 else sum(f) / cnt(f)
+          mean += sum(f); f += 1
+        }
+        mean /= 64
+        // relative epsilon: a flat envelope's frames differ from the mean
+        // only by division rounding (~1 ulp); without the guard every bit
+        // would flip on that noise and a steady tone would hash all-ones
+        val thresh = mean * (1.0 + 1e-7)
+        var hash = 0L
+        f = 0
+        while (f < 64) {
+          if (sum(f) > thresh) hash |= (1L << f)
+          f += 1
+        }
+        Some(hash)
+      case _ => scala.None
+    }
+  }
+
+  /** Per-partition audio fingerprinting: (media_id, audiohash), null for
+    * non-WAV payloads. Stateless per row. */
+  def audioHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[IdPayload]
+      .mapPartitions(rows => rows.map(m => HashOut(m.media_id, audioHash64(m.payload))))
+      .toDF("media_id", "audiohash")
+  }
+
+  /** Audio NEAR-DEDUP: banded envelope-hash join, same machinery as
+    * [[imageNearDupPairs]]. */
+  def audioNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    hamming64Pairs(
+      audioHashes(media).where(col("audiohash").isNotNull)
+        .select(col("media_id").as("id"), col("audiohash").as("h")),
+      maxHamming)
 
   private def resizeImage(payload: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] = {
     if (payload == null) return scala.None

@@ -2429,6 +2429,45 @@ object Queries {
       |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Canonical 44-byte-header 16-bit PCM WAV from float samples. */
+  private def wavFixture(sampleRate: Int, samples: Array[Float]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(v => bb.putShort(math.round(v * 32767f).toShort))
+    bb.array()
+  }
+
+  /** Audio NEAR-DEDUP over real WAV payloads: 64-frame loudness-envelope
+    * hashes band-joined on pigeonhole blocks (Multimodal
+    * .audioNearDupPairs) — a burst pattern, a gain-scaled edit of it
+    * (near-dup), the inverted envelope (unrelated) and a non-audio
+    * payload (dropped). Deterministic decode pins the pair list. */
+  private val qAudioNearDup = dfQ { s =>
+    import s.implicits._
+    val sr = 8000; val n = 6400
+    def tone(amp: Int => Double) = Array.tabulate(n)(i =>
+      (amp(i) * math.sin(2 * math.Pi * 440 * i / sr)).toFloat)
+    val a = tone(i => if (i < n / 2) 0.9 else 0.05)
+    val b = tone(i => if (i < n / 2) 0.8 else 0.04)
+    val c = tone(i => if (i < n / 2) 0.05 else 0.9)
+    val media = Seq((1L, wavFixture(sr, a)), (2L, wavFixture(sr, b)),
+      (3L, wavFixture(sr, c)), (4L, "junk".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    Multimodal.audioNearDupPairs(media, maxHamming = 3)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+  private val oAudioNearDup =
+    """SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT)))
+      | t(id_a, id_b, hamming) ORDER BY id_a, id_b""".stripMargin
+
   private val qMultimodalDecode = dfQ { s =>
     import s.implicits._
     val solid = pngFixture(6, 4, (_, _) => 0xFF8000) // R=255 G=128 B=0
@@ -3360,6 +3399,7 @@ object Queries {
     ("l_gopher_rules", qGopherRules, Some(oGopherRules)),
     ("l_multimodal", qMultimodal, Some(oMultimodal)),
     ("l_image_neardup", qImageNearDup, Some(oImageNearDup)),
+    ("l_audio_neardup", qAudioNearDup, Some(oAudioNearDup)),
     ("l_multimodal_resize", qMultimodalResize, Some(oMultimodalResize)),
     ("l_multimodal_decode", qMultimodalDecode, Some(oMultimodalDecode)),
     ("l_multimodal_audio", qMultimodalAudio, Some(oMultimodalAudio)),

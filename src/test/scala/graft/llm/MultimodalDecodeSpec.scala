@@ -157,6 +157,43 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("audioHash64 keys on the loudness envelope; near-dup join finds edits") {
+    val sr = 8000; val n = 6400 // 0.8 s -> 100 samples per hash frame
+    def tone(i: Int, amp: Double) = (amp * math.sin(2 * math.Pi * 440 * i / sr)).toFloat
+    // burst pattern: loud first half, quiet second
+    val a = Array.tabulate(n)(i => tone(i, if (i < n / 2) 0.9 else 0.05))
+    // same envelope, slightly different gain (re-encode-ish edit)
+    val b = Array.tabulate(n)(i => tone(i, if (i < n / 2) 0.8 else 0.04))
+    // inverted envelope: quiet then loud
+    val c = Array.tabulate(n)(i => tone(i, if (i < n / 2) 0.05 else 0.9))
+    val (Some(ha), Some(hb), Some(hc)) =
+      (Multimodal.audioHash64(wav(sr, 1, a)), Multimodal.audioHash64(wav(sr, 1, b)),
+        Multimodal.audioHash64(wav(sr, 1, c)))
+    assert(java.lang.Long.bitCount(ha ^ hb) <= 2, "same envelope must hash close")
+    assert(java.lang.Long.bitCount(ha ^ hc) > 20, "inverted envelope must hash far")
+    // steady FRAME-ALIGNED tone (400 Hz = exactly 5 cycles per 100-sample
+    // frame): flat envelope -> zero hash by construction
+    val steady = Array.tabulate(n)(i => (0.5 * math.sin(2 * math.Pi * 400 * i / sr)).toFloat)
+    assert(Multimodal.audioHash64(wav(sr, 1, steady)) === Some(0L))
+    // non-WAV payloads don't hash
+    assert(Multimodal.audioHash64("not audio".getBytes("UTF-8")).isEmpty)
+
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.sql.shuffle.partitions", 2)
+      .config("spark.ui.enabled", false).appName("graft-audiodedup-test")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      import spark.implicits._
+      val media = Seq((1L, wav(sr, 1, a)), (2L, wav(sr, 1, b)),
+        (3L, wav(sr, 1, c)), (4L, "junk".getBytes("UTF-8")))
+        .toDF("media_id", "payload")
+      val pairs = Multimodal.audioNearDupPairs(media, maxHamming = 3)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(pairs === Set((1L, 2L)))
+    } finally spark.stop()
+  }
+
   test("non-image payloads are rejected, not mis-decoded") {
     assert(Multimodal.decodeImage("just some text".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.decodeImage(null).isEmpty)
