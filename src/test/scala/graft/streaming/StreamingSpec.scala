@@ -389,6 +389,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows === Set(1L, 3L))
   }
 
+  test("perceptual media hashing runs on a stream statelessly, matching batch") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    def png(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val rows = Seq(
+      (1L, png(16, 16, (x, _) => if (x < 8) 0 else 0xFFFFFF)),
+      (2L, png(16, 16, (_, y) => if (y < 8) 0 else 0xFFFFFF)),
+      (3L, "junk".getBytes("UTF-8")))
+    val batch = graft.llm.Multimodal.imageHashes(rows.toDF("media_id", "payload"))
+      .as[(Long, Option[Long])].collect().toSet
+    val input = MemoryStream[(Long, Array[Byte])]
+    val out = graft.llm.Multimodal.imageHashes(
+      input.toDF().toDF("media_id", "payload"))
+    val q = out.writeStream.format("memory").queryName("imghash_stream")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("imghash_stream")
+      .as[(Long, Option[Long])].collect().toSet
+    q.stop()
+    assert(streamed === batch)
+    assert(batch.exists { case (id, h) => id == 3L && h.isEmpty })
+  }
+
   test("weighted sampling filters an ingestion stream statelessly, matching batch") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
