@@ -48,7 +48,8 @@ object Bench {
     "l_dup_spans", "l_dup_span_removal", "l_decontam_fuzzy",
     "l_decontam_bloom", "l_bpe_train", "l_text_normalize",
     "l_dedup_incremental", "b_events_hourly", "b_events_json",
-    "b_events_funnel", "b_top_order", "b_events_asof", "b_interval_join",
+    "b_events_funnel", "b_top_order", "b_tpch_q4", "b_tpch_q12",
+    "b_events_asof", "b_interval_join",
     // last on purpose: the all-pairs kNN oracle is the one quadratic row
     // (~0.5 s at sf0.1, ~30-110 s at sf1) — the per-query 60 s early-stop
     // and the 600 s budget bound it, and a budget overrun drops only it

@@ -3088,6 +3088,52 @@ object Queries {
   // Salted two-level sum like q1: 25 (region, nation) groups would hit
   // the 2^63 single-level BIGINT bound at large SF; the salt defers that
   // to petabyte-per-group scale with the hot loop still pure long codegen.
+  /** TPC-H q4 SHAPE (order-priority check): EXISTS over lineitem →
+    * Catalyst plans a LEFT-SEMI join on l_orderkey — the one relational
+    * join shape the bench set didn't cover. The synthetic schema has no
+    * l_commitdate, so the correlated predicate is "has a returned item"
+    * (l_returnflag = 'R'), preserving the query's structure: a filtered
+    * fact-side semi-join feeding a small grouped count. At 100 TB the
+    * semi-join shuffles both sides on the key once and the filter pushes
+    * to the lineitem scan. */
+  private val qTpchQ4 = sqlQ(
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+      |FROM orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  private val oTpchQ4 =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+      |FROM orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H q12 SHAPE (shipping-mode lateness): fact-dimension join with
+    * conditional aggregation. No l_shipmode/l_commitdate in the synthetic
+    * schema, so lateness = shipped more than 60 days after the order date,
+    * split by high/low priority — the same join + CASE-sum structure. */
+  private val qTpchQ12 = sqlQ(
+    """SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |       THEN 'high' ELSE 'low' END AS prio,
+      |  CAST(sum(CASE WHEN unix_timestamp(l.l_shipdate) - unix_timestamp(o.o_orderdate) > 5184000
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |  CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin)
+  private val oTpchQ12 =
+    """SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |       THEN 'high' ELSE 'low' END AS prio,
+      |  CAST(sum(CASE WHEN epoch(l.l_shipdate) - epoch(o.o_orderdate) > 5184000
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |  CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val qTpchQ5 = sqlQ(
     """WITH p AS (
       | SELECT r.r_name, n.n_name, pmod(l.l_orderkey, 1024) AS salt,
@@ -3416,7 +3462,9 @@ object Queries {
     ("b_tpch_q1", qTpchQ1, Some(oTpchQ1)),
     ("b_tpch_q6", qTpchQ6, Some(oTpchQ6)),
     ("b_tpch_q3", qTpchQ3, Some(oTpchQ3)),
+    ("b_tpch_q4", qTpchQ4, Some(oTpchQ4)),
     ("b_tpch_q5", qTpchQ5, Some(oTpchQ5)),
+    ("b_tpch_q12", qTpchQ12, Some(oTpchQ12)),
     ("b_top_order", qTopOrderPerCustomer, Some(oTopOrderPerCustomer)),
     ("b_top_order_agg", qTopOrderAgg, Some(oTopOrderPerCustomer)),
     ("b_events_hourly", qEventsHourly, Some(oEventsHourly)),
@@ -3434,7 +3482,7 @@ object Queries {
     "l_ann_ivfpq_bench", "l_text_tokens",
     "l_dup_spans", "l_dup_span_removal", "l_decontam_fuzzy", "l_decontam_bloom", "l_bpe_train",
     "l_dedup_incremental", "l_export_shards", "l_text_normalize",
-    "b_tpch_q1", "b_tpch_q3", "b_tpch_q5", "b_events_sessions",
+    "b_tpch_q1", "b_tpch_q3", "b_tpch_q4", "b_tpch_q5", "b_tpch_q12", "b_events_sessions",
     "b_events_asof", "b_events_hourly", "b_events_json", "b_events_funnel",
     "b_interval_join", "b_knn", "b_top_order", "b_top_order_agg")
 }
