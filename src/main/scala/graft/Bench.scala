@@ -267,8 +267,9 @@ object Bench {
     // the 30x/100x sections: the TPC-H/sessions floor rows plus the cheap
     // LLM rows whose scale story is "bounded model, corpus-linear scan" —
     // their flat curves at 100x are the design evidence
-    val floorNames = Seq("b_tpch_q1", "b_tpch_q3", "b_tpch_q5",
-      "b_events_sessions", "b_events_funnel", "l_bpe_train", "l_text_normalize")
+    val floorNames = Seq("b_tpch_q1", "b_tpch_q3", "b_tpch_q4", "b_tpch_q5",
+      "b_tpch_q12", "b_events_sessions", "b_events_funnel", "l_bpe_train",
+      "l_text_normalize")
     def scaleSection(label: String, dir: String, copies: Int): (String, String) = {
       if (!new java.io.File(s"$dir/lineitem.parquet").exists()) {
         try { graft.tools.ScaleUp.run(spark, dst = dir, copies = copies)

@@ -146,6 +146,31 @@ object Classifier {
     df.withColumn(probCol, scoreProb(model)(col(textCol)))
 
   /**
+   * Exact ROC AUC of a score column against a boolean label, with the
+   * standard tie handling (tied scores contribute half): AUC =
+   * sum_s pos(s) * (negBelow(s) + neg(s)/2) / (P*N). One row per
+   * DISTINCT score after the groupBy — the global prefix-sum window runs
+   * over that bounded table, not the corpus (a well-calibrated model
+   * emits far fewer distinct probabilities than rows; quantize the score
+   * upstream if yours doesn't). Returns (auc, n_pos, n_neg).
+   */
+  def auc(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val g = df
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).as("__s"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("__p"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("__s")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    g.withColumn("__negBelow", coalesce(sum("__n").over(w), lit(0L)))
+      .agg(
+        (sum(col("__p") * (col("__negBelow") + col("__n") / 2.0)) /
+          (sum("__p") * sum("__n"))).as("auc"),
+        sum("__p").cast("long").as("n_pos"),
+        sum("__n").cast("long").as("n_neg"))
+  }
+
+  /**
    * Deterministic MODEL-FREE text embedding: the hashed sparse features
    * random-projected to `dim` dense dimensions with ±1 signs derived
    * from MurmurHash3 parity (the SRP trick applied as a projection), then

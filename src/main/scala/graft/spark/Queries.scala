@@ -2905,6 +2905,39 @@ object Queries {
       |SELECT q.source, q.doc_id FROM q JOIN thr ON q.source = thr.source
       |WHERE q.qual >= thr.t ORDER BY q.source, doc_id""".stripMargin
 
+  /** Exact tie-aware ROC AUC of the heuristic quality score against the
+    * contains-"spark" label — ranking-metric evaluation as a first-class
+    * distributed operator (Classifier.auc: per-distinct-score groupBy,
+    * prefix-sum window over the bounded score table). The oracle replays
+    * the identical grouped-prefix formula, so the value matches to 6
+    * decimals across engines. */
+  private val qClassifierAuc = dfQ { s =>
+    val docs = s.table("documents")
+      .withColumn("y", col("text").rlike("\\bspark\\b"))
+      .withColumn("score", TextAnalysis.qualityScore(col("text")))
+    Classifier.auc(docs, "y", "score")
+      .select(round(col("auc"), 6).as("auc"), col("n_pos"), col("n_neg"))
+  }
+  private val oClassifierAuc =
+    """WITH f AS (SELECT doc_id,
+      |    CASE WHEN regexp_matches(text, '\bspark\b') THEN 1 ELSE 0 END AS y,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+      |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(length(text), 1)::DOUBLE AS alpha,
+      |    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) / greatest(length(text), 1)::DOUBLE AS punct
+      |  FROM documents),
+      |q AS (SELECT y,
+      |    greatest(least(alpha - 2 * punct + least(n_tok / 20.0, 1.0) * 0.2, 1.0), 0.0) AS s FROM f),
+      |g AS (SELECT s, CAST(sum(y) AS BIGINT) AS p,
+      |             CAST(sum(1 - y) AS BIGINT) AS n FROM q GROUP BY s),
+      |cum AS (SELECT s, p, n,
+      |    coalesce(sum(n) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+      |                          AND 1 PRECEDING), 0) AS negBelow FROM g)
+      |SELECT round(sum(p * (negBelow + n / 2.0)) /
+      |             (CAST(sum(p) AS DOUBLE) * CAST(sum(n) AS DOUBLE)), 6) AS auc,
+      |  CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(n) AS BIGINT) AS n_neg
+      |FROM cum""".stripMargin
+
   /** Doc-level quality-weighted rejection sampling: keep each doc with
     * probability ~= its quality score, via the engine-portable md5
     * permille draw (Sampling.weightedSample). The kept row set is exact
@@ -3430,6 +3463,7 @@ object Queries {
     ("l_data_card", qDataCard, Some(oDataCard)),
     ("l_quality_gate", qQualityGate, Some(oQualityGate)),
     ("l_weighted_sample", qWeightedSample, Some(oWeightedSample)),
+    ("l_classifier_auc", qClassifierAuc, Some(oClassifierAuc)),
     ("l_chunk", qChunk, Some(oChunk)),
     ("l_jaccard", qJaccard, Some(oJaccard)),
     ("l_ann_top1", qAnnTop1, Some(oAnnTop1)),

@@ -76,6 +76,31 @@ class ClassifierSpec extends AnyFunSuite with BeforeAndAfterAll {
     for ((k, v) <- got) assert(java.util.Arrays.equals(v, again(k)))
   }
 
+  test("auc: perfect ranking 1.0, inverted 0.0, ties and constants 0.5") {
+    val s = spark; import s.implicits._
+    def aucOf(rows: Seq[(Boolean, Double)]): (Double, Long, Long) =
+      Classifier.auc(rows.toDF("y", "score"), "y", "score")
+        .as[(Double, Long, Long)].head()
+    // perfectly separated: every positive above every negative
+    val sep = (1 to 10).map(i => (true, 1.0 + i)) ++ (1 to 7).map(i => (false, 0.0 + i * 0.1))
+    assert(aucOf(sep) === ((1.0, 10L, 7L)))
+    // inverted ranking
+    val inv = sep.map { case (y, sc) => (y, -sc) }
+    assert(aucOf(inv) === ((0.0, 10L, 7L)))
+    // constant score: all tied -> 0.5 exactly
+    val const = (1 to 6).map(i => (i % 2 == 0, 0.7))
+    assert(aucOf(const)._1 === 0.5)
+    // hand case with a tie: pos at {3, 2}, neg at {2, 1}
+    // pairs: (3>2)=1 (3>1)=1 (2=2)=.5 (2>1)=1 -> 3.5/4 = 0.875
+    assert(aucOf(Seq((true, 3.0), (true, 2.0), (false, 2.0), (false, 1.0)))._1 === 0.875)
+    // partitioning-independent
+    val big = (1 to 500).map(i => ((i * 37) % 7 < 3, ((i * 13) % 50) / 10.0))
+    val a = aucOf(big)
+    val b = Classifier.auc(big.toDF("y", "score").repartition(7), "y", "score")
+      .as[(Double, Long, Long)].head()
+    assert(a === b)
+  }
+
   test("subword trigrams make unseen inflections score like their stems") {
     val s = spark; import s.implicits._
     val df = corpus
