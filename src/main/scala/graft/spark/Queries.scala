@@ -2563,6 +2563,63 @@ object Queries {
       |SELECT doc_id, CAST(length(clean) AS INT) AS n_cp, md5(clean) AS clean_md5
       |FROM n ORDER BY doc_id""".stripMargin
 
+  /** Third capstone: the round-13 ops composed end to end — NFC
+    * canonicalize (native expr) -> quality-weighted rejection sampling
+    * (md5 draw on the spread score) -> exact dedup resolve on the
+    * NORMALIZED text -> token-bounded shard manifest. One SQL statement
+    * replays the full chain, so every stage's cross-engine determinism
+    * contract composes: normalize changes the dedup equality classes,
+    * sampling changes the shard boundaries, and both engines still land
+    * on the identical manifest. */
+  private val qPipeline3 = dfQ { s =>
+    val docs = s.table("documents")
+      .withColumn("norm", TextAnalysis.normalizeText(col("text")))
+    val sampled = Sampling.weightedSample(docs, "doc_id",
+      greatest(TextAnalysis.qualityScore(col("norm")) * lit(10.0) - lit(9.0), lit(0.0)))
+    val pairs = Dedup.exactDupPairs(sampled, "doc_id", "norm")
+    val cc = Dedup.connectedComponents(pairs)
+    val drop = cc.where(col("id") =!= col("cluster_id")).select(col("id").as("__d"))
+    val kept = sampled.join(drop, col("doc_id") === col("__d"), "left_anti")
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("norm")).cast("long").as("n_tok"))
+    val assigned = Sampling.assignShards(kept, "doc_id", "n_tok", 2000L)
+    Sampling.shardManifest(assigned, "doc_id", "n_tok").orderBy("shard")
+  }
+  private val oPipeline3 =
+    s"""WITH RECURSIVE norm AS (
+       |  SELECT doc_id,
+       |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
+       |      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'), '\\s+', ' ', 'g')) AS t
+       |  FROM documents),
+       |feat AS (SELECT doc_id, t,
+       |    CASE WHEN length(trim(t)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(t), '\\s+')) END AS n_tok,
+       |    length(regexp_replace(t, '[^A-Za-z]', '', 'g')) / greatest(length(t), 1)::DOUBLE AS alpha,
+       |    length(regexp_replace(t, '[A-Za-z0-9\\s]', '', 'g')) / greatest(length(t), 1)::DOUBLE AS punct
+       |  FROM norm),
+       |sampled AS (SELECT doc_id, t, n_tok FROM (
+       |    SELECT *, greatest(greatest(least(alpha - 2 * punct + least(n_tok / 20.0, 1.0) * 0.2, 1.0), 0.0)
+       |      * 10.0 - 9.0, 0.0) AS wt FROM feat) z
+       |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 1000
+       |        < CAST(floor(least(greatest(wt, 0.0), 1.0) * 1000) AS BIGINT)),
+       |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sampled a JOIN sampled b
+       |    ON md5(a.t) = md5(b.t) AND a.t = b.t AND a.doc_id < b.doc_id),
+       |edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (SELECT s AS id, d AS r FROM edges
+       |  UNION
+       |  SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.id),
+       |comp AS (SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id),
+       |kept AS (SELECT sa.doc_id, sa.n_tok FROM sampled sa
+       |  WHERE sa.doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster_id)),
+       |cum AS (SELECT doc_id, n_tok,
+       |    sum(n_tok) OVER (ORDER BY doc_id) AS c FROM kept),
+       |assigned AS (SELECT doc_id, n_tok,
+       |    CAST((c - n_tok) // 2000 AS BIGINT) AS shard FROM cum)
+       |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  min(doc_id) AS first_id, max(doc_id) AS last_id
+       |FROM assigned GROUP BY shard ORDER BY shard""".stripMargin
+
   private val qTextRedact = dfQ { s =>
     val docs = s.table("documents")
     val t = concat(col("text"), lit(" Contact user"), col("doc_id").cast("string"),
@@ -3435,6 +3492,7 @@ object Queries {
     ("l_dedup_resolve_best", qDedupResolveBest, Some(oDedupResolveBest)),
     ("l_pipeline", qPipeline, Some(oPipeline)),
     ("l_pipeline2", qPipeline2, Some(oPipeline2)),
+    ("l_pipeline3", qPipeline3, Some(oPipeline3)),
     ("l_sample", qSample, Some(oSample)),
     ("l_shuffle", qShuffle, Some(oShuffle)),
     ("l_token_budget", qTokenBudget, Some(oTokenBudget)),
