@@ -333,6 +333,93 @@ object Multimodal {
         .select(col("media_id").as("id"), col("audiohash").as("h")),
       maxHamming)
 
+  // ----------------------------------------------------------- video
+
+  /** Synthetic frame container ("GFV1" + count + length-prefixed PNG
+    * frames): no video codec ships in this environment, so the CONTAINER
+    * is the stable stand-in while all Spark-side plumbing (schema,
+    * per-partition decode, hash join) is real — swap [[videoFrames]] for
+    * an ffmpeg-backed frame sampler in production and nothing downstream
+    * changes. Hostile length fields bail to None (same discipline the
+    * WAV chunk walk learned in r13). */
+  def videoContainer(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val total = 8 + frames.map(f => 4 + f.length).sum
+    val bb = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("GFV1".getBytes("US-ASCII")).putInt(frames.length)
+    frames.foreach { f => bb.putInt(f.length); bb.put(f) }
+    bb.array()
+  }
+
+  def videoFrames(payload: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    if (payload == null || payload.length < 8) return scala.None
+    if (!(payload(0) == 'G' && payload(1) == 'F' && payload(2) == 'V' &&
+          payload(3) == '1')) return scala.None
+    val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.position(4)
+    val n = bb.getInt
+    if (n < 0 || n > 100000) return scala.None
+    val out = Seq.newBuilder[Array[Byte]]
+    var i = 0
+    while (i < n) {
+      if (bb.remaining() < 4) return scala.None
+      val len = bb.getInt
+      if (len < 0 || len > bb.remaining()) return scala.None
+      val f = new Array[Byte](len)
+      bb.get(f)
+      out += f
+      i += 1
+    }
+    Some(out.result())
+  }
+
+  private[llm] case class VideoHashOut(media_id: Long, frame_hashes: Option[Array[Long]])
+
+  /** Per-partition video fingerprinting: the DISTINCT per-frame aHashes
+    * of each decodable video (order-free — near-dup is a set question),
+    * null for non-videos. A production frame sampler plugs in upstream;
+    * everything from here on is modality-agnostic. */
+  def videoFingerprints(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[IdPayload]
+      .mapPartitions(rows => rows.map { m =>
+        val hs = videoFrames(m.payload).map(_.flatMap(aHash64).distinct.toArray)
+        VideoHashOut(m.media_id, hs.filter(_.nonEmpty))
+      })
+      .toDF("media_id", "frame_hashes")
+  }
+
+  /**
+   * Video NEAR-DEDUP by frame-hash set overlap: explode each video's
+   * distinct frame hashes, equi-join on the hash (candidates only come
+   * from shared frames — never all pairs), count the intersection per
+   * pair, and keep pairs whose exact integer-permille Jaccard meets the
+   * threshold. Set sizes ride the exploded rows, so no join back to the
+   * fingerprint table. The same two-stage shape as the verified text
+   * near-dedup: bucketed candidates, exact verification on candidates.
+   */
+  def videoNearDupPairs(media: DataFrame, minJaccardPermille: Int = 500): DataFrame = {
+    require(minJaccardPermille >= 0 && minJaccardPermille <= 1000,
+      "videoNearDupPairs: minJaccardPermille must be in [0, 1000]")
+    val fp = videoFingerprints(media).where(col("frame_hashes").isNotNull)
+      .select(col("media_id"), col("frame_hashes"),
+        size(col("frame_hashes")).cast("long").as("nf"))
+    val ex = fp.select(col("media_id"), col("nf"),
+      explode(col("frame_hashes")).as("fh"))
+    val a = ex.select(col("media_id").as("id_a"), col("nf").as("na"), col("fh"))
+    val b = ex.select(col("media_id").as("id_b"), col("nf").as("nb"), col("fh"))
+    a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("fh"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard_permille",
+        (col("inter") * 1000L / (col("na") + col("nb") - col("inter"))).cast("long"))
+      .where(col("jaccard_permille") >= minJaccardPermille)
+      .select(col("id_a"), col("id_b"), col("inter").cast("long").as("n_shared"),
+        col("jaccard_permille"))
+  }
+
   private def resizeImage(payload: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] = {
     if (payload == null) return scala.None
     val png = payload.length >= 8 && (payload(0) & 0xff) == 0x89 && payload(1) == 'P'.toByte

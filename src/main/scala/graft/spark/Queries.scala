@@ -2429,6 +2429,30 @@ object Queries {
       |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Video NEAR-DEDUP: per-frame perceptual hashes (synthetic GFV1 frame
+    * container — no codec ships here; the container decode is guarded and
+    * swappable, the Spark plumbing real) joined on shared frame hashes,
+    * exact integer-permille Jaccard on candidates. Fixtures: two videos
+    * sharing 2 of 4 distinct frames (500 permille), one sharing a single
+    * frame (333 — below the 400 threshold), and a junk payload. */
+  private val qVideoNearDup = dfQ { s =>
+    import s.implicits._
+    def frame(tag: Int) = pngFixture(16, 16, (x, y) =>
+      if (((x / 2 + y / 2) ^ tag) % 3 == 0) 0 else 0xFFFFFF)
+    val (f1, f2, f3, f4) = (frame(1), frame(2), frame(3), frame(4))
+    val media = Seq(
+      (1L, Multimodal.videoContainer(Seq(f1, f2, f3))),
+      (2L, Multimodal.videoContainer(Seq(f1, f2, f4))),
+      (3L, Multimodal.videoContainer(Seq(f4))),
+      (4L, "junk".getBytes("UTF-8"))).toDF("media_id", "payload")
+    Multimodal.videoNearDupPairs(media, minJaccardPermille = 400)
+      .orderBy("id_a", "id_b")
+  }
+  private val oVideoNearDup =
+    """SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+      |  CAST(2 AS BIGINT), CAST(500 AS BIGINT)))
+      | t(id_a, id_b, n_shared, jaccard_permille) ORDER BY id_a, id_b""".stripMargin
+
   /** Canonical 44-byte-header 16-bit PCM WAV from float samples. */
   private def wavFixture(sampleRate: Int, samples: Array[Float]): Array[Byte] = {
     val dataLen = samples.length * 2
@@ -3538,6 +3562,7 @@ object Queries {
     ("l_multimodal", qMultimodal, Some(oMultimodal)),
     ("l_image_neardup", qImageNearDup, Some(oImageNearDup)),
     ("l_audio_neardup", qAudioNearDup, Some(oAudioNearDup)),
+    ("l_video_neardup", qVideoNearDup, Some(oVideoNearDup)),
     ("l_multimodal_resize", qMultimodalResize, Some(oMultimodalResize)),
     ("l_multimodal_decode", qMultimodalDecode, Some(oMultimodalDecode)),
     ("l_multimodal_audio", qMultimodalAudio, Some(oMultimodalAudio)),

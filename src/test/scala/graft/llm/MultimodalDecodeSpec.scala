@@ -194,6 +194,49 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("video container round-trips; hostile lengths bail; near-dup by frame overlap") {
+    def frame(tag: Int) = png(16, 16, (x, y) =>
+      if (((x / 2 + y / 2) ^ tag) % 3 == 0) 0 else 0xFFFFFF)
+    val (f1, f2, f3, f4) = (frame(1), frame(2), frame(3), frame(4))
+    // round-trip
+    val vid = Multimodal.videoContainer(Seq(f1, f2, f3))
+    val Some(back) = Multimodal.videoFrames(vid)
+    assert(back.length === 3 && back.zip(Seq(f1, f2, f3)).forall {
+      case (a, b) => java.util.Arrays.equals(a, b) })
+    // hostile frame lengths: negative and past-the-end both bail
+    val bad = vid.clone(); java.nio.ByteBuffer.wrap(bad)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(8, -5)
+    assert(Multimodal.videoFrames(bad).isEmpty)
+    val bad2 = vid.clone(); java.nio.ByteBuffer.wrap(bad2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(8, Int.MaxValue - 1)
+    assert(Multimodal.videoFrames(bad2).isEmpty)
+    assert(Multimodal.videoFrames("junk".getBytes("UTF-8")).isEmpty)
+
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.sql.shuffle.partitions", 2)
+      .config("spark.ui.enabled", false).appName("graft-videodedup-test")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      import spark.implicits._
+      val media = Seq(
+        (1L, Multimodal.videoContainer(Seq(f1, f2, f3))),
+        (2L, Multimodal.videoContainer(Seq(f1, f2, f4))), // shares 2 of 4 distinct
+        (3L, Multimodal.videoContainer(Seq(f4))),          // shares 1 of 4 with 2
+        (4L, "junk".getBytes("UTF-8")))
+        .toDF("media_id", "payload")
+      val pairs = Multimodal.videoNearDupPairs(media, minJaccardPermille = 400)
+        .select("id_a", "id_b", "jaccard_permille")
+        .as[(Long, Long, Long)].collect().toSet
+      // (1,2): inter 2, union 4 -> 500 permille; (2,3): inter 1, union 3 -> 333
+      assert(pairs === Set((1L, 2L, 500L)))
+      val all = Multimodal.videoNearDupPairs(media, minJaccardPermille = 0)
+        .select("id_a", "id_b", "jaccard_permille")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(all === Set((1L, 2L, 500L), (2L, 3L, 333L)))
+    } finally spark.stop()
+  }
+
   test("non-image payloads are rejected, not mis-decoded") {
     assert(Multimodal.decodeImage("just some text".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.decodeImage(null).isEmpty)
