@@ -421,6 +421,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.exists { case (id, h) => id == 3L && h.isEmpty })
   }
 
+  test("audio and video fingerprints run on streams statelessly, matching batch") {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    def wav(samples: Array[Float]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length * 2)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(samples.length * 2)
+      samples.foreach(v => bb.putShort(math.round(v * 32767f).toShort))
+      bb.array()
+    }
+    val burst = Array.tabulate(6400)(i =>
+      ((if (i < 3200) 0.9 else 0.05) * math.sin(2 * math.Pi * 440 * i / 8000)).toFloat)
+    val rows = Seq((1L, wav(burst)), (2L, "junk".getBytes("UTF-8")))
+    val batch = graft.llm.Multimodal.audioHashes(rows.toDF("media_id", "payload"))
+      .as[(Long, Option[Long])].collect().toSet
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = graft.llm.Multimodal.audioHashes(input.toDF().toDF("media_id", "payload"))
+      .writeStream.format("memory").queryName("audiohash_stream")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("audiohash_stream")
+      .as[(Long, Option[Long])].collect().toSet
+    q.stop()
+    assert(streamed === batch)
+    assert(batch.exists { case (id, h) => id == 1L && h.isDefined })
+  }
+
   test("weighted sampling filters an ingestion stream statelessly, matching batch") {
     val s = spark
     implicit val sqlCtx = s.sqlContext
