@@ -148,26 +148,52 @@ object Classifier {
   /**
    * Exact ROC AUC of a score column against a boolean label, with the
    * standard tie handling (tied scores contribute half): AUC =
-   * sum_s pos(s) * (negBelow(s) + neg(s)/2) / (P*N). One row per
-   * DISTINCT score after the groupBy — the global prefix-sum window runs
-   * over that bounded table, not the corpus (a well-calibrated model
-   * emits far fewer distinct probabilities than rows; quantize the score
-   * upstream if yours doesn't). Returns (auc, n_pos, n_neg).
+   * sum_s pos(s) * (negBelow(s) + neg(s)/2) / (P*N), one row per
+   * DISTINCT score after the groupBy.
+   *
+   * Scale shape: negBelow is a DISTRIBUTED two-pass prefix sum over the
+   * distinct-score table — range-partition on score, per-partition
+   * negative totals (a task-count-sized frame), broadcast offsets, then
+   * a within-partition window — the same technique as
+   * [[Sampling.shufflePositions]]. Scores from a continuous sigmoid have
+   * ~as many distinct values as rows, so a global `Window.orderBy` here
+   * would serialize the corpus into one task; this shape never does.
+   * Every addend `pos*(negBelow + neg/2)` is an exact multiple of 0.5,
+   * so the double sum is order-independent (exact below 2^52) and the
+   * result is deterministic under any partitioning.
+   *
+   * Returns (auc, n_pos, n_neg); `auc` is NaN when either class is
+   * absent (P=0 or N=0) — loud, instead of a silently-propagating null.
    */
   def auc(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val g = df
       .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
       .groupBy(col(scoreCol).as("__s"))
       .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("__p"),
         sum(when(col(labelCol), 0L).otherwise(1L)).as("__n"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("__s")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    g.withColumn("__negBelow", coalesce(sum("__n").over(w), lit(0L)))
+    // pin the sampled range boundaries (repartitionByRange re-samples on
+    // re-execution; the pid must agree between the counts pass and the join)
+    val parts = g.repartitionByRange(col("__s")).localCheckpoint()
+    val withPid = parts.withColumn("__pid", spark_partition_id())
+    // one row per partition: this single-partition window is over a
+    // task-count-sized frame, not the distinct-score table
+    val counts = withPid.groupBy(col("__pid")).agg(sum(col("__n")).as("__c"))
+    val wOff = Window.orderBy(col("__pid"))
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__c")).over(wOff) - col("__c"), lit(0L)))
+      .select(col("__pid").as("__opid"), col("__off"))
+    val wIn = Window.partitionBy(col("__pid")).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withPid.join(broadcast(offsets), col("__pid") === col("__opid"))
+      .withColumn("__negBelow", col("__off") + coalesce(sum(col("__n")).over(wIn), lit(0L)))
       .agg(
-        (sum(col("__p") * (col("__negBelow") + col("__n") / 2.0)) /
-          (sum("__p") * sum("__n"))).as("auc"),
-        sum("__p").cast("long").as("n_pos"),
-        sum("__n").cast("long").as("n_neg"))
+        when(sum(col("__p")) > 0 && sum(col("__n")) > 0,
+          sum(col("__p") * (col("__negBelow") + col("__n") / 2.0)) /
+            (sum(col("__p")) * sum(col("__n"))))
+          .otherwise(lit(Double.NaN)).as("auc"),
+        sum(col("__p")).cast("long").as("n_pos"),
+        sum(col("__n")).cast("long").as("n_neg"))
   }
 
   /**

@@ -156,8 +156,6 @@ object Multimodal {
     }.toDF()
   }
 
-  /** Resample a decoded image to the target size (nearest-neighbor via
-    * Graphics2D, deterministic) and re-encode as PNG. */
   /**
    * 64-bit average-hash (aHash) perceptual fingerprint: bin the image's
    * luma into an 8x8 grid (area binning — every pixel lands in exactly
@@ -420,6 +418,8 @@ object Multimodal {
         col("jaccard_permille"))
   }
 
+  /** Resample a decoded image to the target size (nearest-neighbor via
+    * Graphics2D, deterministic) and re-encode as PNG. */
   private def resizeImage(payload: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] = {
     if (payload == null) return scala.None
     val png = payload.length >= 8 && (payload(0) & 0xff) == 0x89 && payload(1) == 'P'.toByte

@@ -722,7 +722,10 @@ object TextAnalysis {
   def register(spark: SparkSession): Unit = {
     spark.udf.register("doc_lang_id", langIdFn)
     spark.udf.register("doc_fingerprint", fingerprintFn)
-    spark.udf.register("doc_normalize", normalizeTextFn)
+    // doc_normalize is registered as the NATIVE codegen expression (not a
+    // ScalaUDF) so SQL users get the same whole-stage-codegen plan as the
+    // Column API's normalizeText
+    graft.spark.TextExpressions.ensureRegistered(spark)
     ()
   }
 }

@@ -63,5 +63,8 @@ object TextExpressions {
         }, "built-in")
     put(InternalNormalize)
     put("text_normalize")
+    // the TextAnalysis SQL-surface alias rides the same native expression;
+    // registering it here (not as a ScalaUDF) keeps SQL plans codegen-clean
+    put("doc_normalize")
   }
 }

@@ -101,6 +101,36 @@ class ClassifierSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a === b)
   }
 
+  test("auc: single-class input is a loud NaN, not a silent null") {
+    val s = spark; import s.implicits._
+    val allPos = Classifier.auc(
+      Seq((true, 0.2), (true, 0.9)).toDF("y", "score"), "y", "score")
+      .select("auc", "n_pos", "n_neg").as[(Double, Long, Long)].head()
+    assert(allPos._1.isNaN && allPos._2 === 2L && allPos._3 === 0L)
+    val allNeg = Classifier.auc(
+      Seq((false, 0.2), (false, 0.9)).toDF("y", "score"), "y", "score")
+      .select("auc").as[Double].head()
+    assert(allNeg.isNaN)
+  }
+
+  test("auc: distributed prefix sum — pid-scoped window, 10^6 distinct scores complete") {
+    val s = spark; import s.implicits._
+    // every score distinct (the continuous-sigmoid worst case): a global
+    // Window.orderBy would serialize all 10^6 rows into one task; the
+    // two-pass shape keeps the big window partitioned by physical pid
+    val n = 1000000L
+    val df = s.range(n)
+      .select((col("id") % 2 === 1).as("y"), col("id").cast("double").as("score"))
+    val res = Classifier.auc(df, "y", "score")
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("__pid"), s"corpus window not partition-id-scoped:\n$plan")
+    val (a, p, nn) = res.as[(Double, Long, Long)].head()
+    // pos at odd i, negBelow(i) = (i+1)/2 evens; sum_{k=1..500000} k /
+    // (500000*500000) = 500001/1000000 exactly
+    assert(p === 500000L && nn === 500000L)
+    assert(a === 0.500001)
+  }
+
   test("subword trigrams make unseen inflections score like their stems") {
     val s = spark; import s.implicits._
     val df = corpus
