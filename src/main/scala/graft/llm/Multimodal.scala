@@ -223,6 +223,66 @@ object Multimodal {
   }
 
   /**
+   * Candidate-preserving salt for a bucketed self-pair-join (the
+   * Ann.saltBuckets discipline applied to pair joins): per `keyCols`
+   * bucket holding more than `maxBucket` rows, the BUILD side takes ONE
+   * salt replica (`pmod(xxhash64(id), nsplit)`) while the PROBE side is
+   * replicated to ALL `nsplit` salts, so every within-bucket pair still
+   * meets exactly once (at the build row's salt) but the quadratic work
+   * of a degenerate bucket spreads over `nsplit` tasks instead of
+   * serializing into one. Buckets at or under the cap get salt 0 on both
+   * sides — the plan is unchanged for them. Join the returned frames on
+   * `keyCols :+ "__salt"`.
+   */
+  private def saltSelfJoin(rows: DataFrame, idCol: String, keyCols: Seq[String],
+                           maxBucket: Int): (DataFrame, DataFrame) = {
+    if (maxBucket <= 0) return (rows.withColumn("__salt", lit(0L)),
+      rows.withColumn("__salt", lit(0L)))
+    val splits = rows.groupBy(keyCols.map(col): _*)
+      .agg(ceil(count(lit(1)) / lit(maxBucket.toDouble)).cast("long").as("__nsplit"))
+      .where(col("__nsplit") > 1)
+    val build = rows.join(broadcast(splits), keyCols, "left")
+      .withColumn("__salt", when(col("__nsplit").isNull, lit(0L))
+        .otherwise(pmod(xxhash64(col(idCol)), col("__nsplit"))))
+      .drop("__nsplit")
+    val probe = rows.join(broadcast(splits), keyCols, "left")
+      .withColumn("__salt",
+        explode(sequence(lit(0L), coalesce(col("__nsplit"), lit(1L)) - 1)))
+      .drop("__nsplit")
+    (build, probe)
+  }
+
+  /** Diagnostic for the banded joins' hot-bucket governance: one row per
+    * OVERSIZED (blk, bucket) — its population and the salt fan-out the
+    * join will apply. Run it (and log the rows) before a production
+    * near-dup pass to see exactly which degenerate hash values (uniform
+    * images, steady tones, black frames) are being split. */
+  def hotBucketStats(hashes: DataFrame, maxHamming: Int,
+                     maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val nBlocks = maxHamming + 1
+    val width = 64 / nBlocks
+    hashes.select(col("id"),
+        explode(array((0 until nBlocks).map(i =>
+          struct(lit(i).as("blk"), blockVal(col("h"), i, width, nBlocks).as("bucket"))): _*)).as("bk"))
+      .select(col("bk.blk").as("blk"), col("bk.bucket").as("bucket"))
+      .groupBy("blk", "bucket").agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBucket)
+      .withColumn("nsplit", ceil(col("n") / lit(maxBucket.toDouble)).cast("long"))
+  }
+
+  /** Default hot-bucket split threshold for the banded similarity joins
+    * (same order as Ann's LSH cap: bounds one task's pair work to
+    * ~maxBucket^2/nsplit comparisons). */
+  val DefaultMaxBucket: Int = 4096
+
+  // static per-block shifts (shift amounts must be literals in Spark)
+  private def blockVal(h: Column, i: Int, width: Int, nBlocks: Int): Column = {
+    val shifted = shiftrightunsigned(h, i * width)
+    if (i == nBlocks - 1) shifted
+    else shifted.bitwiseAND(lit((1L << width) - 1))
+  }
+
+  /**
    * Generic banded 64-bit Hamming near-dup join (the block-permutation
    * LSH generalized from Dedup.simhashCandidatePairs): split each hash
    * into `maxHamming + 1` blocks — by pigeonhole, two hashes within
@@ -232,28 +292,34 @@ object Multimodal {
    * sharing several blocks is emitted only from its FIRST equal block
    * (derived from the two hashes already carried), so no distinct over
    * the pair set. Input: (id, h). Output: (id_a, id_b, hamming).
+   *
+   * Hot-bucket governance: a degenerate hash value — the aHash of a
+   * uniform image, the all-zero envelope of a steady tone — puts its
+   * whole equivalence class into one (blk, bucket), where the self-join
+   * is quadratic in the class. Buckets over `maxBucket` rows are salted
+   * candidate-preservingly ([[saltSelfJoin]]): every qualifying pair is
+   * still emitted exactly once, but the class's work spreads over
+   * ceil(n/maxBucket) tasks. [[hotBucketStats]] reports what gets split.
    */
-  private[llm] def hamming64Pairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+  private[llm] def hamming64Pairs(hashes: DataFrame, maxHamming: Int,
+                                  maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       "hamming64Pairs: maxHamming must be in [0, 15] (block count <= 16)")
     val nBlocks = maxHamming + 1
     val width = 64 / nBlocks // uneven tail bits join the last block
-    // static per-block shifts (shift amounts must be literals in Spark)
-    def blockVal(h: Column, i: Int): Column = {
-      val shifted = shiftrightunsigned(h, i * width)
-      if (i == nBlocks - 1) shifted
-      else shifted.bitwiseAND(lit((1L << width) - 1))
-    }
     val blocks = hashes.select(col("id"), col("h"),
         explode(array((0 until nBlocks).map(i =>
-          struct(lit(i).as("blk"), blockVal(col("h"), i).as("bucket"))): _*)).as("bk"))
+          struct(lit(i).as("blk"), blockVal(col("h"), i, width, nBlocks).as("bucket"))): _*)).as("bk"))
       .select(col("id"), col("h"), col("bk.blk").as("blk"), col("bk.bucket").as("bucket"))
-    def blockEq(i: Int): Column = blockVal(col("a.h"), i) === blockVal(col("b.h"), i)
+    def blockEq(i: Int): Column =
+      blockVal(col("a.h"), i, width, nBlocks) === blockVal(col("b.h"), i, width, nBlocks)
     val firstBlk = (0 until nBlocks - 1).foldRight(lit(nBlocks - 1): Column) {
       (i, acc) => when(blockEq(i), lit(i)).otherwise(acc)
     }
-    blocks.as("a").hint("shuffle_hash").join(blocks.as("b").hint("shuffle_hash"),
+    val (build, probe) = saltSelfJoin(blocks, "id", Seq("blk", "bucket"), maxBucket)
+    build.as("a").hint("shuffle_hash").join(probe.as("b").hint("shuffle_hash"),
         col("a.blk") === col("b.blk") && col("a.bucket") === col("b.bucket") &&
+          col("a.__salt") === col("b.__salt") &&
           col("a.id") < col("b.id") && col("a.blk") === firstBlk)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.h").bitwiseXOR(col("b.h"))).cast("int").as("hamming"))
@@ -263,11 +329,12 @@ object Multimodal {
   /** Image NEAR-DEDUP via banded aHash — the multimodal twin of SimHash
     * near-dedup, riding [[hamming64Pairs]]. Undecodable payloads are
     * dropped before the join. */
-  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
+  def imageNearDupPairs(media: DataFrame, maxHamming: Int = 3,
+                        maxBucket: Int = DefaultMaxBucket): DataFrame =
     hamming64Pairs(
       imageHashes(media).where(col("ahash").isNotNull)
         .select(col("media_id").as("id"), col("ahash").as("h")),
-      maxHamming)
+      maxHamming, maxBucket)
 
   /**
    * 64-bit audio ENVELOPE hash: the decoded mono signal is binned into 64
@@ -325,11 +392,12 @@ object Multimodal {
 
   /** Audio NEAR-DEDUP: banded envelope-hash join, same machinery as
     * [[imageNearDupPairs]]. */
-  def audioNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
+  def audioNearDupPairs(media: DataFrame, maxHamming: Int = 3,
+                        maxBucket: Int = DefaultMaxBucket): DataFrame =
     hamming64Pairs(
       audioHashes(media).where(col("audiohash").isNotNull)
         .select(col("media_id").as("id"), col("audiohash").as("h")),
-      maxHamming)
+      maxHamming, maxBucket)
 
   // ----------------------------------------------------------- video
 
@@ -396,18 +464,36 @@ object Multimodal {
    * threshold. Set sizes ride the exploded rows, so no join back to the
    * fingerprint table. The same two-stage shape as the verified text
    * near-dedup: bucketed candidates, exact verification on candidates.
+   *
+   * Hot-bucket governance: a frame hash shared by a huge population
+   * (black frames, title cards, station idents) makes the equi-join
+   * quadratic in that population. Frame hashes with more than
+   * `maxBucket` carriers are salted candidate-preservingly
+   * ([[saltSelfJoin]]) — intersection counts are exact (each
+   * (pair, frame) match still meets exactly once) while a degenerate
+   * frame's work spreads over ceil(n/maxBucket) tasks.
    */
-  def videoNearDupPairs(media: DataFrame, minJaccardPermille: Int = 500): DataFrame = {
+  def videoNearDupPairs(media: DataFrame, minJaccardPermille: Int = 500,
+                        maxBucket: Int = DefaultMaxBucket): DataFrame =
+    videoNearDupPairsFromFingerprints(
+      videoFingerprints(media).where(col("frame_hashes").isNotNull)
+        .select(col("media_id"), col("frame_hashes"),
+          size(col("frame_hashes")).cast("long").as("nf")),
+      minJaccardPermille, maxBucket)
+
+  /** The join stage of [[videoNearDupPairs]] over an already-computed
+    * fingerprint table `(media_id, frame_hashes, nf)` — the entry point
+    * when fingerprints are persisted (or synthesized in specs). */
+  def videoNearDupPairsFromFingerprints(fp: DataFrame, minJaccardPermille: Int = 500,
+                                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(minJaccardPermille >= 0 && minJaccardPermille <= 1000,
       "videoNearDupPairs: minJaccardPermille must be in [0, 1000]")
-    val fp = videoFingerprints(media).where(col("frame_hashes").isNotNull)
-      .select(col("media_id"), col("frame_hashes"),
-        size(col("frame_hashes")).cast("long").as("nf"))
-    val ex = fp.select(col("media_id"), col("nf"),
+    val ex = fp.select(col("media_id").as("id"), col("nf"),
       explode(col("frame_hashes")).as("fh"))
-    val a = ex.select(col("media_id").as("id_a"), col("nf").as("na"), col("fh"))
-    val b = ex.select(col("media_id").as("id_b"), col("nf").as("nb"), col("fh"))
-    a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("fh"))
+    val (build, probe) = saltSelfJoin(ex, "id", Seq("fh"), maxBucket)
+    val a = build.select(col("id").as("id_a"), col("nf").as("na"), col("fh"), col("__salt"))
+    val b = probe.select(col("id").as("id_b"), col("nf").as("nb"), col("fh"), col("__salt"))
+    a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("fh", "__salt"))
       .where(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b", "na", "nb")
       .agg(count(lit(1)).as("inter"))

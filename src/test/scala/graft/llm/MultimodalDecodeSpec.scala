@@ -237,6 +237,69 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("hamming64Pairs: 10k identical hashes complete via salted hot buckets, exact clique") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", false).appName("graft-hotbucket-test")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, lit}
+      // the degenerate class the governance exists for: 10k items with ONE
+      // hash value (a uniform image / steady tone all hash identically)
+      val n = 10000
+      val hashes = spark.range(n).select(col("id"), lit(0L).as("h"))
+      val stats = Multimodal.hotBucketStats(hashes.toDF(), maxHamming = 3, maxBucket = 512)
+        .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+      // visible salt log: every one of the 4 blocks holds the whole class
+      stats.foreach { case (blk, bucket, cnt, nsplit) =>
+        info(s"hot bucket split: blk=$blk bucket=$bucket n=$cnt -> $nsplit salts") }
+      assert(stats.length === 4 && stats.forall { case (_, b, c, s) =>
+        b === 0L && c === n.toLong && s === 20L })
+      // the salted join still emits the EXACT clique, each pair once
+      val cnt = Multimodal.hamming64Pairs(hashes.toDF(), maxHamming = 3, maxBucket = 512)
+        .count()
+      assert(cnt === n.toLong * (n - 1) / 2)
+    } finally spark.stop()
+  }
+
+  test("salting is candidate-preserving: salted pair set == unsalted, image and video") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", false).appName("graft-saltparity-test")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      // hashes drawn from a tiny pool -> every bucket oversized at cap 8
+      val hs = (0 until 500).map(i => (i.toLong, ((i * 2654435761L) % 5) * 0x0101010101010101L))
+        .toDF("id", "h")
+      def pairs(cap: Int) = Multimodal.hamming64Pairs(hs, maxHamming = 3, maxBucket = cap)
+        .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+      val unsalted = pairs(0) // cap 0 disables governance
+      assert(unsalted.nonEmpty)
+      assert(pairs(8) === unsalted, "salted Hamming join must preserve every candidate pair")
+      // video: a planted hot frame hash (black frame in every video) plus
+      // per-video unique frames; intersection counts must survive salting
+      val vids = (0 until 120).map { i =>
+        (i.toLong, Array(0L, 1000L + i / 2, 2000L + i)) // shared black frame + pairwise overlap
+      }.toDF("media_id", "frame_hashes")
+      def vpairs(cap: Int) = {
+        val fp = vids.select(col("media_id"), col("frame_hashes"),
+          org.apache.spark.sql.functions.size(col("frame_hashes")).cast("long").as("nf"))
+        Multimodal.videoNearDupPairsFromFingerprints(fp, minJaccardPermille = 0, maxBucket = cap)
+          .select("id_a", "id_b", "n_shared", "jaccard_permille")
+          .as[(Long, Long, Long, Long)].collect().toSet
+      }
+      val vUnsalted = vpairs(0)
+      // black frame alone links every pair; same-half videos share 2 frames
+      assert(vUnsalted.size === 120 * 119 / 2)
+      assert(vpairs(16) === vUnsalted, "salted frame join must preserve intersection counts")
+    } finally spark.stop()
+  }
+
   test("non-image payloads are rejected, not mis-decoded") {
     assert(Multimodal.decodeImage("just some text".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.decodeImage(null).isEmpty)
