@@ -38,9 +38,17 @@ object Sampling {
     * contract as [[sampleByHash]]: the kept set depends only on keys and
     * weights, so reruns, repartitioning, and corpus growth never flip an
     * existing row, and any engine can replay the exact row set. Stateless
-    * per row — filters a stream unchanged. */
+    * per row — filters a stream unchanged.
+    *
+    * The draw is SALTED (`md5(key || "__wsample")`) so it is independent
+    * of the other primitives' draws on the same key: unsalted, a row
+    * surviving weightedSample would imply a LOW [[hashBucket]] value,
+    * nesting its keep set inside [[sampleByHash]]'s and over-representing
+    * [[assignSplit]]'s test/val buckets (0..9) among kept rows — a silent
+    * statistical bias when the primitives compose in one pipeline.
+    * Replay in SQL with `md5(CAST(key AS VARCHAR) || '__wsample')`. */
   def weightedSample(df: DataFrame, keyCol: String, weight: Column): DataFrame =
-    df.where(hashBucket(col(keyCol), 1000) <
+    df.where(hashBucket(concat(col(keyCol).cast("string"), lit("__wsample")), 1000) <
       floor(least(greatest(weight, lit(0.0)), lit(1.0)) * 1000).cast("long"))
 
   /** Deterministic train/val/test split as a `split` column (permille

@@ -2623,7 +2623,7 @@ object Queries {
        |sampled AS (SELECT doc_id, t, n_tok FROM (
        |    SELECT *, greatest(greatest(least(alpha - 2 * punct + least(n_tok / 20.0, 1.0) * 0.2, 1.0), 0.0)
        |      * 10.0 - 9.0, 0.0) AS wt FROM feat) z
-       |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 1000
+       |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '__wsample'), 1, 7))::BIGINT % 1000
        |        < CAST(floor(least(greatest(wt, 0.0), 1.0) * 1000) AS BIGINT)),
        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM sampled a JOIN sampled b
@@ -3045,7 +3045,7 @@ object Queries {
       |    greatest(least(alpha - 2 * punct + least(n_tok / 20.0, 1.0) * 0.2, 1.0), 0.0) AS qual FROM f),
       |w AS (SELECT doc_id, greatest(qual * 10.0 - 9.0, 0.0) AS wt FROM q)
       |SELECT doc_id FROM w
-      |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 1000
+      |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '__wsample'), 1, 7))::BIGINT % 1000
       |      < CAST(floor(least(greatest(wt, 0.0), 1.0) * 1000) AS BIGINT)
       |ORDER BY doc_id""".stripMargin
 

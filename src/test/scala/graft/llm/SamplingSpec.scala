@@ -56,6 +56,32 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again === kept)
   }
 
+  test("weightedSample draw is independent of assignSplit/sampleByHash (salted)") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1L to 20000L).toDF("id")
+    // with an UNSALTED shared draw, weight 0.01 keeps only rows whose
+    // hashBucket is < 10 — exactly assignSplit's test/val buckets, so NO
+    // kept row could ever be 'train'. The salt breaks the nesting: at 1%
+    // keep over 20k rows, ~99% of kept rows must land in 'train'.
+    val kept = Sampling.assignSplit(
+        Sampling.weightedSample(df, "id", lit(0.01)), "id")
+    val bySplit = kept.groupBy("split").count().as[(String, Long)].collect().toMap
+    val total = bySplit.values.sum
+    assert(total > 100 && total < 300, s"1% of 20k should keep ~200, got $total")
+    assert(bySplit.getOrElse("train", 0L) > total * 8 / 10,
+      s"kept rows must be overwhelmingly 'train' (independent draws), got $bySplit")
+    // nor nested inside sampleByHash's keep set: a 1%-weighted sample of
+    // the 50% hash sample should NOT equal the weighted sample of everything
+    val inHalf = Sampling.weightedSample(
+        Sampling.sampleByHash(df, "id", 1, 2), "id", lit(0.01))
+      .select("id").as[Long].collect().toSet
+    val inAll = Sampling.weightedSample(df, "id", lit(0.01))
+      .select("id").as[Long].collect().toSet
+    assert(inHalf.subsetOf(inAll) && inHalf.size < inAll.size,
+      "composed selection must thin the kept set, not alias it")
+  }
+
   test("md5 bucket agrees with a reference computation") {
     val s = spark; import s.implicits._
     // first 7 hex chars of md5("42") = a1d0c6e = 169675886
