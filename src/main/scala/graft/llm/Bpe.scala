@@ -79,7 +79,18 @@ object Bpe {
 
     val vocab = wcPersisted
       .select(concat(split(col("w"), ""), array(lit(EOW))).as("syms"), col("cnt"))
+    val out = trainDistributed(spark, vocab, numMerges)
+    wcPersisted.unpersist(blocking = false)
+    out
+  }
 
+  /** The shared DISTRIBUTED merge loop over a weighted symbol-sequence
+    * vocab `(syms: array<string>, cnt: long)` — the unbounded-vocab
+    * fallback for both the word-level and byte-level trainers. Identical
+    * merges to [[mergeLoopLocal]] by construction (spec-pinned). */
+  private def trainDistributed(spark: SparkSession, vocab: DataFrame,
+                               numMerges: Int): DataFrame = {
+    import spark.implicits._
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var cur = vocab.persist()
     var prev: DataFrame = null
@@ -123,7 +134,6 @@ object Bpe {
     }
     cur.unpersist(blocking = false)
     if (prev != null) prev.unpersist(blocking = false)
-    wcPersisted.unpersist(blocking = false)
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
   }
 
@@ -135,9 +145,16 @@ object Bpe {
                          vocab: Array[(String, Long)],
                          numMerges: Int): DataFrame = {
     import spark.implicits._
-    val seqs: Array[Array[String]] =
-      vocab.map { case (w, _) => w.map(_.toString).toArray :+ EOW }
-    val cnts: Array[Long] = vocab.map(_._2)
+    mergeLoopLocal(
+      vocab.map { case (w, _) => w.map(_.toString).toArray :+ EOW },
+      vocab.map(_._2), numMerges).toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** The shared driver-side merge loop: exact pair counts over the
+    * weighted symbol sequences, (count desc, pair asc) tiebreak, greedy
+    * left-to-right non-overlapping rewrite. Mutates `seqs`. */
+  private def mergeLoopLocal(seqs: Array[Array[String]], cnts: Array[Long],
+                             numMerges: Int): Seq[(Int, String, String, Long)] = {
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var rank = 1
     var exhausted = false
@@ -189,14 +206,20 @@ object Bpe {
         rank += 1
       }
     }
-    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+    merges.toSeq
   }
 
   /** Greedy-rank BPE application of one word (chars + EOW), lowest-rank
     * present pair merges first — the standard encode algorithm. */
   private def applyWord(word: String,
+                        rankOf: Map[(String, String), Int]): Seq[String] =
+    applySyms((word.map(_.toString) :+ EOW).toArray, rankOf)
+
+  /** Greedy-rank merge application over an arbitrary initial symbol
+    * sequence (shared by the word-level and byte-level encoders). */
+  private def applySyms(initial: Array[String],
                         rankOf: Map[(String, String), Int]): Seq[String] = {
-    var syms = (word.map(_.toString) :+ EOW).toArray
+    var syms = initial
     var done = false
     while (!done && syms.length > 1) {
       var bestRank = Int.MaxValue; var bestAt = -1
@@ -243,6 +266,132 @@ object Bpe {
         val memo = scala.collection.mutable.HashMap[String, Seq[String]]()
         text.toLowerCase.split("[^a-z]+").iterator.filter(_.nonEmpty)
           .flatMap(w => memo.getOrElseUpdate(w, applyWord(w, rankOf)))
+          .toSeq
+      }
+    })
+    df.withColumn(outCol, enc(col(textCol)))
+  }
+
+  // ---------------------------------------------------- byte-level BPE
+
+  /**
+   * GPT-2-style byte-level pre-tokenizer pattern (Radford et al. 2019;
+   * the pattern published with the GPT-2 reference encoder): common
+   * English contractions, space-prefixed letter/digit/punctuation runs,
+   * and whitespace runs where the lookahead alternative leaves the LAST
+   * space of a run attached to the following token. Case-preserving —
+   * byte-level BPE never lowercases; lossless round-trip is part of the
+   * contract. Whitespace is the EXPLICIT class [\t\n\f\r ] (RE2's \s), not
+   * Java's \s (which adds \x0B) — the DuckDB replay oracle runs on RE2,
+   * and the two engines must split identically on every input.
+   */
+  private val Gpt2Pattern = java.util.regex.Pattern.compile(
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\t\n\f\r \\p{L}\\p{N}]+|" +
+      "[\t\n\f\r ]+(?![^\t\n\f\r ])|[\t\n\f\r ]+")
+
+  /** Regex pre-tokenization of one text (the GPT-2 contract above). */
+  private[llm] def pretokenize(text: String): Seq[String] = {
+    if (text == null || text.isEmpty) return Seq.empty
+    val m = Gpt2Pattern.matcher(text)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    while (m.find()) out += m.group()
+    out.toSeq
+  }
+
+  /**
+   * The GPT-2 printable byte alphabet: bytes that are printable in
+   * Latin-1 ([33,126], [161,172], [174,255]) map to themselves; the
+   * other 68 bytes map to codepoints 256.. in byte order (space -> U+0120
+   * 'Ġ', newline -> U+010A 'Ċ', ...). Every byte gets a visible,
+   * whitespace-free single-char symbol, which is what lets the merge
+   * table print, diff, and replay in SQL.
+   */
+  private[llm] val ByteChar: Array[String] = {
+    val out = new Array[String](256)
+    var n = 0
+    for (b <- 0 until 256) {
+      val keep = (b >= 33 && b <= 126) || (b >= 161 && b <= 172) || (b >= 174 && b <= 255)
+      if (keep) out(b) = new String(Character.toChars(b))
+      else { out(b) = new String(Character.toChars(256 + n)); n += 1 }
+    }
+    out
+  }
+
+  private[llm] val CharByte: Map[String, Byte] =
+    ByteChar.zipWithIndex.map { case (c, b) => c -> b.toByte }.toMap
+
+  /** A pre-token's UTF-8 bytes as initial merge symbols. */
+  private[llm] def byteSyms(tok: String): Array[String] =
+    tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => ByteChar(b & 0xff))
+
+  /** Inverse of the byte alphabet: token strings back to raw bytes (the
+    * lossless-round-trip check; every byte-level token is a concatenation
+    * of alphabet chars). */
+  private[llm] def bytesOfToken(tok: String): Array[Byte] =
+    tok.codePoints().toArray.map { cp =>
+      CharByte(new String(Character.toChars(cp)))
+    }
+
+  /**
+   * Byte-level BPE training (the GPT-2/tiktoken-style production
+   * tokenizer contract): regex pre-tokenization, UTF-8 bytes as the
+   * initial alphabet (so ANY input — code, CJK, emoji, binary-ish text —
+   * tokenizes without an unknown-symbol path), no end-of-word marker
+   * (word boundaries ride the leading-space convention of the
+   * pre-tokenizer). Merges never cross pre-token boundaries.
+   *
+   * Same scale shape as [[train]]: one distributed corpus pass reduces to
+   * the Heaps-bounded (pre-token, count) table; the K merge rounds run
+   * driver-local over the collected vocab when it fits under
+   * `maxLocalVocab` (with the same clamp), else the distributed
+   * per-round loop — both spec-pinned to identical merges.
+   */
+  def trainBytes(df: DataFrame, textCol: String, numMerges: Int,
+                 minCount: Long = 1L,
+                 maxLocalVocab: Long = 2000000L): DataFrame = {
+    require(numMerges >= 0, "numMerges must be >= 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pretokUdf = udf((t: String) => pretokenize(t))
+    val tokCounts = df.select(explode(pretokUdf(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+    val cap = math.min(maxLocalVocab, (Int.MaxValue - 1).toLong).toInt
+    val tcPersisted = tokCounts.persist()
+    val capped = tcPersisted.limit(cap + 1).as[(String, Long)].collect()
+    if (capped.length <= cap) {
+      tcPersisted.unpersist(blocking = false)
+      mergeLoopLocal(capped.map { case (w, _) => byteSyms(w) },
+        capped.map(_._2), numMerges).toDF("rank", "left", "right", "pair_count")
+    } else {
+      val symsUdf = udf((w: String) => byteSyms(w).toSeq)
+      val out = trainDistributed(spark,
+        tcPersisted.select(symsUdf(col("w")).as("syms"), col("cnt")), numMerges)
+      tcPersisted.unpersist(blocking = false)
+      out
+    }
+  }
+
+  /**
+   * Byte-level tokenize with learned merges: `outCol` holds the token
+   * array over the printable byte alphabet. Lossless — concatenating the
+   * tokens and reversing [[ByteChar]] yields the exact original UTF-8
+   * bytes (spec-pinned). One broadcast map pass; streams. The per-token
+   * memo exploits Zipf exactly as [[encode]]'s does.
+   */
+  def encodeBytes(df: DataFrame, textCol: String, merges: Seq[(String, String)],
+                  outCol: String = "bpe_tokens"): DataFrame = {
+    val spark = df.sparkSession
+    val rankB = spark.sparkContext.broadcast(
+      merges.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap)
+    val enc = udf((text: String) => {
+      if (text == null) Seq.empty[String]
+      else {
+        val rankOf = rankB.value
+        val memo = scala.collection.mutable.HashMap[String, Seq[String]]()
+        pretokenize(text).iterator
+          .flatMap(w => memo.getOrElseUpdate(w, applySyms(byteSyms(w), rankOf)))
           .toSeq
       }
     })

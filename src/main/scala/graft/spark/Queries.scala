@@ -2108,6 +2108,73 @@ object Queries {
   }
   private val oBpeTrain = bpeReplaySql(12, 2)
 
+  /** Byte-level BPE (GPT-2 contract: regex pre-tokenization, UTF-8 byte
+    * alphabet, no EOW). Spark learns the merges; DuckDB replays ALL of it
+    * from the same parquet: the lookahead `\s+(?!\S)` pre-tokenizer is
+    * emulated lookahead-free for RE2 by inserting a \x01 sentinel before
+    * the LAST space of each whitespace run that precedes a non-space
+    * (str_split on the sentinel, then a plain alternation per segment —
+    * provably the same token stream); pre-token bytes come from
+    * to_hex(encode(w)) two-hex-digit slices; the GPT-2 printable byte
+    * alphabet is the CASE over byte ranges (space -> chr(288) 'Ġ'); the
+    * k merge rounds ride the same double-spaced replace replay as
+    * [[bpeReplaySql]]. */
+  private val qBpeBytes = dfQ { s =>
+    Bpe.trainBytes(s.table("documents"), "text", numMerges = 12, minCount = 2)
+      .orderBy("rank")
+  }
+  private def bpeBytesReplaySql(k: Int, minCount: Long): String = {
+    val byteCase =
+      """CASE WHEN code BETWEEN 33 AND 126 THEN chr(code)
+        |     WHEN code BETWEEN 161 AND 172 THEN chr(code)
+        |     WHEN code BETWEEN 174 AND 255 THEN chr(code)
+        |     WHEN code < 33 THEN chr(256 + code)
+        |     WHEN code BETWEEN 127 AND 160 THEN chr(289 + code - 127)
+        |     ELSE chr(323) END""".stripMargin
+    val head =
+      s"""WITH pt AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(flatten(list_transform(
+         |      str_split(regexp_replace(text,
+         |          '([\t\n\f\r ])([^\t\n\f\r ])', chr(1) || '\\1\\2', 'g'), chr(1)),
+         |      seg -> regexp_extract_all(seg,
+         |        '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\t\n\f\r \\p{L}\\p{N}]+|[\t\n\f\r ]+')))) AS w
+         |    FROM documents WHERE text IS NOT NULL) t
+         |  WHERE length(w) > 0 GROUP BY w HAVING count(*) >= $minCount
+         |),
+         |v0 AS MATERIALIZED (
+         |  SELECT ' ' || string_agg(sym, '  ' ORDER BY i) || ' ' AS s, any_value(cnt) AS cnt
+         |  FROM (
+         |    SELECT w, cnt, i, $byteCase AS sym FROM (
+         |      SELECT w, cnt, i, ('0x' || substr(to_hex(encode(w)), 2*i - 1, 2))::INT AS code
+         |      FROM pt, LATERAL unnest(generate_series(1, octet_length(encode(w)))) u(i)) z) zz
+         |  GROUP BY w
+         |)""".stripMargin
+    val rounds = (1 to k).map { i =>
+      val p = i - 1
+      s"""p$i AS MATERIALIZED (
+         |  SELECT l[i] AS a, l[i+1] AS b, CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM (SELECT str_split(trim(s), '  ') AS l, cnt FROM v$p) t,
+         |       LATERAL unnest(generate_series(1, len(l)-1)) u(i)
+         |  GROUP BY 1, 2
+         |),
+         |b$i AS MATERIALIZED (
+         |  SELECT $i AS rank, a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1
+         |),
+         |v$i AS MATERIALIZED (
+         |  SELECT replace(s,
+         |    ' ' || (SELECT a FROM b$i) || '  ' || (SELECT b FROM b$i) || ' ',
+         |    ' ' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || ' ') AS s, cnt
+         |  FROM v$p
+         |)""".stripMargin
+    }
+    val sel = (1 to k)
+      .map(i => s"""SELECT rank, a AS "left", b AS "right", c AS pair_count FROM b$i""")
+      .mkString(" UNION ALL ")
+    (head +: rounds).mkString(",\n") + "\n" + sel + " ORDER BY rank"
+  }
+  private val oBpeBytes = bpeBytesReplaySql(12, 2)
+
   /** WebText-style linear quality/domain gate: hashed bag-of-words
     * logistic regression trained distributed (quantized-integer gradient
     * treeAggregate — partitioning-independent, so the learned weights and
@@ -3573,6 +3640,7 @@ object Queries {
     ("l_ann_ivfpq_bench", qAnnIvfPqBench, Some(oAnnIvfPqBench)),
     ("l_ann_ivfpq_persist", qAnnIvfPqPersist, Some(oAnnIvfPqPersist)),
     ("l_bpe_train", qBpeTrain, Some(oBpeTrain)),
+    ("l_bpe_bytes", qBpeBytes, Some(oBpeBytes)),
     ("l_quality_classifier", qQualityClassifier, Some(oQualityClassifier)),
     ("l_bpe_encode", qBpeEncode, Some(oBpeEncode)),
     ("l_frame_sample", qFrameSample, Some(oFrameSample)),
