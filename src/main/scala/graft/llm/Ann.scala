@@ -884,6 +884,16 @@ object Ann {
   def ivfPqLoadIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                      idCol: String = "vec_id"): (IvfPqModel, DataFrame) = {
     import spark.implicits._
+    val codes = spark.read.parquet(s"$path/codes")
+      .select(col(idCol), col("cell").cast("int").as("cell"), col("pq_code"))
+    (ivfPqLoadModel(spark, path), codes)
+  }
+
+  /** Only the bounded model sidecars of a persisted index (what the
+    * append path needs — it never reads the codes). */
+  def ivfPqLoadModel(spark: org.apache.spark.sql.SparkSession,
+                     path: String): IvfPqModel = {
+    import spark.implicits._
     val cents = spark.read.parquet(s"$path/cents")
       .select(col("cell").cast("int"), col("vec"))
       .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
@@ -892,9 +902,30 @@ object Ann {
       .as[(Int, Int, Array[Float])].collect()
     val codebooks = cbRows.groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (_, rs) => rs.sortBy(_._2).map(_._3) }.toArray
-    val codes = spark.read.parquet(s"$path/codes")
-      .select(col(idCol), col("cell").cast("int").as("cell"), col("pq_code"))
-    (IvfPqModel(cents, codebooks), codes)
+    IvfPqModel(cents, codebooks)
+  }
+
+  /**
+   * FROZEN-MODEL incremental append to a persisted IVF-PQ index — the
+   * daily-ingest path the index exists for (100-TB corpus at rest, new
+   * vectors arriving continuously): encode the new rows with the index's
+   * OWN model (loaded from the sidecars, never retrained) and append
+   * them into the cell partition layout. Appended files land inside the
+   * existing `cell=N` directories, so [[ivfPqSearch]]'s partition pruning
+   * is oblivious to how many appends built the index, and search cost
+   * stays nprobe-bounded. Search-after-append is IDENTICAL to
+   * search-after-full-rebuild under the same frozen model (spec-pinned —
+   * encoding is a stateless per-row map). The ANN twin of the
+   * incremental band-index dedup (Dedup.writeBandIndex's append path).
+   * Caller owns id uniqueness across appends — codes are bag-semantic
+   * like every Ann entry point; re-appending a batch duplicates it.
+   */
+  def ivfPqAppendIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       df: DataFrame, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit = {
+    val model = ivfPqLoadModel(spark, path)
+    ivfPqEncode(model, df, idCol, vecCol)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
   }
 
   /** Driver-side PQ Lloyd's over already-materialized vectors (the

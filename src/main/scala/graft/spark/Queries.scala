@@ -2055,6 +2055,44 @@ object Queries {
     """SELECT CAST(1000 AS BIGINT) AS n_pairs, CAST(257763 AS BIGINT) AS sum_c,
       | true AS disk_matches_memory""".stripMargin
 
+  /** Frozen-model incremental append to the persisted IVF-PQ index (the
+    * daily-ingest serving path): build + persist on the even-id half,
+    * append the odd-id half with the index's OWN loaded model, and prove
+    * search-after-append equals search-after-full-rebuild under that
+    * frozen model — then pin the appended search's exact pair aggregate.
+    * Deterministic end to end (hash-ordered trainer sample, stateless
+    * encode), so the values pin as literals; IvfPqPersistSpec carries the
+    * structural twin. */
+  private val qAnnIvfPqIncr = dfQ { s =>
+    import s.implicits._
+    val emb = s.table("embeddings")
+    val base = emb.where(col("vec_id") % 2 === 0)
+    val delta = emb.where(col("vec_id") % 2 === 1)
+    val panel = emb.where(col("vec_id") < 100)
+    val model = Ann.ivfPqTrain(base)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_incr")
+    try {
+      Ann.ivfPqWriteIndex(model, Ann.ivfPqEncode(model, base), dir.toString)
+      Ann.ivfPqAppendIndex(s, dir.toString, delta)
+      val (mA, cA) = Ann.ivfPqLoadIndex(s, dir.toString)
+      val appended = Ann.ivfPqSearch(mA, cA, panel, 10).select("q_id", "c_id")
+      val rebuilt = Ann.ivfPqSearch(model, Ann.ivfPqEncode(model, emb), panel, 10)
+        .select("q_id", "c_id")
+      val diff = appended.exceptAll(rebuilt).count() + rebuilt.exceptAll(appended).count()
+      val (n, sumC) = appended.agg(count(lit(1)).cast("long"),
+        sum(col("c_id")).cast("long")).as[(Long, Long)].head()
+      Seq((n, sumC, diff == 0L))
+        .toDF("n_pairs", "sum_c", "append_matches_rebuild")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+  private val oAnnIvfPqIncr =
+    """SELECT CAST(1000 AS BIGINT) AS n_pairs, CAST(252703 AS BIGINT) AS sum_c,
+      | true AS append_matches_rebuild""".stripMargin
+
   /** Distributed BPE tokenizer training (Sennrich et al. 2016): the first
     * 12 learned merges over the documents corpus. Exact integer pair
     * counts + deterministic (count desc, pair asc) tiebreak make the merge
@@ -3639,6 +3677,7 @@ object Queries {
     ("l_ann_ivfpq", qAnnIvfPq, Some(oAnnIvfPq)),
     ("l_ann_ivfpq_bench", qAnnIvfPqBench, Some(oAnnIvfPqBench)),
     ("l_ann_ivfpq_persist", qAnnIvfPqPersist, Some(oAnnIvfPqPersist)),
+    ("l_ann_ivfpq_incr", qAnnIvfPqIncr, Some(oAnnIvfPqIncr)),
     ("l_bpe_train", qBpeTrain, Some(oBpeTrain)),
     ("l_bpe_bytes", qBpeBytes, Some(oBpeBytes)),
     ("l_quality_classifier", qQualityClassifier, Some(oQualityClassifier)),

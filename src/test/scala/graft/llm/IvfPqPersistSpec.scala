@@ -68,6 +68,44 @@ class IvfPqPersistSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(disk === mem)
   }
 
+  test("frozen-model append: search equals a full rebuild under the same model") {
+    val s = spark; import s.implicits._
+    val base = emb.where(col("vec_id") % 2 === 0)
+    val delta = emb.where(col("vec_id") % 2 === 1)
+    val dir2 = java.nio.file.Files.createTempDirectory("ivfpq_append_spec")
+    try {
+      // build + persist on the BASE half only; the model freezes here
+      val model = Ann.ivfPqTrain(base)
+      Ann.ivfPqWriteIndex(model, Ann.ivfPqEncode(model, base), dir2.toString)
+      // daily-ingest twin: append the delta with the index's own model
+      Ann.ivfPqAppendIndex(spark, dir2.toString, delta)
+      val (mA, cA) = Ann.ivfPqLoadIndex(spark, dir2.toString)
+      // the rebuilt-from-scratch comparison uses the SAME frozen model
+      val full = Ann.ivfPqEncode(model, emb)
+      val panel = emb.where(col("vec_id") < 50)
+      val appended = Ann.ivfPqSearch(mA, cA, panel, 5)
+        .select("q_id", "c_id", "rank").collect().map(_.toSeq).toSet
+      val rebuilt = Ann.ivfPqSearch(model, full, panel, 5)
+        .select("q_id", "c_id", "rank").collect().map(_.toSeq).toSet
+      assert(appended === rebuilt,
+        "append-then-search must equal full-rebuild-then-search under a frozen model")
+      // the appended rows landed INSIDE the existing cell partition layout
+      // (pruning stays oblivious to append count)
+      val cells = cA.select("cell").distinct().as[Int].collect().toSet
+      val deltaCells = Ann.ivfPqEncode(model, delta)
+        .select("cell").distinct().as[Int].collect().toSet
+      assert(deltaCells.subsetOf(cells))
+      val plan = Ann.ivfPqSearch(mA, cA, emb.where(col("vec_id") < 10), 5)
+        .queryExecution.executedPlan.toString
+      assert(plan.linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("cell")),
+        "appended index must still prune by cell partition")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir2).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("probe-union filter prunes partitions on the loaded index") {
     val (m2, c2) = Ann.ivfPqLoadIndex(spark, idx.toString)
     val panel = emb.where(col("vec_id") < 10)
