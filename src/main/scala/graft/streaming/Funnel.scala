@@ -27,6 +27,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * event histories within one horizon (FunnelStreamSpec pins both the
  * parity and the post-expiry re-entry). Late events below the watermark
  * are dropped by the engine, same as every other stateful op here.
+ *
+ * DELIVERY-ORDER CONTRACT: [[funnelStream]] processes each trigger's
+ * events in event-time order but applies them to state IMMEDIATELY, so
+ * batch parity requires per-user event-time-ordered delivery ACROSS
+ * triggers, not just within one — a click delivered in trigger N is
+ * consumed (or discarded at stage 0) before a still-above-watermark
+ * earlier view arriving in trigger N+1 can start the funnel. When the
+ * transport reorders within the watermark slack — the normal streaming
+ * case the watermark exists for — use [[funnelStreamBuffered]], which
+ * holds events in state until the watermark passes them and replays
+ * them in event-time order: exact batch parity under ANY above-watermark
+ * arrival order, at the cost of one-watermark-delay emission and a
+ * per-user buffer bounded by (event rate x watermark slack) — the same
+ * bounded-history discipline as the streaming as-of join.
  */
 object Funnel {
 
@@ -84,6 +98,85 @@ object Funnel {
             val anchor = math.max(cur.stageTs, newest)
             state.setTimeoutTimestamp(anchor + horizonMs)
             out.result().iterator
+          }
+      }
+  }
+
+  case class BufferedState(stage: Int, stageTs: Long,
+                           pending: List[(Long, String)])
+
+  /** The funnel advance loop shared by the buffered paths: consume
+    * `ripe` (event-time-sorted) against the current (stage, stageTs). */
+  private def advanceStages(userId: Long, stage0: Int, stageTs0: Long,
+                            ripe: Seq[(Long, String)], stages: Seq[String],
+                            windowMs: Long): (Seq[FunnelOut], Int, Long) = {
+    var stage = stage0
+    var stageTs = stageTs0
+    val out = Seq.newBuilder[FunnelOut]
+    for ((t, tpe) <- ripe if stage < stages.length) {
+      if (tpe == stages(stage)) {
+        val qualifies =
+          if (stage == 0) true
+          else t > stageTs && t - stageTs <= windowMs
+        if (qualifies) {
+          stage += 1; stageTs = t
+          out += FunnelOut(userId, stage, new Timestamp(t))
+        }
+      }
+    }
+    (out.result(), stage, stageTs)
+  }
+
+  /**
+   * Watermark-exact funnel: events are BUFFERED in per-user state until
+   * the watermark passes them, then replayed in event-time order — so
+   * the emitted stage rows equal the batch funnel under ANY arrival
+   * order the watermark admits (the cross-trigger reordering
+   * [[funnelStream]]'s contract excludes). Emission lags one watermark
+   * delay; the buffer holds only events inside the watermark slack
+   * (bounded by rate x slack per user) and the horizon timeout finalizes
+   * and clears each user exactly as in [[funnelStream]] — at timeout
+   * every buffered event is below the watermark by construction
+   * (timeout ts > newest buffered ts + horizon), so the final replay is
+   * complete, not a truncation.
+   */
+  def funnelStreamBuffered(events: Dataset[FunnelEvent], stages: Seq[String],
+                           windowSeconds: Long,
+                           watermark: String = "1 hour"): Dataset[FunnelOut] = {
+    require(stages.nonEmpty, "funnelStreamBuffered: need at least one stage")
+    require(windowSeconds > 0, "funnelStreamBuffered: window must be positive")
+    import events.sparkSession.implicits._
+    val windowMs = windowSeconds * 1000L
+    val horizonMs = stages.length * windowMs * 2
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[BufferedState, FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[FunnelEvent], state: GroupState[BufferedState]) =>
+          if (state.hasTimedOut) {
+            // horizon passed: everything still buffered is below the
+            // watermark — replay it all, emit the final advances, clear
+            val st = state.getOption.getOrElse(BufferedState(0, Long.MinValue, Nil))
+            val (out, _, _) = advanceStages(userId, st.stage, st.stageTs,
+              st.pending.sortBy(identity), stages, windowMs)
+            state.remove()
+            out.iterator
+          } else {
+            val st = state.getOption.getOrElse(BufferedState(0, Long.MinValue, Nil))
+            val incoming = rows.map(e => (e.ts.getTime, e.event_type)).toList
+            val all = st.pending ++ incoming
+            val wm = state.getCurrentWatermarkMs()
+            // process what the watermark has sealed; hold the rest
+            val (ripe, hold) = all.partition(_._1 <= wm)
+            val (out, stage, stageTs) = advanceStages(userId, st.stage, st.stageTs,
+              ripe.sortBy(identity), stages, windowMs)
+            // a completed funnel needs no buffer — state shrinks to the pair
+            state.update(BufferedState(stage, stageTs,
+              if (stage == stages.length) Nil else hold))
+            val newest = all.iterator.map(_._1).foldLeft(stageTs)(math.max)
+            state.setTimeoutTimestamp(newest + horizonMs)
+            out.iterator
           }
       }
   }

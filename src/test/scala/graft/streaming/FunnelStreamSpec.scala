@@ -141,4 +141,88 @@ class FunnelStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     // batch SQL on the union agrees (first-view semantics)
     assert(batchFunnel(b1 ++ b2) === ((1L, 1L, 1L)))
   }
+
+  // ------------------------------------------- buffered (watermark-exact)
+
+  private def streamFunnelBuffered(
+      batches: Seq[Seq[Funnel.FunnelEvent]]): Seq[(Long, Int, Timestamp)] = {
+    val s = spark
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val input = MemoryStream[Funnel.FunnelEvent]
+    val name = s"funnelbuf_${System.nanoTime()}"
+    val q = Funnel.funnelStreamBuffered(input.toDS(), stages, window)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      for (b <- batches) { input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    s.table(name).as[(Long, Int, Timestamp)].collect().toSeq
+  }
+
+  /** A far-future other-user event that pushes the global watermark past
+    * every fixture user's horizon so their timeouts fire and finalize. */
+  private def flush(afterMin: Int) =
+    Seq(Funnel.FunnelEvent(ts(afterMin), 999L, "noise"))
+
+  test("buffered: cross-trigger out-of-order above watermark still counts (the case funnelStream's contract excludes)") {
+    // the ADVICE r13 scenario: the click arrives a trigger BEFORE the
+    // earlier-event-time view, both above the watermark
+    val b1 = Seq(Funnel.FunnelEvent(ts(10), 1, "click"))
+    val b2 = Seq(Funnel.FunnelEvent(ts(5), 1, "view"))
+    // horizon = 2*3*60min = 360min from newest (ts 10); watermark needs
+    // ts(10+360) + 60min slack to fire the finalize timeout
+    val got = streamFunnelBuffered(Seq(b1, b2, flush(10 + 360 + 61)))
+      .filter(_._1 == 1L)
+    assert(got.map(r => (r._2, r._3)).sortBy(_._1) === Seq((1, ts(5)), (2, ts(10))),
+      "buffered funnel must replay watermark-sealed events in event-time order")
+    // contrast: the unbuffered stream discards the early click at stage 0
+    val plain = streamFunnel(Seq(b1, b2)).filter(_._1 == 1L)
+    assert(plain.map(_._2) === Seq(1), "funnelStream's in-order contract undercounts here")
+  }
+
+  test("buffered: watermark-sealed events flush on the user's NEXT activity, not only at timeout") {
+    val b1 = Seq(Funnel.FunnelEvent(ts(10), 1, "click"))
+    val b2 = Seq(
+      Funnel.FunnelEvent(ts(5), 1, "view"),
+      Funnel.FunnelEvent(ts(15), 1, "purchase"))
+    val b3 = flush(15 + 61) // watermark past ts(15): user 1's buffer is ripe
+    val b4 = Seq(Funnel.FunnelEvent(ts(90), 1, "error")) // activity triggers replay
+    val got = streamFunnelBuffered(Seq(b1, b2, b3, b4)).filter(_._1 == 1L)
+    assert(got.map(r => (r._2, r._3)).sortBy(_._1) ===
+      Seq((1, ts(5)), (2, ts(10)), (3, ts(15))))
+  }
+
+  test("buffered randomized parity: ANY above-watermark delivery order equals the batch SQL") {
+    for (seed <- 1 to 25) {
+      val rnd = new scala.util.Random(1000 + seed)
+      val types = Seq("view", "click", "purchase", "error")
+      // event-time span < the 60 min watermark slack, so no delivery
+      // order can drop a row; delivery order is a full shuffle split
+      // across three triggers — the out-of-order-across-triggers case
+      val rows = (1 to (20 + rnd.nextInt(40))).map { _ =>
+        Funnel.FunnelEvent(ts(rnd.nextInt(55)), 1 + rnd.nextInt(6),
+          types(rnd.nextInt(types.length)))
+      }
+      val shuffled = rnd.shuffle(rows)
+      val (a, rest) = shuffled.splitAt(shuffled.length / 3)
+      val (b, c) = rest.splitAt(rest.length / 2)
+      val (bv, bc, bp) = batchFunnel(rows)
+      val got = streamFunnelBuffered(Seq(a, b, c, flush(55 + 360 + 61)))
+        .filter(_._1 != 999L)
+      assert((got.count(_._2 == 1).toLong, got.count(_._2 == 2).toLong,
+        got.count(_._2 == 3).toLong) === ((bv, bc, bp)), s"seed=$seed")
+    }
+  }
+
+  test("buffered: completed funnel drops its buffer and cannot re-enter") {
+    val b1 = Seq(
+      Funnel.FunnelEvent(ts(0), 7, "view"),
+      Funnel.FunnelEvent(ts(5), 7, "click"),
+      Funnel.FunnelEvent(ts(10), 7, "purchase"),
+      Funnel.FunnelEvent(ts(12), 7, "view"),  // post-completion
+      Funnel.FunnelEvent(ts(13), 7, "click"))
+    val got = streamFunnelBuffered(Seq(b1, flush(13 + 361 + 61))).filter(_._1 == 7L)
+    assert(got.map(r => (r._2, r._3)).sortBy(_._1) ===
+      Seq((1, ts(0)), (2, ts(5)), (3, ts(10))))
+  }
 }
