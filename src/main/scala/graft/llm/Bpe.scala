@@ -290,7 +290,7 @@ object Bpe {
       "[\t\n\f\r ]+(?![^\t\n\f\r ])|[\t\n\f\r ]+")
 
   /** Regex pre-tokenization of one text (the GPT-2 contract above). */
-  private[llm] def pretokenize(text: String): Seq[String] = {
+  private[graft] def pretokenize(text: String): Seq[String] = {
     if (text == null || text.isEmpty) return Seq.empty
     val m = Gpt2Pattern.matcher(text)
     val out = scala.collection.mutable.ArrayBuffer[String]()
@@ -321,7 +321,7 @@ object Bpe {
     ByteChar.zipWithIndex.map { case (c, b) => c -> b.toByte }.toMap
 
   /** A pre-token's UTF-8 bytes as initial merge symbols. */
-  private[llm] def byteSyms(tok: String): Array[String] =
+  private[graft] def byteSyms(tok: String): Array[String] =
     tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       .map(b => ByteChar(b & 0xff))
 

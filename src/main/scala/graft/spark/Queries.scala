@@ -3434,18 +3434,35 @@ object Queries {
     * user_id (the same key), so AQE reuses the partitioning and the
     * heavy events relation is scanned once per referenced stage with the
     * event_type filter pushed to the scan. */
+  // Single-scan, single-shuffle funnel (r14; was a 3-scan/3-shuffle CTE
+  // chain): gather each user's funnel-type events once, then the staged
+  // mins are order-free array folds over that row — v = min view ts,
+  // c = min qualifying click ts given v, p likewise given c. Catalyst
+  // higher-order functions (filter/transform/array_min), zero UDFs; the
+  // per-user array is bounded by events-per-user, the same bound every
+  // sessionizer here already relies on. The DuckDB oracle keeps the
+  // equivalent 3-CTE min-join formulation — both compute the identical
+  // stage counts, which is the point of the differential check.
   private val qEventsFunnel = sqlQ(
-    """WITH v AS (SELECT user_id, min(ts) AS t FROM events
-      |     WHERE event_type = 'view' GROUP BY user_id),
-      |c AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN v ON e.user_id = v.user_id
-      |     WHERE e.event_type = 'click' AND e.ts > v.t
-      |       AND CAST(e.ts AS DOUBLE) - CAST(v.t AS DOUBLE) <= 86400 GROUP BY e.user_id),
-      |p AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN c ON e.user_id = c.user_id
-      |     WHERE e.event_type = 'purchase' AND e.ts > c.t
-      |       AND CAST(e.ts AS DOUBLE) - CAST(c.t AS DOUBLE) <= 86400 GROUP BY e.user_id)
-      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
-      |       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click,
-      |       (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase""".stripMargin)
+    """WITH u AS (
+      |  SELECT user_id, collect_list(named_struct('ts', ts, 'tp', event_type)) AS evs
+      |  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+      |  GROUP BY user_id),
+      |s1 AS (SELECT evs,
+      |    array_min(transform(filter(evs, e -> e.tp = 'view'), e -> e.ts)) AS v
+      |  FROM u),
+      |s2 AS (SELECT evs, v,
+      |    array_min(transform(filter(evs, e -> e.tp = 'click' AND e.ts > v
+      |      AND CAST(e.ts AS DOUBLE) - CAST(v AS DOUBLE) <= 86400), e -> e.ts)) AS c
+      |  FROM s1),
+      |s3 AS (SELECT v, c,
+      |    array_min(transform(filter(evs, e -> e.tp = 'purchase' AND e.ts > c
+      |      AND CAST(e.ts AS DOUBLE) - CAST(c AS DOUBLE) <= 86400), e -> e.ts)) AS p
+      |  FROM s2)
+      |SELECT CAST(count(v) AS BIGINT) AS n_view,
+      |       CAST(count(c) AS BIGINT) AS n_click,
+      |       CAST(count(p) AS BIGINT) AS n_purchase
+      |FROM s3""".stripMargin)
   private val oEventsFunnel =
     """WITH v AS (SELECT user_id, min(ts) AS t FROM events
       |     WHERE event_type = 'view' GROUP BY user_id),

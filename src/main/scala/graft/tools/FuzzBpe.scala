@@ -53,6 +53,34 @@ object FuzzBpe {
       out.toSeq
     }
 
+    /** Reference merge loop over ARBITRARY initial symbol sequences (the
+      * byte-level arm: no EOW, symbols are the GPT-2 byte alphabet). */
+    def referenceMerges(vocab0: Map[Seq[String], Long],
+                        numMerges: Int): Seq[(Int, String, String, Long)] = {
+      var vocab = vocab0
+      val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+      for (rank <- 1 to numMerges) {
+        val pc = scala.collection.mutable.Map[(String, String), Long]()
+        for ((syms, c) <- vocab; i <- 0 until syms.length - 1)
+          pc((syms(i), syms(i + 1))) = pc.getOrElse((syms(i), syms(i + 1)), 0L) + c
+        if (pc.nonEmpty) {
+          val ((l, r), c) = pc.minBy { case ((a, b), n) => (-n, a, b) }
+          out += ((rank, l, r, c))
+          vocab = vocab.map { case (syms, n) =>
+            val m = scala.collection.mutable.ArrayBuffer[String]()
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+                m += (l + r); i += 2
+              } else { m += syms(i); i += 1 }
+            }
+            (m.toSeq, n)
+          }.groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).sum) }
+        }
+      }
+      out.toSeq
+    }
+
     var failures = 0
     for (seed <- 1 to nSeeds) {
       val rnd = new scala.util.Random(seed)
@@ -81,6 +109,33 @@ object FuzzBpe {
         println(s"  corpus: ${docs.mkString(" | ")}")
         println(s"  got:  $got")
         println(s"  want: $want")
+      }
+
+      // byte-level arm: harsher corpora (case, digits, punct, unicode,
+      // contractions, whitespace runs), same local/distributed alternation
+      val pieces = Array("ab", "Ab", "ba", "c", "1", "42", "!", ".", ",", " ",
+        "  ", "\t", "\n", "'s", "'ll", "é", "中", "🙂")
+      val bdocs = (1 to 2 + rnd.nextInt(5)).map { _ =>
+        (1 to 1 + rnd.nextInt(12)).map(_ => pieces(rnd.nextInt(pieces.length))).mkString
+      }
+      val bMerges = 1 + rnd.nextInt(6)
+      val bMin = 1L + rnd.nextInt(2)
+      val bGot = Bpe.trainBytes(bdocs.toDF("text"), "text", bMerges, bMin,
+          maxLocalVocab = maxLocal)
+        .orderBy("rank")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      val bVocab = bdocs.flatMap(Bpe.pretokenize)
+        .groupBy(identity).map { case (w, ws) => (w, ws.size.toLong) }
+        .filter(_._2 >= bMin)
+        .groupBy { case (w, _) => Bpe.byteSyms(w).toSeq }
+        .map { case (syms, ws) => (syms, ws.values.sum) }
+      val bWant = referenceMerges(bVocab, bMerges)
+      if (bGot != bWant) {
+        failures += 1
+        println(s"[fuzz-bpe] BYTE FAIL seed=$seed minCount=$bMin merges=$bMerges")
+        println(s"  corpus: ${bdocs.mkString(" | ")}")
+        println(s"  got:  $bGot")
+        println(s"  want: $bWant")
       }
       if (seed % 50 == 0) println(s"[fuzz-bpe] $seed/$nSeeds seeds, $failures failures")
     }

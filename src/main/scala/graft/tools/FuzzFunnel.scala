@@ -75,6 +75,36 @@ object FuzzFunnel {
         println(s"[fuzz-funnel] FAIL seed=$seed window=$window batches=${batches.map(_.size)}")
         println(s"  stream=($sv,$sc,$sp) batch=($bv,$bc,$bp)")
       }
+
+      // buffered arm: the SAME rows in a fully SHUFFLED delivery order
+      // (cross-trigger disorder — the case the unbuffered contract
+      // excludes); the 10 h watermark slack exceeds the 4 h event span so
+      // nothing drops, and a final far-future noise event fires every
+      // user's horizon timeout to finalize the buffers
+      val shuffled = rnd.shuffle(rows)
+      val cuts2 = (Seq(0, shuffled.length) ++
+        Seq.fill(nBatches - 1)(rnd.nextInt(shuffled.length + 1))).sorted
+      val batches2 = cuts2.sliding(2).map { case Seq(a, b) => shuffled.slice(a, b) }
+        .filter(_.nonEmpty).toSeq
+      val horizonMin = (stages.length * window * 2 / 60).toInt
+      val flush = Seq(Funnel.FunnelEvent(ts(240 + horizonMin + 601), 999L, "noise"))
+      val input2 = MemoryStream[Funnel.FunnelEvent]
+      val name2 = s"fz_funnelbuf_$seed"
+      val q2 = Funnel.funnelStreamBuffered(input2.toDS(), stages, window,
+          watermark = "10 hours")
+        .writeStream.format("memory").queryName(name2).outputMode("append").start()
+      try {
+        for (b <- batches2 :+ flush) { input2.addData(b: _*); q2.processAllAvailable() }
+      } finally q2.stop()
+      val got2 = spark.table(name2).where("user_id <> 999").groupBy("stage").count()
+        .as[(Int, Long)].collect().toMap
+      val (bv2, bc2, bp2) =
+        (got2.getOrElse(1, 0L), got2.getOrElse(2, 0L), got2.getOrElse(3, 0L))
+      if ((bv2, bc2, bp2) != ((bv, bc, bp))) {
+        failures += 1
+        println(s"[fuzz-funnel] BUFFERED FAIL seed=$seed window=$window batches=${batches2.map(_.size)}")
+        println(s"  stream=($bv2,$bc2,$bp2) batch=($bv,$bc,$bp)")
+      }
       if (seed % 10 == 0) println(s"[fuzz-funnel] $seed/$nSeeds seeds, $failures failures")
     }
     println(s"[fuzz-funnel] DONE: $nSeeds seeds, $failures failures")
