@@ -150,19 +150,48 @@ object Dedup {
     * Precondition: unique `id` per input row — output is bag-semantic (one
     * row per qualifying join match, no distinct), so a duplicated id emits
     * duplicate pair rows. Callers (Queries/Drive) count pair rows directly. */
-  private def bandedPairs(sigs0: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  private def bandedPairs(sigs0: DataFrame, numHashes: Int, bands: Int,
+                          maxBucket: Int = 0): DataFrame = {
     val sigs = sigs0
       .select(col("id"), lshBandBuckets(col("sig"), numHashes, bands).as("bks"))
       .select(col("id"), col("bks"), posexplode(col("bks")).as(Seq("band", "bucket")))
-    // shuffle-hash (not broadcast) self-join: both sides shuffle on the
-    // same (band, bucket) key from the same lineage, so ReuseExchange
-    // computes the signature stage ONCE and reads it twice — at any scale
     val firstMatch =
       array_position(zip_with(col("a.bks"), col("b.bks"), (x, y) => x === y), lit(true))
-    sigs.as("a").hint("shuffle_hash").join(sigs.as("b").hint("shuffle_hash"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id") && firstMatch === col("a.band") + 1)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    if (maxBucket <= 0) {
+      // shuffle-hash (not broadcast) self-join: both sides shuffle on the
+      // same (band, bucket) key from the same lineage, so ReuseExchange
+      // computes the signature stage ONCE and reads it twice — at any scale
+      sigs.as("a").hint("shuffle_hash").join(sigs.as("b").hint("shuffle_hash"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.id") < col("b.id") && firstMatch === col("a.band") + 1)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    } else {
+      // HOT-BUCKET GOVERNANCE (opt-in; see [[minhashCandidatePairs]]):
+      // the Multimodal.saltSelfJoin discipline — build side one salt
+      // replica per row, probe side replicated to all salts, so every
+      // within-bucket pair still meets exactly once while a degenerate
+      // bucket's quadratic work spreads over ceil(n/maxBucket) tasks.
+      // The asymmetric sides forfeit the ReuseExchange of the signature
+      // stage (it computes once per side), which is why this is not the
+      // default: enable it for corpora with signature pileups (empty
+      // docs, templated boilerplate).
+      val splits = sigs.groupBy(col("band"), col("bucket"))
+        .agg(ceil(count(lit(1)) / lit(maxBucket.toDouble)).cast("long").as("__nsplit"))
+        .where(col("__nsplit") > 1)
+      val build = sigs.join(broadcast(splits), Seq("band", "bucket"), "left")
+        .withColumn("__salt", when(col("__nsplit").isNull, lit(0L))
+          .otherwise(pmod(xxhash64(col("id")), col("__nsplit"))))
+        .drop("__nsplit")
+      val probe = sigs.join(broadcast(splits), Seq("band", "bucket"), "left")
+        .withColumn("__salt",
+          explode(sequence(lit(0L), coalesce(col("__nsplit"), lit(1L)) - 1)))
+        .drop("__nsplit")
+      build.as("a").hint("shuffle_hash").join(probe.as("b").hint("shuffle_hash"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.__salt") === col("b.__salt") &&
+            col("a.id") < col("b.id") && firstMatch === col("a.band") + 1)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    }
   }
 
   /**
@@ -171,11 +200,20 @@ object Dedup {
    * Identical word sets collide in every band (guaranteed); with 64
    * hashes / 8 bands (r=8), jaccard 0.9 pairs collide w.p. ~0.99 while
    * jaccard 0.5 pairs stay under ~3%.
+   *
+   * `maxBucket > 0` enables candidate-preserving hot-bucket salting (the
+   * [[graft.llm.Multimodal]] discipline): a degenerate signature class —
+   * empty docs, templated boilerplate all hashing identically — makes
+   * its (band, bucket) self-join quadratic in ONE task; salting spreads
+   * it over ceil(n/maxBucket) tasks with the pair set unchanged
+   * (spec-pinned). Off by default because the symmetric unsalted plan
+   * reuses the signature exchange (one signature pass, not two).
    */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-                            numHashes: Int = 64, bands: Int = 8): DataFrame = {
+                            numHashes: Int = 64, bands: Int = 8,
+                            maxBucket: Int = 0): DataFrame = {
     bandedPairs(df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), numHashes).as("sig")), numHashes, bands)
+      minhashSignature(col(textCol), numHashes).as("sig")), numHashes, bands, maxBucket)
   }
 
   /** LSH candidate pairs VERIFIED by exact word-set Jaccard — the
@@ -656,7 +694,13 @@ object Dedup {
     * blocks is emitted only from the FIRST equal block — the first-
     * collision reporting trick again, derived from the two simhash values
     * already carried, so no distinct over the pair set. */
-  def simhashCandidatePairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** `maxBucket > 0` enables the same opt-in candidate-preserving
+    * hot-bucket salting as [[minhashCandidatePairs]] (a degenerate
+    * simhash class — e.g. empty docs hashing to 0 — otherwise goes
+    * quadratic in one task); off by default to keep the ReuseExchange
+    * of the simhash stage. */
+  def simhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                            maxBucket: Int = 0): DataFrame = {
     val sh = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
     val blocks = sh.select(col("id"), col("sh"),
         explode(array((0 until 4).map(b =>
@@ -667,12 +711,32 @@ object Dedup {
       shiftright(col("a.sh"), b * 16).bitwiseAND(lit(0xffffL)) ===
         shiftright(col("b.sh"), b * 16).bitwiseAND(lit(0xffffL))
     val firstBlk = when(blockEq(0), 0).when(blockEq(1), 1).when(blockEq(2), 2).otherwise(3)
-    // same ReuseExchange shape as the minhash self-join: simhash runs once
-    blocks.as("a").hint("shuffle_hash").join(blocks.as("b").hint("shuffle_hash"),
-        col("a.blk") === col("b.blk") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id") && col("a.blk") === firstBlk)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+    if (maxBucket <= 0) {
+      // same ReuseExchange shape as the minhash self-join: simhash runs once
+      blocks.as("a").hint("shuffle_hash").join(blocks.as("b").hint("shuffle_hash"),
+          col("a.blk") === col("b.blk") && col("a.bucket") === col("b.bucket") &&
+            col("a.id") < col("b.id") && col("a.blk") === firstBlk)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+    } else {
+      val splits = blocks.groupBy(col("blk"), col("bucket"))
+        .agg(ceil(count(lit(1)) / lit(maxBucket.toDouble)).cast("long").as("__nsplit"))
+        .where(col("__nsplit") > 1)
+      val build = blocks.join(broadcast(splits), Seq("blk", "bucket"), "left")
+        .withColumn("__salt", when(col("__nsplit").isNull, lit(0L))
+          .otherwise(pmod(xxhash64(col("id")), col("__nsplit"))))
+        .drop("__nsplit")
+      val probe = blocks.join(broadcast(splits), Seq("blk", "bucket"), "left")
+        .withColumn("__salt",
+          explode(sequence(lit(0L), coalesce(col("__nsplit"), lit(1L)) - 1)))
+        .drop("__nsplit")
+      build.as("a").hint("shuffle_hash").join(probe.as("b").hint("shuffle_hash"),
+          col("a.blk") === col("b.blk") && col("a.bucket") === col("b.bucket") &&
+            col("a.__salt") === col("b.__salt") &&
+            col("a.id") < col("b.id") && col("a.blk") === firstBlk)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+    }
   }
 
   /** Hamming distance between two 64-bit simhashes (built-in bit_count). */

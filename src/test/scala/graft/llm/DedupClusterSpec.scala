@@ -109,4 +109,27 @@ class DedupClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Dedup.connectedComponents(noPairs).count() === 0)
     assert(Dedup.dedupByPairs(docs, "doc_id", noPairs).count() === 2)
   }
+
+  test("text-side hot-bucket salting is candidate-preserving (minhash + simhash)") {
+    val s = spark; import s.implicits._
+    // a boilerplate pileup (many identical docs -> one signature class per
+    // band) plus a varied tail; salted and unsalted pair sets must agree
+    val docs = ((1 to 120).map(i => (i.toLong, "the same boilerplate text block")) ++
+      (121 to 200).map(i => (i.toLong, s"unique doc $i with words ${i % 7} ${i % 11}")))
+      .toDF("doc_id", "text")
+    val mUnsalted = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val mSalted = Dedup.minhashCandidatePairs(docs, "doc_id", "text", maxBucket = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(mUnsalted.nonEmpty && mSalted === mUnsalted,
+      "salted minhash banding must emit the identical pair set")
+    // the pileup class is a full clique, each pair exactly once
+    assert(mSalted.count { case (a, b) => a <= 120 && b <= 120 } === 120 * 119 / 2)
+    val sUnsalted = Dedup.simhashCandidatePairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sSalted = Dedup.simhashCandidatePairs(docs, "doc_id", "text", maxBucket = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sUnsalted.nonEmpty && sSalted === sUnsalted,
+      "salted simhash blocking must emit the identical pair set")
+  }
 }
