@@ -1,12 +1,17 @@
 #!/usr/bin/env python3
 """Local replay of the driver's DuckDB-oracle correctness check.
 
-Usage: oracle_check.py <verify_out_dir> <sf_dir>
+Usage: oracle_check.py <verify_out_dir> <sf_dir> [<json_out>]
 
 Reads <verify_out_dir>/oracle_sql.json + the per-query parquet dumps
 written by graft.Verify, runs each oracle SQL in DuckDB with the sf
 parquet tables registered as views, and compares (rows sorted by all
 columns, column names sorted, values stringified with repr).
+
+With <json_out>, also writes a driver-format correctness JSON
+({name: {rows_match, schema_match, hash_match, err}}) so
+tools/round_report.py can generate closing tables from the LOCAL gate
+when the driver's round file is not yet written.
 """
 import json
 import math
@@ -40,6 +45,11 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    results = {}
+
+    def rec(name, rows, schema, hsh, err=None):
+        results[name] = {"rows_match": rows, "schema_match": schema,
+                         "hash_match": hsh, "err": err}
     for name, sql in sorted(oracle.items()):
         try:
             res = con.execute(sql)
@@ -47,6 +57,7 @@ def main():
             orows = res.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
+            rec(name, False, False, False, str(e))
             n_fail += 1
             continue
         try:
@@ -55,6 +66,7 @@ def main():
             srows = res2.fetchall()
         except Exception as e:
             print(f"FAIL {name}: spark result unreadable: {e}")
+            rec(name, False, False, False, str(e))
             n_fail += 1
             continue
         # Type guard: the driver's hash is sensitive to the PANDAS dtype the
@@ -94,12 +106,14 @@ def main():
                 type_errs.append(f"col {c}: spark={st} oracle={ot}")
         if type_errs:
             print(f"FAIL {name}: type mismatch: {'; '.join(type_errs)}")
+            rec(name, False, False, False, "; ".join(type_errs))
             n_fail += 1
             continue
         oc, orn = norm_rows(ocols, orows)
         sc, srn = norm_rows(scols, srows)
         if oc != sc:
             print(f"FAIL {name}: schema mismatch spark={sc} oracle={oc}")
+            rec(name, len(srn) == len(orn), False, False)
             n_fail += 1
         elif orn != srn:
             diffs = [(a, b) for a, b in zip(srn, orn) if a != b][:3]
@@ -110,11 +124,17 @@ def main():
                 print(f"   spark={a}\n  oracle={b}")
             if len(srn) != len(orn):
                 print(f"   only-spark={extra_s}\n  only-oracle={extra_o}")
+            rec(name, len(srn) == len(orn), True, False)
             n_fail += 1
         else:
             print(f"PASS {name} ({len(srn)} rows)")
+            rec(name, True, True, True)
             n_pass += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
+    if len(sys.argv) > 3:
+        with open(sys.argv[3], "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {sys.argv[3]}")
     sys.exit(1 if n_fail else 0)
 
 
