@@ -2199,7 +2199,8 @@ object Queries {
     Bpe.trainBytes(s.table("documents"), "text", numMerges = 12, minCount = 2)
       .orderBy("rank")
   }
-  private def bpeBytesReplaySql(k: Int, minCount: Long): String = {
+  private def bpeBytesReplaySql(k: Int, minCount: Long,
+                                encodeTotals: Boolean = false): String = {
     val byteCase =
       """CASE WHEN code BETWEEN 33 AND 126 THEN chr(code)
         |     WHEN code BETWEEN 161 AND 172 THEN chr(code)
@@ -2244,12 +2245,39 @@ object Queries {
          |  FROM v$p
          |)""".stripMargin
     }
-    val sel = (1 to k)
-      .map(i => s"""SELECT rank, a AS "left", b AS "right", c AS pair_count FROM b$i""")
-      .mkString(" UNION ALL ")
-    (head +: rounds).mkString(",\n") + "\n" + sel + " ORDER BY rank"
+    val sel =
+      if (encodeTotals)
+        // v_k is the corpus with the k merges applied in rank order —
+        // equivalent to the greedy lowest-rank-first encode, because a
+        // merge can only CREATE pairs of strictly higher rank (its merged
+        // symbol postdates them at train time), so in-order application
+        // never misses a lower-rank merge. Totals over v_k therefore
+        // equal Bpe.encodeBytes's output exactly.
+        s"""SELECT CAST(sum(cnt * len(str_split(trim(s), '  '))) AS BIGINT) AS total_tokens,
+           |  (SELECT CAST(count(DISTINCT sym) AS BIGINT) FROM
+           |     (SELECT unnest(str_split(trim(s), '  ')) AS sym FROM v$k) z) AS vocab_size
+           |FROM v$k""".stripMargin
+      else (1 to k)
+        .map(i => s"""SELECT rank, a AS "left", b AS "right", c AS pair_count FROM b$i""")
+        .mkString(" UNION ALL ") + " ORDER BY rank"
+    (head +: rounds).mkString(",\n") + "\n" + sel
   }
   private val oBpeBytes = bpeBytesReplaySql(12, 2)
+
+  /** Byte-level ENCODE totals, fully replayed: train with minCount=1 (so
+    * the replay vocabulary covers every pre-token), then the corpus
+    * token total and distinct-subword vocab come from the replay's final
+    * merged state — see the equivalence note in [[bpeBytesReplaySql]]. */
+  private val qBpeBytesEncode = dfQ { s =>
+    val docs = s.table("documents")
+    val merges = Bpe.trainBytes(docs, "text", numMerges = 12, minCount = 1)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    Bpe.encodeBytes(docs, "text", merges)
+      .select(explode(col("bpe_tokens")).as("tok"))
+      .agg(count(lit(1)).cast("long").as("total_tokens"),
+        countDistinct(col("tok")).cast("long").as("vocab_size"))
+  }
+  private val oBpeBytesEncode = bpeBytesReplaySql(12, 1, encodeTotals = true)
 
   /** WebText-style linear quality/domain gate: hashed bag-of-words
     * logistic regression trained distributed (quantized-integer gradient
@@ -3741,6 +3769,7 @@ object Queries {
     ("l_ann_ivfpq_incr", qAnnIvfPqIncr, Some(oAnnIvfPqIncr)),
     ("l_bpe_train", qBpeTrain, Some(oBpeTrain)),
     ("l_bpe_bytes", qBpeBytes, Some(oBpeBytes)),
+    ("l_bpe_bytes_encode", qBpeBytesEncode, Some(oBpeBytesEncode)),
     ("l_quality_classifier", qQualityClassifier, Some(oQualityClassifier)),
     ("l_bpe_encode", qBpeEncode, Some(oBpeEncode)),
     ("l_frame_sample", qFrameSample, Some(oFrameSample)),
