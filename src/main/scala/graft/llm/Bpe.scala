@@ -374,6 +374,17 @@ object Bpe {
   }
 
   /**
+   * The tokenizer ARTIFACT a trainer ships (GPT-2's vocab.json layout):
+   * ids 0..255 are the printable byte alphabet in byte order, id 255+rank
+   * is merge `rank`'s concatenated token. Pure derivation from the merge
+   * table — deterministic, engine-replayable (the l_bpe_vocab oracle
+   * rebuilds it in SQL from the same corpus).
+   */
+  def vocabBytes(merges: Seq[(String, String)]): Seq[(Int, String)] =
+    ByteChar.zipWithIndex.map { case (c, b) => (b, c) }.toSeq ++
+      merges.zipWithIndex.map { case ((l, r), i) => (256 + i, l + r) }
+
+  /**
    * Byte-level tokenize with learned merges: `outCol` holds the token
    * array over the printable byte alphabet. Lossless — concatenating the
    * tokens and reversing [[ByteChar]] yields the exact original UTF-8

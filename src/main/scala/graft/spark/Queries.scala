@@ -2279,6 +2279,35 @@ object Queries {
   }
   private val oBpeBytesEncode = bpeBytesReplaySql(12, 1, encodeTotals = true)
 
+  /** The shipped tokenizer artifact: 256-byte alphabet + one row per
+    * learned merge, ids in GPT-2's vocab layout. DuckDB rebuilds the
+    * whole table — alphabet from the byte-map CASE over range(0,256),
+    * merge tokens from the replay's per-round argmax rows. */
+  private val qBpeVocab = dfQ { s =>
+    import s.implicits._
+    val merges = Bpe.trainBytes(s.table("documents"), "text", numMerges = 12, minCount = 2)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    Bpe.vocabBytes(merges).toDF("id", "token")
+      .select(col("id").cast("long").as("id"), col("token")).orderBy("id")
+  }
+  private val oBpeVocab = {
+    val byteCase =
+      """CASE WHEN i BETWEEN 33 AND 126 THEN chr(CAST(i AS INT))
+        |     WHEN i BETWEEN 161 AND 172 THEN chr(CAST(i AS INT))
+        |     WHEN i BETWEEN 174 AND 255 THEN chr(CAST(i AS INT))
+        |     WHEN i < 33 THEN chr(CAST(256 + i AS INT))
+        |     WHEN i BETWEEN 127 AND 160 THEN chr(CAST(289 + i - 127 AS INT))
+        |     ELSE chr(323) END""".stripMargin
+    val replay = bpeBytesReplaySql(12, 2)
+    // reuse the replay as a subquery for the merge tokens; the alphabet
+    // is the byte-map CASE over range(0,256)
+    s"""WITH mt AS ($replay)
+       |SELECT CAST(i AS BIGINT) AS id, $byteCase AS token FROM range(0, 256) t(i)
+       |UNION ALL
+       |SELECT CAST(255 + rank AS BIGINT) AS id, "left" || "right" AS token FROM mt
+       |ORDER BY id""".stripMargin
+  }
+
   /** WebText-style linear quality/domain gate: hashed bag-of-words
     * logistic regression trained distributed (quantized-integer gradient
     * treeAggregate — partitioning-independent, so the learned weights and
@@ -3776,6 +3805,7 @@ object Queries {
     ("l_bpe_train", qBpeTrain, Some(oBpeTrain)),
     ("l_bpe_bytes", qBpeBytes, Some(oBpeBytes)),
     ("l_bpe_bytes_encode", qBpeBytesEncode, Some(oBpeBytesEncode)),
+    ("l_bpe_vocab", qBpeVocab, Some(oBpeVocab)),
     ("l_quality_classifier", qQualityClassifier, Some(oQualityClassifier)),
     ("l_bpe_encode", qBpeEncode, Some(oBpeEncode)),
     ("l_frame_sample", qFrameSample, Some(oFrameSample)),

@@ -300,6 +300,15 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("vocabBytes lays out the GPT-2 artifact: byte alphabet then merges by rank") {
+    val merges = Seq(("t", "h"), ("th", "e"))
+    val v = Bpe.vocabBytes(merges)
+    assert(v.length === 258)
+    assert(v.take(256).map(_._1) === (0 until 256))
+    assert(v(256) === ((256, "th")) && v(257) === ((257, "the")))
+    assert(v.map(_._2).distinct.length === 258, "vocab entries must be unique")
+  }
+
   test("encodeBytes is lossless and greedy by rank; unicode round-trips") {
     val s = spark; import s.implicits._
     val texts = Seq("the cat sat", "Thé CÅT 中文 🙂 sat\n\ttwice", "don't... stop!")
