@@ -53,10 +53,18 @@ object Sampling {
 
   /** Deterministic train/val/test split as a `split` column (permille
     * shares). A doc's assignment depends only on its key, so growing the
-    * corpus never moves an existing doc between splits. */
+    * corpus never moves an existing doc between splits.
+    *
+    * Salted like [[weightedSample]] (`md5(key || "__split")`): unsalted,
+    * the test/val buckets were exactly [[sampleByHash]]'s lowest keep
+    * buckets, so a hash-sampled corpus over-represented test/val among
+    * kept rows (e.g. a 1-in-10 sample doubled the test share). Each
+    * selection primitive draws independently; [[hashBucket]] itself stays
+    * raw as the documented building block. Replay in SQL with
+    * `md5(CAST(key AS VARCHAR) || '__split')`. */
   def assignSplit(df: DataFrame, keyCol: String,
                   valPermille: Int = 5, testPermille: Int = 5): DataFrame = {
-    val b = hashBucket(col(keyCol), 1000)
+    val b = hashBucket(concat(col(keyCol).cast("string"), lit("__split")), 1000)
     df.withColumn("split",
       when(b < testPermille, "test")
         .when(b < testPermille + valPermille, "val")

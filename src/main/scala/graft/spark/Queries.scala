@@ -1520,8 +1520,8 @@ object Queries {
        |  SELECT doc_id, text FROM kept
        |  WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM contam)),
        |lab AS (SELECT doc_id, text,
-       |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 1000 < 150 THEN 'test'
-       |         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 1000 < 300 THEN 'val'
+       |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '__split'), 1, 7))::BIGINT % 1000 < 150 THEN 'test'
+       |         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '__split'), 1, 7))::BIGINT % 1000 < 300 THEN 'val'
        |         ELSE 'train' END AS split
        |  FROM clean),
        |pos AS (SELECT doc_id, split, text,
@@ -1556,12 +1556,13 @@ object Queries {
     split.crossJoin(sampled).orderBy("split")
   }
   private val oSample =
-    """WITH b AS (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT AS h
+    """WITH b AS (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT AS h,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '__split'), 1, 7))::BIGINT AS hs
       |  FROM documents)
       |SELECT split, CAST(count(*) AS BIGINT) AS n,
       |  (SELECT CAST(count(*) AS BIGINT) FROM b WHERE h % 10 < 1) AS n_sampled
-      |FROM (SELECT CASE WHEN h % 1000 < 50 THEN 'test'
-      |                  WHEN h % 1000 < 100 THEN 'val'
+      |FROM (SELECT CASE WHEN hs % 1000 < 50 THEN 'test'
+      |                  WHEN hs % 1000 < 100 THEN 'val'
       |                  ELSE 'train' END AS split FROM b)
       |GROUP BY split ORDER BY split""".stripMargin
 
