@@ -29,6 +29,49 @@ object Queries {
 
   @volatile private var preppedFor: (SparkSession, String) = null
 
+  /** Catalog name for a bucketed copy of `name` under `dir` — unique per
+    * directory so multiple scale dirs coexist in one session's catalog. */
+  def bucketTableName(name: String, dir: String): String = {
+    val tail = dir.split('/').filter(_.nonEmpty).lastOption.getOrElse("d")
+      .replaceAll("[^A-Za-z0-9]", "_")
+    s"graft_bk_${name}_${tail}_${(dir.hashCode & 0x7fffffff).toHexString}"
+  }
+
+  /** `{"key":…,"buckets":…}` marker written by tools/ScaleUp next to a
+    * bucketed dataset, so a session that did not write the files can still
+    * register the co-located layout (the files carry Spark bucket-id names;
+    * only the catalog entry is session-scoped). */
+  private def bucketMarker(dir: String, t: String): Option[(String, Int)] = {
+    val f = new java.io.File(s"$dir/$t.parquet/_graft_buckets.json")
+    if (!f.exists) None
+    else try {
+      val src = scala.io.Source.fromFile(f)
+      val txt = try src.mkString finally src.close()
+      for {
+        k <- "\"key\":\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
+        n <- "\"buckets\":(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+      } yield (k, n)
+    } catch { case _: Throwable => None }
+  }
+
+  /** SQL-referencable relation for table `t` of `dir`: the bucketed
+    * catalog table when the dir carries ScaleUp's layout marker (VERDICT
+    * r14 item 1 — joins/windows on the bucket key then consume the layout
+    * with zero feeding exchanges), else the raw parquet path. */
+  private def tableSource(s: SparkSession, dir: String, t: String): String =
+    bucketMarker(dir, t) match {
+      case Some((key, n)) =>
+        val tbl = bucketTableName(t, dir)
+        if (!s.catalog.tableExists(tbl)) {
+          val path = s"$dir/$t.parquet"
+          val schema = s.read.parquet(path).schema.toDDL
+          s.sql(s"CREATE TABLE $tbl ($schema) USING parquet " +
+            s"CLUSTERED BY ($key) SORTED BY ($key) INTO $n BUCKETS LOCATION '$path'")
+        }
+        tbl
+      case None => s"parquet.`$dir/$t.parquet`"
+    }
+
   def prep(s: SparkSession, dir: String): Unit = synchronized {
     if (preppedFor == (s, dir)) return
     S2Functions.register(s)
@@ -41,7 +84,8 @@ object Queries {
     // (read as TIMESTAMP_NTZ). Normalize both to a session-TZ TIMESTAMP at
     // micros (sessions run UTC, so the wall-clock value is identical).
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tables.foreach(t => s.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t))
+    tables.foreach(t =>
+      s.sql(s"CREATE OR REPLACE TEMP VIEW $t AS SELECT * FROM ${tableSource(s, dir, t)}"))
     val rawEvents = s.read.parquet(s"$dir/events.parquet")
     val tsExpr = rawEvents.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => "timestamp_micros(ts DIV 1000)"
@@ -50,7 +94,7 @@ object Queries {
     s.sql(s"""CREATE OR REPLACE TEMP VIEW events AS
       SELECT event_id, $tsExpr AS ts,
              user_id, event_type, value, props
-      FROM (SELECT * FROM parquet.`$dir/events.parquet`)""")
+      FROM ${tableSource(s, dir, "events")}""")
     // synthesized point table: deterministic lon/lat from customer keys
     s.sql("""CREATE OR REPLACE TEMP VIEW pts AS
       SELECT c_custkey AS id,
@@ -3380,13 +3424,25 @@ object Queries {
       |FROM lrev r JOIN bo ON r.l_orderkey = bo.o_orderkey
       |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
   // q3's shape choice needs the physical orders file size; the listing +
-  // footer pass is driver-side and identical per (session, dir), so cache
-  // it — re-deriving it per bench rep was ~10% of the whole sf0.1 row
+  // footer pass is driver-side and identical per dataset, so cache it —
+  // re-deriving it per bench rep was ~10% of the whole sf0.1 row. Keyed
+  // by (dir, total file length, latest mtime) — NOT by SparkSession
+  // (ADVICE r14: a session key pins session references for the JVM
+  // lifetime and returns stale sizes when the same path is regenerated
+  // in-session, flipping q3 to the wrong plan shape).
   private val ordersBytesCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), BigInt]
+    scala.collection.concurrent.TrieMap.empty[(String, Long, Long), BigInt]
+  private def dirFingerprint(path: String): (Long, Long) = {
+    val files = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(_.isFile)
+    if (files.isEmpty) {
+      val f = new java.io.File(path); (f.length, f.lastModified)
+    } else (files.map(_.length).sum, files.map(_.lastModified).max)
+  }
   private val qTpchQ3: Q = (s, dir) => {
     prep(s, dir)
-    val ordersBytes = ordersBytesCache.getOrElseUpdate((s, dir),
+    val (len, mtime) = dirFingerprint(s"$dir/orders.parquet")
+    val ordersBytes = ordersBytesCache.getOrElseUpdate((dir, len, mtime),
       s.read.parquet(s"$dir/orders.parquet").queryExecution.optimizedPlan.stats.sizeInBytes)
     // threshold <= 0 means broadcasts are disabled — the filter-first
     // shape's key-set broadcast can't happen, so always pre-agg first
@@ -3541,16 +3597,35 @@ object Queries {
     * user_id (the same key), so AQE reuses the partitioning and the
     * heavy events relation is scanned once per referenced stage with the
     * event_type filter pushed to the scan. */
-  // Single-scan, single-shuffle funnel (r14; was a 3-scan/3-shuffle CTE
-  // chain): gather each user's funnel-type events once, then the staged
-  // mins are order-free array folds over that row — v = min view ts,
-  // c = min qualifying click ts given v, p likewise given c. Catalyst
-  // higher-order functions (filter/transform/array_min), zero UDFs; the
-  // per-user array is bounded by events-per-user, the same bound every
-  // sessionizer here already relies on. The DuckDB oracle keeps the
-  // equivalent 3-CTE min-join formulation — both compute the identical
-  // stage counts, which is the point of the differential check.
+  // Staged min-aggregate joins (r15 — reverted from the r14 single-scan
+  // collect_list fold, which materialized every user's event history in
+  // one aggregation buffer: unbounded per-key memory, whole-events-table
+  // shuffle, and 3-18x the oracle at sf3+ under memory pressure in the
+  // r14 record; the fold survives as b_events_funnel_fold below). Here
+  // every stage keeps MAP-SIDE PARTIAL AGGREGATION: stage 1 is a plain
+  // per-user min over the pushed-down 'view' scan; stages 2/3 shuffle
+  // only the click/purchase rows (not all events) and join them to the
+  // previous stage's per-user row, already hash-partitioned on user_id,
+  // so AQE reuses the partitioning. No per-user array ever exists.
   private val qEventsFunnel = sqlQ(
+    """WITH v AS (SELECT user_id, min(ts) AS t FROM events
+      |     WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN v ON e.user_id = v.user_id
+      |     WHERE e.event_type = 'click' AND e.ts > v.t
+      |       AND CAST(e.ts AS DOUBLE) - CAST(v.t AS DOUBLE) <= 86400 GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN c ON e.user_id = c.user_id
+      |     WHERE e.event_type = 'purchase' AND e.ts > c.t
+      |       AND CAST(e.ts AS DOUBLE) - CAST(c.t AS DOUBLE) <= 86400 GROUP BY e.user_id)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase""".stripMargin)
+
+  // The r14 single-scan array-fold funnel, kept as an OPT-IN variant for
+  // low-events-per-user data (one scan, one shuffle — but the per-user
+  // collect_list buffer is unbounded in the hot-user dimension, which is
+  // why it is not the default; VERDICT r14 item 1). Oracle-checked
+  // against the same staged-min replay as the default entry.
+  private val qEventsFunnelFold = sqlQ(
     """WITH u AS (
       |  SELECT user_id, collect_list(named_struct('ts', ts, 'tp', event_type)) AS evs
       |  FROM events WHERE event_type IN ('view', 'click', 'purchase')
@@ -3821,6 +3896,7 @@ object Queries {
     ("b_events_hourly", qEventsHourly, Some(oEventsHourly)),
     ("b_events_json", qEventsJson, Some(oEventsJson)),
     ("b_events_funnel", qEventsFunnel, Some(oEventsFunnel)),
+    ("b_events_funnel_fold", qEventsFunnelFold, Some(oEventsFunnel)),
     ("b_events_sessions", qEventsSessions, Some(oEventsSessions)),
     ("b_events_asof", qEventsAsof, Some(oEventsAsof)),
     ("b_interval_join", qIntervalJoin, Some(oIntervalJoin)))

@@ -57,6 +57,39 @@ object ScaleUp {
       println(s"[scaleup] $name done")
     }
 
+    /** CO-LOCATED LAYOUT (VERDICT r14 item 1): write the join-heavy tables
+      * bucketed on their join key, so every orderkey-grain join (q4's
+      * semi-join, q12's fact join, q3's per-order pre-agg) and every
+      * user_id-grain window/aggregate (sessions, funnel, asof) consumes
+      * the storage layout directly — zero join/window-feeding exchanges,
+      * the same recipe the reference documents for partition-by-cell
+      * (docs/function-reference.md:750-768) applied to relational keys.
+      * tools/Q4Q12Bucketed measured the effect at sf10: q4 1.87->1.26 s,
+      * q12 3.38->2.40 s, join exchanges -> 0. At 100 TB this is not an
+      * optimization but the design: co-locating fact tables on the join
+      * key at write time is what makes the join cost linear-per-node.
+      *
+      * Mechanics: repartition(n, key) aligns write tasks with bucket ids
+      * (same murmur3 pmod both sides), so each bucket is EXACTLY ONE
+      * sorted file and the read side elides both exchange and sort. The
+      * files are plain parquet (DuckDB's oracle globs them unchanged);
+      * the bucket spec additionally lands in the session catalog and in a
+      * `_graft_buckets.json` marker that lets a LATER session re-register
+      * the layout without rewriting (Queries.prep reads it). */
+    def writeBucketed(name: String, df: DataFrame, key: String, n: Int = 32): Unit = {
+      val path = s"$dst/$name.parquet"
+      val tbl = graft.spark.Queries.bucketTableName(name, dst)
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      df.repartition(n, col(key))
+        .write.mode("overwrite")
+        .bucketBy(n, key).sortBy(key)
+        .option("path", path)
+        .saveAsTable(tbl)
+      val marker = new java.io.PrintWriter(s"$path/_graft_buckets.json")
+      try marker.print(s"""{"key":"$key","buckets":$n}""") finally marker.close()
+      println(s"[scaleup] $name done (bucketed on $key x $n)")
+    }
+
     val customer = spark.read.parquet(s"$src/customer.parquet")
     val orders = spark.read.parquet(s"$src/orders.parquet")
     val lineitem = spark.read.parquet(s"$src/lineitem.parquet")
@@ -72,9 +105,10 @@ object ScaleUp {
     val suppMax = keyMax(supplier, "s_suppkey")
 
     write("customer", replicate(customer, Map("c_custkey" -> custMax)))
-    write("orders", replicate(orders, Map("o_orderkey" -> orderMax, "o_custkey" -> custMax)))
-    write("lineitem", replicate(lineitem, Map(
-      "l_orderkey" -> orderMax, "l_partkey" -> partMax, "l_suppkey" -> suppMax)))
+    writeBucketed("orders", replicate(orders,
+      Map("o_orderkey" -> orderMax, "o_custkey" -> custMax)), "o_orderkey")
+    writeBucketed("lineitem", replicate(lineitem, Map(
+      "l_orderkey" -> orderMax, "l_partkey" -> partMax, "l_suppkey" -> suppMax)), "l_orderkey")
     write("part", replicate(part, Map("p_partkey" -> partMax)))
     write("supplier", replicate(supplier, Map("s_suppkey" -> suppMax)))
     // dims pass through unchanged
@@ -83,7 +117,8 @@ object ScaleUp {
 
     val eventMax = keyMax(events, "event_id")
     val userMax = keyMax(events.select(col("user_id").cast("long").as("user_id")), "user_id")
-    write("events", replicate(events, Map("event_id" -> eventMax, "user_id" -> userMax)))
+    writeBucketed("events",
+      replicate(events, Map("event_id" -> eventMax, "user_id" -> userMax)), "user_id")
 
     // per-replica text perturbation: rotate vowels/consonants so replicas
     // are NOT near-duplicates of each other (linear, not quadratic, dedup)
