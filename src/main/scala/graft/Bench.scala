@@ -126,19 +126,54 @@ object Bench {
     // and the 600 s budget bound it, and a budget overrun drops only it
     "b_knn")
 
-  /** DuckDB timings for the headline oracle SQL (VERDICT r7 item 9: record
-    * the baseline alongside Spark's numbers so future verdicts can compare
-    * engines measured in the SAME window instead of doing archaeology).
-    * Runs the driver-side python duckdb in a subprocess — min-of-3 reps,
-    * same thread count, same parquet — and returns the JSON object, or
-    * None when python/duckdb is unavailable or the run exceeds its budget.
-    * The library itself never depends on this; it is bench instrumentation.
-    */
-  private def duckdbTimings(sfDir: String, cpus: String,
-                            names: Seq[String] = oracleNames): Option[String] = try {
-    val picked = names.flatMap(n => SparkEntry.oracleSql.get(n).map(n -> _))
-    if (picked.isEmpty) None
-    else {
+  /** DuckDB oracle timings, INTERLEAVED with the Spark reps (VERDICT r14
+    * item 3: the oracle used to run as one batch AFTER a whole section's
+    * Spark reps, so a storm arriving mid-section hit only one engine and
+    * wrote asymmetric phantom ratios into the record — the r14 sf3 geomean
+    * read 1.98x and 2.89x for identical code two hours apart). One
+    * persistent python/duckdb subprocess per section keeps the views and
+    * the import warm; the Scala side sends one query name at a time RIGHT
+    * AFTER that query's Spark reps, behind the same load gate, so both
+    * engines measure in the same window. Min-of-3 reps with a 60 s
+    * early-stop per query, a 600 s per-section budget, and a hard
+    * per-query wall deadline (a hung oracle kills the subprocess, never
+    * the bench). The library itself never depends on this; it is bench
+    * instrumentation. */
+  private class OracleRunner private (proc: Process,
+      lines: java.util.concurrent.BlockingQueue[String]) {
+    var spent: Double = 0.0
+    private var dead = false
+    def alive: Boolean = !dead
+    /** Min-of-3 seconds for `name`, or None on error/timeout/budget. */
+    def time(name: String): Option[Double] = {
+      if (dead || spent > 600.0) return None
+      try {
+        proc.getOutputStream.write((name + "\n").getBytes)
+        proc.getOutputStream.flush()
+        // worst legitimate case: 3 reps x 60 s early-stop + slack
+        val line = lines.poll(240, java.util.concurrent.TimeUnit.SECONDS)
+        if (line == null) { close(); return None }
+        val sec = "\"sec\":\\s*([0-9.]+)".r.findFirstMatchIn(line).map(_.group(1).toDouble)
+        val sp = "\"spent\":\\s*([0-9.]+)".r.findFirstMatchIn(line).map(_.group(1).toDouble)
+        sp.foreach(s => spent += s)
+        sec
+      } catch { case _: Throwable => close(); None }
+    }
+    def close(): Unit = {
+      dead = true
+      try { proc.getOutputStream.close() } catch { case _: Throwable => () }
+      try {
+        if (!proc.waitFor(5, java.util.concurrent.TimeUnit.SECONDS))
+          proc.destroyForcibly()
+      } catch { case _: Throwable => proc.destroyForcibly() }
+    }
+  }
+
+  private object OracleRunner {
+    def start(sfDir: String, cpus: String,
+              names: Seq[String]): Option[OracleRunner] = try {
+      val picked = names.flatMap(n => SparkEntry.oracleSql.get(n).map(n -> _))
+      if (picked.isEmpty) return None
       val dir = java.nio.file.Files.createTempDirectory("graft_oracle")
       val specFile = dir.resolve("spec.json").toFile
       val pw = new java.io.PrintWriter(specFile)
@@ -171,38 +206,130 @@ object Bench {
           |            con.execute("CREATE OR REPLACE VIEW events AS "
           |                        "SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) "
           |                        "FROM read_parquet('%s/*.parquet')" % p)
-          |out, spent = {}, 0.0
-          |for name, sql in spec["queries"].items():
-          |    if spent > 600.0:
-          |        break  # keep the bench bounded; missing keys read as "not measured"
+          |print(json.dumps({"ready": True}))
+          |sys.stdout.flush()
+          |for line in sys.stdin:
+          |    name = line.strip()
+          |    if not name:
+          |        break
+          |    sql = spec["queries"].get(name)
+          |    if sql is None:
+          |        print(json.dumps({"name": name, "err": "no oracle"}))
+          |        sys.stdout.flush()
+          |        continue
           |    try:
-          |        best = None
+          |        best, used = None, 0.0
           |        for _ in range(3):
           |            t0 = time.time()
           |            con.execute(sql).fetchall()
           |            dt = time.time() - t0
-          |            spent += dt
+          |            used += dt
           |            best = dt if best is None or dt < best else best
           |            if best > 60.0:
           |                break
-          |        out[name] = round(best, 3)
-          |    except Exception:
-          |        pass
-          |print(json.dumps(out))
+          |        print(json.dumps({"name": name, "sec": round(best, 3),
+          |                          "spent": round(used, 3)}))
+          |    except Exception as e:
+          |        print(json.dumps({"name": name, "err": str(e)[:200]}))
+          |    sys.stdout.flush()
           |""".stripMargin)
       py.close()
       val pb = new ProcessBuilder("python3", pyFile.getAbsolutePath, specFile.getAbsolutePath)
       pb.redirectErrorStream(false)
       val proc = pb.start()
-      val outReader = new java.io.BufferedReader(new java.io.InputStreamReader(proc.getInputStream))
-      val done = proc.waitFor(900, java.util.concurrent.TimeUnit.SECONDS)
-      if (!done) { proc.destroyForcibly(); None }
-      else {
-        val line = Option(outReader.readLine()).getOrElse("")
-        if (proc.exitValue() == 0 && line.startsWith("{")) Some(line) else None
+      val lines = new java.util.concurrent.LinkedBlockingQueue[String]()
+      val reader = new Thread(() => {
+        val r = new java.io.BufferedReader(new java.io.InputStreamReader(proc.getInputStream))
+        try {
+          var l = r.readLine()
+          while (l != null) { lines.put(l); l = r.readLine() }
+        } catch { case _: Throwable => () }
+      })
+      reader.setDaemon(true)
+      reader.start()
+      // view setup (incl. the events typeof probe) is bounded; 120 s covers
+      // a cold page-cache listing of the mega dir
+      val ready = lines.poll(120, java.util.concurrent.TimeUnit.SECONDS)
+      if (ready == null || !ready.contains("ready")) { proc.destroyForcibly(); None }
+      else Some(new OracleRunner(proc, lines))
+    } catch { case _: Throwable => None }
+  }
+
+  private def jsonNum(pairs: Seq[(String, Double)]): String =
+    pairs.map { case (n, v) => "\"" + esc(n) + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+
+  private case class SectionOut(records: Seq[QRecord],
+      oracleTimes: Seq[(String, Double)], oracleBusy: Seq[(String, Double)]) {
+    def ok: Seq[QRecord] = records.filter(_.err.isEmpty)
+    def queriesJson: String =
+      ok.map(r => "\"" + esc(r.name) + "\":" + r.best).mkString("{", ",", "}")
+    def errsJson: String = records
+      .collect { case QRecord(n, _, Some(e)) => "\"" + esc(n) + "\":\"" + esc(e) + "\"" }
+      .mkString("{", ",", "}")
+    def total: Double = ok.map(_.best).sum
+    /** ,"<prefix>oracle_queries":… — empty when the oracle never ran. */
+    def oracleJson(prefix: String): String =
+      if (oracleTimes.isEmpty) ""
+      else s""","${prefix}oracle_queries":${jsonNum(oracleTimes)}""" +
+           s""","${prefix}oracle_busy_cores":${jsonNum(oracleBusy)}"""
+  }
+
+  /** Runs one section: per query, the gated Spark reps IMMEDIATELY followed
+    * by that query's gated DuckDB oracle reps (same window, same gate — the
+    * r14 record's section-level oracle batches let storms hit one engine
+    * only). `small` = min-of-3 rep policy; otherwise 2 reps plus a third
+    * when the box was loaded or the query is slow enough for a one-time
+    * cost to dominate. b_knn's oracle (the one quadratic row) is deferred
+    * to the section's end so a blowout consumes only the residual budget. */
+  private def runSection(spark: SparkSession,
+      qmap: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
+      dir: String, names: Seq[String], oracleSet: Seq[String], cpus: String,
+      small: Boolean): SectionOut = {
+    val busyLoad = cpus.toInt / 2.0
+    val oracle = OracleRunner.start(dir, cpus, oracleSet)
+    val oTimes = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    val oBusy = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    def timeOracle(name: String): Unit =
+      if (oracleSet.contains(name)) oracle.filter(_.alive).foreach { o =>
+        val (_, busy) = gateLoad()
+        o.time(name).foreach { t => oTimes += name -> t; oBusy += name -> busy }
       }
+    val records = names.map { name =>
+      val rec =
+        if (small) {
+          val reps = scala.collection.mutable.ArrayBuffer[Rep]()
+          var err: Option[String] = None
+          var rep = 0
+          while (rep < 3 && err.isEmpty) {
+            try reps += timeOnce(qmap(name)(spark, dir).count())
+            catch { case e: Throwable =>
+              err = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
+            rep += 1
+          }
+          QRecord(name, reps.toSeq, err)
+        } else try {
+          val reps = scala.collection.mutable.ArrayBuffer[Rep]()
+          // a big query's FIRST run routinely pays 3-7x one-time costs
+          // (shuffle spill setup, page-cache faults, codegen) — r12
+          // recorded three phantom sf1 "regressions" that isolated warm
+          // reruns put right back. ALWAYS take a second rep and report the
+          // min; a third only when the box was contended or the row is
+          // slow enough for a one-time cost to dominate (bounded at 3 so
+          // a storm cannot hang the bench).
+          reps += timeOnce(qmap(name)(spark, dir).count())
+          reps += timeOnce(qmap(name)(spark, dir).count())
+          if (reps.map(_.load).min > busyLoad || reps.last.sec > 5.0)
+            reps += timeOnce(qmap(name)(spark, dir).count())
+          QRecord(name, reps.toSeq, None)
+        } catch { case e: Throwable =>
+          QRecord(name, Nil, Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))) }
+      if (name != "b_knn") timeOracle(name)
+      rec
     }
-  } catch { case _: Throwable => None }
+    timeOracle("b_knn")
+    oracle.foreach(_.close())
+    SectionOut(records, oTimes.toSeq, oBusy.toSeq)
+  }
 
   private def jsonReps(rs: Seq[QRecord]): String =
     rs.filter(_.err.isEmpty).map { r =>
@@ -256,30 +383,20 @@ object Bench {
     // shuffles (sf10 q3 4.8->8.5 s in the same A/B), so it is strictly a
     // small-input profile, recorded in the artifact.
     spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-    // 3 reps per query, report the MIN (see header). prep() re-registers
+    // 3 reps per query, report the MIN (see header), each query's oracle
+    // reps interleaved right behind its Spark reps. prep() re-registers
     // the temp views when the sfDir changes.
-    val results = Queries.benchNames.map { name =>
-      val reps = scala.collection.mutable.ArrayBuffer[Rep]()
-      var err: Option[String] = None
-      var rep = 0
-      while (rep < 3 && err.isEmpty) {
-        try reps += timeOnce(qmap(name)(spark, sfDir).count())
-        catch { case e: Throwable =>
-          err = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
-        rep += 1
-      }
-      QRecord(name, reps.toSeq, err)
-    }
+    val smallSec = runSection(spark, qmap, sfDir, Queries.benchNames,
+      oracleNames, cpus, small = true)
     spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
 
-    val ok = results.filter(_.err.isEmpty)
-    val oraclePart = duckdbTimings(sfDir, cpus)
-      .map(o => s""","oracle_queries":$o,"oracle_policy":"duckdb min-of-3, threads=$cpus"""")
-      .getOrElse("")
-    val qs = ok.map(r => "\"" + esc(r.name) + "\":" + r.best).mkString("{", ",", "}")
-    val errs = results.collect { case QRecord(n, _, Some(e)) => "\"" + esc(n) + "\":\"" + esc(e) + "\"" }
-      .mkString("{", ",", "}")
-    val total = ok.map(_.best).sum
+    val results = smallSec.records
+    val oraclePart = smallSec.oracleJson("") +
+      (if (smallSec.oracleTimes.isEmpty) ""
+       else s""","oracle_policy":"duckdb min-of-3, threads=$cpus, interleaved per query behind the load gate"""")
+    val qs = smallSec.queriesJson
+    val errs = smallSec.errsJson
+    val total = smallSec.total
 
     // Scale-up pass: the ~10x replica dataset (tools/ScaleUp) proves the
     // fixed Spark overhead amortizes. Reported under big_* keys.
@@ -313,33 +430,10 @@ object Bench {
       if (!new java.io.File(s"$bigDir/lineitem.parquet").exists()) ("", "")
       else {
         val bigWarmIo = warmPageCache(bigDir)
-        val bigResults = Queries.benchNames.map { name =>
-          try {
-            val reps = scala.collection.mutable.ArrayBuffer[Rep]()
-            reps += timeOnce(qmap(name)(spark, bigDir).count())
-            // a big query's FIRST run routinely pays 3-7x one-time costs
-            // (shuffle spill setup, page-cache faults, codegen) — r12
-            // recorded three phantom sf1 "regressions" (dwithin_sql 4.74 s,
-            // bloom 1.71 s, minhash 3.38 s) that isolated warm reruns put
-            // right back at their r11 numbers. ALWAYS take a second rep and
-            // report the min; a third only when the box was contended for
-            // both (bounded at 3 so a storm cannot hang the bench).
-            reps += timeOnce(qmap(name)(spark, bigDir).count())
-            if (reps.map(_.load).min > busyLoad)
-              reps += timeOnce(qmap(name)(spark, bigDir).count())
-            QRecord(name, reps.toSeq, None)
-          }
-          catch { case e: Throwable =>
-            QRecord(name, Nil, Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))) }
-        }
-        val bigOk = bigResults.filter(_.err.isEmpty)
-        val bq = bigOk.map(r => "\"" + esc(r.name) + "\":" + r.best).mkString("{", ",", "}")
-        val be = bigResults.collect { case QRecord(n, _, Some(e)) => "\"" + esc(n) + "\":\"" + esc(e) + "\"" }
-          .mkString("{", ",", "}")
-        val bigOracle = duckdbTimings(bigDir, cpus)
-          .map(o => s""","big_oracle_queries":$o""").getOrElse("")
-        (s""","big_queries":$bq,"big_errors":$be,"big_total":${bigOk.map(_.best).sum},"big_sf":"$bigDir","big_warm_io_sec":$bigWarmIo$bigOracle""",
-         s""","big_reps":${jsonReps(bigResults)}""")
+        val sec = runSection(spark, qmap, bigDir, Queries.benchNames,
+          oracleNames, cpus, small = false)
+        (s""","big_queries":${sec.queriesJson},"big_errors":${sec.errsJson},"big_total":${sec.total},"big_sf":"$bigDir","big_warm_io_sec":$bigWarmIo${sec.oracleJson("big_")}""",
+         s""","big_reps":${jsonReps(sec.records)}""")
       }
 
     // Scale sections for the floor-pinned queries (b_tpch_q1/q3/q5,
@@ -353,9 +447,13 @@ object Bench {
     // the 30x/100x sections: the TPC-H/sessions floor rows plus the cheap
     // LLM rows whose scale story is "bounded model, corpus-linear scan" —
     // their flat curves at 100x are the design evidence
+    // (r15, VERDICT item 6): the scale sections also carry the 100-TB-facing
+    // LLM flagships — banded minhash dedup, bloom decontam, substring-span
+    // dedup — so their scale curves are measured evidence, not structure
+    // arguments
     val floorNames = Seq("b_tpch_q1", "b_tpch_q3", "b_tpch_q4", "b_tpch_q5",
       "b_tpch_q12", "b_events_sessions", "b_events_funnel", "l_bpe_train",
-      "l_text_normalize")
+      "l_text_normalize", "l_dedup_minhash", "l_decontam_bloom", "l_dup_spans")
     def scaleSection(label: String, dir: String, copies: Int): (String, String) = {
       if (!new java.io.File(s"$dir/lineitem.parquet").exists()) {
         try { graft.tools.ScaleUp.run(spark, dst = dir, copies = copies)
@@ -366,32 +464,10 @@ object Bench {
       if (!new java.io.File(s"$dir/lineitem.parquet").exists()) ("", "")
       else {
         val warmIo = warmPageCache(dir)
-        val results = floorNames.map { name =>
-          try {
-            val reps = scala.collection.mutable.ArrayBuffer[Rep]()
-            // these sections exist to pin the fixed-floor-vs-linear claim,
-            // so a cold first rep (page-cache faults on a dataset touched
-            // for the first time this session) must never be the recorded
-            // number: always take a second rep and report the min (the
-            // r11 mega q1 pinned a single cold rep as 4.4x vs oracle;
-            // warm min-of-2 measures 2.5x)
-            reps += timeOnce(qmap(name)(spark, dir).count())
-            reps += timeOnce(qmap(name)(spark, dir).count())
-            if ((reps.map(_.load).min > busyLoad || reps.last.sec > 5.0) && reps.size < 3)
-              reps += timeOnce(qmap(name)(spark, dir).count())
-            QRecord(name, reps.toSeq, None)
-          }
-          catch { case e: Throwable =>
-            QRecord(name, Nil, Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))) }
-        }
-        val ok = results.filter(_.err.isEmpty)
-        val q = ok.map(r => "\"" + esc(r.name) + "\":" + r.best).mkString("{", ",", "}")
-        val e = results.collect { case QRecord(n, _, Some(err)) => "\"" + esc(n) + "\":\"" + esc(err) + "\"" }
-          .mkString("{", ",", "}")
-        val oracle = duckdbTimings(dir, cpus, floorNames)
-          .map(o => s""","${label}_oracle_queries":$o""").getOrElse("")
-        (s""","${label}_queries":$q,"${label}_errors":$e,"${label}_total":${ok.map(_.best).sum},"${label}_sf":"$dir","${label}_warm_io_sec":$warmIo$oracle""",
-         s""","${label}_reps":${jsonReps(results)}""")
+        val sec = runSection(spark, qmap, dir, floorNames, floorNames, cpus,
+          small = false)
+        (s""","${label}_queries":${sec.queriesJson},"${label}_errors":${sec.errsJson},"${label}_total":${sec.total},"${label}_sf":"$dir","${label}_warm_io_sec":$warmIo${sec.oracleJson(s"${label}_")}""",
+         s""","${label}_reps":${jsonReps(sec.records)}""")
       }
     }
     val (hugeCompact, hugeFullExtra) = scaleSection("huge",
