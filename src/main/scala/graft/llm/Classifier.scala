@@ -173,8 +173,18 @@ object Classifier {
       .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("__p"),
         sum(when(col(labelCol), 0L).otherwise(1L)).as("__n"))
     // pin the sampled range boundaries (repartitionByRange re-samples on
-    // re-execution; the pid must agree between the counts pass and the join)
-    val parts = g.repartitionByRange(col("__s")).localCheckpoint()
+    // re-execution; the pid must agree between the counts pass and the
+    // join). persist + eager count instead of localCheckpoint (ADVICE
+    // r14: checkpointing both severed the lineage — an executor loss
+    // after it FAILED the query instead of recomputing — and was just as
+    // eager): the cached frame holds one exchange instance whose range
+    // partitioner is sampled once, recomputable from its shuffle files.
+    // NOTE this API runs a small Spark job at DataFrame-construction
+    // time — the price of a deterministic partition labeling; the cache
+    // is released when the first consuming query completes.
+    val parts = g.repartitionByRange(col("__s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    parts.count()
     val withPid = parts.withColumn("__pid", spark_partition_id())
     // one row per partition: this single-partition window is over a
     // task-count-sized frame, not the distinct-score table
@@ -185,7 +195,7 @@ object Classifier {
       .select(col("__pid").as("__opid"), col("__off"))
     val wIn = Window.partitionBy(col("__pid")).orderBy(col("__s"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    withPid.join(broadcast(offsets), col("__pid") === col("__opid"))
+    val out = withPid.join(broadcast(offsets), col("__pid") === col("__opid"))
       .withColumn("__negBelow", col("__off") + coalesce(sum(col("__n")).over(wIn), lit(0L)))
       .agg(
         when(sum(col("__p")) > 0 && sum(col("__n")) > 0,
@@ -194,6 +204,7 @@ object Classifier {
           .otherwise(lit(Double.NaN)).as("auc"),
         sum(col("__p")).cast("long").as("n_pos"),
         sum(col("__n")).cast("long").as("n_neg"))
+    graft.spark.CacheLifecycle.releaseAfterUse(Seq(parts), out)
   }
 
   /**

@@ -139,6 +139,52 @@ object Dedup {
       xxhash64(slice(sig, b * rows + 1, lit(rows)), b))
   }
 
+  /** Sentinel default for `maxBucket` across the banded joins: probe the
+    * bucket histogram and salt ONLY when some bucket exceeds
+    * [[DefaultHotBucket]] (see [[adaptiveBanded]]). */
+  val AdaptiveMaxBucket: Int = -1
+
+  /** Hot-bucket split threshold used by the adaptive default — same order
+    * as Multimodal.DefaultMaxBucket / Ann's LSH cap: bounds one task's
+    * pair work to ~cap^2 comparisons. */
+  val DefaultHotBucket: Int = 4096
+
+  /** Adaptive hot-bucket governance (r15, VERDICT r14 item 4 — the skew
+    * footgun was opt-in and a boilerplate-heavy 100 TB corpus with default
+    * args still went quadratic in one task). `maxBucket` semantics:
+    *   = 0 : never salt — forced symmetric self-join; both sides share the
+    *         exploded lineage so ReuseExchange computes the signature
+    *         stage once (the escape hatch when the caller KNOWS the key
+    *         distribution is clean);
+    *   > 0 : always salt at that cap (the r14 opt-in behavior, unchanged
+    *         and spec-pinned);
+    *   < 0 : DEFAULT — persist the exploded signature frame once, probe
+    *         the bucket histogram with one cheap aggregate over the
+    *         persisted rows, and take the salted plan only when a bucket
+    *         exceeds [[DefaultHotBucket]]; otherwise the symmetric join
+    *         reads the same persisted frame (no signature recompute, no
+    *         salting overhead). The persist is released when the first
+    *         consuming query completes (CacheLifecycle).
+    * The probe runs a Spark job at DataFrame-construction time — the
+    * price of an OUTPUT-aware plan choice AQE cannot make: a 10k-row hot
+    * bucket is ~160 KB of shuffle input (invisible to input-size-based
+    * skew handling) but 5*10^7 join output rows in one task. */
+  private def adaptiveBanded(exploded: DataFrame, keys: Seq[String], maxBucket: Int)(
+      symmetric: DataFrame => DataFrame)(
+      salted: (DataFrame, Int) => DataFrame): DataFrame = {
+    if (maxBucket == 0) symmetric(exploded)
+    else if (maxBucket > 0) salted(exploded, maxBucket)
+    else {
+      val cached = exploded.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hot = cached.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__n")).where(col("__n") > DefaultHotBucket)
+        .limit(1).count() > 0
+      val out = if (hot) salted(cached, DefaultHotBucket) else symmetric(cached)
+      graft.spark.CacheLifecycle.releaseAfterUse(Seq(cached), out)
+    }
+  }
+
   /** Band-bucket self-join with FIRST-COLLISION REPORTING: each side keeps
     * its full per-band bucket array, and a candidate pair is emitted only
     * from the first band whose buckets agree — every colliding pair
@@ -151,38 +197,35 @@ object Dedup {
     * row per qualifying join match, no distinct), so a duplicated id emits
     * duplicate pair rows. Callers (Queries/Drive) count pair rows directly. */
   private def bandedPairs(sigs0: DataFrame, numHashes: Int, bands: Int,
-                          maxBucket: Int = 0): DataFrame = {
+                          maxBucket: Int = AdaptiveMaxBucket): DataFrame = {
     val sigs = sigs0
       .select(col("id"), lshBandBuckets(col("sig"), numHashes, bands).as("bks"))
       .select(col("id"), col("bks"), posexplode(col("bks")).as(Seq("band", "bucket")))
     val firstMatch =
       array_position(zip_with(col("a.bks"), col("b.bks"), (x, y) => x === y), lit(true))
-    if (maxBucket <= 0) {
+    def symmetric(s: DataFrame): DataFrame =
       // shuffle-hash (not broadcast) self-join: both sides shuffle on the
       // same (band, bucket) key from the same lineage, so ReuseExchange
-      // computes the signature stage ONCE and reads it twice — at any scale
-      sigs.as("a").hint("shuffle_hash").join(sigs.as("b").hint("shuffle_hash"),
+      // (or the adaptive path's persist) computes the signature stage
+      // ONCE and reads it twice — at any scale
+      s.as("a").hint("shuffle_hash").join(s.as("b").hint("shuffle_hash"),
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
             col("a.id") < col("b.id") && firstMatch === col("a.band") + 1)
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    } else {
-      // HOT-BUCKET GOVERNANCE (opt-in; see [[minhashCandidatePairs]]):
-      // the Multimodal.saltSelfJoin discipline — build side one salt
-      // replica per row, probe side replicated to all salts, so every
-      // within-bucket pair still meets exactly once while a degenerate
-      // bucket's quadratic work spreads over ceil(n/maxBucket) tasks.
-      // The asymmetric sides forfeit the ReuseExchange of the signature
-      // stage (it computes once per side), which is why this is not the
-      // default: enable it for corpora with signature pileups (empty
-      // docs, templated boilerplate).
-      val splits = sigs.groupBy(col("band"), col("bucket"))
-        .agg(ceil(count(lit(1)) / lit(maxBucket.toDouble)).cast("long").as("__nsplit"))
+    def salted(s: DataFrame, cap: Int): DataFrame = {
+      // HOT-BUCKET GOVERNANCE — the Multimodal.saltSelfJoin discipline:
+      // build side one salt replica per row, probe side replicated to all
+      // salts, so every within-bucket pair still meets exactly once while
+      // a degenerate bucket's quadratic work spreads over ceil(n/cap)
+      // tasks.
+      val splits = s.groupBy(col("band"), col("bucket"))
+        .agg(ceil(count(lit(1)) / lit(cap.toDouble)).cast("long").as("__nsplit"))
         .where(col("__nsplit") > 1)
-      val build = sigs.join(broadcast(splits), Seq("band", "bucket"), "left")
+      val build = s.join(broadcast(splits), Seq("band", "bucket"), "left")
         .withColumn("__salt", when(col("__nsplit").isNull, lit(0L))
           .otherwise(pmod(xxhash64(col("id")), col("__nsplit"))))
         .drop("__nsplit")
-      val probe = sigs.join(broadcast(splits), Seq("band", "bucket"), "left")
+      val probe = s.join(broadcast(splits), Seq("band", "bucket"), "left")
         .withColumn("__salt",
           explode(sequence(lit(0L), coalesce(col("__nsplit"), lit(1L)) - 1)))
         .drop("__nsplit")
@@ -192,6 +235,7 @@ object Dedup {
             col("a.id") < col("b.id") && firstMatch === col("a.band") + 1)
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     }
+    adaptiveBanded(sigs, Seq("band", "bucket"), maxBucket)(symmetric)(salted)
   }
 
   /**
@@ -201,17 +245,17 @@ object Dedup {
    * hashes / 8 bands (r=8), jaccard 0.9 pairs collide w.p. ~0.99 while
    * jaccard 0.5 pairs stay under ~3%.
    *
-   * `maxBucket > 0` enables candidate-preserving hot-bucket salting (the
-   * [[graft.llm.Multimodal]] discipline): a degenerate signature class —
-   * empty docs, templated boilerplate all hashing identically — makes
-   * its (band, bucket) self-join quadratic in ONE task; salting spreads
-   * it over ceil(n/maxBucket) tasks with the pair set unchanged
-   * (spec-pinned). Off by default because the symmetric unsalted plan
-   * reuses the signature exchange (one signature pass, not two).
+   * Hot-bucket governance is ADAPTIVE BY DEFAULT (r15): a degenerate
+   * signature class — empty docs, templated boilerplate all hashing
+   * identically — makes its (band, bucket) self-join quadratic in ONE
+   * task; the default probes the bucket histogram and salts
+   * candidate-preservingly only when a bucket is actually hot (pair set
+   * unchanged, spec-pinned). See [[adaptiveBanded]] for the maxBucket
+   * semantics (0 = never salt, >0 = always salt at that cap).
    */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             numHashes: Int = 64, bands: Int = 8,
-                            maxBucket: Int = 0): DataFrame = {
+                            maxBucket: Int = AdaptiveMaxBucket): DataFrame = {
     bandedPairs(df.select(col(idCol).as("id"),
       minhashSignature(col(textCol), numHashes).as("sig")), numHashes, bands, maxBucket)
   }
@@ -694,13 +738,13 @@ object Dedup {
     * blocks is emitted only from the FIRST equal block — the first-
     * collision reporting trick again, derived from the two simhash values
     * already carried, so no distinct over the pair set. */
-  /** `maxBucket > 0` enables the same opt-in candidate-preserving
-    * hot-bucket salting as [[minhashCandidatePairs]] (a degenerate
-    * simhash class — e.g. empty docs hashing to 0 — otherwise goes
-    * quadratic in one task); off by default to keep the ReuseExchange
-    * of the simhash stage. */
+  /** Hot-bucket governance is ADAPTIVE BY DEFAULT (r15), same semantics
+    * as [[minhashCandidatePairs]]/[[adaptiveBanded]]: a degenerate
+    * simhash class — e.g. empty docs hashing to 0 — goes quadratic in
+    * one task; the default probes the (blk, bucket) histogram and salts
+    * candidate-preservingly only when a bucket is actually hot. */
   def simhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-                            maxBucket: Int = 0): DataFrame = {
+                            maxBucket: Int = AdaptiveMaxBucket): DataFrame = {
     val sh = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
     val blocks = sh.select(col("id"), col("sh"),
         explode(array((0 until 4).map(b =>
@@ -711,22 +755,23 @@ object Dedup {
       shiftright(col("a.sh"), b * 16).bitwiseAND(lit(0xffffL)) ===
         shiftright(col("b.sh"), b * 16).bitwiseAND(lit(0xffffL))
     val firstBlk = when(blockEq(0), 0).when(blockEq(1), 1).when(blockEq(2), 2).otherwise(3)
-    if (maxBucket <= 0) {
-      // same ReuseExchange shape as the minhash self-join: simhash runs once
-      blocks.as("a").hint("shuffle_hash").join(blocks.as("b").hint("shuffle_hash"),
+    def symmetric(s: DataFrame): DataFrame =
+      // same ReuseExchange/persist shape as the minhash self-join: the
+      // simhash stage computes once
+      s.as("a").hint("shuffle_hash").join(s.as("b").hint("shuffle_hash"),
           col("a.blk") === col("b.blk") && col("a.bucket") === col("b.bucket") &&
             col("a.id") < col("b.id") && col("a.blk") === firstBlk)
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
           col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
-    } else {
-      val splits = blocks.groupBy(col("blk"), col("bucket"))
-        .agg(ceil(count(lit(1)) / lit(maxBucket.toDouble)).cast("long").as("__nsplit"))
+    def salted(s: DataFrame, cap: Int): DataFrame = {
+      val splits = s.groupBy(col("blk"), col("bucket"))
+        .agg(ceil(count(lit(1)) / lit(cap.toDouble)).cast("long").as("__nsplit"))
         .where(col("__nsplit") > 1)
-      val build = blocks.join(broadcast(splits), Seq("blk", "bucket"), "left")
+      val build = s.join(broadcast(splits), Seq("blk", "bucket"), "left")
         .withColumn("__salt", when(col("__nsplit").isNull, lit(0L))
           .otherwise(pmod(xxhash64(col("id")), col("__nsplit"))))
         .drop("__nsplit")
-      val probe = blocks.join(broadcast(splits), Seq("blk", "bucket"), "left")
+      val probe = s.join(broadcast(splits), Seq("blk", "bucket"), "left")
         .withColumn("__salt",
           explode(sequence(lit(0L), coalesce(col("__nsplit"), lit(1L)) - 1)))
         .drop("__nsplit")
@@ -737,6 +782,7 @@ object Dedup {
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
           col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
     }
+    adaptiveBanded(blocks, Seq("blk", "bucket"), maxBucket)(symmetric)(salted)
   }
 
   /** Hamming distance between two 64-bit simhashes (built-in bit_count). */

@@ -235,21 +235,28 @@ object Multimodal {
    * `keyCols :+ "__salt"`.
    */
   private def saltSelfJoin(rows: DataFrame, idCol: String, keyCols: Seq[String],
-                           maxBucket: Int): (DataFrame, DataFrame) = {
+                           maxBucket: Int): (DataFrame, DataFrame, Seq[DataFrame]) = {
     if (maxBucket <= 0) return (rows.withColumn("__salt", lit(0L)),
-      rows.withColumn("__salt", lit(0L)))
-    val splits = rows.groupBy(keyCols.map(col): _*)
+      rows.withColumn("__salt", lit(0L)), Nil)
+    // ADVICE r14: the three consumers below (splits aggregation + build +
+    // probe) would each re-evaluate `rows`' lineage — for the media joins
+    // that lineage runs the decode-heavy hash UDFs, ~3x per call, and the
+    // asymmetric sides forfeit the ReuseExchange the symmetric self-join
+    // had. Persist once; the caller arms CacheLifecycle.releaseAfterUse
+    // on the consuming join so the cache dies with the first query.
+    val cached = rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val splits = cached.groupBy(keyCols.map(col): _*)
       .agg(ceil(count(lit(1)) / lit(maxBucket.toDouble)).cast("long").as("__nsplit"))
       .where(col("__nsplit") > 1)
-    val build = rows.join(broadcast(splits), keyCols, "left")
+    val build = cached.join(broadcast(splits), keyCols, "left")
       .withColumn("__salt", when(col("__nsplit").isNull, lit(0L))
         .otherwise(pmod(xxhash64(col(idCol)), col("__nsplit"))))
       .drop("__nsplit")
-    val probe = rows.join(broadcast(splits), keyCols, "left")
+    val probe = cached.join(broadcast(splits), keyCols, "left")
       .withColumn("__salt",
         explode(sequence(lit(0L), coalesce(col("__nsplit"), lit(1L)) - 1)))
       .drop("__nsplit")
-    (build, probe)
+    (build, probe, Seq(cached))
   }
 
   /** Diagnostic for the banded joins' hot-bucket governance: one row per
@@ -316,14 +323,15 @@ object Multimodal {
     val firstBlk = (0 until nBlocks - 1).foldRight(lit(nBlocks - 1): Column) {
       (i, acc) => when(blockEq(i), lit(i)).otherwise(acc)
     }
-    val (build, probe) = saltSelfJoin(blocks, "id", Seq("blk", "bucket"), maxBucket)
-    build.as("a").hint("shuffle_hash").join(probe.as("b").hint("shuffle_hash"),
+    val (build, probe, cached) = saltSelfJoin(blocks, "id", Seq("blk", "bucket"), maxBucket)
+    val joined = build.as("a").hint("shuffle_hash").join(probe.as("b").hint("shuffle_hash"),
         col("a.blk") === col("b.blk") && col("a.bucket") === col("b.bucket") &&
           col("a.__salt") === col("b.__salt") &&
           col("a.id") < col("b.id") && col("a.blk") === firstBlk)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.h").bitwiseXOR(col("b.h"))).cast("int").as("hamming"))
       .where(col("hamming") <= maxHamming)
+    graft.spark.CacheLifecycle.releaseAfterUse(cached, joined)
   }
 
   /** Image NEAR-DEDUP via banded aHash — the multimodal twin of SimHash
@@ -490,10 +498,10 @@ object Multimodal {
       "videoNearDupPairs: minJaccardPermille must be in [0, 1000]")
     val ex = fp.select(col("media_id").as("id"), col("nf"),
       explode(col("frame_hashes")).as("fh"))
-    val (build, probe) = saltSelfJoin(ex, "id", Seq("fh"), maxBucket)
+    val (build, probe, cached) = saltSelfJoin(ex, "id", Seq("fh"), maxBucket)
     val a = build.select(col("id").as("id_a"), col("nf").as("na"), col("fh"), col("__salt"))
     val b = probe.select(col("id").as("id_b"), col("nf").as("nb"), col("fh"), col("__salt"))
-    a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("fh", "__salt"))
+    val joined = a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("fh", "__salt"))
       .where(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b", "na", "nb")
       .agg(count(lit(1)).as("inter"))
@@ -502,6 +510,7 @@ object Multimodal {
       .where(col("jaccard_permille") >= minJaccardPermille)
       .select(col("id_a"), col("id_b"), col("inter").cast("long").as("n_shared"),
         col("jaccard_permille"))
+    graft.spark.CacheLifecycle.releaseAfterUse(cached, joined)
   }
 
   /** Resample a decoded image to the target size (nearest-neighbor via

@@ -46,9 +46,15 @@ object Sampling {
     * nesting its keep set inside [[sampleByHash]]'s and over-representing
     * [[assignSplit]]'s test/val buckets (0..9) among kept rows — a silent
     * statistical bias when the primitives compose in one pipeline.
-    * Replay in SQL with `md5(CAST(key AS VARCHAR) || '__wsample')`. */
-  def weightedSample(df: DataFrame, keyCol: String, weight: Column): DataFrame =
-    df.where(hashBucket(concat(col(keyCol).cast("string"), lit("__wsample")), 1000) <
+    * Replay in SQL with `md5(CAST(key AS VARCHAR) || '__wsample')`.
+    *
+    * COMPAT (the r14 salting CHANGED THE DRAW for every key, so samples
+    * persisted by a pre-salt build do not reproduce under the default):
+    * pass `salt = ""` to pin the original unsalted draw — identical row
+    * set to the pre-r14 behavior — when extending a frozen pipeline. */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column,
+                     salt: String = "__wsample"): DataFrame =
+    df.where(hashBucket(concat(col(keyCol).cast("string"), lit(salt)), 1000) <
       floor(least(greatest(weight, lit(0.0)), lit(1.0)) * 1000).cast("long"))
 
   /** Deterministic train/val/test split as a `split` column (permille
@@ -61,10 +67,17 @@ object Sampling {
     * kept rows (e.g. a 1-in-10 sample doubled the test share). Each
     * selection primitive draws independently; [[hashBucket]] itself stays
     * raw as the documented building block. Replay in SQL with
-    * `md5(CAST(key AS VARCHAR) || '__split')`. */
+    * `md5(CAST(key AS VARCHAR) || '__split')`.
+    *
+    * COMPAT (the r14 salting moved every key's draw, which silently
+    * migrates rows across train/val/test relative to a split persisted by
+    * a pre-salt build — the one thing this API promises never happens on
+    * rerun): pass `salt = ""` to pin the original unsalted assignment
+    * when a frozen corpus must keep its historical split. */
   def assignSplit(df: DataFrame, keyCol: String,
-                  valPermille: Int = 5, testPermille: Int = 5): DataFrame = {
-    val b = hashBucket(concat(col(keyCol).cast("string"), lit("__split")), 1000)
+                  valPermille: Int = 5, testPermille: Int = 5,
+                  salt: String = "__split"): DataFrame = {
+    val b = hashBucket(concat(col(keyCol).cast("string"), lit(salt)), 1000)
     df.withColumn("split",
       when(b < testPermille, "test")
         .when(b < testPermille + valPermille, "val")

@@ -355,7 +355,24 @@ object GeogExpressions {
         require(args.size == n, s"$name expects $n arguments")
         f(args)
       }, "built-in")
-    def bin(e: Expression) = if (e.dataType == BinaryType) e else Cast(e, BinaryType)
+    // IMPLICIT CAST GRAPH into geography slots (r15, closes SURVEY §1.5's
+    // last ergonomic delta; reference src/s2_cell_ops.cpp:1034-1051
+    // registers CELL -> GEOGRAPHY and CELL_UNION -> GEOGRAPHY as IMPLICIT
+    // casts, so `SELECT s2_area(cell)` binds without an explicit
+    // s2_cell_to_geog call). Spark has no distinct CELL type — cells are
+    // BIGINT, unions ARRAY<BIGINT> — so a long/array argument in a
+    // geography slot takes the cell interpretation (invalid ids raise the
+    // reference's "Cell not valid" error, same as the explicit cast).
+    // VARCHAR stays non-implicit exactly like the reference (its
+    // string<->geography casts are registered explicit-only).
+    def bin(e: Expression) = e.dataType match {
+      case BinaryType => e
+      case LongType | IntegerType =>
+        CellExpressions.S2CellToGeogExpr(
+          if (e.dataType == LongType) e else Cast(e, LongType))
+      case ArrayType(LongType, _) => CellExpressions.S2CellUnionToGeogExpr(e)
+      case _ => Cast(e, BinaryType)
+    }
     def d(e: Expression) = if (e.dataType == DoubleType) e else Cast(e, DoubleType)
     def i(e: Expression) = if (e.dataType == IntegerType) e else Cast(e, IntegerType)
 

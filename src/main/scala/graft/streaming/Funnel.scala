@@ -167,8 +167,14 @@ object Funnel {
             val incoming = rows.map(e => (e.ts.getTime, e.event_type)).toList
             val all = st.pending ++ incoming
             val wm = state.getCurrentWatermarkMs()
-            // process what the watermark has sealed; hold the rest
-            val (ripe, hold) = all.partition(_._1 <= wm)
+            // process what the watermark has sealed; hold the rest.
+            // STRICTLY below (ADVICE r14): Spark's stateful late-record
+            // filter still admits rows with eventTime == watermark in
+            // later triggers, so sealing at <= could replay an exact-
+            // boundary arrival after its same-timestamp peers were
+            // consumed; with < every admissible late arrival (ts >= wm)
+            // is provably ordered at-or-after all sealed events (< wm)
+            val (ripe, hold) = all.partition(_._1 < wm)
             val (out, stage, stageTs) = advanceStages(userId, st.stage, st.stageTs,
               ripe.sortBy(identity), stages, windowMs)
             // a completed funnel needs no buffer — state shrinks to the pair
