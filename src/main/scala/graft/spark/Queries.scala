@@ -3464,28 +3464,43 @@ object Queries {
   // Salted two-level sum like q1: 25 (region, nation) groups would hit
   // the 2^63 single-level BIGINT bound at large SF; the salt defers that
   // to petabyte-per-group scale with the hot loop still pure long codegen.
-  /** TPC-H q4 SHAPE (order-priority check): IN over the DISTINCT
-    * returned-order keys → Catalyst still plans a LEFT-SEMI join on
-    * l_orderkey — the one relational join shape the bench set didn't
-    * cover — but the explicit DISTINCT adds a map-side partial dedup
-    * BEFORE the lineitem side shuffles: orders average several returned
-    * items, so the semi-join's shuffled volume drops to unique-orderkey
-    * grain (tools/Q4Variants A/B, identical results: 2.97 -> 2.70 s at
-    * sf10, 0.71 -> 0.60 s at sf0.1 vs the bare EXISTS form; the r13
-    * bench SQL). The synthetic schema has no l_commitdate, so the
-    * correlated predicate is "has a returned item" (l_returnflag = 'R'),
-    * preserving the query's structure: a filtered fact-side semi-join
-    * feeding a small grouped count. At 100 TB the semi-join shuffles
-    * both sides on the key once — the build side at dedup'd grain — and
-    * the filter pushes to the lineitem scan. */
-  private val qTpchQ4 = sqlQ(
+  /** TPC-H q4 SHAPE (order-priority check), LAYOUT-ADAPTIVE (r15): a
+    * LEFT-SEMI join on l_orderkey — the one relational join shape the
+    * bench set didn't cover. The synthetic schema has no l_commitdate,
+    * so the correlated predicate is "has a returned item"
+    * (l_returnflag = 'R'), preserving the query's structure: a filtered
+    * fact-side semi-join feeding a small grouped count.
+    *
+    * On FLAT storage the IN(DISTINCT) form wins: the explicit DISTINCT
+    * adds a map-side partial dedup BEFORE the lineitem side shuffles, so
+    * the semi-join's shuffled volume drops to unique-orderkey grain
+    * (tools/Q4Variants A/B: 2.97 -> 2.70 s at unbucketed sf10,
+    * 0.71 -> 0.60 s at sf0.1 vs bare EXISTS). On the CO-LOCATED bucketed
+    * layout there is no shuffle to shrink — the distinct's two hash
+    * aggregates are pure overhead AND destroy the buckets' sort order —
+    * so the bare EXISTS form streams the sorted scans straight into the
+    * zero-exchange sort-merge semi-join (r15 A/B at bucketed sf10:
+    * 1.00 -> 0.71 s). prep's layout marker picks the shape. */
+  private val q4Exists =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+      |FROM orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  private val q4InDistinct =
     """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
       |FROM orders o
       |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
       |  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
       |  AND o.o_orderkey IN (SELECT DISTINCT l_orderkey FROM lineitem
       |                       WHERE l_returnflag = 'R')
-      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  private val qTpchQ4: Q = (s, dir) => {
+    prep(s, dir)
+    s.sql(if (bucketMarker(dir, "lineitem").isDefined) q4Exists else q4InDistinct)
+  }
   private val oTpchQ4 =
     """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
       |FROM orders o
@@ -3498,15 +3513,26 @@ object Queries {
   /** TPC-H q12 SHAPE (shipping-mode lateness): fact-dimension join with
     * conditional aggregation. No l_shipmode/l_commitdate in the synthetic
     * schema, so lateness = shipped more than 60 days after the order date,
-    * split by high/low priority — the same join + CASE-sum structure. */
-  private val qTpchQ12 = sqlQ(
-    """SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+    * split by high/low priority — the same join + CASE-sum structure.
+    * LAYOUT-ADAPTIVE (r15): on the co-located bucketed layout the join is
+    * exchange-free either way, and a SHUFFLE_HASH hint on the orders side
+    * replaces the sort-merge (which re-sorts 60M joined rows' worth of
+    * inputs) with a per-bucket hash build over ~190k orders rows — r15
+    * A/B at bucketed sf10: 1.76 -> 1.04 s. Flat storage keeps the
+    * unhinted plan (Catalyst picks the join for the shuffled shape). */
+  private val q12Body =
+    """SELECT%HINT% CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
       |       THEN 'high' ELSE 'low' END AS prio,
       |  CAST(sum(CASE WHEN unix_timestamp(l.l_shipdate) - unix_timestamp(o.o_orderdate) > 5184000
       |       THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
       |  CAST(count(*) AS BIGINT) AS n_items
       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-      |GROUP BY 1 ORDER BY 1""".stripMargin)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  private val qTpchQ12: Q = (s, dir) => {
+    prep(s, dir)
+    s.sql(q12Body.replace("%HINT%",
+      if (bucketMarker(dir, "orders").isDefined) " /*+ SHUFFLE_HASH(o) */" else ""))
+  }
   private val oTpchQ12 =
     """SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
       |       THEN 'high' ELSE 'low' END AS prio,
