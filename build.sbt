@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: local[32] runs 32 concurrent tasks in ONE JVM (driver +
+  // executor), so 8g gave each task ~250 MB — the sf10 section's
+  // per-bucket hash-join builds OOM'd there (r15). The box has 128 GiB
+  // and the DuckDB oracle is allowed ~80% of it by default; 24g keeps
+  // the comparison honest while bounding our footprint.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
