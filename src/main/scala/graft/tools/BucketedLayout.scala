@@ -37,7 +37,7 @@ object BucketedLayout {
     // the tables ScaleUp registered, then force a re-prep through another
     // dir so prep's cache cannot short-circuit the marker path.
     for (t <- Seq("lineitem", "orders", "events"))
-      spark.sql(s"DROP TABLE IF EXISTS ${Queries.bucketTableName(t, dst)}")
+      Queries.markedBucketTableName(dst, t).foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
     val qmap = Queries.all.map { case (n, q, _) => n -> q }.toMap
     qmap("b_tpch_q6")(spark, "/root/testdata/sf0.01").count()
 
@@ -45,7 +45,7 @@ object BucketedLayout {
     for (t <- Seq("lineitem", "orders", "events")) {
       val flat = spark.read.parquet(s"$dst/$t.parquet").count()
       qmap("b_tpch_q6")(spark, dst).count() // ensures prep registered tables
-      val bk = spark.table(Queries.bucketTableName(t, dst)).count()
+      val bk = spark.table(Queries.markedBucketTableName(dst, t).get).count()
       assert(flat == bk, s"$t: flat $flat != bucketed $bk")
       println(s"[bucketed-layout] $t rows ok ($bk)")
     }

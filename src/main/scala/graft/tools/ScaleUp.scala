@@ -78,8 +78,16 @@ object ScaleUp {
       * the layout without rewriting (Queries.prep reads it). */
     def writeBucketed(name: String, df: DataFrame, key: String, n: Int = 32): Unit = {
       val path = s"$dst/$name.parquet"
-      val tbl = graft.spark.Queries.bucketTableName(name, dst)
-      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val tbl = graft.spark.Queries.bucketTableName(name, dst, key, n)
+      // drop EVERY sibling registration for this (name, dir), not just the
+      // one at the current spec: a previous in-session registration under
+      // a different (key, buckets) would otherwise keep pointing at the
+      // about-to-be-overwritten files (ADVICE r15 — wrong co-location
+      // assumptions are wrong results)
+      val prefix = graft.spark.Queries.bucketTablePrefix(name, dst)
+      spark.catalog.listTables().collect()
+        .filter(_.name.startsWith(prefix))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
       df.repartition(n, col(key))
         .write.mode("overwrite")
         .bucketBy(n, key).sortBy(key)

@@ -26,7 +26,7 @@ class BucketedLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     // cold-catalog path: drop what ScaleUp registered so prep must
     // re-register from the marker
     for (t <- Seq("lineitem", "orders", "events"))
-      spark.sql(s"DROP TABLE IF EXISTS ${Queries.bucketTableName(t, dst)}")
+      Queries.markedBucketTableName(dst, t).foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
   }
 
   override def afterAll(): Unit = {
@@ -46,7 +46,7 @@ class BucketedLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("prep re-registers the bucketed layout from the marker (cold catalog)") {
     val n = qmap("b_tpch_q6")(spark, dst).count()
     assert(n > 0)
-    val tbl = Queries.bucketTableName("lineitem", dst)
+    val tbl = Queries.markedBucketTableName(dst, "lineitem").get
     assert(spark.catalog.tableExists(tbl), "marker path must register the catalog table")
     assert(spark.table(tbl).count() ===
       spark.read.parquet(s"$dst/lineitem.parquet").count(), "bucketed write is lossless")

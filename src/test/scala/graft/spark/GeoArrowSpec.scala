@@ -120,6 +120,39 @@ class GeoArrowSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".arrow")))
   }
 
+  test("readGeoArrow refuses a planar-edge-tagged geoarrow column (reference s2_geoarrow.cpp:27-29)") {
+    // hand-build a part file whose geometry column declares planar edges —
+    // the one tag the reference's reader refuses; ours must too instead of
+    // silently reinterpreting planar data as spherical
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ASchema}
+    val dir = Files.createTempDirectory("geoarrow_planar").toFile.getAbsolutePath
+    val planarMeta = Map(
+      "ARROW:extension:name" -> "geoarrow.wkb",
+      "ARROW:extension:metadata" -> """{"edges":"planar"}""").asJava
+    val geomField = new Field("geog",
+      new FieldType(true, ArrowType.Binary.INSTANCE, null, planarMeta), null)
+    val idField = new Field("id",
+      new FieldType(false, new ArrowType.Int(64, true), null, null), null)
+    val allocator = new RootAllocator()
+    val vsr = VectorSchemaRoot.create(new ASchema(java.util.List.of(idField, geomField)), allocator)
+    val out = Files.newOutputStream(java.nio.file.Paths.get(dir, "part-00000.arrow"))
+    val writer = new org.apache.arrow.vector.ipc.ArrowFileWriter(vsr, null,
+      java.nio.channels.Channels.newChannel(out))
+    try {
+      writer.start()
+      vsr.allocateNew()
+      vsr.getVector(0).asInstanceOf[BigIntVector].setSafe(0, 1L)
+      vsr.getVector(1).asInstanceOf[VarBinaryVector].setSafe(0, Array[Byte](1, 1, 0, 0, 0))
+      vsr.setRowCount(1)
+      writer.writeBatch()
+      writer.end()
+    } finally { writer.close(); out.close(); vsr.close(); allocator.close() }
+
+    val e = intercept[IllegalArgumentException] { GeoArrow.readGeoArrow(spark, dir) }
+    assert(e.getMessage.contains("planar") && e.getMessage.contains("geog"),
+      s"error must name the column and the offending edge type: ${e.getMessage}")
+  }
+
   test("geoarrow sink rejects unsupported column types with a named column") {
     val s = spark; import s.implicits._
     val df = Seq((1L, Array(1.0f, 2.0f))).toDF("id", "emb")
