@@ -3559,7 +3559,7 @@ object Queries {
       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  private val qTpchQ5 = sqlQ(
+  private val q5SaltedSql =
     """WITH p AS (
       | SELECT r.r_name, n.n_name, pmod(l.l_orderkey, 1024) AS salt,
       |  sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
@@ -3575,7 +3575,37 @@ object Queries {
       | CAST(sum(n) AS BIGINT) AS n_items
       |FROM p
       |GROUP BY r_name, n_name
-      |ORDER BY r_name, n_name""".stripMargin)
+      |ORDER BY r_name, n_name""".stripMargin
+  // single-level form: the salt exists only for BIGINT-cents headroom —
+  // a (r_name, n_name) group overflows 2^63 cents at ~10^10 lineitem
+  // rows per group (multi-TB per group), so below the size threshold the
+  // two-level shape is pure overhead (25600 partial groups + a second
+  // exchange + a second aggregate for 25 output rows)
+  private val q5FlatSql =
+    """SELECT r.r_name, n.n_name,
+      | CAST(CAST(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      |    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS DECIMAL(38,0)) / 10000 AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+      | CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem l
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY r.r_name, n.n_name
+      |ORDER BY r.r_name, n.n_name""".stripMargin
+  private val qTpchQ5Salted = sqlQ(q5SaltedSql)
+  private val qTpchQ5Flat = sqlQ(q5FlatSql)
+  /** SIZE-ADAPTIVE q5 (r16): the salted two-level sum is the 100-TB
+    * shape (per-group BIGINT-cents overflow headroom); under the same
+    * size probe q3 uses, small inputs take the single-level form — at
+    * sf0.1 the two-level's 25600 partial groups + second exchange +
+    * second aggregate serve 25 output rows, pure stage floor. Both
+    * shapes stay registered (b_tpch_q5_salted / b_tpch_q5_flat) against
+    * the same oracle. */
+  private val qTpchQ5: Q = (s, dir) => {
+    prep(s, dir)
+    val (len, _) = dirFingerprint(s"$dir/lineitem.parquet")
+    s.sql(if (len > 512L * 1024 * 1024) q5SaltedSql else q5FlatSql)
+  }
   private val oTpchQ5 =
     """SELECT r.r_name, n.n_name,
       | CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
@@ -3997,6 +4027,8 @@ object Queries {
     ("b_tpch_q3", qTpchQ3, Some(oTpchQ3)),
     ("b_tpch_q4", qTpchQ4, Some(oTpchQ4)),
     ("b_tpch_q5", qTpchQ5, Some(oTpchQ5)),
+    ("b_tpch_q5_salted", qTpchQ5Salted, Some(oTpchQ5)),
+    ("b_tpch_q5_flat", qTpchQ5Flat, Some(oTpchQ5)),
     ("b_tpch_q12", qTpchQ12, Some(oTpchQ12)),
     ("b_top_order", qTopOrderPerCustomer, Some(oTopOrderPerCustomer)),
     ("b_top_order_agg", qTopOrderAgg, Some(oTopOrderPerCustomer)),
