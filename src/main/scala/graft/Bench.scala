@@ -327,6 +327,23 @@ object Bench {
   private def jsonNum(pairs: Seq[(String, Double)]): String =
     pairs.map { case (n, v) => "\"" + esc(n) + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
 
+  /** BOX-SPEED CANARY (r16): a fixed, data-free, pure-codegen Spark job
+    * (sum over a 200M range) timed at each section's start. The r16
+    * investigation found the dominant cross-window variable is the BOX
+    * itself — r14's exact tree re-probed in an r16 window reads q3 at
+    * sf0.1 ~1.0 s where r14's committed window recorded 0.664 s, same
+    * code, zero external busy cores — so every section now carries a
+    * constant-work reference number that makes window drift legible in
+    * the artifact instead of masquerading as code regressions. */
+  private def calibrate(spark: SparkSession): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(200000000L).selectExpr("sum(id * 2654435761)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    math.min(once(), once())
+  }
+
   private case class SectionOut(records: Seq[QRecord],
       oracleTimes: Seq[(String, Double)], oracleBusy: Seq[(String, Double)]) {
     def ok: Seq[QRecord] = records.filter(_.err.isEmpty)
@@ -476,6 +493,7 @@ object Bench {
     // scale-section comment below)
     val orderedNames = Queries.benchNames.filterNot(heavyNames.contains) ++
       Queries.benchNames.filter(heavyNames.contains)
+    val smallCalib = calibrate(spark)
     val smallSec = runSection(spark, qmap, sfDir, orderedNames,
       oracleNames, cpus, small = true)
     spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
@@ -520,9 +538,10 @@ object Bench {
       if (!new java.io.File(s"$bigDir/lineitem.parquet").exists()) ("", "")
       else {
         val bigWarmIo = warmPageCache(bigDir)
+        val bigCalib = calibrate(spark)
         val sec = runSection(spark, qmap, bigDir, orderedNames,
           oracleNames, cpus, small = false)
-        (s""","big_queries":${sec.queriesJson},"big_errors":${sec.errsJson},"big_total":${sec.total},"big_sf":"$bigDir","big_warm_io_sec":$bigWarmIo${sec.oracleJson("big_")}""",
+        (s""","big_queries":${sec.queriesJson},"big_errors":${sec.errsJson},"big_total":${sec.total},"big_sf":"$bigDir","big_warm_io_sec":$bigWarmIo,"big_calib_sec":$bigCalib${sec.oracleJson("big_")}""",
          s""","big_reps":${jsonReps(sec.records)}""")
       }
 
@@ -567,11 +586,13 @@ object Bench {
     val megaDir = sys.env.getOrElse("SPARK_GRAFT_MEGA_DIR", "/root/repo/bigdata/sf10")
     val hugeOk = ensureDir(hugeDir, 30)
     val hugeWarmIo = if (hugeOk) warmPageCache(hugeDir) else 0.0
+    val hugeCalib = if (hugeOk) calibrate(spark) else 0.0
     val hugeLight = if (hugeOk)
       Some(runSection(spark, qmap, hugeDir, lightFloor, lightFloor, cpus, small = false))
     else None
     val megaOk = ensureDir(megaDir, 100)
     val megaWarmIo = if (megaOk) warmPageCache(megaDir) else 0.0
+    val megaCalib = if (megaOk) calibrate(spark) else 0.0
     val megaLight = if (megaOk)
       Some(runSection(spark, qmap, megaDir, lightFloor, lightFloor, cpus, small = false))
     else None
@@ -594,7 +615,7 @@ object Bench {
     val (hugeHeavy, hugeDropped) = heavyPass(hugeOk, hugeDir, hugeHeavyGate, "huge")
     val (megaHeavy, megaDropped) = heavyPass(megaOk, megaDir, megaHeavyGate, "mega")
 
-    def scaleJson(label: String, dir: String, warmIo: Double,
+    def scaleJson(label: String, dir: String, warmIo: Double, calib: Double,
                   light: Option[SectionOut], heavy: Option[SectionOut],
                   dropped: Seq[String]): (String, String) = light match {
       case None => ("", "")
@@ -603,13 +624,13 @@ object Bench {
         val droppedJson =
           if (dropped.isEmpty) ""
           else s""","${label}_dropped":${dropped.map(d => "\"" + esc(d) + "\"").mkString("[", ",", "]")}"""
-        (s""","${label}_queries":${sec.queriesJson},"${label}_errors":${sec.errsJson},"${label}_total":${sec.total},"${label}_sf":"$dir","${label}_warm_io_sec":$warmIo${sec.oracleJson(s"${label}_")}$droppedJson""",
+        (s""","${label}_queries":${sec.queriesJson},"${label}_errors":${sec.errsJson},"${label}_total":${sec.total},"${label}_sf":"$dir","${label}_warm_io_sec":$warmIo,"${label}_calib_sec":$calib${sec.oracleJson(s"${label}_")}$droppedJson""",
          s""","${label}_reps":${jsonReps(sec.records)}""")
     }
     val (hugeCompact, hugeFullExtra) =
-      scaleJson("huge", hugeDir, hugeWarmIo, hugeLight, hugeHeavy, hugeDropped)
+      scaleJson("huge", hugeDir, hugeWarmIo, hugeCalib, hugeLight, hugeHeavy, hugeDropped)
     val (megaCompact, megaFullExtra) =
-      scaleJson("mega", megaDir, megaWarmIo, megaLight, megaHeavy, megaDropped)
+      scaleJson("mega", megaDir, megaWarmIo, megaCalib, megaLight, megaHeavy, megaDropped)
 
     // The driver tail-captures stdout with a bounded budget: the r8 record
     // lost its whole sf0.1 section when per-rep detail pushed the line past
@@ -622,6 +643,7 @@ object Bench {
       s""","load_gate":{"threshold_cores":$gateCores,"total_waited_sec":$gateWaitedTotal""" +
       s""","policy":"each rep waits (bounded) until external busy cores from an idle-window /proc/stat sample drop under the gate"}""" +
       s""","small_profile":"aqe coalescePartitions.parallelismFirst=false (small-SF section only)"""" +
+      s""","calib_sec":$smallCalib,"calib_policy":"min-of-2 fixed 200M-range codegen sum at section start; box-speed canary for cross-window drift"""" +
       oraclePart + bigCompact + hugeCompact + megaCompact
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_full.json")
     val full = s"""{$compact,"reps":${jsonReps(results)}$bigFullExtra$megaFullExtra$hugeFullExtra}"""

@@ -267,6 +267,12 @@ object Dedup {
    * candidate-preservingly only when a bucket is actually hot (pair set
    * unchanged, spec-pinned). See [[adaptiveBanded]] for the maxBucket
    * semantics (0 = never salt, >0 = always salt at that cap).
+   *
+   * NOTE (adaptive default only): constructing the returned DataFrame
+   * runs ONE small Spark job — the bucket-histogram probe — and holds a
+   * compact (id, band-keys) frame cached MEMORY_AND_DISK (~(8 + 8*bands)
+   * bytes/doc) until the first query consuming the result completes.
+   * Pass maxBucket = 0 or > 0 for a fully lazy, cache-free frame.
    */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             numHashes: Int = 64, bands: Int = 8,
@@ -757,7 +763,11 @@ object Dedup {
     * as [[minhashCandidatePairs]]/[[adaptiveBanded]]: a degenerate
     * simhash class — e.g. empty docs hashing to 0 — goes quadratic in
     * one task; the default probes the (blk, bucket) histogram and salts
-    * candidate-preservingly only when a bucket is actually hot. */
+    * candidate-preservingly only when a bucket is actually hot.
+    * NOTE (adaptive default only): construction runs one small Spark job
+    * (the probe) and holds the compact (id, sh) frame — 16 bytes/doc —
+    * cached until the first consuming query completes; pass
+    * maxBucket = 0 or > 0 for a fully lazy frame. */
   def simhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                             maxBucket: Int = AdaptiveMaxBucket): DataFrame = {
     // compact one-row-per-doc frame (id, sh) — what the adaptive path
