@@ -338,7 +338,9 @@ object Bench {
   private def calibrate(spark: SparkSession): Double = {
     def once(): Double = {
       val t0 = System.nanoTime()
-      spark.range(200000000L).selectExpr("sum(id * 2654435761)").collect()
+      // modulo keeps the running sum ~1e14 — far inside BIGINT under ANSI
+      // (a multiplicative mix overflowed and aborted the whole bench run)
+      spark.range(200000000L).selectExpr("sum(id % 1048576)").collect()
       (System.nanoTime() - t0) / 1e9
     }
     math.min(once(), once())
