@@ -536,16 +536,20 @@ object Bench {
             "skipping big pass rather than regenerating at an unknown scale")
       }
     }
-    val (bigCompact, bigFullExtra) =
-      if (!new java.io.File(s"$bigDir/lineitem.parquet").exists()) ("", "")
+    val bigSecOpt: Option[(SectionOut, Double, Double)] =
+      if (!new java.io.File(s"$bigDir/lineitem.parquet").exists()) None
       else {
         val bigWarmIo = warmPageCache(bigDir)
         val bigCalib = calibrate(spark)
-        val sec = runSection(spark, qmap, bigDir, orderedNames,
-          oracleNames, cpus, small = false)
+        Some((runSection(spark, qmap, bigDir, orderedNames,
+          oracleNames, cpus, small = false), bigWarmIo, bigCalib))
+      }
+    val (bigCompact, bigFullExtra) = bigSecOpt match {
+      case None => ("", "")
+      case Some((sec, bigWarmIo, bigCalib)) =>
         (s""","big_queries":${sec.queriesJson},"big_errors":${sec.errsJson},"big_total":${sec.total},"big_sf":"$bigDir","big_warm_io_sec":$bigWarmIo,"big_calib_sec":$bigCalib${sec.oracleJson("big_")}""",
          s""","big_reps":${jsonReps(sec.records)}""")
-      }
+    }
 
     // Scale sections for the floor-pinned queries (b_tpch_q1/q3/q5,
     // sessions): they measure sub-1.5 s absolute at 10x, which is Spark's
@@ -617,12 +621,13 @@ object Bench {
     val (hugeHeavy, hugeDropped) = heavyPass(hugeOk, hugeDir, hugeHeavyGate, "huge")
     val (megaHeavy, megaDropped) = heavyPass(megaOk, megaDir, megaHeavyGate, "mega")
 
+    val hugeSec = hugeLight.map(l => mergeSection(l, hugeHeavy))
+    val megaSec = megaLight.map(l => mergeSection(l, megaHeavy))
     def scaleJson(label: String, dir: String, warmIo: Double, calib: Double,
-                  light: Option[SectionOut], heavy: Option[SectionOut],
-                  dropped: Seq[String]): (String, String) = light match {
+                  merged: Option[SectionOut],
+                  dropped: Seq[String]): (String, String) = merged match {
       case None => ("", "")
-      case Some(l) =>
-        val sec = mergeSection(l, heavy)
+      case Some(sec) =>
         val droppedJson =
           if (dropped.isEmpty) ""
           else s""","${label}_dropped":${dropped.map(d => "\"" + esc(d) + "\"").mkString("[", ",", "]")}"""
@@ -630,9 +635,9 @@ object Bench {
          s""","${label}_reps":${jsonReps(sec.records)}""")
     }
     val (hugeCompact, hugeFullExtra) =
-      scaleJson("huge", hugeDir, hugeWarmIo, hugeCalib, hugeLight, hugeHeavy, hugeDropped)
+      scaleJson("huge", hugeDir, hugeWarmIo, hugeCalib, hugeSec, hugeDropped)
     val (megaCompact, megaFullExtra) =
-      scaleJson("mega", megaDir, megaWarmIo, megaCalib, megaLight, megaHeavy, megaDropped)
+      scaleJson("mega", megaDir, megaWarmIo, megaCalib, megaSec, megaDropped)
 
     // The driver tail-captures stdout with a bounded budget: the r8 record
     // lost its whole sf0.1 section when per-rep detail pushed the line past
@@ -649,9 +654,40 @@ object Bench {
       oraclePart + bigCompact + hugeCompact + megaCompact
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_full.json")
     val full = s"""{$compact,"reps":${jsonReps(results)}$bigFullExtra$megaFullExtra$hugeFullExtra}"""
+    // STDOUT LINE MUST FIT THE DRIVER'S TAIL BUDGET (r16): the driver
+    // keeps only the LAST ~2000 chars of stdout, and the rich compact
+    // record outgrew that in r14 — BENCH_r14/r15.json both carry
+    // "parsed": null because the line's HEAD was truncated away. Print a
+    // SLIM line (~1.3 KB): the contract keys (metric/value/unit/queries/
+    // sf) with 3-decimal values, per-section spark-vs-oracle geomeans,
+    // the calib canaries, any dropped rows, and the full-record pointer.
+    // Everything else lives in the file.
+    def geomeanOf(sec: SectionOut): Option[Double] = {
+      val o = sec.oracleTimes.toMap
+      val rs = sec.ok.flatMap(r => o.get(r.name).filter(_ > 0).map(t => r.best / t))
+        .filter(_ > 0)
+      if (rs.isEmpty) None else Some(math.exp(rs.map(math.log).sum / rs.size))
+    }
+    val slimQueries = smallSec.ok
+      .map(r => "\"" + esc(r.name) + "\":" + f"${r.best}%.3f").mkString("{", ",", "}")
+    val gms = Seq("sf0.1" -> Some(smallSec), "sf1" -> bigSecOpt.map(_._1),
+        "sf3" -> hugeSec, "sf10" -> megaSec)
+      .flatMap { case (k, s) => s.flatMap(geomeanOf).map(g => "\"" + k + "\":" + f"$g%.2f") }
+      .mkString("{", ",", "}")
+    val calibs = Seq("sf0.1" -> Some(smallCalib), "sf1" -> bigSecOpt.map(_._3),
+        "sf3" -> (if (hugeSec.isDefined) Some(hugeCalib) else None),
+        "sf10" -> (if (megaSec.isDefined) Some(megaCalib) else None))
+      .flatMap { case (k, c) => c.map(v => "\"" + k + "\":" + f"$v%.3f") }
+      .mkString("{", ",", "}")
+    val droppedAll = (hugeDropped.map("huge:" + _) ++ megaDropped.map("mega:" + _))
+      .map(d => "\"" + esc(d) + "\"").mkString("[", ",", "]")
+    val slim =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$slimQueries,"errors":$errs,"sf":"$sfDir"""" +
+      s""","oracle_geomeans":$gms,"calib_sec":$calibs,"dropped":$droppedAll""" +
+      s""","full_record":"${esc(fullPath)}"}"""
     try {
       java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), full + "\n")
-      println(s"""{$compact,"full_record":"${esc(fullPath)}"}""")
+      println(slim)
     } catch { case _: Throwable => println(full) }
     spark.stop()
   }

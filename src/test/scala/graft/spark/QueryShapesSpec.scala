@@ -28,4 +28,34 @@ class QueryShapesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.nonEmpty)
     assert(a === b)
   }
+
+  private lazy val qmap = Queries.all.map { case (n, q, _) => n -> q }.toMap
+
+  test("q5 dispatcher: flat and salted shapes return identical rows; small flat dir takes the single-level plan") {
+    val dir = "/root/testdata/sf0.001"
+    Queries.prep(spark, dir)
+    val flat = qmap("b_tpch_q5_flat")(spark, dir).collect().map(_.toSeq).toSeq
+    val salted = qmap("b_tpch_q5_salted")(spark, dir).collect().map(_.toSeq).toSeq
+    val dispatched = qmap("b_tpch_q5")(spark, dir)
+    assert(flat.nonEmpty && flat === salted)
+    assert(dispatched.collect().map(_.toSeq).toSeq === flat)
+    // a tiny flat dir is far below the 512 MB salt threshold: the
+    // dispatched plan must be the single-level one (no salt column)
+    assert(!dispatched.queryExecution.optimizedPlan.toString.contains("salt"),
+      "small input must take the single-level q5 shape")
+  }
+
+  test("funnel dispatcher: small flat dir takes the single-scan fold; all shapes agree") {
+    val dir = "/root/testdata/sf0.001"
+    Queries.prep(spark, dir)
+    val dispatched = qmap("b_events_funnel")(spark, dir)
+    // the fold is one scan + collect_list; the staged shape would plan
+    // three separate events scans with per-stage joins
+    assert(dispatched.queryExecution.optimizedPlan.toString.contains("collect_list"),
+      "a small flat events table must dispatch to the array-fold shape")
+    val f = dispatched.collect().map(_.toSeq).toSeq
+    for (v <- Seq("b_events_funnel_staged", "b_events_funnel_window", "b_events_funnel_fold"))
+      assert(qmap(v)(spark, dir).collect().map(_.toSeq).toSeq === f,
+        s"$v must agree with the dispatched funnel")
+  }
 }
