@@ -170,10 +170,18 @@ object Bench {
     * The library itself never depends on this; it is bench
     * instrumentation. */
   private class OracleRunner private (proc: Process,
-      lines: java.util.concurrent.BlockingQueue[String]) {
+      lines: java.util.concurrent.BlockingQueue[String],
+      errFile: java.io.File) {
     var spent: Double = 0.0
     private var dead = false
     def alive: Boolean = !dead
+    /** Last ~1 KB of the subprocess's stderr — surfaced when the runner
+      * dies (ADVICE r16: a /dev/null stderr left a failed python3/duckdb
+      * startup with zero diagnostics and every oracle row silently lost). */
+    private def errTail(): String = try {
+      val bytes = java.nio.file.Files.readAllBytes(errFile.toPath)
+      new String(bytes.drop(math.max(0, bytes.length - 1024))).trim
+    } catch { case _: Throwable => "<stderr unreadable>" }
     /** Min-of-3 seconds for `name`, or None on error/timeout/budget. */
     def time(name: String): Option[Double] = {
       if (dead || spent > 600.0) return None
@@ -182,7 +190,10 @@ object Bench {
         proc.getOutputStream.flush()
         // worst legitimate case: 3 reps x 60 s early-stop + slack
         val line = lines.poll(240, java.util.concurrent.TimeUnit.SECONDS)
-        if (line == null) { close(); return None }
+        if (line == null) {
+          System.err.println(s"[bench] oracle row '$name' timed out; stderr tail: ${errTail()}")
+          close(); return None
+        }
         val sec = "\"sec\":\\s*([0-9.]+)".r.findFirstMatchIn(line).map(_.group(1).toDouble)
         val sp = "\"spent\":\\s*([0-9.]+)".r.findFirstMatchIn(line).map(_.group(1).toDouble)
         sp.foreach(s => spent += s)
@@ -200,15 +211,19 @@ object Bench {
   }
 
   private object OracleRunner {
-    def start(sfDir: String, cpus: String,
-              names: Seq[String]): Option[OracleRunner] = try {
+    def start(sfDir: String, cpus: String, names: Seq[String],
+              small: Boolean): Option[OracleRunner] = try {
       val picked = names.flatMap(n => SparkEntry.oracleSql.get(n).map(n -> _))
       if (picked.isEmpty) return None
       val dir = java.nio.file.Files.createTempDirectory("graft_oracle")
       val specFile = dir.resolve("spec.json").toFile
       val pw = new java.io.PrintWriter(specFile)
+      // the 1-rep heavy override exists because the SCALE-section heavy
+      // oracles run minutes (sf3 minhash ~115 s); at the small SF those
+      // same rows are sub-second, so keep the min-of-3 noise discipline
+      // there (ADVICE r16: a name-only key stripped it everywhere)
       val repsJson = picked.map { case (n, _) =>
-        "\"" + esc(n) + "\":" + (if (heavyNames.contains(n)) 1 else 3) }.mkString(",")
+        "\"" + esc(n) + "\":" + (if (!small && heavyNames.contains(n)) 1 else 3) }.mkString(",")
       pw.print("{\"dir\":\"" + esc(sfDir) + "\",\"threads\":" + cpus.toInt +
         ",\"reps\":{" + repsJson + "},\"queries\":{" +
         picked.map { case (n, s) => "\"" + esc(n) + "\":\"" + esc(s) + "\"" }.mkString(",") + "}}")
@@ -302,9 +317,12 @@ object Bench {
       // stderr must be actively drained (ADVICE r15): left unread, enough
       // python/duckdb warnings fill the 64 KB pipe and BLOCK the runner
       // mid-query — the 240 s poll then retires it and every remaining
-      // oracle row of the section is silently dropped. Discarding to
-      // /dev/null keeps the one-JSON-line-per-query stdout protocol clean.
-      pb.redirectError(ProcessBuilder.Redirect.to(new java.io.File("/dev/null")))
+      // oracle row of the section is silently dropped. Redirecting to a
+      // TEMP FILE (not /dev/null — ADVICE r16) keeps the pipe drained AND
+      // preserves diagnostics: its tail is surfaced whenever the ready
+      // line or a query row times out.
+      val errFile = dir.resolve("oracle_stderr.log").toFile
+      pb.redirectError(ProcessBuilder.Redirect.to(errFile))
       val proc = pb.start()
       val lines = new java.util.concurrent.LinkedBlockingQueue[String]()
       val reader = new Thread(() => {
@@ -319,8 +337,15 @@ object Bench {
       // view setup (incl. the events typeof probe) is bounded; 120 s covers
       // a cold page-cache listing of the mega dir
       val ready = lines.poll(120, java.util.concurrent.TimeUnit.SECONDS)
-      if (ready == null || !ready.contains("ready")) { proc.destroyForcibly(); None }
-      else Some(new OracleRunner(proc, lines))
+      if (ready == null || !ready.contains("ready")) {
+        val tail = try {
+          val bytes = java.nio.file.Files.readAllBytes(errFile.toPath)
+          new String(bytes.drop(math.max(0, bytes.length - 1024))).trim
+        } catch { case _: Throwable => "<stderr unreadable>" }
+        System.err.println(s"[bench] oracle runner never reported ready; stderr tail: $tail")
+        proc.destroyForcibly(); None
+      }
+      else Some(new OracleRunner(proc, lines, errFile))
     } catch { case _: Throwable => None }
   }
 
@@ -374,7 +399,7 @@ object Bench {
       dir: String, names: Seq[String], oracleSet: Seq[String], cpus: String,
       small: Boolean): SectionOut = {
     val busyLoad = cpus.toInt / 2.0
-    val oracle = OracleRunner.start(dir, cpus, oracleSet)
+    val oracle = OracleRunner.start(dir, cpus, oracleSet, small)
     val oTimes = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     val oBusy = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     def timeOracle(name: String): Unit =

@@ -239,20 +239,25 @@ object GeoArrow {
       val ext = f.getMetadata.asScala
       ext.get("ARROW:extension:name").foreach(mb.putString("geoarrow", _))
       ext.get("ARROW:extension:metadata").foreach(mb.putString("geoarrow_meta", _))
-      // PLANAR-EDGE REJECTION (r16; reference src/s2_geoarrow.cpp:27-29
-      // refuses geoarrow columns declaring planar edges): this engine is
-      // spherical-only — silently reinterpreting a planar-tagged column
-      // as spherical corrupts every downstream measure/predicate, so
-      // fail loudly at read time, matching the reference's contract.
-      for {
-        name <- ext.get("ARROW:extension:name") if name.startsWith("geoarrow.")
-        meta <- ext.get("ARROW:extension:metadata")
-        m <- "\"edges\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(meta)
-        if m.group(1) != "spherical"
-      } throw new IllegalArgumentException(
-        s"readGeoArrow: column '${f.getName}' declares edges=\"${m.group(1)}\"; " +
-          "only spherical edges are supported (planar geoarrow data must be " +
-          "imported through a planar engine or re-tagged explicitly)")
+      // PLANAR-EDGE REJECTION (r16/r17; reference src/s2_geoarrow.cpp:27-29
+      // refuses geoarrow columns whose edge type is not spherical): this
+      // engine is spherical-only — silently reinterpreting a planar column
+      // as spherical corrupts every downstream measure/predicate, so fail
+      // loudly at read time, matching the reference's contract. Per the
+      // GeoArrow spec an ABSENT edges key (or absent extension metadata
+      // entirely) DEFAULTS TO PLANAR (ADVICE r16 — typical foreign
+      // geoarrow.wkb files carry crs-only metadata), so only an explicit
+      // edges="spherical" is admissible.
+      for (name <- ext.get("ARROW:extension:name") if name.startsWith("geoarrow.")) {
+        val edges = ext.get("ARROW:extension:metadata")
+          .flatMap(m => "\"edges\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(m).map(_.group(1)))
+        if (!edges.contains("spherical"))
+          throw new IllegalArgumentException(
+            s"readGeoArrow: column '${f.getName}' declares edges=" +
+              s""""${edges.getOrElse("planar")}"${if (edges.isEmpty) " (the GeoArrow default when the edges key is absent)" else ""}; """ +
+              "only spherical edges are supported (planar geoarrow data must be " +
+              "imported through a planar engine or re-tagged explicitly)")
+      }
       StructField(f.getName, sparkType(f), f.isNullable, mb.build())
     }.toSeq
     val schema = StructType(sparkFields)

@@ -84,9 +84,13 @@ object ScaleUp {
       // a different (key, buckets) would otherwise keep pointing at the
       // about-to-be-overwritten files (ADVICE r15 — wrong co-location
       // assumptions are wrong results)
-      val prefix = graft.spark.Queries.bucketTablePrefix(name, dst)
+      // the catalog stores table names LOWERCASED while the prefix keeps
+      // the dir tail's case (ADVICE r16: an .../SF3 dir yielded a prefix
+      // matching nothing, so stale registrations survived) — compare
+      // case-insensitively
+      val prefix = graft.spark.Queries.bucketTablePrefix(name, dst).toLowerCase
       spark.catalog.listTables().collect()
-        .filter(_.name.startsWith(prefix))
+        .filter(_.name.toLowerCase.startsWith(prefix))
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
       df.repartition(n, col(key))
         .write.mode("overwrite")

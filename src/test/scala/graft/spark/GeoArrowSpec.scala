@@ -153,6 +153,41 @@ class GeoArrowSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"error must name the column and the offending edge type: ${e.getMessage}")
   }
 
+  test("readGeoArrow treats an absent edges key as planar and refuses it (ADVICE r16)") {
+    // per the GeoArrow spec a missing edges key (or missing extension
+    // metadata entirely) DEFAULTS TO PLANAR — a typical foreign
+    // geoarrow.wkb file carries crs-only metadata; reading it as
+    // spherical is exactly the corruption the guard exists to prevent
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ASchema}
+    for (meta <- Seq(
+        Map("ARROW:extension:name" -> "geoarrow.wkb",
+            "ARROW:extension:metadata" -> """{"crs":"OGC:CRS84"}"""),
+        Map("ARROW:extension:name" -> "geoarrow.wkb"))) {
+      val dir = Files.createTempDirectory("geoarrow_noedges").toFile.getAbsolutePath
+      val geomField = new Field("geog",
+        new FieldType(true, ArrowType.Binary.INSTANCE, null, meta.asJava), null)
+      val idField = new Field("id",
+        new FieldType(false, new ArrowType.Int(64, true), null, null), null)
+      val allocator = new RootAllocator()
+      val vsr = VectorSchemaRoot.create(new ASchema(java.util.List.of(idField, geomField)), allocator)
+      val out = Files.newOutputStream(java.nio.file.Paths.get(dir, "part-00000.arrow"))
+      val writer = new org.apache.arrow.vector.ipc.ArrowFileWriter(vsr, null,
+        java.nio.channels.Channels.newChannel(out))
+      try {
+        writer.start()
+        vsr.allocateNew()
+        vsr.getVector(0).asInstanceOf[BigIntVector].setSafe(0, 1L)
+        vsr.getVector(1).asInstanceOf[VarBinaryVector].setSafe(0, Array[Byte](1, 1, 0, 0, 0))
+        vsr.setRowCount(1)
+        writer.writeBatch()
+        writer.end()
+      } finally { writer.close(); out.close(); vsr.close(); allocator.close() }
+      val e = intercept[IllegalArgumentException] { GeoArrow.readGeoArrow(spark, dir) }
+      assert(e.getMessage.contains("planar") && e.getMessage.contains("geog"),
+        s"absent-edges metadata $meta must be rejected as planar: ${e.getMessage}")
+    }
+  }
+
   test("geoarrow sink rejects unsupported column types with a named column") {
     val s = spark; import s.implicits._
     val df = Seq((1L, Array(1.0f, 2.0f))).toDF("id", "emb")
