@@ -96,6 +96,19 @@ object Queries {
     S2Boxes.register(s)
     Dedup.register(s)
     TextAnalysis.register(s)
+    // SORTED-LAYOUT PLAN PROFILE (r17): ScaleUp's co-located layout is one
+    // SORTED file per bucket, but by default Spark neither reports the
+    // scan's sort order nor exploits a sorted child for aggregation — so
+    // every orderkey/user_id-grain SMJ re-sorted its inputs and the q3
+    // per-order agg built a 15M-entry hash table. With the order reported,
+    // the bucket joins become pure streaming merges (sf10 A/B: q4
+    // 0.62→0.42 s, q12 0.73→0.54 s) and the on-join-key aggregate streams
+    // as a SortAggregate (q3 filter-first 2.1→0.76 s). Both settings are
+    // plan-only (no result change) and no-ops on flat storage:
+    // replaceHashWithSortAgg fires only when the child is ALREADY sorted
+    // on the group keys, never inserting a sort of its own.
+    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    s.conf.set("spark.sql.execution.replaceHashWithSortAgg", "true")
     // events.ts arrives as either parquet TIMESTAMP(NANOS) — which Spark
     // rejects unless read as long via the legacy flag — or TIMESTAMP(MICROS)
     // (read as TIMESTAMP_NTZ). Normalize both to a session-TZ TIMESTAMP at
@@ -3458,16 +3471,28 @@ object Queries {
   }
   private val qTpchQ3: Q = (s, dir) => {
     prep(s, dir)
-    val (len, mtime) = dirFingerprint(s"$dir/orders.parquet")
-    val ordersBytes = ordersBytesCache.getOrElseUpdate((dir, len, mtime),
-      s.read.parquet(s"$dir/orders.parquet").queryExecution.optimizedPlan.stats.sizeInBytes)
-    // threshold <= 0 means broadcasts are disabled — the filter-first
-    // shape's key-set broadcast can't happen, so always pre-agg first
-    val abt = s.sessionState.conf.autoBroadcastJoinThreshold
-    val thresh = if (abt <= 0) 0L else math.max(abt, 10L * 1024 * 1024)
-    // ~1/5 selectivity; 2x slack for the key set's in-memory hashed form
-    val filterFirst = thresh > 0 && ordersBytes / 5 <= BigInt(2L * thresh)
-    s.sql(if (filterFirst) q3FilterFirst else q3PreAggFirst)
+    // CO-LOCATED LAYOUT (r17): when lineitem AND orders are both bucketed
+    // on orderkey, filter-first is the best shape at EVERY size — the
+    // lineitem⋈bo join is a zero-exchange sorted-bucket merge (the
+    // customer key-set broadcast feeds bo through the orders scan's own
+    // order) and the per-order agg streams as a SortAggregate on the
+    // merge output. Pre-agg-first's 15M-group hash agg and the key-set
+    // broadcast threshold are both irrelevant there (sf10 A/B: 2.1 s
+    // pre-agg / 0.93 s hinted SHJ / 0.76 s sorted merge).
+    if (bucketMarker(dir, "lineitem").isDefined && bucketMarker(dir, "orders").isDefined)
+      s.sql(q3FilterFirst)
+    else {
+      val (len, mtime) = dirFingerprint(s"$dir/orders.parquet")
+      val ordersBytes = ordersBytesCache.getOrElseUpdate((dir, len, mtime),
+        s.read.parquet(s"$dir/orders.parquet").queryExecution.optimizedPlan.stats.sizeInBytes)
+      // threshold <= 0 means broadcasts are disabled — the filter-first
+      // shape's key-set broadcast can't happen, so always pre-agg first
+      val abt = s.sessionState.conf.autoBroadcastJoinThreshold
+      val thresh = if (abt <= 0) 0L else math.max(abt, 10L * 1024 * 1024)
+      // ~1/5 selectivity; 2x slack for the key set's in-memory hashed form
+      val filterFirst = thresh > 0 && ordersBytes / 5 <= BigInt(2L * thresh)
+      s.sql(if (filterFirst) q3FilterFirst else q3PreAggFirst)
+    }
   }
   private val oTpchQ3 =
     """SELECT o.o_orderkey,
@@ -3497,7 +3522,9 @@ object Queries {
     * aggregates are pure overhead AND destroy the buckets' sort order —
     * so the bare EXISTS form streams the sorted scans straight into the
     * zero-exchange sort-merge semi-join (r15 A/B at bucketed sf10:
-    * 1.00 -> 0.71 s). prep's layout marker picks the shape. */
+    * 1.00 -> 0.71 s; with the scans' order REPORTED since r17 — prep's
+    * outputOrdering profile — the merge drops its two Sorts too,
+    * 0.62 -> 0.42 s). prep's layout marker picks the shape. */
   private val q4Exists =
     """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
       |FROM orders o
@@ -3531,25 +3558,23 @@ object Queries {
     * conditional aggregation. No l_shipmode/l_commitdate in the synthetic
     * schema, so lateness = shipped more than 60 days after the order date,
     * split by high/low priority — the same join + CASE-sum structure.
-    * LAYOUT-ADAPTIVE (r15): on the co-located bucketed layout the join is
-    * exchange-free either way, and a SHUFFLE_HASH hint on the orders side
-    * replaces the sort-merge (which re-sorts 60M joined rows' worth of
-    * inputs) with a per-bucket hash build over ~190k orders rows — r15
-    * A/B at bucketed sf10: 1.76 -> 1.04 s. Flat storage keeps the
-    * unhinted plan (Catalyst picks the join for the shuffled shape). */
+    * LAYOUT-ADAPTIVE history: on the co-located bucketed layout the join
+    * is exchange-free either way. r15 hinted SHUFFLE_HASH(o) there to
+    * dodge the SMJ's re-sorts; since r17 the sorted-bucket scan REPORTS
+    * its order (prep sets bucketedTableScan.outputOrdering), so the
+    * unhinted SMJ is a pure streaming merge with no sorts and no
+    * per-bucket hash build — sf10 A/B: 0.73 s hinted SHJ vs 0.54 s
+    * sorted merge. Flat storage keeps the same unhinted SQL (Catalyst
+    * picks the join for the shuffled shape). */
   private val q12Body =
-    """SELECT%HINT% CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
       |       THEN 'high' ELSE 'low' END AS prio,
       |  CAST(sum(CASE WHEN unix_timestamp(l.l_shipdate) - unix_timestamp(o.o_orderdate) > 5184000
       |       THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
       |  CAST(count(*) AS BIGINT) AS n_items
       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
-  private val qTpchQ12: Q = (s, dir) => {
-    prep(s, dir)
-    s.sql(q12Body.replace("%HINT%",
-      if (bucketMarker(dir, "orders").isDefined) " /*+ SHUFFLE_HASH(o) */" else ""))
-  }
+  private val qTpchQ12: Q = sqlQ(q12Body)
   private val oTpchQ12 =
     """SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
       |       THEN 'high' ELSE 'low' END AS prio,
@@ -3592,19 +3617,52 @@ object Queries {
       |JOIN region r ON n.n_regionkey = r.r_regionkey
       |GROUP BY r.r_name, n.n_name
       |ORDER BY r.r_name, n.n_name""".stripMargin
+  /** SUPPLIER-GRAIN PRE-AGG (r17): the best large-input q5 shape does NO
+    * joins at all on the 60M-row pass — aggregate lineitem by l_suppkey
+    * (one primitive-key agg, ~0.25 s of the sf10 stage), then walk the
+    * ≤100K partials through the supplier→nation→region broadcasts and
+    * re-sum per (region, nation). Compared with join-then-agg this
+    * removes three per-row broadcast probes and shrinks the first
+    * exchange to supplier grain; compared with the r16 pmod salt, the
+    * suppkey IS the overflow salt — per-(suppkey) BIGINT-cents sums
+    * overflow only past ~9e9 rows PER SUPPLIER, and TPC-H suppliers
+    * scale with the data (fixed ~600 rows each at every SF), so the
+    * exactness headroom is unbounded in corpus size. sf10 A/B (same
+    * window): salted 2.04 s / one-probe dim join 2.52 s / supp 1.18 s. */
+  private val q5SuppSql =
+    """WITH p AS (
+      | SELECT l_suppkey AS sk,
+      |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_c,
+      |  count(*) AS n
+      | FROM lineitem GROUP BY l_suppkey)
+      |SELECT r.r_name, n.n_name,
+      | CAST(CAST(sum(CAST(p.rev_c AS DECIMAL(38,0))) / 10000 AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+      | CAST(sum(p.n) AS BIGINT) AS n_items
+      |FROM p
+      |JOIN supplier s ON p.sk = s.s_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY r.r_name, n.n_name
+      |ORDER BY r.r_name, n.n_name""".stripMargin
   private val qTpchQ5Salted = sqlQ(q5SaltedSql)
   private val qTpchQ5Flat = sqlQ(q5FlatSql)
-  /** SIZE-ADAPTIVE q5 (r16): the salted two-level sum is the 100-TB
-    * shape (per-group BIGINT-cents overflow headroom); under the same
-    * size probe q3 uses, small inputs take the single-level form — at
-    * sf0.1 the two-level's 25600 partial groups + second exchange +
-    * second aggregate serve 25 output rows, pure stage floor. Both
-    * shapes stay registered (b_tpch_q5_salted / b_tpch_q5_flat) against
-    * the same oracle. */
+  private val qTpchQ5Supp = sqlQ(q5SuppSql)
+  /** SIZE-ADAPTIVE q5 (r16, re-shaped r17): large inputs take the
+    * supplier-grain pre-agg (see [[q5SuppSql]] — exact via per-supplier
+    * BIGINT cents, zero hot-path joins); small inputs keep the
+    * single-level join-then-agg form — below the threshold the extra
+    * pre-agg exchange is pure stage floor for 25 output rows. All three
+    * shapes stay registered (b_tpch_q5_supp / b_tpch_q5_salted /
+    * b_tpch_q5_flat) against the same oracle, so the non-default
+    * branches remain driver-verified at every round's SF. */
   private val qTpchQ5: Q = (s, dir) => {
     prep(s, dir)
     val (len, _) = dirFingerprint(s"$dir/lineitem.parquet")
-    s.sql(if (len > 512L * 1024 * 1024) q5SaltedSql else q5FlatSql)
+    // 256 MB crossover (r17 A/B): at sf3 (~330 MB) supp and flat tie
+    // (0.82 vs 0.88 s warm), at sf10 supp wins ~2x; below the threshold
+    // the pre-agg's extra exchange is stage floor for 25 output rows
+    s.sql(if (len > 256L * 1024 * 1024) q5SuppSql else q5FlatSql)
   }
   private val oTpchQ5 =
     """SELECT r.r_name, n.n_name,
@@ -4029,6 +4087,7 @@ object Queries {
     ("b_tpch_q5", qTpchQ5, Some(oTpchQ5)),
     ("b_tpch_q5_salted", qTpchQ5Salted, Some(oTpchQ5)),
     ("b_tpch_q5_flat", qTpchQ5Flat, Some(oTpchQ5)),
+    ("b_tpch_q5_supp", qTpchQ5Supp, Some(oTpchQ5)),
     ("b_tpch_q12", qTpchQ12, Some(oTpchQ12)),
     ("b_top_order", qTopOrderPerCustomer, Some(oTopOrderPerCustomer)),
     ("b_top_order_agg", qTopOrderAgg, Some(oTopOrderPerCustomer)),

@@ -1,0 +1,279 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.spark.Queries
+
+/** r17 shape lab: A/B candidate physical shapes for the scale-section
+  * floor queries (q3/q4/q5/q1/q12) on a bigdata dir, with the Bench
+  * session profile. Each variant is named; pass names as args (default:
+  * all). Prints min-of-3 warm reps + exchange/sort counts per variant. */
+object ShapeLab {
+
+  private val centsSum =
+    """sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |    * (100 - CAST(round(l_discount * 100) AS BIGINT)))""".stripMargin
+  private val centsSumL =
+    """sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      |    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))""".stripMargin
+
+  val variants: Seq[(String, String)] = Seq(
+    "q3_preagg_base" ->
+      s"""WITH bo AS (
+         |  SELECT o.o_orderkey
+         |  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+         |  WHERE c.c_mktsegment = 'BUILDING'),
+         |lrev AS (
+         |  SELECT l_orderkey, $centsSum AS cents
+         |  FROM lineitem GROUP BY l_orderkey)
+         |SELECT r.l_orderkey AS o_orderkey,
+         | CAST(CAST(CAST(r.cents AS DECIMAL(38,0)) / 10000 AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+         |FROM lrev r JOIN bo ON r.l_orderkey = bo.o_orderkey
+         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    // filter-first through a per-bucket SHUFFLE_HASH build of the
+    // BUILDING key set: zero exchanges on the bucketed layout, no sorts,
+    // and the per-order agg shrinks to matched-order grain
+    "q3_shj_bo" ->
+      s"""WITH bo AS (
+         |  SELECT o.o_orderkey
+         |  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+         |  WHERE c.c_mktsegment = 'BUILDING')
+         |SELECT /*+ SHUFFLE_HASH(bo) */ l.l_orderkey AS o_orderkey,
+         | CAST(CAST(CAST($centsSumL AS DECIMAL(38,0)) / 10000 AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+         |FROM lineitem l JOIN bo ON l.l_orderkey = bo.o_orderkey
+         |GROUP BY l.l_orderkey
+         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    // same, forced broadcast of the ~3M-key set
+    "q3_bhj_bo" ->
+      s"""WITH bo AS (
+         |  SELECT o.o_orderkey
+         |  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+         |  WHERE c.c_mktsegment = 'BUILDING')
+         |SELECT /*+ BROADCAST(bo) */ l.l_orderkey AS o_orderkey,
+         | CAST(CAST(CAST($centsSumL AS DECIMAL(38,0)) / 10000 AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+         |FROM lineitem l JOIN bo ON l.l_orderkey = bo.o_orderkey
+         |GROUP BY l.l_orderkey
+         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q4_exists_base" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // per-bucket hash semi-join, building on the FILTERED ORDERS side
+    // (date range keeps it small), streaming lineitem with no sort
+    "q4_shj" ->
+      """SELECT /*+ SHUFFLE_HASH(o) */ o_orderpriority, CAST(count(*) AS BIGINT) AS n
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // explicit LEFT SEMI JOIN form so the SHUFFLE_HASH hint can build on
+    // the small filtered-orders side (the EXISTS rewrite ignores the hint)
+    "q4_semi_shj" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+        |FROM (
+        |  SELECT /*+ SHUFFLE_HASH(o) */ o.o_orderpriority
+        |  FROM (SELECT o_orderkey, o_orderpriority FROM orders
+        |        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |          AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00') o
+        |  LEFT SEMI JOIN lineitem l
+        |    ON l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // sorted-bucket SMJ with the scans' own order surfaced (no Sort nodes)
+    "q4_exists_sorted" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // pre-aggregate lineitem per SUPPLIER KEY before any join: the 60M-row
+    // pass does one int-key agg (no broadcast probes at all); the ~100K
+    // partials then walk the supplier->nation->region broadcasts. suppkey
+    // grain doubles as the overflow salt (finer than (nation, salt)).
+    "q5_supp" ->
+      s"""WITH p AS (
+         | SELECT l_suppkey AS sk, $centsSum AS rev_c, count(*) AS n
+         | FROM lineitem GROUP BY l_suppkey)
+         |SELECT r.r_name, n.n_name,
+         | CAST(CAST(sum(CAST(p.rev_c AS DECIMAL(38,0))) / 10000 AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+         | CAST(sum(p.n) AS BIGINT) AS n_items
+         |FROM p
+         |JOIN supplier s ON p.sk = s.s_suppkey
+         |JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |GROUP BY r.r_name, n.n_name
+         |ORDER BY r.r_name, n.n_name""".stripMargin,
+    // filter-first WITHOUT a join hint: under outputOrdering=true both
+    // sides arrive sorted, so the SMJ is a pure streaming merge — no hash
+    // build, no sort; with replaceHashWithSortAgg the per-order agg
+    // streams too
+    "q3_ff_nohint" ->
+      s"""WITH bo AS (
+         |  SELECT o.o_orderkey
+         |  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+         |  WHERE c.c_mktsegment = 'BUILDING')
+         |SELECT l.l_orderkey AS o_orderkey,
+         | CAST(CAST(CAST($centsSumL AS DECIMAL(38,0)) / 10000 AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+         |FROM lineitem l JOIN bo ON l.l_orderkey = bo.o_orderkey
+         |GROUP BY l.l_orderkey
+         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q12_hint" ->
+      """SELECT /*+ SHUFFLE_HASH(o) */ CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |       THEN 'high' ELSE 'low' END AS prio,
+        |  CAST(sum(CASE WHEN unix_timestamp(l.l_shipdate) - unix_timestamp(o.o_orderdate) > 5184000
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q12_smj" ->
+      """SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |       THEN 'high' ELSE 'low' END AS prio,
+        |  CAST(sum(CASE WHEN unix_timestamp(l.l_shipdate) - unix_timestamp(o.o_orderdate) > 5184000
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // ONE broadcast probe on the hot path: the three dims pre-join into a
+    // single suppkey -> (region, nation) map; the 60M-row stage does one
+    // probe + the salted agg, and only the 25600 partials shuffle
+    "q5_dim1" ->
+      s"""WITH dim AS (
+         | SELECT s.s_suppkey AS sk, n.n_name, r.r_name
+         | FROM supplier s
+         | JOIN nation n ON s.s_nationkey = n.n_nationkey
+         | JOIN region r ON n.n_regionkey = r.r_regionkey),
+         |p AS (
+         | SELECT /*+ BROADCAST(d) */ d.r_name, d.n_name, pmod(l.l_orderkey, 1024) AS salt,
+         |  $centsSumL AS rev_c, count(*) AS n
+         | FROM lineitem l JOIN dim d ON l.l_suppkey = d.sk
+         | GROUP BY d.r_name, d.n_name, salt)
+         |SELECT r_name, n_name,
+         | CAST(CAST(sum(CAST(rev_c AS DECIMAL(38,0))) / 10000 AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+         | CAST(sum(n) AS BIGINT) AS n_items
+         |FROM p
+         |GROUP BY r_name, n_name
+         |ORDER BY r_name, n_name""".stripMargin,
+    "q5_salted_base" ->
+      s"""WITH p AS (
+         | SELECT r.r_name, n.n_name, pmod(l.l_orderkey, 1024) AS salt,
+         |  $centsSumL AS rev_c,
+         |  count(*) AS n
+         | FROM lineitem l
+         | JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         | JOIN nation n ON s.s_nationkey = n.n_nationkey
+         | JOIN region r ON n.n_regionkey = r.r_regionkey
+         | GROUP BY r.r_name, n.n_name, salt)
+         |SELECT r_name, n_name,
+         | CAST(CAST(sum(CAST(rev_c AS DECIMAL(38,0))) / 10000 AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+         | CAST(sum(n) AS BIGINT) AS n_items
+         |FROM p
+         |GROUP BY r_name, n_name
+         |ORDER BY r_name, n_name""".stripMargin,
+    // integer-key hot aggregate: probe ONE broadcast (supplier ->
+    // nationkey), aggregate on (nationkey, salt) — a primitive-key
+    // fast-map agg instead of per-row double string hashing — and join
+    // the 25-row result to names afterwards
+    "q5_intkey" ->
+      s"""WITH p AS (
+         | SELECT s.s_nationkey AS nk, pmod(l.l_orderkey, 1024) AS salt,
+         |  $centsSumL AS rev_c,
+         |  count(*) AS n
+         | FROM lineitem l
+         | JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         | GROUP BY s.s_nationkey, salt)
+         |SELECT r.r_name, n.n_name,
+         | CAST(CAST(sum(CAST(rev_c AS DECIMAL(38,0))) / 10000 AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+         | CAST(sum(n) AS BIGINT) AS n_items
+         |FROM p
+         |JOIN nation n ON p.nk = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |GROUP BY r.r_name, n.n_name
+         |ORDER BY r.r_name, n.n_name""".stripMargin,
+    // q1 with a primitive-key hot aggregate: the two single-char flag
+    // columns pack into one int, decoded after the tiny final agg
+    "q1_base" ->
+      s"""WITH p AS (
+         | SELECT l_returnflag, l_linestatus, pmod(l_orderkey, 1024) AS s,
+         |  sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_c,
+         |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_c,
+         |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+         |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS disc_c,
+         |  count(*) AS n
+         | FROM lineitem
+         | GROUP BY l_returnflag, l_linestatus, s)
+         |SELECT l_returnflag, l_linestatus,
+         | CAST(CAST(sum(CAST(qty_c AS DECIMAL(38,0))) / 100 AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+         | CAST(CAST(sum(CAST(price_c AS DECIMAL(38,0))) / 100 AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+         | CAST(CAST(sum(CAST(disc_c AS DECIMAL(38,0))) / 10000 AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
+         | CAST(sum(n) AS BIGINT) AS count_order
+         |FROM p
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q1_intkey" ->
+      s"""WITH p AS (
+         | SELECT (ascii(l_returnflag) * 256 + ascii(l_linestatus)) * 1024
+         |    + pmod(l_orderkey, 1024) AS k,
+         |  sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_c,
+         |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_c,
+         |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+         |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS disc_c,
+         |  count(*) AS n
+         | FROM lineitem
+         | GROUP BY 1)
+         |SELECT char(CAST(k AS INT) div 262144) AS l_returnflag,
+         | char((CAST(k AS INT) div 1024) % 256) AS l_linestatus,
+         | CAST(CAST(sum(CAST(qty_c AS DECIMAL(38,0))) / 100 AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+         | CAST(CAST(sum(CAST(price_c AS DECIMAL(38,0))) / 100 AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+         | CAST(CAST(sum(CAST(disc_c AS DECIMAL(38,0))) / 10000 AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
+         | CAST(sum(n) AS BIGINT) AS count_order
+         |FROM p
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin
+  )
+
+  def main(args: Array[String]): Unit = {
+    val builder = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.files.maxPartitionBytes", 32L * 1024 * 1024)
+      .config("spark.sql.files.openCostInBytes", 1L * 1024 * 1024)
+      .config("spark.sql.extensions", "graft.spark.GraftExtensions")
+      .config("spark.ui.enabled", false)
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .foreach { kv => val i = kv.indexOf('='); builder.config(kv.take(i), kv.drop(i + 1)) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/bigdata/sf10")
+    Queries.prep(spark, dir)
+    val picked = if (args.isEmpty) variants else variants.filter(v => args.exists(v._1.startsWith))
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(5)
+    for ((name, sql) <- picked) {
+      var best = Double.MaxValue
+      var finalPlan = ""
+      for (rep <- 1 to reps) {
+        val df = spark.sql(sql)
+        val t0 = System.nanoTime()
+        val n = df.collect().length
+        val dt = (System.nanoTime() - t0) / 1e9
+        best = math.min(best, dt)
+        // post-execution: AQE has replaced the stages, so this is the plan
+        // that actually ran (the pre-execution one lies about SHJ/SMJ)
+        finalPlan = df.queryExecution.executedPlan.toString
+        println(f"[shapelab] $name rep$rep: $dt%.3f s ($n rows)")
+      }
+      val ops = Seq("ShuffledHashJoin", "SortMergeJoin", "BroadcastHashJoin",
+        "Exchange hashpartitioning", "BroadcastExchange", "Sort ", "HashAggregate")
+        .map(op => s"$op=${finalPlan.linesIterator.count(_.contains(op))}")
+      println(f"[shapelab] $name BEST $best%.3f s ${ops.mkString(" ")}")
+      if (sys.env.contains("SPARK_GRAFT_PLAN")) println(finalPlan)
+    }
+    spark.stop()
+  }
+}

@@ -36,8 +36,10 @@ class QueryShapesSpec extends AnyFunSuite with BeforeAndAfterAll {
     Queries.prep(spark, dir)
     val flat = qmap("b_tpch_q5_flat")(spark, dir).collect().map(_.toSeq).toSeq
     val salted = qmap("b_tpch_q5_salted")(spark, dir).collect().map(_.toSeq).toSeq
+    val supp = qmap("b_tpch_q5_supp")(spark, dir).collect().map(_.toSeq).toSeq
     val dispatched = qmap("b_tpch_q5")(spark, dir)
     assert(flat.nonEmpty && flat === salted)
+    assert(flat === supp, "supplier-grain pre-agg shape must agree with the join-then-agg shapes")
     assert(dispatched.collect().map(_.toSeq).toSeq === flat)
     // a tiny flat dir is far below the 512 MB salt threshold: the
     // dispatched plan must be the single-level one (no salt column)
