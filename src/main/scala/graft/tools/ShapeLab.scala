@@ -54,6 +54,48 @@ object ShapeLab {
          |FROM lineitem l JOIN bo ON l.l_orderkey = bo.o_orderkey
          |GROUP BY l.l_orderkey
          |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    // FLAT-SMALL shapes: at sf0.1 the cost is sequential AQE barriers,
+    // not data. Broadcasting BOTH dims lets their builds run concurrently
+    // and the whole query collapse to one scan stage + TakeOrdered.
+    "q3_bcast_both" ->
+      s"""SELECT /*+ BROADCAST(o, c) */ l.l_orderkey AS o_orderkey,
+         | CAST(CAST(CAST($centsSumL AS DECIMAL(38,0)) / 10000 AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |WHERE c.c_mktsegment = 'BUILDING'
+         |GROUP BY l.l_orderkey
+         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q3_ff_flat" ->
+      s"""WITH bo AS (
+         |  SELECT o.o_orderkey
+         |  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+         |  WHERE c.c_mktsegment = 'BUILDING'),
+         |lrev AS (
+         |  SELECT l.l_orderkey, $centsSumL AS cents
+         |  FROM lineitem l JOIN bo ON l.l_orderkey = bo.o_orderkey
+         |  GROUP BY l.l_orderkey)
+         |SELECT l_orderkey AS o_orderkey,
+         | CAST(CAST(CAST(cents AS DECIMAL(38,0)) / 10000 AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+         |FROM lrev
+         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    // broadcast the deduped R-orderkey set instead of sort-merging it
+    "q4_bcast_semi" ->
+      """SELECT /*+ BROADCAST(k) */ o_orderpriority, CAST(count(*) AS BIGINT) AS n
+        |FROM orders o JOIN (SELECT DISTINCT l_orderkey FROM lineitem
+        |                    WHERE l_returnflag = 'R') k
+        |  ON o.o_orderkey = k.l_orderkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q4_indistinct_flat" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o.o_orderkey IN (SELECT DISTINCT l_orderkey FROM lineitem
+        |                       WHERE l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q4_exists_base" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
         |FROM orders o
