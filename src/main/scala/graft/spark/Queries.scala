@@ -3691,10 +3691,12 @@ object Queries {
   private val qTpchQ5: Q = (s, dir) => {
     prep(s, dir)
     val (len, _) = dirFingerprint(s"$dir/lineitem.parquet")
-    // 256 MB crossover (r17 A/B): at sf3 (~330 MB) supp and flat tie
-    // (0.82 vs 0.88 s warm), at sf10 supp wins ~2x; below the threshold
-    // the pre-agg's extra exchange is stage floor for 25 output rows
-    s.sql(if (len > 256L * 1024 * 1024) q5SuppSql else q5FlatSql)
+    // 512 MB crossover (r17 A/B, 5-rep same-process at each SF): at sf1
+    // (110 MB) flat wins 0.52 vs 0.69, at sf3 (330 MB) flat still wins
+    // 0.80 vs 0.91, at sf10 (1.1 GB) supp wins ~2x (1.18 vs 2.04 salted)
+    // — below the threshold the pre-agg's extra exchange is stage floor
+    // for 25 output rows
+    s.sql(if (len > 512L * 1024 * 1024) q5SuppSql else q5FlatSql)
   }
   private val oTpchQ5 =
     """SELECT r.r_name, n.n_name,
