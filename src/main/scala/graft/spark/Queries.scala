@@ -3573,9 +3573,40 @@ object Queries {
       |  AND o.o_orderkey IN (SELECT DISTINCT l_orderkey FROM lineitem
       |                       WHERE l_returnflag = 'R')
       |GROUP BY o_orderpriority ORDER BY o_orderpriority LIMIT 1000""".stripMargin
+  /** SMALL-FLAT q4 (r17): broadcast the date-filtered orders INTO the
+    * lineitem scan — the semi-dedup happens as an IN-STAGE partial agg on
+    * (orderkey, priority), so the only exchange carries matched-order
+    * grain and the IN-DISTINCT form's separate distinct-aggregation
+    * stage pair disappears (sf0.1 same-process A/B: 0.455 -> 0.325 s vs
+    * IN-DISTINCT, 0.550 for the broadcast-keys semi form). Forced hint,
+    * so only dispatched while the whole orders relation comfortably
+    * clears the broadcast budget — the filtered side is what broadcasts,
+    * but the guard stays conservative on the unfiltered size. Same
+    * EXISTS semantics: o_orderkey is unique, and the inner GROUP BY
+    * collapses per-order lineitem multiplicity. */
+  private val q4BcastOrders =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n FROM (
+      |  SELECT /*+ BROADCAST(o) */ o.o_orderkey, o.o_orderpriority
+      |  FROM lineitem l
+      |  JOIN (SELECT o_orderkey, o_orderpriority FROM orders
+      |        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |          AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00') o
+      |    ON l.l_orderkey = o.o_orderkey
+      |  WHERE l.l_returnflag = 'R'
+      |  GROUP BY o.o_orderkey, o.o_orderpriority)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority LIMIT 1000""".stripMargin
   private val qTpchQ4: Q = (s, dir) => {
     prep(s, dir)
-    s.sql(if (bucketMarker(dir, "lineitem").isDefined) q4Exists else q4InDistinct)
+    if (bucketMarker(dir, "lineitem").isDefined) s.sql(q4Exists)
+    else {
+      val (len, mtime) = dirFingerprint(s"$dir/orders.parquet")
+      val ordersBytes = ordersBytesCache.getOrElseUpdate((dir, len, mtime),
+        s.read.parquet(s"$dir/orders.parquet").queryExecution.optimizedPlan.stats.sizeInBytes)
+      val abt = s.sessionState.conf.autoBroadcastJoinThreshold
+      val thresh = if (abt <= 0) 0L else math.max(abt, 10L * 1024 * 1024)
+      s.sql(if (thresh > 0 && ordersBytes <= BigInt(2L * thresh)) q4BcastOrders
+            else q4InDistinct)
+    }
   }
   private val oTpchQ4 =
     """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
@@ -4123,6 +4154,10 @@ object Queries {
     ("b_tpch_q3_ff", sqlQ(q3FilterFirst), Some(oTpchQ3)),
     ("b_tpch_q3_preagg", sqlQ(q3PreAggFirst), Some(oTpchQ3)),
     ("b_tpch_q4", qTpchQ4, Some(oTpchQ4)),
+    // non-default q4 branches stay driver-verified (same oracle)
+    ("b_tpch_q4_bcast", sqlQ(q4BcastOrders), Some(oTpchQ4)),
+    ("b_tpch_q4_exists", sqlQ(q4Exists), Some(oTpchQ4)),
+    ("b_tpch_q4_indistinct", sqlQ(q4InDistinct), Some(oTpchQ4)),
     ("b_tpch_q5", qTpchQ5, Some(oTpchQ5)),
     ("b_tpch_q5_salted", qTpchQ5Salted, Some(oTpchQ5)),
     ("b_tpch_q5_flat", qTpchQ5Flat, Some(oTpchQ5)),

@@ -88,6 +88,20 @@ object ShapeLab {
         |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // broadcast the (small) date-filtered orders INTO the lineitem scan:
+    // the semi-dedup happens as an in-stage partial agg on (orderkey,
+    // priority), so the only exchange carries matched-order-grain rows
+    "q4_bcast_orders" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT /*+ BROADCAST(o) */ o.o_orderkey, o.o_orderpriority
+        |  FROM lineitem l
+        |  JOIN (SELECT o_orderkey, o_orderpriority FROM orders
+        |        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |          AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00') o
+        |    ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_returnflag = 'R'
+        |  GROUP BY o.o_orderkey, o.o_orderpriority)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority LIMIT 1000""".stripMargin,
     "q4_indistinct_flat" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
         |FROM orders o
