@@ -188,6 +188,22 @@ object ShapeLab {
         |  CAST(count(*) AS BIGINT) AS n_items
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // narrow broadcast build: priority collapsed to a boolean and the
+    // order date to an epoch long BEFORE the broadcast, so the per-row
+    // probe payload is (long, bool, long) and the CASE/IN/timestamp work
+    // runs 150K times build-side instead of 600K times probe-side
+    "q12_narrow" ->
+      """SELECT CASE WHEN high THEN 'high' ELSE 'low' END AS prio, n_late, n_items FROM (
+        | SELECT /*+ BROADCAST(o) */ o.high,
+        |  CAST(sum(CASE WHEN unix_timestamp(l.l_shipdate) - o.od > 5184000
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        | FROM lineitem l
+        | JOIN (SELECT o_orderkey, o_orderpriority IN ('1-URGENT', '2-HIGH') AS high,
+        |       unix_timestamp(o_orderdate) AS od FROM orders) o
+        |   ON l.l_orderkey = o.o_orderkey
+        | GROUP BY o.high)
+        |ORDER BY prio LIMIT 1000""".stripMargin,
     "q12_smj" ->
       """SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
         |       THEN 'high' ELSE 'low' END AS prio,
