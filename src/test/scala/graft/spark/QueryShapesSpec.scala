@@ -47,6 +47,43 @@ class QueryShapesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "small input must take the single-level q5 shape")
   }
 
+  test("q3 dispatcher: small flat dir takes the both-dims-broadcast shape; all branches agree") {
+    val dir = "/root/testdata/sf0.001"
+    Queries.prep(spark, dir)
+    val dispatched = qmap("b_tpch_q3")(spark, dir)
+    val plan = dispatched.queryExecution.executedPlan.toString
+    // the bcast-both shape joins lineitem to TWO broadcasts in one stage;
+    // filter-first would show a bo-subquery aggregate feeding the join
+    assert(plan.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      s"small flat q3 must broadcast both dims:\n$plan")
+    val want = dispatched.collect().map(_.toSeq).toSeq
+    for (v <- Seq("b_tpch_q3_bcast", "b_tpch_q3_ff", "b_tpch_q3_preagg"))
+      assert(qmap(v)(spark, dir).collect().map(_.toSeq).toSeq === want,
+        s"$v must agree with the dispatched q3")
+  }
+
+  test("q4 dispatcher: small flat dir takes the broadcast-orders shape; all branches agree") {
+    val dir = "/root/testdata/sf0.001"
+    Queries.prep(spark, dir)
+    val dispatched = qmap("b_tpch_q4")(spark, dir)
+    val plan = dispatched.queryExecution.optimizedPlan.toString
+    // the broadcast-orders shape has NO semi join — the dedup is a
+    // (orderkey, priority) aggregate below the priority count
+    assert(!plan.contains("LeftSemi"),
+      s"small flat q4 must take the broadcast-orders inner-join shape:\n$plan")
+    val want = dispatched.collect().map(_.toSeq).toSeq
+    for (v <- Seq("b_tpch_q4_bcast", "b_tpch_q4_exists", "b_tpch_q4_indistinct"))
+      assert(qmap(v)(spark, dir).collect().map(_.toSeq).toSeq === want,
+        s"$v must agree with the dispatched q4")
+  }
+
+  test("prep reports the sorted layout: bucket-key SMJ plans carry no Sort operators") {
+    val dir = "/root/testdata/sf0.001"
+    Queries.prep(spark, dir)
+    assert(spark.conf.get("spark.sql.legacy.bucketedTableScan.outputOrdering") === "true")
+    assert(spark.conf.get("spark.sql.execution.replaceHashWithSortAgg") === "true")
+  }
+
   test("funnel dispatcher: small flat dir takes the single-scan fold; all shapes agree") {
     val dir = "/root/testdata/sf0.001"
     Queries.prep(spark, dir)
