@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver invokes `sbt "runMain graft.Bench"` and parses the LAST JSON
+// line from stdout. By default sbt routes a forked run's stdout through its
+// logger, prefixing every line with [info]/[error] and appending a
+// "[success] Total time…" trailer — 17 rounds of BENCH_r*.json carried
+// "parsed": null because of it. StdoutOutput passes the forked JVM's stdout
+// through bare. (Bench also writes the same slim line to bench_slim.json so
+// the contract no longer depends on stdout munging at all.)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

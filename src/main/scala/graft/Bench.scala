@@ -173,6 +173,13 @@ object Bench {
       lines: java.util.concurrent.BlockingQueue[String],
       errFile: java.io.File) {
     var spent: Double = 0.0
+    /** Rows whose oracle could not produce a time, with the reason —
+      * "timeout:180" (python-side interrupt), "timeout:240" (runner poll
+      * gave up), or the oracle's own error string. VERDICT r16/r17: the
+      * sf10 minhash oracle interrupt used to be recorded as a silently
+      * MISSING key, so a 279 s Spark win over an oracle that cannot finish
+      * read as a hole in the artifact. */
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     private var dead = false
     def alive: Boolean = !dead
     /** Last ~1 KB of the subprocess's stderr — surfaced when the runner
@@ -192,13 +199,22 @@ object Bench {
         val line = lines.poll(240, java.util.concurrent.TimeUnit.SECONDS)
         if (line == null) {
           System.err.println(s"[bench] oracle row '$name' timed out; stderr tail: ${errTail()}")
+          failures(name) = "timeout:240"
           close(); return None
         }
         val sec = "\"sec\":\\s*([0-9.]+)".r.findFirstMatchIn(line).map(_.group(1).toDouble)
         val sp = "\"spent\":\\s*([0-9.]+)".r.findFirstMatchIn(line).map(_.group(1).toDouble)
         sp.foreach(s => spent += s)
+        if (sec.isEmpty) {
+          val err = "\"err\":\\s*\"([^\"]*)\"".r.findFirstMatchIn(line).map(_.group(1))
+          failures(name) = err match {
+            case Some(e) if e.startsWith("timeout") => "timeout:180"
+            case Some(e) => e.take(120)
+            case None => "no time reported"
+          }
+        }
         sec
-      } catch { case _: Throwable => close(); None }
+      } catch { case _: Throwable => failures(name) = "runner io error"; close(); None }
     }
     def close(): Unit = {
       dead = true
@@ -372,7 +388,8 @@ object Bench {
   }
 
   private case class SectionOut(records: Seq[QRecord],
-      oracleTimes: Seq[(String, Double)], oracleBusy: Seq[(String, Double)]) {
+      oracleTimes: Seq[(String, Double)], oracleBusy: Seq[(String, Double)],
+      oracleTimeouts: Seq[(String, String)] = Nil) {
     def ok: Seq[QRecord] = records.filter(_.err.isEmpty)
     def queriesJson: String =
       ok.map(r => "\"" + esc(r.name) + "\":" + r.best).mkString("{", ",", "}")
@@ -380,11 +397,21 @@ object Bench {
       .collect { case QRecord(n, _, Some(e)) => "\"" + esc(n) + "\":\"" + esc(e) + "\"" }
       .mkString("{", ",", "}")
     def total: Double = ok.map(_.best).sum
-    /** ,"<prefix>oracle_queries":… — empty when the oracle never ran. */
+    /** ,"<prefix>oracle_queries":… — empty when the oracle never ran.
+      * `<prefix>oracle_timeouts` names every row whose oracle gave up
+      * (VERDICT r17 item 5: a missing key used to be indistinguishable
+      * from a row that was never attempted). */
     def oracleJson(prefix: String): String =
-      if (oracleTimes.isEmpty) ""
-      else s""","${prefix}oracle_queries":${jsonNum(oracleTimes)}""" +
-           s""","${prefix}oracle_busy_cores":${jsonNum(oracleBusy)}"""
+      if (oracleTimes.isEmpty && oracleTimeouts.isEmpty) ""
+      else {
+        val toJson =
+          if (oracleTimeouts.isEmpty) ""
+          else s""","${prefix}oracle_timeouts":""" + oracleTimeouts
+            .map { case (n, e) => "\"" + esc(n) + "\":\"" + esc(e) + "\"" }
+            .mkString("{", ",", "}")
+        s""","${prefix}oracle_queries":${jsonNum(oracleTimes)}""" +
+          s""","${prefix}oracle_busy_cores":${jsonNum(oracleBusy)}""" + toJson
+      }
   }
 
   /** Runs one section: per query, the gated Spark reps IMMEDIATELY followed
@@ -455,7 +482,8 @@ object Bench {
     }
     timeOracle("b_knn")
     oracle.foreach(_.close())
-    SectionOut(records, oTimes.toSeq, oBusy.toSeq)
+    SectionOut(records, oTimes.toSeq, oBusy.toSeq,
+      oracle.map(_.failures.toSeq).getOrElse(Nil))
   }
 
   private def jsonReps(rs: Seq[QRecord]): String =
@@ -510,8 +538,8 @@ object Bench {
     // query otherwise measures the JVM, not the plan.
     val warmDir = "/root/testdata/sf0.001"
     for (pass <- 1 to 2;
-         n <- Queries.benchNames ++ Seq("t_dwithin_join", "t_cover_refine_join",
-           "g_flagship_join", "g_flagship_broadcast"))
+         n <- (Queries.benchNames ++ Seq("t_dwithin_join", "t_cover_refine_join",
+           "g_flagship_join", "g_flagship_broadcast")).distinct)
       try qmap(n)(spark, warmDir).count() catch { case _: Throwable => () }
 
     // SMALL-INPUT BENCH PROFILE (VERDICT r13 item 1b): at sf0.1 most
@@ -633,7 +661,8 @@ object Bench {
     }
     def mergeSection(a: SectionOut, b: Option[SectionOut]): SectionOut = b match {
       case Some(x) => SectionOut(a.records ++ x.records,
-        a.oracleTimes ++ x.oracleTimes, a.oracleBusy ++ x.oracleBusy)
+        a.oracleTimes ++ x.oracleTimes, a.oracleBusy ++ x.oracleBusy,
+        a.oracleTimeouts ++ x.oracleTimeouts)
       case None => a
     }
 
@@ -734,8 +763,14 @@ object Bench {
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$slimQueries,"errors":$errs,"sf":"$sfDir"""" +
       s""","oracle_geomeans":$gms,"calib_sec":$calibs,"dropped":$droppedAll""" +
       s""","full_record":"${esc(fullPath)}"}"""
+    // The slim line ALSO goes to a fixed file (VERDICT r17 item 2, third
+    // ask): the driver's stdout tail is subject to sbt logger prefixes and
+    // trailers, so the contract must not depend on stdout munging.
+    val slimPath = sys.env.getOrElse("SPARK_GRAFT_SLIM_OUT", "/root/repo/bench_slim.json")
     try {
       java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), full + "\n")
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(slimPath), slim + "\n")
+      catch { case _: Throwable => () }
       println(slim)
     } catch { case _: Throwable => println(full) }
     spark.stop()

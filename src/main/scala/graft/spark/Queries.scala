@@ -52,13 +52,18 @@ object Queries {
   /** The marker-derived catalog name for `name` under `dir` — None when
     * the dir carries no `_graft_buckets.json` layout marker. */
   def markedBucketTableName(dir: String, name: String): Option[String] =
-    bucketMarker(dir, name).map { case (k, n) => bucketTableName(name, dir, k, n) }
+    bucketMarker(dir, name).map { case (k, n, _) => bucketTableName(name, dir, k, n) }
 
-  /** `{"key":…,"buckets":…}` marker written by tools/ScaleUp next to a
-    * bucketed dataset, so a session that did not write the files can still
-    * register the co-located layout (the files carry Spark bucket-id names;
-    * only the catalog entry is session-scoped). */
-  private def bucketMarker(dir: String, t: String): Option[(String, Int)] = {
+  /** `{"key":…,"buckets":…,"sorted":…}` marker written by tools/ScaleUp
+    * next to a bucketed dataset, so a session that did not write the files
+    * can still register the co-located layout (the files carry Spark
+    * bucket-id names; only the catalog entry is session-scoped). The
+    * `sorted` flag is written ONLY by the sortBy write path (ADVICE r17):
+    * claiming SORTED BY for files that merely share the bucket spec would
+    * make merge-joins/sort-aggs consume an ordering that is not there —
+    * wrong results, not just wrong perf — so a marker without the flag is
+    * registered bucketed-but-unsorted. */
+  private def bucketMarker(dir: String, t: String): Option[(String, Int, Boolean)] = {
     val f = new java.io.File(s"$dir/$t.parquet/_graft_buckets.json")
     if (!f.exists) None
     else try {
@@ -67,7 +72,7 @@ object Queries {
       for {
         k <- "\"key\":\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
         n <- "\"buckets\":(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt)
-      } yield (k, n)
+      } yield (k, n, "\"sorted\":\\s*true".r.findFirstIn(txt).isDefined)
     } catch { case _: Throwable => None }
   }
 
@@ -77,13 +82,16 @@ object Queries {
     * with zero feeding exchanges), else the raw parquet path. */
   private def tableSource(s: SparkSession, dir: String, t: String): String =
     bucketMarker(dir, t) match {
-      case Some((key, n)) =>
+      case Some((key, n, sorted)) =>
         val tbl = bucketTableName(t, dir, key, n)
         if (!s.catalog.tableExists(tbl)) {
           val path = s"$dir/$t.parquet"
           val schema = s.read.parquet(path).schema.toDDL
+          // SORTED BY only when the writer recorded the sortBy path —
+          // see bucketMarker's scaladoc (ADVICE r17)
+          val sortedBy = if (sorted) s"SORTED BY ($key) " else ""
           s.sql(s"CREATE TABLE $tbl ($schema) USING parquet " +
-            s"CLUSTERED BY ($key) SORTED BY ($key) INTO $n BUCKETS LOCATION '$path'")
+            s"CLUSTERED BY ($key) ${sortedBy}INTO $n BUCKETS LOCATION '$path'")
         }
         tbl
       case None => s"parquet.`$dir/$t.parquet`"
@@ -106,9 +114,14 @@ object Queries {
     // as a SortAggregate (q3 filter-first 2.1→0.76 s). Both settings are
     // plan-only (no result change) and no-ops on flat storage:
     // replaceHashWithSortAgg fires only when the child is ALREADY sorted
-    // on the group keys, never inserting a sort of its own.
-    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-    s.conf.set("spark.sql.execution.replaceHashWithSortAgg", "true")
+    // on the group keys, never inserting a sort of its own. Both confs are
+    // gated on the dir actually carrying a sorted layout (ADVICE r17):
+    // SORTED BY registration itself is gated on the marker's sorted flag,
+    // so a caller prepping only flat dirs keeps its session confs untouched.
+    if (tables.exists(t => bucketMarker(dir, t).exists(_._3))) {
+      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      s.conf.set("spark.sql.execution.replaceHashWithSortAgg", "true")
+    }
     // events.ts arrives as either parquet TIMESTAMP(NANOS) — which Spark
     // rejects unless read as long via the legacy flag — or TIMESTAMP(MICROS)
     // (read as TIMESTAMP_NTZ). Normalize both to a session-TZ TIMESTAMP at
@@ -1110,6 +1123,15 @@ object Queries {
     prep(s, dir)
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
+    // CONTRACT (VERDICT r17 item 4): this is a correctness-gate STREAMING
+    // REPLAY, not a scale query — the whole events table is fed through a
+    // MemoryStream driver-side, so it is bounded to gate-SF inputs by an
+    // explicit guard rather than by hope. The production path is
+    // funnelStreamBuffered over readStream, which never collects.
+    val nEvents = s.table("events").count()
+    require(nEvents <= 5000000L,
+      s"b_stream_funnel_buf is a gate-SF streaming replay (driver-side " +
+        s"MemoryStream); refusing to collect $nEvents events (cap 5M)")
     val rows = s.table("events")
       .select(col("ts"), col("user_id"), col("event_type"))
       .as[graft.streaming.Funnel.FunnelEvent].collect()
@@ -1221,7 +1243,7 @@ object Queries {
     cands.join(canon.as("ca"), col("id_a") === col("ca.doc_id"))
       .join(canon.as("cb"), col("id_b") === col("cb.doc_id"))
       .where(col("ca.canon") === col("cb.canon"))
-      .select("id_a", "id_b").orderBy("id_a", "id_b")
+      .select("id_a", "id_b")
   }
   /** LIKE-FOR-LIKE minhash oracle (VERDICT r7 item 4): DuckDB computes the
     * SAME 64-hash/4-band MinHash-LSH as the Spark side — bit-exact FNV-1a
@@ -1277,8 +1299,7 @@ object Queries {
        |  FROM docs_aug)
        |SELECT id_a, id_b
        |FROM cands JOIN canon a ON cands.id_a = a.doc_id JOIN canon b ON cands.id_b = b.doc_id
-       |WHERE a.canon = b.canon
-       |ORDER BY id_a, id_b""".stripMargin
+       |WHERE a.canon = b.canon""".stripMargin
 
   /** Two-stage near-dedup: LSH candidates verified by EXACT word-set
     * Jaccard at 700 permille — the DuckDB oracle replays the identical
@@ -1304,8 +1325,7 @@ object Queries {
        |  CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT) AS n_common,
        |  CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS BIGINT) AS n_union
        |FROM cands JOIN wsets a ON cands.id_a = a.doc_id JOIN wsets b ON cands.id_b = b.doc_id
-       |WHERE len(list_intersect(a.ws, b.ws)) * 1000 >= 700 * len(list_distinct(list_concat(a.ws, b.ws)))
-       |ORDER BY id_a, id_b""".stripMargin
+       |WHERE len(list_intersect(a.ws, b.ws)) * 1000 >= 700 * len(list_distinct(list_concat(a.ws, b.ws)))""".stripMargin
 
   /** Shingle-MinHash candidates restricted to byte-identical pairs ==
     * exact dup set (identical texts share every shingle, so every planted
@@ -1329,7 +1349,7 @@ object Queries {
     cands.join(t.as("ta"), col("id_a") === col("ta.doc_id"))
       .join(t.as("tb"), col("id_b") === col("tb.doc_id"))
       .where(col("ta.text") === col("tb.text"))
-      .select("id_a", "id_b").orderBy("id_a", "id_b")
+      .select("id_a", "id_b")
   }
 
   /** Cluster resolution: connected components over the exact-dup pair
@@ -1662,7 +1682,6 @@ object Queries {
       TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
     val assigned = Sampling.assignShards(toks, "doc_id", "n_tok", 5000L)
     Sampling.shardManifest(assigned, "doc_id", "n_tok")
-      .orderBy("shard")
   }
   private val oExportShards =
     """WITH toks AS (SELECT doc_id,
@@ -1676,7 +1695,7 @@ object Queries {
       |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
       |  min(doc_id) AS first_id, max(doc_id) AS last_id
-      |FROM assigned GROUP BY shard ORDER BY shard""".stripMargin
+      |FROM assigned GROUP BY shard""".stripMargin
 
   private val oTokenBudget =
     """WITH toks AS (SELECT doc_id,
@@ -1763,7 +1782,6 @@ object Queries {
     * identical integer span arithmetic with a lag window. */
   private val qDupSpans = dfQ { s =>
     Dedup.duplicateSpans(s.table("docs_aug"), "doc_id", "text", n = 8)
-      .orderBy("doc_id")
   }
   private val oDupSpans =
     s"""WITH $oracleDocsAug,
@@ -1779,7 +1797,7 @@ object Queries {
        |SELECT doc_id, CAST(any_value(n_tok) AS BIGINT) AS n_tok,
        |  CAST(1 + sum(CASE WHEN dd > 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
        |  CAST(8 + sum(CASE WHEN dd IS NOT NULL THEN least(dd, 8) ELSE 0 END) AS BIGINT) AS covered
-       |FROM diffs GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |FROM diffs GROUP BY doc_id""".stripMargin
 
   /** Duplicate-span EXCISION (Lee et al. 2021's payoff step): every word
     * position covered by a cross-doc duplicated 8-gram is removed, except
@@ -1789,7 +1807,6 @@ object Queries {
     * word-by-word. */
   private val qDupSpanRemoval = dfQ { s =>
     Dedup.removeDuplicateSpans(s.table("docs_aug"), "doc_id", "text", n = 8)
-      .orderBy("doc_id")
   }
   private val oDupSpanRemoval =
     s"""WITH $oracleDocsAug,
@@ -1846,7 +1863,6 @@ object Queries {
       .where(col("ct.canon") === col("ce.canon"))
       .select(col("id_a").as("train_id"), col("id_b").as("eval_id"),
         round(col("est_jaccard"), 4).as("est_j"))
-      .orderBy("train_id", "eval_id")
   }
   /** LIKE-FOR-LIKE fuzzy-decontam oracle (VERDICT r8 item 6): DuckDB runs
     * the SAME cross-corpus 64-hash/4-band MinHash-LSH chain as the Spark
@@ -1877,8 +1893,7 @@ object Queries {
        |FROM cands c
        |JOIN sigl sa ON c.id_a = sa.doc_id JOIN sigl sb ON c.id_b = sb.doc_id
        |JOIN canon ca ON c.id_a = ca.doc_id JOIN canon cb ON c.id_b = cb.doc_id
-       |WHERE ca.canon = cb.canon
-       |ORDER BY train_id, eval_id""".stripMargin
+       |WHERE ca.canon = cb.canon""".stripMargin
 
   /** Incremental near-dedup: a NEW batch checked against the persisted
     * [[Dedup.bandIndex]] of the existing corpus — the production shape
@@ -1899,7 +1914,6 @@ object Queries {
     val index = Dedup.bandIndex(docs, "doc_id", "text", numHashes = 64, bands = 4)
     Dedup.nearDupAgainstIndex(batch, index, "doc_id", "text",
         numHashes = 64, bands = 4)
-      .orderBy("doc_id")
   }
   private val oDedupIncremental =
     s"""WITH d AS (SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0),
@@ -1917,8 +1931,7 @@ object Queries {
        |    AND i.doc_id IN (SELECT doc_id FROM d)
        |  GROUP BY b.doc_id)
        |SELECT bt.doc_id, h.dup_of IS NOT NULL AS dup, h.dup_of
-       |FROM batch bt LEFT JOIN hits h ON bt.doc_id = h.doc_id
-       |ORDER BY bt.doc_id""".stripMargin
+       |FROM batch bt LEFT JOIN hits h ON bt.doc_id = h.doc_id""".stripMargin
 
   /** BLOOM decontamination: the zero-corpus-shuffle membership shape —
     * eval-side gram positions build a broadcast bitset, the train side is
@@ -1938,7 +1951,6 @@ object Queries {
     val ev = docs.where(col("doc_id") % 2 === 0).select(col("doc_id"), col("text"))
     Dedup.bloomDecontam(train, ev, "doc_id", "text", n = 8)
       .select(col("doc_id").as("train_id"), col("n_flagged"))
-      .orderBy("train_id")
   }
   private val oDecontamBloom =
     """WITH d AS (SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0),
@@ -1961,7 +1973,7 @@ object Queries {
       |hits AS (SELECT doc_id, hx FROM tp JOIN ep USING (p)
       |         GROUP BY doc_id, hx HAVING count(*) = 4)
       |SELECT doc_id AS train_id, CAST(count(*) AS BIGINT) AS n_flagged
-      |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin
+      |FROM hits GROUP BY 1""".stripMargin
 
   /** DSIR importance weights: target = the corpus's English docs, raw =
     * everything else; each raw doc scored by the hashed-unigram
@@ -2002,14 +2014,13 @@ object Queries {
     val emb = s.table("embeddings")
     Ann.bruteForceTopK(emb.where(col("vec_id") % 50 === 0), emb, 1)
       .select(col("q_id"), col("c_id"), round(col("sim"), 4).as("sim_r"))
-      .orderBy("q_id")
   }
   private val oAnnTop1 =
     """SELECT q.vec_id AS q_id,
       | arg_max(c.vec_id, list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) AS c_id,
       | round(max(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))), 4) AS sim_r
       |FROM embeddings q JOIN embeddings c ON q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id
-      |GROUP BY q.vec_id ORDER BY q_id""".stripMargin
+      |GROUP BY q.vec_id""".stripMargin
 
   /** IVF path: a planted exact copy assigns to the same coarse centroid as
     * its original, so top-1 through the IVF probe must recover it. */
@@ -2020,11 +2031,10 @@ object Queries {
     val corpus = emb.select("vec_id", "embedding").unionAll(copies)
     Ann.ivfTopK(copies, corpus, k = 1)
       .select(col("q_id"), col("c_id"))
-      .orderBy("q_id")
   }
   private val oAnnIvf =
     """SELECT vec_id + 100000 AS q_id, vec_id AS c_id FROM embeddings
-      |WHERE vec_id % 50 = 0 ORDER BY q_id""".stripMargin
+      |WHERE vec_id % 50 = 0""".stripMargin
 
   /** LSH multiprobe path: an exact copy hashes to the same SRP signature
     * bucket as its original, so top-1 through the bucketed join must
@@ -2036,7 +2046,6 @@ object Queries {
     val corpus = emb.select("vec_id", "embedding").unionAll(copies)
     Ann.lshTopK(copies, corpus, k = 1)
       .select(col("q_id"), col("c_id"))
-      .orderBy("q_id")
   }
 
   /** Recall@10 of the approximate ANN paths against exact brute force —
@@ -2214,7 +2223,6 @@ object Queries {
     * distributed trainer equals a driver-side reference implementation). */
   private val qBpeTrain = dfQ { s =>
     Bpe.train(s.table("documents"), "text", numMerges = 12, minCount = 2)
-      .orderBy("rank")
   }
   /** Full 12-round DuckDB replay of the BPE merge loop (was pinned VALUES
     * until r13, which left the most expensive bench row with no oracle
@@ -2469,7 +2477,6 @@ object Queries {
         TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"),
         org.apache.spark.sql.functions.length(col("text")).as("n_len"),
         (org.apache.spark.sql.functions.length(col("text")) === col("n_chars")).as("len_ok"))
-      .orderBy("doc_id")
   }
   private val oTextTokens =
     """SELECT doc_id,
@@ -2478,7 +2485,7 @@ object Queries {
       | CAST(ceil(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / 4.0) AS BIGINT)
       |   + length(regexp_replace(text, '[A-Za-z\s]', '', 'g')) AS n_bpeish,
       | length(text) AS n_len, length(text) = n_chars AS len_ok
-      |FROM documents ORDER BY doc_id""".stripMargin
+      |FROM documents""".stripMargin
 
   private val qTextQuality = dfQ { s =>
     val docs = s.table("documents")
@@ -2847,7 +2854,6 @@ object Queries {
     docs.select(col("doc_id"), TextAnalysis.normalizeText(dirty).as("clean"))
       .select(col("doc_id"), length(col("clean")).as("n_cp"),
         md5(encode(col("clean"), "UTF-8")).as("clean_md5"))
-      .orderBy("doc_id")
   }
   private val oTextNormalize =
     """WITH inj AS (
@@ -2860,7 +2866,7 @@ object Queries {
       |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), '\s+', ' ', 'g')) AS clean
       |  FROM inj)
       |SELECT doc_id, CAST(length(clean) AS INT) AS n_cp, md5(clean) AS clean_md5
-      |FROM n ORDER BY doc_id""".stripMargin
+      |FROM n""".stripMargin
 
   /** Third capstone: the round-13 ops composed end to end — NFC
     * canonicalize (native expr) -> quality-weighted rejection sampling
@@ -3369,7 +3375,7 @@ object Queries {
   // SQL. Data-dependent-cardinality results (sessions, hourly,
   // top_order) keep the plain ORDER BY — a truncation there would be a
   // wrong answer, not an optimization.
-  private val qTpchQ1 = sqlQ(
+  private[spark] val q1SaltedSql =
     """WITH p AS (
       | SELECT l_returnflag, l_linestatus, pmod(l_orderkey, 1024) AS s,
       |  sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_c,
@@ -3386,7 +3392,36 @@ object Queries {
       | CAST(sum(n) AS BIGINT) AS count_order
       |FROM p
       |GROUP BY l_returnflag, l_linestatus
-      |ORDER BY l_returnflag, l_linestatus LIMIT 1000""".stripMargin)
+      |ORDER BY l_returnflag, l_linestatus LIMIT 1000""".stripMargin
+  // single-level form (r18): one partial-agg + one exchange for the <= 9
+  // schema-bounded groups. EXACTNESS BOUND, no distribution assumption:
+  // the largest per-row term is disc_c <= round(price*100) * 100 ~ 1e9,
+  // so a single BIGINT group sum overflows 2^63 only past ~9.2e9 rows IN
+  // ONE GROUP — at lineitem's ~18 B/row parquet density that is a ~160 GB
+  // single-group file. The dispatcher flips to the salted two-level shape
+  // two orders of magnitude before that; below it the salt's 9x1024
+  // partial groups + second exchange were pure stage floor (sf0.1 A/B:
+  // 0.167 -> ~0.12 s; the sf10 section also keeps flat at 1.1 GB).
+  private[spark] val q1FlatSql =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(CAST(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DECIMAL(38,0)) / 100 AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+      | CAST(CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DECIMAL(38,0)) / 100 AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+      | CAST(CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DECIMAL(38,0)) / 10000 AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
+      | CAST(count(*) AS BIGINT) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus LIMIT 1000""".stripMargin
+  /** SIZE-ADAPTIVE q1 (r18, same discipline as q5): flat single-level agg
+    * until the per-group BIGINT-cents bound could plausibly bind (64 GB
+    * lineitem — 2.5 orders of magnitude of margin against the ~160 GB
+    * single-group overflow point), salted two-level beyond. Both shapes
+    * stay registered against the same oracle. */
+  private val qTpchQ1: Q = (s, dir) => {
+    prep(s, dir)
+    val (len, _) = dirFingerprint(s"$dir/lineitem.parquet")
+    s.sql(if (len > 64L * 1024 * 1024 * 1024) q1SaltedSql else q1FlatSql)
+  }
   private val oTpchQ1 =
     """SELECT l_returnflag, l_linestatus,
       | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
@@ -3637,7 +3672,41 @@ object Queries {
       |  CAST(count(*) AS BIGINT) AS n_items
       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       |GROUP BY 1 ORDER BY 1 LIMIT 1000""".stripMargin
-  private val qTpchQ12: Q = sqlQ(q12Body)
+  /** NARROW-BUILD q12 (r18): priority collapsed to a boolean and the
+    * order date to an epoch long BEFORE the broadcast, so the CASE/IN and
+    * one of the two per-row timestamp conversions run once per ORDER on
+    * the build side instead of once per LINEITEM row on the probe side,
+    * and the broadcast payload is (long, bool, long). Forced hint, so
+    * dispatched only inside the same 2x broadcast budget as q3/q4. */
+  private[spark] val q12Narrow =
+    """SELECT CASE WHEN high THEN 'high' ELSE 'low' END AS prio, n_late, n_items FROM (
+      | SELECT /*+ BROADCAST(o) */ o.high,
+      |  CAST(sum(CASE WHEN unix_timestamp(l.l_shipdate) - o.od > 5184000
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |  CAST(count(*) AS BIGINT) AS n_items
+      | FROM lineitem l
+      | JOIN (SELECT o_orderkey, o_orderpriority IN ('1-URGENT', '2-HIGH') AS high,
+      |       unix_timestamp(o_orderdate) AS od FROM orders) o
+      |   ON l.l_orderkey = o.o_orderkey
+      | GROUP BY o.high)
+      |ORDER BY prio LIMIT 1000""".stripMargin
+  /** LAYOUT/SIZE-ADAPTIVE q12 (r18): bucketed layout keeps the unhinted
+    * sorted streaming merge (r17's win); small flat inputs take the
+    * narrow forced-broadcast shape; large flat inputs keep the unhinted
+    * body (Catalyst picks the shuffled join). */
+  private val qTpchQ12: Q = (s, dir) => {
+    prep(s, dir)
+    if (bucketMarker(dir, "lineitem").isDefined && bucketMarker(dir, "orders").isDefined)
+      s.sql(q12Body)
+    else {
+      val (len, mtime) = dirFingerprint(s"$dir/orders.parquet")
+      val ordersBytes = ordersBytesCache.getOrElseUpdate((dir, len, mtime),
+        s.read.parquet(s"$dir/orders.parquet").queryExecution.optimizedPlan.stats.sizeInBytes)
+      val abt = s.sessionState.conf.autoBroadcastJoinThreshold
+      val thresh = if (abt <= 0) 0L else math.max(abt, 10L * 1024 * 1024)
+      s.sql(if (thresh > 0 && ordersBytes <= BigInt(2L * thresh)) q12Narrow else q12Body)
+    }
+  }
   private val oTpchQ12 =
     """SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
       |       THEN 'high' ELSE 'low' END AS prio,
@@ -3719,6 +3788,45 @@ object Queries {
     * shapes stay registered (b_tpch_q5_supp / b_tpch_q5_salted /
     * b_tpch_q5_flat) against the same oracle, so the non-default
     * branches remain driver-verified at every round's SF. */
+  /** Forced-broadcast BRANCH rows (b_tpch_q3_bcast / b_tpch_q4_bcast) are
+    * correctness-gate pins, but a forced BROADCAST hint has no size guard
+    * of its own — run at a large SF it would risk driver OOM inside the
+    * gate (ADVICE r17). Wrap them in the SAME 2x-threshold budget the
+    * dispatcher uses: within budget the forced shape runs (what the row
+    * exists to pin, and always true at gate SFs); beyond it the row falls
+    * back to the unforced shape instead of failing — same oracle either
+    * way. */
+  private def guardedBcast(bcastSql: String, fallbackSql: String): Q = (s, dir) => {
+    prep(s, dir)
+    val (len, mtime) = dirFingerprint(s"$dir/orders.parquet")
+    val ordersBytes = ordersBytesCache.getOrElseUpdate((dir, len, mtime),
+      s.read.parquet(s"$dir/orders.parquet").queryExecution.optimizedPlan.stats.sizeInBytes)
+    val abt = s.sessionState.conf.autoBroadcastJoinThreshold
+    val thresh = if (abt <= 0) 0L else math.max(abt, 10L * 1024 * 1024)
+    s.sql(if (thresh > 0 && ordersBytes <= BigInt(2L * thresh)) bcastSql else fallbackSql)
+  }
+
+  /** BUCKETED-LAYOUT GATE DIR (VERDICT r17 item 7): the q3/q4/q12/funnel
+    * dispatchers key their shape off the `_graft_buckets.json` marker, but
+    * until r18 the bucketed branch was exercised only by ScalaTest — never
+    * by a driver CORRECTNESS row. This builds a bucketed+sorted IDENTITY
+    * copy of the gate's sf dir (ScaleUp at copies=1: same rows, co-located
+    * layout, sorted marker) under the gitignored bigdata/, keyed by the
+    * source lineitem fingerprint so a regenerated source never reuses a
+    * stale copy. The *_bucketed rows below run the UNCHANGED dispatchers
+    * against it — same oracles, so the driver hash-verifies the bucketed
+    * plans end to end (CREATE TABLE … CLUSTERED/SORTED BY registration,
+    * outputOrdering/sortAgg confs, streaming-merge joins). */
+  private def bucketedGateDir(s: SparkSession, dir: String): String = synchronized {
+    val (len, mtime) = dirFingerprint(s"$dir/lineitem.parquet")
+    val tag = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(s"$dir|$len|$mtime").toLong & 0xffffffffL)
+    val dst = s"/root/repo/bigdata/gate_bucketed_$tag"
+    if (!new java.io.File(s"$dst/lineitem.parquet/_graft_buckets.json").exists())
+      graft.tools.ScaleUp.run(s, src = dir, dst = dst, copies = 1)
+    dst
+  }
+
   private val qTpchQ5: Q = (s, dir) => {
     prep(s, dir)
     val (len, _) = dirFingerprint(s"$dir/lineitem.parquet")
@@ -3740,16 +3848,24 @@ object Queries {
       |GROUP BY r.r_name, n.n_name
       |ORDER BY r.r_name, n.n_name LIMIT 1000""".stripMargin
 
+  // PRESENTATION ORDER BY REMOVED (r18): the result is an unordered
+  // per-customer set; the driver gate sorts rows before hashing, so a
+  // final global ORDER BY was pure cost in BOTH engines — in Spark a
+  // whole rangepartitioning exchange + sort stage per query. Dropped
+  // from query AND oracle in lockstep (same SQL semantics both sides;
+  // data-dependent cardinality, so the TakeOrdered LIMIT trick stays
+  // forbidden here). Semantic top-k ORDER BYs (q3's LIMIT 10, the
+  // window's own ordering) are untouched.
   private val qTopOrderPerCustomer = sqlQ(
     """SELECT o_custkey, o_orderkey, o_totalprice FROM (
       | SELECT o_custkey, o_orderkey, o_totalprice,
       |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
-      | FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin)
+      | FROM orders) WHERE rn = 1""".stripMargin)
   private val oTopOrderPerCustomer =
     """SELECT o_custkey, o_orderkey, o_totalprice FROM (
       | SELECT o_custkey, o_orderkey, o_totalprice,
       |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
-      | FROM orders) t WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+      | FROM orders) t WHERE rn = 1""".stripMargin
 
   /** Same result as b_top_order through the k-bounded Aggregator instead
     * of the window: map-side partials cap at k, so the exchange carries
@@ -3762,7 +3878,6 @@ object Queries {
         s.table("orders").select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
         Seq("o_custkey"), "o_orderkey", "o_totalprice", k = 1, descending = true)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
-      .orderBy("o_custkey")
   }
 
   /** Semi-structured props: the events table carries a JSON VARCHAR
@@ -3772,18 +3887,33 @@ object Queries {
     * 100 TB this is the telemetry-ingest shape: JSON stays a string at
     * rest, typed extraction happens in the scan projection, and the
     * aggregate rides the same single exchange as any grouped count. */
+  // r18 (ADVICE r17): the LIMIT-1000 TakeOrdered trick is gone from this
+  // row — event_type cardinality is data-dependent, not schema-bounded,
+  // so a silent identical-in-both-engines truncation was undetectable by
+  // the hash gate. With the presentation ORDER BY also dropped (gate
+  // sorts rows itself) the plan is the minimum possible: scan+partial
+  // agg -> one exchange -> final agg. The JSON payload is parsed ONCE
+  // per row in an inner projection; the previous form called
+  // get_json_object three times per row (3x JSONPath parses of the same
+  // string). Oracle mirrors both changes.
   private val qEventsJson = sqlQ(
     """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-      | CAST(sum(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-      | CAST(min(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
-      | CAST(max(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
-      |FROM events GROUP BY event_type ORDER BY event_type LIMIT 1000""".stripMargin)
+      | CAST(sum(k) AS BIGINT) AS sum_k,
+      | CAST(min(k) AS BIGINT) AS min_k,
+      | CAST(max(k) AS BIGINT) AS max_k
+      |FROM (SELECT event_type,
+      |        CAST(get_json_object(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY event_type""".stripMargin)
   private val oEventsJson =
     """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-      | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-      | CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
-      | CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
-      |FROM events GROUP BY event_type ORDER BY event_type LIMIT 1000""".stripMargin
+      | CAST(sum(k) AS BIGINT) AS sum_k,
+      | CAST(min(k) AS BIGINT) AS min_k,
+      | CAST(max(k) AS BIGINT) AS max_k
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events) t
+      |GROUP BY event_type""".stripMargin
 
   /** Ordered conversion funnel (view -> click within 24 h -> purchase
     * within 24 h): each stage is a per-user min-timestamp aggregate
@@ -3922,14 +4052,12 @@ object Queries {
     """SELECT event_type, CAST(date_trunc('hour', ts) AS BIGINT) AS hour_epoch,
       | CAST(count(*) AS BIGINT) AS n, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
       |FROM events
-      |GROUP BY event_type, date_trunc('hour', ts)
-      |ORDER BY event_type, hour_epoch""".stripMargin)
+      |GROUP BY event_type, date_trunc('hour', ts)""".stripMargin)
   private val oEventsHourly =
     """SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
       | CAST(count(*) AS BIGINT) AS n, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
       |FROM events
-      |GROUP BY event_type, date_trunc('hour', ts)
-      |ORDER BY event_type, hour_epoch""".stripMargin
+      |GROUP BY event_type, date_trunc('hour', ts)""".stripMargin
 
   /** Gap-based sessionization (30-min idle gap) — the batch shape of the
     * streaming mapGroupsWithState sessionizer. A session COUNT never needs
@@ -3946,7 +4074,7 @@ object Queries {
       |       WHEN CAST(ts AS DOUBLE) - CAST(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) > 1800 THEN 1
       |       ELSE 0 END AS is_new
       | FROM events)
-      |GROUP BY user_id ORDER BY user_id""".stripMargin)
+      |GROUP BY user_id""".stripMargin)
   private val oEventsSessions =
     """SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions FROM (
       | SELECT user_id,
@@ -3954,7 +4082,7 @@ object Queries {
       |       WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 THEN 1
       |       ELSE 0 END AS is_new
       | FROM events) t1
-      |GROUP BY user_id ORDER BY user_id""".stripMargin
+      |GROUP BY user_id""".stripMargin
 
   /** As-of join: every click event picks up the most recent purchase
     * value at-or-before it, per user — the point-in-time feature lookup.
@@ -3977,7 +4105,6 @@ object Queries {
         unix_micros(col("ts")).as("ts_us"),
         unix_micros(col("asof_ts")).as("asof_ts_us"),
         col("asof_pval").as("asof_value"))
-      .orderBy("event_id")
   }
   private val oEventsAsof =
     """WITH l AS (
@@ -3989,8 +4116,7 @@ object Queries {
       | CAST(epoch_us(l.ts) AS BIGINT) AS ts_us,
       | CAST(epoch_us(r.ts) AS BIGINT) AS asof_ts_us,
       | r.pval AS asof_value
-      |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
-      |ORDER BY event_id""".stripMargin
+      |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin
 
   /** Interval (range) join: events routed to the part-table value bands
     * containing them — [[RangeJoin.intervalJoin]]'s bin-equi-join +
@@ -4010,7 +4136,6 @@ object Queries {
       .groupBy(col("event_id"))
       .agg(count(lit(1)).as("n_iv"), min(col("iid")).as("min_iid"),
         max(col("iid")).as("max_iid"))
-      .orderBy("event_id")
   }
   private val oIntervalJoin =
     """WITH p AS (
@@ -4021,7 +4146,7 @@ object Queries {
       |SELECT p.event_id, CAST(count(*) AS BIGINT) AS n_iv,
       |       min(i.iid) AS min_iid, max(i.iid) AS max_iid
       |FROM p JOIN i ON p.p >= i.lo AND p.p <= i.hi
-      |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin
+      |GROUP BY p.event_id""".stripMargin
 
   // ============================================================== registry
 
@@ -4146,16 +4271,30 @@ object Queries {
     ("l_bpe_encode", qBpeEncode, Some(oBpeEncode)),
     ("l_frame_sample", qFrameSample, Some(oFrameSample)),
     ("b_tpch_q1", qTpchQ1, Some(oTpchQ1)),
+    // non-default q1/q12 dispatch branches stay driver-verified (r18)
+    ("b_tpch_q1_salted", sqlQ(q1SaltedSql), Some(oTpchQ1)),
+    ("b_tpch_q12_narrow", guardedBcast(q12Narrow, q12Body), Some(oTpchQ12)),
     ("b_tpch_q6", qTpchQ6, Some(oTpchQ6)),
     ("b_tpch_q3", qTpchQ3, Some(oTpchQ3)),
     // every q3 dispatch branch stays driver-verified at the gate's SF
     // (the dispatcher itself only ever takes one branch per layout)
-    ("b_tpch_q3_bcast", sqlQ(q3BcastBoth), Some(oTpchQ3)),
+    ("b_tpch_q3_bcast", guardedBcast(q3BcastBoth, q3FilterFirst), Some(oTpchQ3)),
     ("b_tpch_q3_ff", sqlQ(q3FilterFirst), Some(oTpchQ3)),
     ("b_tpch_q3_preagg", sqlQ(q3PreAggFirst), Some(oTpchQ3)),
+    // the BUCKETED dispatch branches, driver-verified against the same
+    // oracles on an identity bucketed+sorted copy of the gate dir
+    // (VERDICT r17 item 7 — see bucketedGateDir)
+    ("b_tpch_q3_bucketed", (s: SparkSession, dir: String) =>
+      qTpchQ3(s, bucketedGateDir(s, dir)), Some(oTpchQ3)),
+    ("b_tpch_q4_bucketed", (s: SparkSession, dir: String) =>
+      qTpchQ4(s, bucketedGateDir(s, dir)), Some(oTpchQ4)),
+    ("b_tpch_q12_bucketed", (s: SparkSession, dir: String) =>
+      qTpchQ12(s, bucketedGateDir(s, dir)), Some(oTpchQ12)),
+    ("b_events_funnel_bucketed", (s: SparkSession, dir: String) =>
+      qEventsFunnel(s, bucketedGateDir(s, dir)), Some(oEventsFunnel)),
     ("b_tpch_q4", qTpchQ4, Some(oTpchQ4)),
     // non-default q4 branches stay driver-verified (same oracle)
-    ("b_tpch_q4_bcast", sqlQ(q4BcastOrders), Some(oTpchQ4)),
+    ("b_tpch_q4_bcast", guardedBcast(q4BcastOrders, q4InDistinct), Some(oTpchQ4)),
     ("b_tpch_q4_exists", sqlQ(q4Exists), Some(oTpchQ4)),
     ("b_tpch_q4_indistinct", sqlQ(q4InDistinct), Some(oTpchQ4)),
     ("b_tpch_q5", qTpchQ5, Some(oTpchQ5)),

@@ -97,8 +97,11 @@ object ScaleUp {
         .bucketBy(n, key).sortBy(key)
         .option("path", path)
         .saveAsTable(tbl)
+      // sorted:true is the sortBy path's signature (ADVICE r17): readers
+      // only claim SORTED BY — and only enable sort-consuming plan rules —
+      // when the writer actually sorted each bucket file
       val marker = new java.io.PrintWriter(s"$path/_graft_buckets.json")
-      try marker.print(s"""{"key":"$key","buckets":$n}""") finally marker.close()
+      try marker.print(s"""{"key":"$key","buckets":$n,"sorted":true}""") finally marker.close()
       println(s"[scaleup] $name done (bucketed on $key x $n)")
     }
 

@@ -288,6 +288,58 @@ object ShapeLab {
          |FROM p
          |GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // r18 FLAT-SMALL q5 candidates: the current flat shape chains three
+    // dependent broadcast stages (r -> n⋈r -> s⋈n⋈r); nesting the two tiny
+    // dim broadcasts inside ONE d-build stage cuts the chain to depth 2
+    "q5_dim1_flat" ->
+      s"""WITH dim AS (
+         | SELECT /*+ BROADCAST(n, r) */ s.s_suppkey AS sk, n.n_name, r.r_name
+         | FROM supplier s
+         | JOIN nation n ON s.s_nationkey = n.n_nationkey
+         | JOIN region r ON n.n_regionkey = r.r_regionkey)
+         |SELECT /*+ BROADCAST(d) */ d.r_name, d.n_name,
+         | CAST(CAST(CAST($centsSumL AS DECIMAL(38,0)) / 10000 AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+         | CAST(count(*) AS BIGINT) AS n_items
+         |FROM lineitem l JOIN dim d ON l.l_suppkey = d.sk
+         |GROUP BY d.r_name, d.n_name
+         |ORDER BY d.r_name, d.n_name LIMIT 1000""".stripMargin,
+    "q5_flat_current" ->
+      s"""SELECT r.r_name, n.n_name,
+         | CAST(CAST(CAST($centsSumL AS DECIMAL(38,0)) / 10000 AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+         | CAST(count(*) AS BIGINT) AS n_items
+         |FROM lineitem l
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |GROUP BY r.r_name, n.n_name
+         |ORDER BY r.r_name, n.n_name LIMIT 1000""".stripMargin,
+    // r18: q5 with the hot agg on the supplier INT key inside the probe
+    // stage (25-ish dim rows re-agg after) — one broadcast on the hot path
+    "q5_suppagg_bcast" ->
+      s"""WITH p AS (
+         | SELECT l_suppkey AS sk, $centsSum AS rev_c, count(*) AS n
+         | FROM lineitem GROUP BY l_suppkey),
+         |dim AS (
+         | SELECT /*+ BROADCAST(n, r) */ s.s_suppkey AS sk, n.n_name, r.r_name
+         | FROM supplier s
+         | JOIN nation n ON s.s_nationkey = n.n_nationkey
+         | JOIN region r ON n.n_regionkey = r.r_regionkey)
+         |SELECT /*+ BROADCAST(d) */ d.r_name, d.n_name,
+         | CAST(CAST(sum(CAST(p.rev_c AS DECIMAL(38,0))) / 10000 AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+         | CAST(sum(p.n) AS BIGINT) AS n_items
+         |FROM p JOIN dim d ON p.sk = d.sk
+         |GROUP BY d.r_name, d.n_name
+         |ORDER BY d.r_name, d.n_name LIMIT 1000""".stripMargin,
+    "q1_flat" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(CAST(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DECIMAL(38,0)) / 100 AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+        | CAST(CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DECIMAL(38,0)) / 100 AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+        | CAST(CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DECIMAL(38,0)) / 10000 AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
+        | CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus LIMIT 1000""".stripMargin,
     "q1_intkey" ->
       s"""WITH p AS (
          | SELECT (ascii(l_returnflag) * 256 + ascii(l_linestatus)) * 1024

@@ -77,11 +77,67 @@ class QueryShapesSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$v must agree with the dispatched q4")
   }
 
-  test("prep reports the sorted layout: bucket-key SMJ plans carry no Sort operators") {
+  test("prep reports the sorted layout: bucket-key SMJ on a REAL bucketed dir has no Sort operators") {
+    // ADVICE r17: the conf-only assertion never exercised the headline
+    // no-Sort streaming-merge behavior against an actual bucketed layout.
+    // Build one (ScaleUp at copies=1 = identity copy, sorted marker),
+    // re-register cold, and pin the executed plan.
+    val dst = java.nio.file.Files.createTempDirectory("graft_qshapes_bk").toString
+    try {
+      graft.tools.ScaleUp.run(spark, src = "/root/testdata/sf0.001", dst = dst, copies = 1)
+      for (t <- Seq("lineitem", "orders", "events"))
+        Queries.markedBucketTableName(dst, t).foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+      Queries.prep(spark, dst)
+      // the confs are now gated on the marker's sorted flag (ADVICE r17)
+      assert(spark.conf.get("spark.sql.legacy.bucketedTableScan.outputOrdering") === "true")
+      assert(spark.conf.get("spark.sql.execution.replaceHashWithSortAgg") === "true")
+      // at sf0.001 the tiny orders side would auto-broadcast; disable the
+      // threshold so the planner takes the join path the claim is about
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = qmap("b_tpch_q12")(spark, dst)
+      assert(df.count() > 0)
+      val plan = df.queryExecution.executedPlan.toString
+      val lines = plan.linesIterator.toSeq
+      assert(lines.exists(_.contains("SortMergeJoin")),
+        s"bucketed q12 must plan the streaming merge:\n$plan")
+      assert(!lines.exists(_.contains("Sort [")),
+        s"the sorted bucket scans must feed the merge with NO Sort operators:\n$plan")
+      val joinIx = lines.indexWhere(_.contains("SortMergeJoin"))
+      assert(lines.drop(joinIx + 1).count(l => l.contains("Exchange hashpartitioning")) === 0,
+        s"the bucket-key merge must be exchange-free:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(dst))
+    }
+  }
+
+  test("q1 dispatcher: small flat dir takes the single-level shape; salted branch agrees") {
     val dir = "/root/testdata/sf0.001"
     Queries.prep(spark, dir)
-    assert(spark.conf.get("spark.sql.legacy.bucketedTableScan.outputOrdering") === "true")
-    assert(spark.conf.get("spark.sql.execution.replaceHashWithSortAgg") === "true")
+    val dispatched = qmap("b_tpch_q1")(spark, dir)
+    assert(!dispatched.queryExecution.optimizedPlan.toString.contains("pmod"),
+      "small input must take the single-level q1 shape (no salt)")
+    val want = dispatched.collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty)
+    assert(qmap("b_tpch_q1_salted")(spark, dir).collect().map(_.toSeq).toSeq === want,
+      "salted q1 branch must agree with the dispatched q1")
+  }
+
+  test("q12 dispatcher: small flat dir takes the narrow-broadcast shape; branches agree") {
+    val dir = "/root/testdata/sf0.001"
+    Queries.prep(spark, dir)
+    val dispatched = qmap("b_tpch_q12")(spark, dir)
+    val plan = dispatched.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small flat q12 must broadcast the narrow orders build:\n$plan")
+    val want = dispatched.collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty)
+    assert(qmap("b_tpch_q12_narrow")(spark, dir).collect().map(_.toSeq).toSeq === want,
+      "narrow q12 branch must agree with the dispatched q12")
   }
 
   test("funnel dispatcher: small flat dir takes the single-scan fold; all shapes agree") {
