@@ -3780,14 +3780,6 @@ object Queries {
   private val qTpchQ5Salted = sqlQ(q5SaltedSql)
   private val qTpchQ5Flat = sqlQ(q5FlatSql)
   private val qTpchQ5Supp = sqlQ(q5SuppSql)
-  /** SIZE-ADAPTIVE q5 (r16, re-shaped r17): large inputs take the
-    * supplier-grain pre-agg (see [[q5SuppSql]] — exact via per-supplier
-    * BIGINT cents, zero hot-path joins); small inputs keep the
-    * single-level join-then-agg form — below the threshold the extra
-    * pre-agg exchange is pure stage floor for 25 output rows. All three
-    * shapes stay registered (b_tpch_q5_supp / b_tpch_q5_salted /
-    * b_tpch_q5_flat) against the same oracle, so the non-default
-    * branches remain driver-verified at every round's SF. */
   /** Forced-broadcast BRANCH rows (b_tpch_q3_bcast / b_tpch_q4_bcast) are
     * correctness-gate pins, but a forced BROADCAST hint has no size guard
     * of its own — run at a large SF it would risk driver OOM inside the
@@ -3827,15 +3819,49 @@ object Queries {
     dst
   }
 
+  /** SUPPLIER PRE-AGG + NESTED DIM BROADCAST (r18): same supplier-grain
+    * fact pass as [[q5SuppSql]], but the three dims pre-join inside ONE
+    * broadcast-build stage (nation+region broadcast concurrently into the
+    * supplier scan) instead of a three-deep dependent broadcast chain,
+    * and the 25-row ordering rides the LIMIT's TakeOrdered. r18 5-rep
+    * same-process A/Bs: beats BOTH r17 shapes at every SF — sf0.1 0.368
+    * vs 0.461 flat, sf3 0.580 vs 0.650 flat / 1.01 supp, sf10 1.158 vs
+    * 1.340 flat / 1.455 supp — so the r17 512 MB crossover is gone. */
+  private[spark] val q5SuppBcastSql =
+    """WITH p AS (
+      | SELECT l_suppkey AS sk,
+      |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_c,
+      |  count(*) AS n
+      | FROM lineitem GROUP BY l_suppkey),
+      |dim AS (
+      | SELECT /*+ BROADCAST(n, r) */ s.s_suppkey AS sk, n.n_name, r.r_name
+      | FROM supplier s
+      | JOIN nation n ON s.s_nationkey = n.n_nationkey
+      | JOIN region r ON n.n_regionkey = r.r_regionkey)
+      |SELECT /*+ BROADCAST(d) */ d.r_name, d.n_name,
+      | CAST(CAST(sum(CAST(p.rev_c AS DECIMAL(38,0))) / 10000 AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+      | CAST(sum(p.n) AS BIGINT) AS n_items
+      |FROM p JOIN dim d ON p.sk = d.sk
+      |GROUP BY d.r_name, d.n_name
+      |ORDER BY d.r_name, d.n_name LIMIT 1000""".stripMargin
+  /** q5 dispatcher (r18): supplier-grain pre-agg ALWAYS (exact via
+    * per-supplier BIGINT cents — TPC-H suppliers scale with the data at a
+    * fixed ~600 rows each, so the headroom is unbounded in corpus size);
+    * the broadcast-hinted dim nesting while supplier fits the same 2x
+    * budget the other dispatchers use (supplier is SF x 10K rows — at
+    * warehouse scale it outgrows any broadcast), the unhinted
+    * [[q5SuppSql]] beyond. Legacy shapes stay registered against the
+    * same oracle, so every branch remains driver-verified. */
   private val qTpchQ5: Q = (s, dir) => {
     prep(s, dir)
-    val (len, _) = dirFingerprint(s"$dir/lineitem.parquet")
-    // 512 MB crossover (r17 A/B, 5-rep same-process at each SF): at sf1
-    // (110 MB) flat wins 0.52 vs 0.69, at sf3 (330 MB) flat still wins
-    // 0.80 vs 0.91, at sf10 (1.1 GB) supp wins ~2x (1.18 vs 2.04 salted)
-    // — below the threshold the pre-agg's extra exchange is stage floor
-    // for 25 output rows
-    s.sql(if (len > 512L * 1024 * 1024) q5SuppSql else q5FlatSql)
+    val (len, mtime) = dirFingerprint(s"$dir/supplier.parquet")
+    val suppBytes = ordersBytesCache.getOrElseUpdate((dir + "#supplier", len, mtime),
+      s.read.parquet(s"$dir/supplier.parquet").queryExecution.optimizedPlan.stats.sizeInBytes)
+    val abt = s.sessionState.conf.autoBroadcastJoinThreshold
+    val thresh = if (abt <= 0) 0L else math.max(abt, 10L * 1024 * 1024)
+    s.sql(if (thresh > 0 && suppBytes <= BigInt(2L * thresh)) q5SuppBcastSql
+          else q5SuppSql)
   }
   private val oTpchQ5 =
     """SELECT r.r_name, n.n_name,

@@ -25,6 +25,8 @@ object FloorLab {
       .config("spark.sql.files.maxPartitionBytes", 32L * 1024 * 1024)
       .config("spark.sql.files.openCostInBytes", 1L * 1024 * 1024)
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      .config("spark.sql.parquet.columnarReaderBatchSize", "16384")
+      .config("spark.sql.columnVector.offheap.enabled", "true")
       .config("spark.sql.extensions", "graft.spark.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", false)

@@ -367,6 +367,8 @@ object ShapeLab {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.files.maxPartitionBytes", 32L * 1024 * 1024)
       .config("spark.sql.files.openCostInBytes", 1L * 1024 * 1024)
+      .config("spark.sql.parquet.columnarReaderBatchSize", "16384")
+      .config("spark.sql.columnVector.offheap.enabled", "true")
       .config("spark.sql.extensions", "graft.spark.GraftExtensions")
       .config("spark.ui.enabled", false)
     sys.env.get("SPARK_GRAFT_CONF").toSeq
