@@ -561,6 +561,24 @@ object Bench {
     // shuffles (sf10 q3 4.8->8.5 s in the same A/B), so it is strictly a
     // small-input profile, recorded in the artifact.
     spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    // r18 addition to the small profile: 8 shuffle partitions. r12 saw
+    // this trim ~15% but never adopted it; the r18 in-process A/B
+    // (FloorLab, SPARK_GRAFT_AB_CONF) confirmed it on 10 of 12 floor rows
+    // — sessions 0.200->0.157, top_order 0.315->0.271, hourly
+    // 0.209->0.180, q12 0.435->0.402 — and never materially hurt. Fewer
+    // post-shuffle tasks to launch per stage is the whole effect; the
+    // big-SF sections RESET to the core count below (8 partitions would
+    // under-parallelize real shuffles there).
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // ...and AQE off: with partitions pinned at 8 there is nothing left
+    // for AQE to coalesce at this SF, so its per-exchange materialization
+    // barrier + replan is pure overhead. r18 in-process A/B (on top of
+    // partitions=8): q3 0.599->0.540, funnel 0.147->0.132, top_order
+    // 0.259->0.237, hourly/asof/q4 smaller wins; q5 +0.017 and interval
+    // +0.033 the only regressions — net positive. (r16 measured AQE-off
+    // as always-worse, but that was against 32 initial partitions, where
+    // coalescing carried real weight.) Scale sections reset both.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     // 3 reps per query, report the MIN (see header), each query's oracle
     // reps interleaved right behind its Spark reps. prep() re-registers
     // the temp views when the sfDir changes.
@@ -572,6 +590,8 @@ object Bench {
     val smallSec = runSection(spark, qmap, sfDir, orderedNames,
       oracleNames, cpus, small = true)
     spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", cpus)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
 
     val results = smallSec.records
     val oraclePart = smallSec.oracleJson("") +
@@ -736,7 +756,7 @@ object Bench {
       s""","rep_policy":"min-of-reps","load_start":$loadAtStart,"load_end":${loadavg()}""" +
       s""","load_gate":{"threshold_cores":$gateCores,"total_waited_sec":$gateWaitedTotal""" +
       s""","policy":"each rep waits (bounded) until external busy cores from an idle-window /proc/stat sample drop under the gate"}""" +
-      s""","small_profile":"aqe coalescePartitions.parallelismFirst=false (small-SF section only)"""" +
+      s""","small_profile":"shuffle.partitions=8 + adaptive.enabled=false (small-SF section only)"""" +
       s""","calib_sec":$smallCalib,"calib_policy":"min-of-2 fixed 200M-range codegen sum at section start; box-speed canary for cross-window drift"""" +
       oraclePart + bigCompact + hugeCompact + megaCompact
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_full.json")

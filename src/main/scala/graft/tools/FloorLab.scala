@@ -47,7 +47,15 @@ object FloorLab {
         catch { case _: Throwable => () }
     // bench small-section profile
     spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-    for (name <- names) {
+    // in-process conf A/B: SPARK_GRAFT_AB_CONF="k=v[;k=v]" runs every query
+    // a second time with the confs applied (reset after), same JVM/window —
+    // the only comparison this box's drift allows
+    val abConf = sys.env.get("SPARK_GRAFT_AB_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .map { kv => val i = kv.indexOf('='); (kv.take(i), kv.drop(i + 1)) }
+    for (name <- names; ab <- if (abConf.isEmpty) Seq(false) else Seq(false, true)) {
+      if (ab) abConf.foreach { case (k, v) => spark.conf.set(k, v) }
+      val tag = if (ab) s"$name[AB]" else name
       var best = Double.MaxValue
       var finalPlan = ""
       for (rep <- 1 to reps) {
@@ -60,7 +68,7 @@ object FloorLab {
         val dt = (System.nanoTime() - t0) / 1e9
         best = math.min(best, dt)
         finalPlan = df.queryExecution.executedPlan.toString
-        println(f"[floorlab] $name rep$rep: $dt%.3f s ($n rows)")
+        println(f"[floorlab] $tag rep$rep: $dt%.3f s ($n rows)")
       }
       val ops = Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
         "Exchange SinglePartition", "BroadcastExchange", "Sort ",
@@ -68,8 +76,9 @@ object FloorLab {
         "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin", "Window")
         .map(op => s"$op=${finalPlan.linesIterator.count(_.contains(op))}")
         .filterNot(_.endsWith("=0"))
-      println(f"[floorlab] $name BEST $best%.3f s ${ops.mkString(" ")}")
+      println(f"[floorlab] $tag BEST $best%.3f s ${ops.mkString(" ")}")
       if (sys.env.contains("SPARK_GRAFT_PLAN")) println(finalPlan)
+      if (ab) abConf.foreach { case (k, _) => spark.conf.unset(k) }
     }
     spark.stop()
   }
