@@ -469,22 +469,48 @@ object Dedup {
                           n: Int): DataFrame = {
     // persist the COMPACT per-doc digest arrays (one row per doc; the MD5
     // pass runs once) and re-explode from cache on both sides — Generate
-    // is cheap codegen, so the cache holds doc-count rows, not token-count
-    val docGrams = releasedAfterUse(gramArrays(df, idCol, textCol, n), df)
-    val dupOwners = docGrams
-      .select(col(idCol), explode(col("__ghs")).as("gh"))
-      .groupBy(col("gh"))
-      .agg(min(col(idCol)).as("__keep"), max(col(idCol)).as("__mx"))
-      .where(col("__keep") =!= col("__mx"))
-      .drop("__mx")
-    // SHUFFLE_HASH: gh is a random digest, so sorting both sides for a
-    // merge join buys nothing — hash-join on the shuffled partitions
-    // (AQE may still downgrade to broadcast when the dup set is small,
-    // and its skew-split applies to shuffled hash joins too)
-    docGrams.select(col(idCol), col("n_tok"),
-        posexplode(col("__ghs")).as(Seq("pos", "gh")))
-      .join(dupOwners.hint("SHUFFLE_HASH"), "gh")
-      .select(col(idCol), col("n_tok"), col("pos"), col("gh"), col("__keep"))
+    // is cheap codegen, so the cache holds doc-count rows, not token-count.
+    // Small inputs fan out first ([[graft.spark.FanOut]]): a single-row-
+    // group file is one scan task, so without the fan-out BOTH gram-MD5
+    // passes run on one core — the whole small-SF critical path.
+    val src = graft.spark.FanOut.small(df)
+    val docGrams = releasedAfterUse(gramArrays(src, idCol, textCol, n), src)
+    if (src ne df) {
+      // SMALL-INPUT SHAPE: one gh-partitioned exchange of the exploded
+      // grams feeds BOTH the dup-owner aggregate and the join-back probe
+      // (same plan subtree → Spark's ReuseExchange materializes it once),
+      // so the gram MD5 pass runs ONCE and the join sees two sides
+      // already co-partitioned on gh — zero further exchanges. Strictly
+      // less shuffle volume than the partial-agg form below (one gram
+      // pass through the wire instead of gram partials + gram probes),
+      // which only pays off while "all grams" is small — exactly the
+      // fan-out gate that selected this branch.
+      val grams = docGrams
+        .select(col(idCol), col("n_tok"), posexplode(col("__ghs")).as(Seq("pos", "gh")))
+        .repartition(df.sparkSession.sessionState.conf.numShufflePartitions, col("gh"))
+      val dupOwners = grams
+        .groupBy(col("gh"))
+        .agg(min(col(idCol)).as("__keep"), max(col(idCol)).as("__mx"))
+        .where(col("__keep") =!= col("__mx"))
+        .drop("__mx")
+      grams.join(dupOwners.hint("SHUFFLE_HASH"), "gh")
+        .select(col(idCol), col("n_tok"), col("pos"), col("gh"), col("__keep"))
+    } else {
+      val dupOwners = docGrams
+        .select(col(idCol), explode(col("__ghs")).as("gh"))
+        .groupBy(col("gh"))
+        .agg(min(col(idCol)).as("__keep"), max(col(idCol)).as("__mx"))
+        .where(col("__keep") =!= col("__mx"))
+        .drop("__mx")
+      // SHUFFLE_HASH: gh is a random digest, so sorting both sides for a
+      // merge join buys nothing — hash-join on the shuffled partitions
+      // (AQE may still downgrade to broadcast when the dup set is small,
+      // and its skew-split applies to shuffled hash joins too)
+      docGrams.select(col(idCol), col("n_tok"),
+          posexplode(col("__ghs")).as(Seq("pos", "gh")))
+        .join(dupOwners.hint("SHUFFLE_HASH"), "gh")
+        .select(col(idCol), col("n_tok"), col("pos"), col("gh"), col("__keep"))
+    }
   }
 
   /** Persist `frame` (MEMORY_AND_DISK) for intra-query branch reuse IF
@@ -634,9 +660,16 @@ object Dedup {
       while (k < 4 && all) { all = bs.get((digestWord(gh, k) % b).toInt); k += 1 }
       all
     })
-    gramHashes(train, idCol, textCol, n).where(allSet(col("gh")))
+    // per-doc distinct via collect_set: one exchange on idCol (map-side
+    // partial sets merge) instead of count_distinct's two-round shuffle;
+    // the sets are bounded by the doc's own flagged-gram count — the same
+    // per-doc bound every *_spans collect_list already lives under. The
+    // digest is hex-encoded first: set membership over raw BINARY would
+    // hash the byte ARRAY by reference, not by value — silent non-dedup.
+    gramHashes(graft.spark.FanOut.small(train), idCol, textCol, n)
+      .where(allSet(col("gh")))
       .groupBy(col(idCol))
-      .agg(count_distinct(col("gh")).as("n_flagged"))
+      .agg(size(collect_set(hex(col("gh")))).cast("long").as("n_flagged"))
   }
 
   /** Bloom sizing for the decontamination bitset: the smallest power of
@@ -716,15 +749,42 @@ object Dedup {
                          n: Int, bits: Int) = {
     val spark = ev.sparkSession
     import spark.implicits._
-    val ghs = gramHashes(ev, idCol, textCol, n)
-      .select(col("gh").as[Array[Byte]]).collect()
-    val b = if (bits > 0) bits else autoBloomBits(ghs.length.toLong)
+    val src = graft.spark.FanOut.small(ev)
+    // auto-sizing needs the gram count BEFORE any digest exists; it is
+    // pure token arithmetic (sum over docs of n_tok - n + 1), so the
+    // sizing job never runs the MD5 kernel
+    val b =
+      if (bits > 0) bits
+      else {
+        val ws = split(trim(col(textCol)), "\\s+")
+        val cnt = src
+          .where(col(textCol).isNotNull && length(trim(col(textCol))) > 0 && size(ws) >= n)
+          .select(sum((size(ws) - n + 1).cast("long")))
+          .as[Option[Long]].head().getOrElse(0L)
+        autoBloomBits(cnt)
+      }
     require((b & (b - 1)) == 0, "bits must be a power of two")
-    val bitset = new java.util.BitSet(b)
-    ghs.foreach { gh =>
-      var k = 0
-      while (k < 4) { bitset.set((digestWord(gh, k) % b).toInt); k += 1 }
-    }
+    // the bitset builds DISTRIBUTED: each partition ORs its grams into a
+    // local word array and the driver merges one array per partition —
+    // replacing the old collect() of every raw digest, whose row-at-a-time
+    // driver deserialization was the single largest slice of the whole
+    // operator at bench SFs (and grows with the eval suite, while the
+    // merged arrays are a fixed b/8 bytes x partition count)
+    val words = b / 64
+    val packed = gramHashes(src, idCol, textCol, n)
+      .select(col("gh").as[Array[Byte]]).rdd
+      .treeAggregate(new Array[Long](words))(
+        (acc, gh) => {
+          var k = 0
+          while (k < 4) {
+            val pos = (digestWord(gh, k) % b).toInt
+            acc(pos >> 6) |= 1L << (pos & 63)
+            k += 1
+          }
+          acc
+        },
+        (a, c) => { var i = 0; while (i < words) { a(i) |= c(i); i += 1 }; a })
+    val bitset = java.util.BitSet.valueOf(packed)
     (spark.sparkContext.broadcast(bitset), n, b)
   }
 

@@ -134,6 +134,27 @@ object KnnJoin {
 
     val emitted = scala.collection.mutable.ListBuffer[DataFrame]()
     var level = initialLevel(right, k)
+    // SMALL-PRODUCT SHORTCUT: when |left| x |right| fits the pair budget,
+    // skip the ring rounds entirely and jump to the final broadcast pass
+    // (level -1) — one action instead of a driver-synchronized job chain.
+    // The guard uses EXACT counts, never optimizer stats: an earlier
+    // stats-guarded brute arm mis-sized a 2.25e8-pair single-core pass and
+    // was reverted (SCALEUP r17); the default budget (1e6 pairs) bounds
+    // the worst case to a few ms of chord math per task, and the absolute
+    // left cap bounds the broadcast side independently of the product.
+    // The two counts materialize persists the first round needs anyway.
+    // A same-process A/B at 1.5e6 pairs (b_knn, sf0.1) read brute ~= the
+    // ring rounds (0.71 vs 0.70 s), so the default stays conservatively
+    // UNDER that crossover: the shortcut exists for genuinely tiny
+    // products (a query batch against a modest corpus), not to race the
+    // rounds at their own scale.
+    // spark.graft.knn.brutePairBudget=0 disables (the rounds-path pin).
+    val bruteBudget = spark.conf.get("spark.graft.knn.brutePairBudget", "1000000").toLong
+    if (bruteBudget > 0) {
+      val nR = rightKeyed.count()
+      val nL = pending.count()
+      if (nL > 0 && nR > 0 && nL <= 100000 && nL <= bruteBudget / nR) level = -1
+    }
     var exhausted = false
     while (!exhausted && !pending.isEmpty) {
       val lastRound = level < 0
@@ -143,7 +164,7 @@ object KnnJoin {
       // full right side — the k-bounded partial agg below keeps even this
       // pass memory-bounded per task
       val cand =
-        if (lastRound) rightKeyed.crossJoin(broadcast(pending))
+        if (lastRound) FanOut.small(rightKeyed).crossJoin(broadcast(pending))
         else pending
           .withColumn("__cell", explode(call_function("s2_cells_with_ring",
             array(call_function("s2_cell_parent", col("__lc30"), lit(probeLevel))), lit(1))))

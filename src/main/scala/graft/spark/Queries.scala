@@ -1010,6 +1010,26 @@ object Queries {
       .select(col("id"), col("nbr_id"), col("rank").cast("int").as("rank"))
       .orderBy("id", "nbr_id")
   }
+  /** Rounds-path pin: t_knn_join's small product takes KnnJoin's brute
+    * shortcut at gate SFs, so this row forces the expanding-ring branch
+    * (budget 0) against the SAME oracle — both dispatch arms stay
+    * driver-hash-verified. The conf matters only during knn()'s eager
+    * construction, so restoring it after build is race-free. */
+  private val qKnnRounds = (s: SparkSession, dir: String) => {
+    prep(s, dir)
+    val prev = s.conf.getOption("spark.graft.knn.brutePairBudget")
+    s.conf.set("spark.graft.knn.brutePairBudget", "0")
+    try {
+      val pts = s.sql("SELECT id, s2_geogpoint(lon, lat) AS g FROM jpts")
+      KnnJoin.knn(pts, "id", "g", pts, "id", "g", k = 3,
+          pairFilter = Some(col("id") =!= col("nbr_id")))
+        .select(col("id"), col("nbr_id"), col("rank").cast("int").as("rank"))
+        .orderBy("id", "nbr_id")
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.graft.knn.brutePairBudget", v)
+      case None => s.conf.unset("spark.graft.knn.brutePairBudget")
+    }
+  }
   private val oKnnJoin =
     s"""WITH $oracleJpts,
        |d AS (SELECT a.id, b.id AS nbr_id,
@@ -3882,7 +3902,20 @@ object Queries {
   // data-dependent cardinality, so the TakeOrdered LIMIT trick stays
   // forbidden here). Semantic top-k ORDER BYs (q3's LIMIT 10, the
   // window's own ordering) are untouched.
+  // ARGMAX-AS-AGGREGATE (r18): top-1-per-group needs no window at all —
+  // max over an ordered struct (price first, NEGATED orderkey second, so
+  // the struct max IS "highest price, ties to the lowest orderkey") runs
+  // as an ordinary hash aggregate: map-side partials collapse the ~10
+  // orders per customer before the exchange and NOTHING ever sorts. The
+  // window form (kept below as b_top_order_window, same oracle) pays a
+  // full per-partition sort + window pass for the same one row per group.
+  // For k>1 the window/TopK forms remain the right tool; this shape is
+  // the k=1 special case.
   private val qTopOrderPerCustomer = sqlQ(
+    """SELECT o_custkey, -m.nk AS o_orderkey, m.p AS o_totalprice FROM (
+      | SELECT o_custkey, max(named_struct('p', o_totalprice, 'nk', -o_orderkey)) AS m
+      | FROM orders GROUP BY o_custkey)""".stripMargin)
+  private val qTopOrderWindow = sqlQ(
     """SELECT o_custkey, o_orderkey, o_totalprice FROM (
       | SELECT o_custkey, o_orderkey, o_totalprice,
       |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
@@ -4211,6 +4244,7 @@ object Queries {
     ("t_dwithin_join", qDwithinJoin, Some(oDwithinJoin)),
     ("t_dwithin_join_sql", qDwithinJoinSql, Some(oDwithinJoin)),
     ("t_knn_join", qKnnJoin, Some(oKnnJoin)),
+    ("t_knn_rounds", qKnnRounds, Some(oKnnJoin)),
     ("b_knn", qKnnBench, Some(oKnnBench)),
     ("b_stream_dwithin", qStreamDwithin, Some(oStreamDwithin)),
     ("b_stream_funnel", qStreamFunnel, Some(oStreamFunnel)),
@@ -4329,6 +4363,7 @@ object Queries {
     ("b_tpch_q5_supp", qTpchQ5Supp, Some(oTpchQ5)),
     ("b_tpch_q12", qTpchQ12, Some(oTpchQ12)),
     ("b_top_order", qTopOrderPerCustomer, Some(oTopOrderPerCustomer)),
+    ("b_top_order_window", qTopOrderWindow, Some(oTopOrderPerCustomer)),
     ("b_top_order_agg", qTopOrderAgg, Some(oTopOrderPerCustomer)),
     ("b_events_hourly", qEventsHourly, Some(oEventsHourly)),
     ("b_events_json", qEventsJson, Some(oEventsJson)),

@@ -58,6 +58,26 @@ object DupAnatomy {
       .where(col("__keep") =!= col("__mx")).drop("__mx")
     time("dup_owners")(dupOwners.count())
     time("full_dup_spans")(qmap("l_dup_spans")(spark, dir).count())
+
+    // bloom decomposition (mirrors Dedup.bloomDecontam's two jobs)
+    val docs = spark.table("documents").where(length(trim(col("text"))) > 0)
+    val evDocs = docs.where(col("doc_id") % 2 === 0).select(col("doc_id"), col("text"))
+    val wsD = split(trim(col("text")), "\\s+")
+    def gramsOf(df: org.apache.spark.sql.DataFrame) = df
+      .where(col("text").isNotNull && length(trim(col("text"))) > 0 && size(wsD) >= 8)
+      .select(col("doc_id"), gramHashArr(col("text")).as("__ghs"))
+      .select(col("doc_id"), explode(col("__ghs")).as("gh"))
+    time("bloom_eval_collect") {
+      val ghs = gramsOf(evDocs).select("gh").collect()
+      ghs.length.toLong
+    }
+    val planted = docs.where(col("doc_id") % 2 === 0 && col("doc_id") % 6 === 0)
+      .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+    val train = docs.where(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text")).unionByName(planted)
+    time("bloom_train_grams")(gramsOf(train).count())
+    time("bloom_train_cdist")(gramsOf(train)
+      .groupBy("doc_id").agg(count_distinct(col("gh"))).count())
     time("full_bloom")(qmap("l_decontam_bloom")(spark, dir).count())
     time("full_ann_top1")(qmap("l_ann_top1")(spark, dir).count())
     spark.stop()

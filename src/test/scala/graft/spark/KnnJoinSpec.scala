@@ -64,17 +64,39 @@ class KnnJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     // two tight clusters on opposite sides of the globe plus an isolated
     // pole point: k=4 forces every cluster member to certify locally for
     // 3 neighbors but escalate (eventually to the broadcast fallback) for
-    // the 4th, which lives across the planet
+    // the 4th, which lives across the planet. The brute shortcut would
+    // swallow this tiny fixture whole, so it is disabled: the test exists
+    // to pin the ESCALATION rounds.
     val pts = Seq(
       (0L, 10.0, 10.0), (1L, 10.01, 10.0), (2L, 10.0, 10.01), (3L, 10.022, 10.013),
       (10L, -170.0, -10.0), (11L, -170.01, -10.0), (12L, -170.0, -10.01),
       (20L, 0.0, 89.9))
     val df = ptsDf(pts)
-    val got = KnnJoin.knn(df, "id", "g", df, "id", "g", k = 4,
-        pairFilter = Some(col("id") =!= col("nbr_id")))
-      .select("id", "nbr_id", "rank")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    spark.conf.set("spark.graft.knn.brutePairBudget", "0")
+    val got =
+      try KnnJoin.knn(df, "id", "g", df, "id", "g", k = 4,
+          pairFilter = Some(col("id") =!= col("nbr_id")))
+        .select("id", "nbr_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      finally spark.conf.unset("spark.graft.knn.brutePairBudget")
     assert(got === expected(pts, 4, excludeSelf = true))
+  }
+
+  test("brute shortcut and ring rounds return identical results") {
+    val pts = for {
+      i <- 0 until 10; j <- 0 until 6
+    } yield ((i * 6 + j).toLong, -60.0 + i * 5.1 + 0.11 * j, -20.0 + j * 6.7 + 0.19 * i)
+    val df = ptsDf(pts)
+    def run(): Set[(Long, Long, Int)] =
+      KnnJoin.knn(df, "id", "g", df, "id", "g", k = 3,
+          pairFilter = Some(col("id") =!= col("nbr_id")))
+        .select("id", "nbr_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = run() // 60x60 pairs sit well under the default budget
+    spark.conf.set("spark.graft.knn.brutePairBudget", "0")
+    val rounds = try run() finally spark.conf.unset("spark.graft.knn.brutePairBudget")
+    assert(brute === rounds)
+    assert(brute === expected(pts, 3, excludeSelf = true))
   }
 
   test("k larger than corpus emits only the ranks that exist") {
