@@ -4107,11 +4107,22 @@ object Queries {
       |       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click,
       |       (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase""".stripMargin
 
+  // MANUAL TWO-LEVEL DISTINCT (r18): Spark plans count(DISTINCT x) with
+  // an Expand that doubles every input row (one copy for the distinct,
+  // one for the plain aggregates). The hand-written two-level form — an
+  // inner count per (type, hour, user), an outer sum + count — shuffles
+  // the same two times but moves GROUPED rows, never expanded ones.
+  // count(user_id) at the outer level (not count(*)) keeps the exact
+  // count-DISTINCT null semantics: a null-user group must not count as
+  // a user. The oracle keeps the count(DISTINCT) spelling — identical
+  // results, the differential check.
   private val qEventsHourly = sqlQ(
-    """SELECT event_type, CAST(date_trunc('hour', ts) AS BIGINT) AS hour_epoch,
-      | CAST(count(*) AS BIGINT) AS n, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-      |FROM events
-      |GROUP BY event_type, date_trunc('hour', ts)""".stripMargin)
+    """SELECT event_type, hour_epoch,
+      | CAST(sum(cnt) AS BIGINT) AS n, CAST(count(user_id) AS BIGINT) AS n_users
+      |FROM (SELECT event_type, CAST(date_trunc('hour', ts) AS BIGINT) AS hour_epoch,
+      |        user_id, count(*) AS cnt
+      |      FROM events GROUP BY 1, 2, 3)
+      |GROUP BY event_type, hour_epoch""".stripMargin)
   private val oEventsHourly =
     """SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
       | CAST(count(*) AS BIGINT) AS n, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users

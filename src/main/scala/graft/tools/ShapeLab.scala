@@ -18,6 +18,21 @@ object ShapeLab {
       |    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))""".stripMargin
 
   val variants: Seq[(String, String)] = Seq(
+    // hourly rollup: Spark's count(DISTINCT) Expand vs the manual
+    // two-level aggregate (same two exchanges, grouped rows instead of
+    // expanded ones)
+    "hourly_distinct" ->
+      """SELECT event_type, CAST(date_trunc('hour', ts) AS BIGINT) AS hour_epoch,
+        | CAST(count(*) AS BIGINT) AS n, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events
+        |GROUP BY event_type, date_trunc('hour', ts)""".stripMargin,
+    "hourly_twolevel" ->
+      """SELECT event_type, hour_epoch,
+        | CAST(sum(cnt) AS BIGINT) AS n, CAST(count(user_id) AS BIGINT) AS n_users
+        |FROM (SELECT event_type, CAST(date_trunc('hour', ts) AS BIGINT) AS hour_epoch,
+        |        user_id, count(*) AS cnt
+        |      FROM events GROUP BY 1, 2, 3)
+        |GROUP BY event_type, hour_epoch""".stripMargin,
     "q3_preagg_base" ->
       s"""WITH bo AS (
          |  SELECT o.o_orderkey
