@@ -459,6 +459,20 @@ object Bench {
           QRecord(name, reps.toSeq, err)
         } else try {
           val reps = scala.collection.mutable.ArrayBuffer[Rep]()
+          // INTER-REP HYGIENE (r19): the r18 sf3 heavy reps degraded
+          // monotonically WITHIN a row (minhash 19.7 -> 230.4 s with 38 s
+          // of GC at a 15.6 GB live heap; bloom 6.9 -> 107.8 s) — the
+          // first rep's leftover cached blocks + old-gen growth thrash
+          // the next rep against the 24g ceiling. The between-ROWS
+          // clearCache+gc discipline (VERDICT r15 item 2) now also runs
+          // between REPS of any row slow enough to matter (> 5 s), so
+          // every rep starts from the clean heap rep 1 had. The pause is
+          // outside the timed window and costs ~1 s against the 200+ s
+          // thrash reps it prevents.
+          def hygiene(): Unit = if (reps.last.sec > 5.0) {
+            try spark.catalog.clearCache() catch { case _: Throwable => () }
+            System.gc()
+          }
           // a big query's FIRST run routinely pays 3-7x one-time costs
           // (shuffle spill setup, page-cache faults, codegen) — r12
           // recorded three phantom sf1 "regressions" that isolated warm
@@ -467,13 +481,21 @@ object Bench {
           // slow enough for a one-time cost to dominate (bounded at 3 so
           // a storm cannot hang the bench).
           reps += timeOnce(qmap(name)(spark, dir).count())
+          hygiene()
           reps += timeOnce(qmap(name)(spark, dir).count())
           // third rep for contended or one-time-cost-dominated rows; the
           // >60 s cap keeps a genuinely long row (sf10 minhash ~140 s)
-          // from burning 2+ extra minutes re-confirming a stable number
-          if (reps.map(_.load).min > busyLoad ||
-              (reps.last.sec > 5.0 && reps.last.sec < 60.0))
+          // from burning 2+ extra minutes re-confirming a stable number.
+          // HEAVY rows are capped at 2 reps (VERDICT r18 item 2): their
+          // 10-60 s sf3 times all triggered this clause, and the third
+          // confirmation of a minutes-long row is what squeezed the mega
+          // heavies out of the r18 budget.
+          if (!heavyNames.contains(name) &&
+              (reps.map(_.load).min > busyLoad ||
+               (reps.last.sec > 5.0 && reps.last.sec < 60.0))) {
+            hygiene()
             reps += timeOnce(qmap(name)(spark, dir).count())
+          }
           QRecord(name, reps.toSeq, None)
         } catch { case e: Throwable =>
           QRecord(name, Nil, Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))) }
@@ -714,8 +736,18 @@ object Bench {
     // total bench elapsed; overridable for local experiments). Worst-case
     // tail past the gate is bounded: 2 Spark reps + one 180 s-capped
     // oracle rep per heavy row.
-    val hugeHeavyGate = sys.env.get("SPARK_GRAFT_HEAVY_GATE_HUGE").map(_.toDouble).getOrElse(25.0)
-    val megaHeavyGate = sys.env.get("SPARK_GRAFT_HEAVY_GATE_MEGA").map(_.toDouble).getOrElse(29.0)
+    // ORDER (r19, VERDICT r18 item 2): the MEGA heavies run FIRST — the
+    // sf10 heavy rows are the round's strongest scale evidence (bloom
+    // 0.41-0.59x, dup_spans 0.11x, minhash vs an oracle that cannot
+    // finish), and r18's mega-last ordering left exactly those rows out
+    // of the authoritative artifact when the sf3 heavy pass overran its
+    // budget. If anything must drop under a slow window it is now the
+    // sf3 heavies, whose oracle ratios r18 already put on record. Gate
+    // headroom: the driver tolerated 45-48 min runs in r16/r17, so the
+    // r18 gates (25/29) were tighter than the actual contract; 27/32
+    // leaves the worst-case tail (~6 min/pass) inside that envelope.
+    val megaHeavyGate = sys.env.get("SPARK_GRAFT_HEAVY_GATE_MEGA").map(_.toDouble).getOrElse(27.0)
+    val hugeHeavyGate = sys.env.get("SPARK_GRAFT_HEAVY_GATE_HUGE").map(_.toDouble).getOrElse(32.0)
     def heavyPass(ok: Boolean, dir: String, gate: Double,
                   label: String): (Option[SectionOut], Seq[String]) =
       if (!ok) (None, Nil)
@@ -725,8 +757,8 @@ object Bench {
         (None, heavyNames)
       } else
         (Some(runSection(spark, qmap, dir, heavyNames, heavyNames, cpus, small = false)), Nil)
-    val (hugeHeavy, hugeDropped) = heavyPass(hugeOk, hugeDir, hugeHeavyGate, "huge")
     val (megaHeavy, megaDropped) = heavyPass(megaOk, megaDir, megaHeavyGate, "mega")
+    val (hugeHeavy, hugeDropped) = heavyPass(hugeOk, hugeDir, hugeHeavyGate, "huge")
 
     val hugeSec = hugeLight.map(l => mergeSection(l, hugeHeavy))
     val megaSec = megaLight.map(l => mergeSection(l, megaHeavy))

@@ -769,8 +769,17 @@ object Dedup {
     // replacing the old collect() of every raw digest, whose row-at-a-time
     // driver deserialization was the single largest slice of the whole
     // operator at bench SFs (and grows with the eval suite, while the
-    // merged arrays are a fixed b/8 bytes x partition count)
+    // merged arrays are a fixed b/8 bytes x partition count).
+    // MEMORY PRODUCT (ADVICE r18): each partition's zero value and each
+    // combine payload is b/8 bytes — 128 MB at the 2^30-bit cap — so a
+    // many-partition eval side multiplied against a large explicit `bits`
+    // pressures executor memory at the combine level. The tree DEPTH
+    // therefore grows with the array size (depth 3 past a 16 MB array),
+    // bounding any single combiner's fan-in; the auto-sized path stays at
+    // the cheap default (auto bits track the eval-suite gram count, which
+    // is small by contract — the eval side broadcasts elsewhere too).
     val words = b / 64
+    val depth = if (words >= (1 << 21)) 3 else 2 // >= 16 MB per payload
     val packed = gramHashes(src, idCol, textCol, n)
       .select(col("gh").as[Array[Byte]]).rdd
       .treeAggregate(new Array[Long](words))(
@@ -783,7 +792,8 @@ object Dedup {
           }
           acc
         },
-        (a, c) => { var i = 0; while (i < words) { a(i) |= c(i); i += 1 }; a })
+        (a, c) => { var i = 0; while (i < words) { a(i) |= c(i); i += 1 }; a },
+        depth = depth)
     val bitset = java.util.BitSet.valueOf(packed)
     (spark.sparkContext.broadcast(bitset), n, b)
   }

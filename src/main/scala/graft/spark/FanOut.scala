@@ -1,5 +1,7 @@
 package graft.spark
 
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.DataFrame
 
 /**
@@ -21,6 +23,16 @@ import org.apache.spark.sql.DataFrame
  * shuffle. Inputs above the gate already split into multiple scan tasks
  * (`spark.sql.files.maxPartitionBytes`), which is exactly the parallelism
  * this fan-out exists to substitute for. Set the conf to 0 to disable.
+ *
+ * CALLER CONTRACT: pass the RAW input (a scan, or a narrow select over
+ * one) — not a derived plan. The size-only estimator scales the scan's
+ * file bytes by projected column width and does NOT model row
+ * multiplication (explode/Generate) or join fan-out, so a post-explode
+ * frame could read "small" while its true row count is corpus-sized,
+ * and the gate would inject a full-width shuffle of the multiplied
+ * rows. Every call site in this library fans out the base table side
+ * BEFORE any explode/join (Dedup grams, RangeJoin points, KnnJoin's
+ * final-pass right side).
  */
 object FanOut {
 
@@ -31,12 +43,17 @@ object FanOut {
     * plan branches still shuffles once. */
   def small(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    val maxBytes = spark.conf.getOption("spark.graft.fanout.maxBytes")
-      .map(_.toLong).getOrElse(32L << 20)
+    // a malformed conf value falls back to the default, same as a failed
+    // stats probe falls back to pass-through: a tuning knob must never be
+    // able to fail the query it tunes
+    val maxBytes =
+      try spark.conf.getOption("spark.graft.fanout.maxBytes")
+        .map(_.toLong).getOrElse(32L << 20)
+      catch { case NonFatal(_) => 32L << 20 }
     if (maxBytes <= 0) return df
     val bytes =
       try df.queryExecution.optimizedPlan.stats.sizeInBytes
-      catch { case _: Throwable => return df }
+      catch { case NonFatal(_) => return df }
     if (bytes >= maxBytes) df
     else df.repartition(spark.sessionState.conf.numShufflePartitions)
   }

@@ -142,17 +142,36 @@ object KnnJoin {
     // was reverted (SCALEUP r17); the default budget (1e6 pairs) bounds
     // the worst case to a few ms of chord math per task, and the absolute
     // left cap bounds the broadcast side independently of the product.
-    // The two counts materialize persists the first round needs anyway.
+    // The count probe materializes persists the first round needs anyway.
     // A same-process A/B at 1.5e6 pairs (b_knn, sf0.1) read brute ~= the
     // ring rounds (0.71 vs 0.70 s), so the default stays conservatively
     // UNDER that crossover: the shortcut exists for genuinely tiny
     // products (a query batch against a modest corpus), not to race the
     // rounds at their own scale.
+    // Probe cost discipline (r19, VERDICT r18 item 3): the r18 form ran
+    // TWO serialized exact count() jobs before any round — two driver
+    // barriers on a floor row (b_knn sf0.1 0.785 -> 1.255 s). Now (a) the
+    // optimizer's size estimate pre-gates the probe — stats may only say
+    // "definitely too big to qualify, skip probing" (generous byte
+    // ceilings: a 100k-row keyed left is ~10 MB, gated at 64 MB; the
+    // exact counts still make the actual ENABLE decision, preserving the
+    // r17 lesson that stats must never size a brute pass) — and (b) the
+    // surviving probe is ONE union-count job over both persisted frames
+    // (one barrier, and the scan it pays is the materialization round 1
+    // needs anyway).
     // spark.graft.knn.brutePairBudget=0 disables (the rounds-path pin).
     val bruteBudget = spark.conf.get("spark.graft.knn.brutePairBudget", "1000000").toLong
-    if (bruteBudget > 0) {
-      val nR = rightKeyed.count()
-      val nL = pending.count()
+    def statsBytes(df: DataFrame): BigInt =
+      try df.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case scala.util.control.NonFatal(_) => BigInt(0) }
+    if (bruteBudget > 0 &&
+        statsBytes(pending) <= (64L << 20) && statsBytes(rightKeyed) <= (256L << 20)) {
+      val counts = pending.select(lit(0).as("__side"))
+        .unionByName(rightKeyed.select(lit(1).as("__side")))
+        .groupBy("__side").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val nL = counts.getOrElse(0, 0L)
+      val nR = counts.getOrElse(1, 0L)
       if (nL > 0 && nR > 0 && nL <= 100000 && nL <= bruteBudget / nR) level = -1
     }
     var exhausted = false

@@ -52,14 +52,17 @@ object RangeJoin {
     // by the split above — bounded codegen explode
     val binned = short.withColumn("__bin",
       explode(sequence(binOf(loCol), binOf(hiCol))))
-    // small point sets fan out before the probe ([[FanOut]]): when the
-    // interval side broadcasts, the probe + per-point refine otherwise
-    // run inside the point table's single scan task; corpus-scale point
-    // sets pass through untouched (they already scan wide)
-    val pts = FanOut.small(points).withColumn("__bin", binOf(pCol))
+    // small point sets fan out before the probe ([[FanOut]]): the bin
+    // probe AND the broadcast branch's per-point refine against the wide
+    // intervals otherwise both run inside the point table's single scan
+    // task; corpus-scale point sets pass through untouched (they already
+    // scan wide). Both branches consume the SAME fanned frame, so the
+    // one exchange is shared (ReuseExchange).
+    val fanned = FanOut.small(points)
+    val pts = fanned.withColumn("__bin", binOf(pCol))
     val contained = col(pCol) >= col(loCol) && col(pCol) <= col(hiCol)
     val viaBins = pts.join(binned, Seq("__bin")).where(contained).drop("__bin")
-    val viaBroadcast = points.join(broadcast(long), contained)
+    val viaBroadcast = fanned.join(broadcast(long), contained)
     viaBins.unionByName(viaBroadcast)
   }
 }

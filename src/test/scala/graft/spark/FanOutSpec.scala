@@ -46,4 +46,22 @@ class FanOutSpec extends AnyFunSuite with BeforeAndAfterAll {
     try assert(FanOut.small(df) eq df)
     finally spark.conf.unset("spark.graft.fanout.maxBytes")
   }
+
+  test("a malformed maxBytes conf falls back to the default gate, not a throw") {
+    val s = spark; import s.implicits._
+    val df = (1 to 100).toDF("x").coalesce(1)
+    spark.conf.set("spark.graft.fanout.maxBytes", "not-a-number")
+    // default 32 MB gate applies: the tiny frame still fans out
+    try assert(FanOut.small(df).rdd.getNumPartitions == 4)
+    finally spark.conf.unset("spark.graft.fanout.maxBytes")
+  }
+
+  test("a failed stats probe passes the frame through untouched") {
+    val s = spark; import s.implicits._
+    // a streaming source has no optimizedPlan stats outside a query —
+    // resolving it throws inside FanOut's probe, which must fall back to
+    // pass-through rather than failing the caller
+    val stream = spark.readStream.format("rate").load()
+    assert(FanOut.small(stream) eq stream)
+  }
 }
