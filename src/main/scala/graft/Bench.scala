@@ -236,10 +236,13 @@ object Bench {
       val pw = new java.io.PrintWriter(specFile)
       // the 1-rep heavy override exists because the SCALE-section heavy
       // oracles run minutes (sf3 minhash ~115 s); at the small SF those
-      // same rows are sub-second, so keep the min-of-3 noise discipline
-      // there (ADVICE r16: a name-only key stripped it everywhere)
+      // same rows are sub-second and get the SAME five draws as the Spark
+      // side (min-of-5 small-section policy, r19) — scale sections keep
+      // min-of-3 (ADVICE r16: a name-only key stripped the override
+      // everywhere)
       val repsJson = picked.map { case (n, _) =>
-        "\"" + esc(n) + "\":" + (if (!small && heavyNames.contains(n)) 1 else 3) }.mkString(",")
+        "\"" + esc(n) + "\":" + (if (small) 5
+                                 else if (heavyNames.contains(n)) 1 else 3) }.mkString(",")
       pw.print("{\"dir\":\"" + esc(sfDir) + "\",\"threads\":" + cpus.toInt +
         ",\"reps\":{" + repsJson + "},\"queries\":{" +
         picked.map { case (n, s) => "\"" + esc(n) + "\":\"" + esc(s) + "\"" }.mkString(",") + "}}")
@@ -447,10 +450,19 @@ object Bench {
       System.gc()
       val rec =
         if (small) {
+          // min-of-5 at the small SF (r19, VERDICT r18 item 1): sub-second
+          // floor rows carry the highest relative rep-to-rep variance —
+          // in the r18 driver window (calib 0.192, the round's slowest
+          // box) b_knn's three draws spanned 1.26-1.61 s where a 12-rep
+          // probe in a comparable window reached 0.81 s. Three draws of a
+          // contended distribution rarely include a clean one; five
+          // usually do. The ORACLE gets the same five draws (OracleRunner
+          // reps below) — identical policy both engines, so the ratio
+          // stays honest; cost is ~1 min of wall on the whole bench.
           val reps = scala.collection.mutable.ArrayBuffer[Rep]()
           var err: Option[String] = None
           var rep = 0
-          while (rep < 3 && err.isEmpty) {
+          while (rep < 5 && err.isEmpty) {
             try reps += timeOnce(qmap(name)(spark, dir).count())
             catch { case e: Throwable =>
               err = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
@@ -618,7 +630,7 @@ object Bench {
     val results = smallSec.records
     val oraclePart = smallSec.oracleJson("") +
       (if (smallSec.oracleTimes.isEmpty) ""
-       else s""","oracle_policy":"duckdb min-of-3, threads=$cpus, interleaved per query behind the load gate"""")
+       else s""","oracle_policy":"duckdb min-of-5 (same 5 draws as the Spark side at this SF; scale sections min-of-3, heavy rows 1), threads=$cpus, interleaved per query behind the load gate"""")
     val qs = smallSec.queriesJson
     val errs = smallSec.errsJson
     val total = smallSec.total

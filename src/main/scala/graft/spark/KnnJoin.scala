@@ -125,12 +125,9 @@ object KnnJoin {
           element_at(call_function("s2_covering_fixed_level", col(geog), lit(30)), 1).as(cell))
         .where(size(col(xyz)) === 3)
 
-    val rightKeyed = keyed(right, idR, geogR, "__rc30", "__rxyz")
+    val rightKeyedRaw = keyed(right, idR, geogR, "__rc30", "__rxyz")
       .withColumnRenamed(idR, "nbr_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var pending = keyed(left, idL, geogL, "__lc30", "__lxyz")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val persisted = scala.collection.mutable.ListBuffer[DataFrame](rightKeyed, pending)
+    val pendingRaw = keyed(left, idL, geogL, "__lc30", "__lxyz")
 
     val emitted = scala.collection.mutable.ListBuffer[DataFrame]()
     var level = initialLevel(right, k)
@@ -142,12 +139,14 @@ object KnnJoin {
     // was reverted (SCALEUP r17); the default budget (1e6 pairs) bounds
     // the worst case to a few ms of chord math per task, and the absolute
     // left cap bounds the broadcast side independently of the product.
-    // The count probe materializes persists the first round needs anyway.
-    // A same-process A/B at 1.5e6 pairs (b_knn, sf0.1) read brute ~= the
-    // ring rounds (0.71 vs 0.70 s), so the default stays conservatively
-    // UNDER that crossover: the shortcut exists for genuinely tiny
-    // products (a query batch against a modest corpus), not to race the
-    // rounds at their own scale.
+    // Budget calibration: an r18 calm-window A/B at 1.5e6 pairs read
+    // brute ~= the ring rounds (0.71 vs 0.70 s); an r19 CONTENDED-window
+    // A/B at the same product read brute 0.91 vs rounds 1.43 s — the
+    // rounds path is 6-8 driver-synchronized jobs and contention taxes
+    // every barrier, while brute is one broadcast pass whose chord math
+    // (2e6 evals across the fan-out) is microseconds per task. The 2e6
+    // default sits at that measured crossover; the absolute 100k left cap
+    // still bounds the broadcast side independently of the product.
     // Probe cost discipline (r19, VERDICT r18 item 3): the r18 form ran
     // TWO serialized exact count() jobs before any round — two driver
     // barriers on a floor row (b_knn sf0.1 0.785 -> 1.255 s). Now (a) the
@@ -156,24 +155,36 @@ object KnnJoin {
     // ceilings: a 100k-row keyed left is ~10 MB, gated at 64 MB; the
     // exact counts still make the actual ENABLE decision, preserving the
     // r17 lesson that stats must never size a brute pass) — and (b) the
-    // surviving probe is ONE union-count job over both persisted frames
-    // (one barrier, and the scan it pays is the materialization round 1
-    // needs anyway).
+    // surviving probe is ONE union-count job over both raw keyed frames
+    // (one barrier).
     // spark.graft.knn.brutePairBudget=0 disables (the rounds-path pin).
-    val bruteBudget = spark.conf.get("spark.graft.knn.brutePairBudget", "1000000").toLong
+    val bruteBudget = spark.conf.get("spark.graft.knn.brutePairBudget", "2000000").toLong
     def statsBytes(df: DataFrame): BigInt =
       try df.queryExecution.optimizedPlan.stats.sizeInBytes
       catch { case scala.util.control.NonFatal(_) => BigInt(0) }
     if (bruteBudget > 0 &&
-        statsBytes(pending) <= (64L << 20) && statsBytes(rightKeyed) <= (256L << 20)) {
-      val counts = pending.select(lit(0).as("__side"))
-        .unionByName(rightKeyed.select(lit(1).as("__side")))
+        statsBytes(pendingRaw) <= (64L << 20) && statsBytes(rightKeyedRaw) <= (256L << 20)) {
+      val counts = pendingRaw.select(lit(0).as("__side"))
+        .unionByName(rightKeyedRaw.select(lit(1).as("__side")))
         .groupBy("__side").count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
       val nL = counts.getOrElse(0, 0L)
       val nR = counts.getOrElse(1, 0L)
       if (nL > 0 && nR > 0 && nL <= 100000 && nL <= bruteBudget / nR) level = -1
     }
+    // the ROUNDS path re-reads both keyed frames every round, so it
+    // persists them (re-deriving the cheap keying once more after the raw
+    // probe scan); the BRUTE path consumes each side exactly once, so
+    // persisting there was pure materialization overhead on a floor row
+    // (r19: persist write + cache bookkeeping for blocks never re-read)
+    val brute = level < 0
+    def cached(df: DataFrame): DataFrame =
+      if (brute) df
+      else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rightKeyed = cached(rightKeyedRaw)
+    var pending = cached(pendingRaw)
+    val persisted = scala.collection.mutable.ListBuffer[DataFrame]()
+    if (!brute) { persisted += rightKeyed; persisted += pending }
     var exhausted = false
     while (!exhausted && !pending.isEmpty) {
       val lastRound = level < 0

@@ -1010,10 +1010,12 @@ object Queries {
       .select(col("id"), col("nbr_id"), col("rank").cast("int").as("rank"))
       .orderBy("id", "nbr_id")
   }
-  /** Rounds-path pin: t_knn_join's small product takes KnnJoin's brute
-    * shortcut at gate SFs, so this row forces the expanding-ring branch
-    * (budget 0) against the SAME oracle — both dispatch arms stay
-    * driver-hash-verified. The conf matters only during knn()'s eager
+  /** Rounds-path pin: this row forces the expanding-ring branch (budget
+    * 0) against the SAME oracle as t_knn_join — both dispatch arms stay
+    * driver-hash-verified (the BRUTE arm is pinned by b_knn, whose
+    * ~15k-pair product at sf0.01 sits under the 2e6 budget; t_knn_join's
+    * 2.25e6-pair self-join sits just over it and exercises the rounds
+    * path organically). The conf matters only during knn()'s eager
     * construction, so restoring it after build is race-free. */
   private val qKnnRounds = (s: SparkSession, dir: String) => {
     prep(s, dir)
@@ -4116,13 +4118,39 @@ object Queries {
   // count-DISTINCT null semantics: a null-user group must not count as
   // a user. The oracle keeps the count(DISTINCT) spelling — identical
   // results, the differential check.
-  private val qEventsHourly = sqlQ(
+  private val hourlyTwoLevelSql =
     """SELECT event_type, hour_epoch,
       | CAST(sum(cnt) AS BIGINT) AS n, CAST(count(user_id) AS BIGINT) AS n_users
       |FROM (SELECT event_type, CAST(date_trunc('hour', ts) AS BIGINT) AS hour_epoch,
       |        user_id, count(*) AS cnt
       |      FROM events GROUP BY 1, 2, 3)
-      |GROUP BY event_type, hour_epoch""".stripMargin)
+      |GROUP BY event_type, hour_epoch""".stripMargin
+  // SINGLE-PARTITION small form (r19): a one-row-group flat events file is
+  // ONE scan task, so the two-level rollup's work is single-core either
+  // way — but its two exchanges are two stage barriers over a sub-50 ms
+  // oracle. COALESCE(1) makes the scan report SinglePartition, which
+  // satisfies both aggregates' clustering, so the whole rollup runs as ONE
+  // stage with zero exchanges (same-window A/B, twice: 0.276 -> 0.185 s,
+  // 0.258 -> 0.189 s; every other floor row's single-exchange form
+  // measured at the noise floor and stays unchanged). Gated on small FLAT
+  // events only — bucketed scale dirs keep the two-level form, which
+  // b_events_hourly_wide pins against the same oracle at every SF.
+  private val hourlyOneSql =
+    """SELECT event_type, hour_epoch,
+      | CAST(sum(cnt) AS BIGINT) AS n, CAST(count(user_id) AS BIGINT) AS n_users
+      |FROM (SELECT event_type, CAST(date_trunc('hour', ts) AS BIGINT) AS hour_epoch,
+      |        user_id, count(*) AS cnt
+      |      FROM (SELECT /*+ COALESCE(1) */ event_type, ts, user_id FROM events)
+      |      GROUP BY 1, 2, 3)
+      |GROUP BY event_type, hour_epoch""".stripMargin
+  private val HourlyOneMaxBytes = 16L * 1024 * 1024
+  private val qEventsHourly: Q = (s, dir) => {
+    prep(s, dir)
+    val one = bucketMarker(dir, "events").isEmpty &&
+      dirFingerprint(s"$dir/events.parquet")._1 < HourlyOneMaxBytes
+    s.sql(if (one) hourlyOneSql else hourlyTwoLevelSql)
+  }
+  private val qEventsHourlyWide = sqlQ(hourlyTwoLevelSql)
   private val oEventsHourly =
     """SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
       | CAST(count(*) AS BIGINT) AS n, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
@@ -4377,6 +4405,7 @@ object Queries {
     ("b_top_order_window", qTopOrderWindow, Some(oTopOrderPerCustomer)),
     ("b_top_order_agg", qTopOrderAgg, Some(oTopOrderPerCustomer)),
     ("b_events_hourly", qEventsHourly, Some(oEventsHourly)),
+    ("b_events_hourly_wide", qEventsHourlyWide, Some(oEventsHourly)),
     ("b_events_json", qEventsJson, Some(oEventsJson)),
     ("b_events_funnel", qEventsFunnel, Some(oEventsFunnel)),
     ("b_events_funnel_staged", qEventsFunnelStaged, Some(oEventsFunnel)),

@@ -94,6 +94,171 @@ object ShapeLab {
          | CAST(CAST(CAST(cents AS DECIMAL(38,0)) / 10000 AS DECIMAL(18,4)) AS DOUBLE) AS revenue
          |FROM lrev
          |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    // SINGLE-ROW-GROUP FAN-OUT probes (r19): every sf0.1 table is one
+    // parquet row group, so every scan is ONE task no matter the bin
+    // size — the whole probe+agg kernel of the flat-small shapes runs on
+    // one of 32 cores. REPARTITION(8) on the fact subquery pays one extra
+    // tiny exchange to run the joins/aggs 8-wide. Racing base vs fan
+    // tells whether decode (unfixable) or post-scan kernel (fixable)
+    // dominates the single task.
+    "q3fan" ->
+      s"""WITH li AS (SELECT /*+ REPARTITION(8) */ l_orderkey, l_extendedprice, l_discount
+         |            FROM lineitem)
+         |SELECT /*+ BROADCAST(o, c) */ l.l_orderkey AS o_orderkey,
+         | CAST(CAST(CAST($centsSumL AS DECIMAL(38,0)) / 10000 AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+         |FROM li l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |WHERE c.c_mktsegment = 'BUILDING'
+         |GROUP BY l.l_orderkey
+         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q4fan" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT /*+ BROADCAST(o) */ o.o_orderkey, o.o_orderpriority
+        |  FROM (SELECT /*+ REPARTITION(8) */ l_orderkey, l_returnflag FROM lineitem) l
+        |  JOIN (SELECT o_orderkey, o_orderpriority FROM orders
+        |        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |          AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00') o
+        |    ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_returnflag = 'R'
+        |  GROUP BY o.o_orderkey, o.o_orderpriority)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority LIMIT 1000""".stripMargin,
+    "jsonfan" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(k) AS BIGINT) AS sum_k,
+        | CAST(min(k) AS BIGINT) AS min_k,
+        | CAST(max(k) AS BIGINT) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(get_json_object(props, '$.k') AS BIGINT) AS k
+        |      FROM (SELECT /*+ REPARTITION(8) */ event_type, props FROM events))
+        |GROUP BY event_type""".stripMargin,
+    // SINGLE-PARTITION collapse probes (r19): the inverse bet — COALESCE(1)
+    // makes the scan report SinglePartition, which satisfies every
+    // downstream ClusteredDistribution, so the agg/window exchanges ELIDE
+    // and the whole query is ONE stage (+ broadcast builds). The work was
+    // single-core anyway (one row group per sf0.1 file); this deletes the
+    // stage barriers without changing where the work runs.
+    "q3one" ->
+      s"""SELECT /*+ BROADCAST(o, c) */ l.l_orderkey AS o_orderkey,
+         | CAST(CAST(CAST($centsSumL AS DECIMAL(38,0)) / 10000 AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+         |FROM (SELECT /*+ COALESCE(1) */ l_orderkey, l_extendedprice, l_discount FROM lineitem) l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |WHERE c.c_mktsegment = 'BUILDING'
+         |GROUP BY l.l_orderkey
+         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q4one" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT /*+ BROADCAST(o) */ o.o_orderkey, o.o_orderpriority
+        |  FROM (SELECT /*+ COALESCE(1) */ l_orderkey, l_returnflag FROM lineitem) l
+        |  JOIN (SELECT o_orderkey, o_orderpriority FROM orders
+        |        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |          AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00') o
+        |    ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_returnflag = 'R'
+        |  GROUP BY o.o_orderkey, o.o_orderpriority)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority LIMIT 1000""".stripMargin,
+    "jsonone" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(k) AS BIGINT) AS sum_k,
+        | CAST(min(k) AS BIGINT) AS min_k,
+        | CAST(max(k) AS BIGINT) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(get_json_object(props, '$.k') AS BIGINT) AS k
+        |      FROM (SELECT /*+ COALESCE(1) */ event_type, props FROM events))
+        |GROUP BY event_type""".stripMargin,
+    "sessone" ->
+      """SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions FROM (
+        | SELECT user_id,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+        |       WHEN CAST(ts AS DOUBLE) - CAST(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) > 1800 THEN 1
+        |       ELSE 0 END AS is_new
+        | FROM (SELECT /*+ COALESCE(1) */ user_id, ts, event_id FROM events))
+        |GROUP BY user_id""".stripMargin,
+    "hourlyone" ->
+      """SELECT event_type, hour_epoch,
+        | CAST(sum(cnt) AS BIGINT) AS n, CAST(count(user_id) AS BIGINT) AS n_users
+        |FROM (SELECT event_type, CAST(date_trunc('hour', ts) AS BIGINT) AS hour_epoch,
+        |        user_id, count(*) AS cnt
+        |      FROM (SELECT /*+ COALESCE(1) */ event_type, ts, user_id FROM events)
+        |      GROUP BY 1, 2, 3)
+        |GROUP BY event_type, hour_epoch""".stripMargin,
+    "toporderone" ->
+      """SELECT o_custkey, -m.nk AS o_orderkey, m.p AS o_totalprice FROM (
+        | SELECT o_custkey, max(named_struct('p', o_totalprice, 'nk', -o_orderkey)) AS m
+        | FROM (SELECT /*+ COALESCE(1) */ o_custkey, o_orderkey, o_totalprice FROM orders)
+        | GROUP BY o_custkey)""".stripMargin,
+    // ...and the join version: with EVERY side COALESCE(1), a forced
+    // SHUFFLE_HASH join needs no exchange (SinglePartition satisfies the
+    // clustering) and no driver broadcast-build job — the hash build
+    // happens inside the one task. q3 becomes ONE stage end-to-end.
+    "q3oneshj" ->
+      s"""SELECT /*+ SHUFFLE_HASH(o, c) */ l.l_orderkey AS o_orderkey,
+         | CAST(CAST(CAST($centsSumL AS DECIMAL(38,0)) / 10000 AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+         |FROM (SELECT /*+ COALESCE(1) */ l_orderkey, l_extendedprice, l_discount FROM lineitem) l
+         |JOIN (SELECT /*+ COALESCE(1) */ o_orderkey, o_custkey FROM orders) o
+         |  ON l.l_orderkey = o.o_orderkey
+         |JOIN (SELECT /*+ COALESCE(1) */ c_custkey, c_mktsegment FROM customer) c
+         |  ON o.o_custkey = c.c_custkey
+         |WHERE c.c_mktsegment = 'BUILDING'
+         |GROUP BY l.l_orderkey
+         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q4oneshj" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT /*+ SHUFFLE_HASH(o) */ o.o_orderkey, o.o_orderpriority
+        |  FROM (SELECT /*+ COALESCE(1) */ l_orderkey, l_returnflag FROM lineitem) l
+        |  JOIN (SELECT /*+ COALESCE(1) */ o_orderkey, o_orderpriority FROM orders
+        |        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |          AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00') o
+        |    ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_returnflag = 'R'
+        |  GROUP BY o.o_orderkey, o.o_orderpriority)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority LIMIT 1000""".stripMargin,
+    "q12oneshj" ->
+      """SELECT CASE WHEN high THEN 'high' ELSE 'low' END AS prio, n_late, n_items FROM (
+        | SELECT /*+ SHUFFLE_HASH(o) */ o.high,
+        |  CAST(sum(CASE WHEN unix_timestamp(l.l_shipdate) - o.od > 5184000
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        | FROM (SELECT /*+ COALESCE(1) */ l_orderkey, l_shipdate FROM lineitem) l
+        | JOIN (SELECT /*+ COALESCE(1) */ o_orderkey, o_orderpriority IN ('1-URGENT', '2-HIGH') AS high,
+        |       unix_timestamp(o_orderdate) AS od FROM orders) o
+        |   ON l.l_orderkey = o.o_orderkey
+        | GROUP BY o.high)
+        |ORDER BY prio LIMIT 1000""".stripMargin,
+    "q12narrowbase" ->
+      """SELECT CASE WHEN high THEN 'high' ELSE 'low' END AS prio, n_late, n_items FROM (
+        | SELECT /*+ BROADCAST(o) */ o.high,
+        |  CAST(sum(CASE WHEN unix_timestamp(l.l_shipdate) - o.od > 5184000
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        | FROM lineitem l
+        | JOIN (SELECT o_orderkey, o_orderpriority IN ('1-URGENT', '2-HIGH') AS high,
+        |       unix_timestamp(o_orderdate) AS od FROM orders) o
+        |   ON l.l_orderkey = o.o_orderkey
+        | GROUP BY o.high)
+        |ORDER BY prio LIMIT 1000""".stripMargin,
+    "jsonbase" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(k) AS BIGINT) AS sum_k,
+        | CAST(min(k) AS BIGINT) AS min_k,
+        | CAST(max(k) AS BIGINT) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(get_json_object(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type""".stripMargin,
+    "sessbase" ->
+      """SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions FROM (
+        | SELECT user_id,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+        |       WHEN CAST(ts AS DOUBLE) - CAST(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) > 1800 THEN 1
+        |       ELSE 0 END AS is_new
+        | FROM events)
+        |GROUP BY user_id""".stripMargin,
+    "toporderbase" ->
+      """SELECT o_custkey, -m.nk AS o_orderkey, m.p AS o_totalprice FROM (
+        | SELECT o_custkey, max(named_struct('p', o_totalprice, 'nk', -o_orderkey)) AS m
+        | FROM orders GROUP BY o_custkey)""".stripMargin,
     // broadcast the deduped R-orderkey set instead of sort-merging it
     "q4_bcast_semi" ->
       """SELECT /*+ BROADCAST(k) */ o_orderpriority, CAST(count(*) AS BIGINT) AS n
