@@ -34,10 +34,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 24g default: local[32] runs 32 concurrent tasks in ONE JVM (driver +
-  // executor), so 8g gave each task ~250 MB — the sf10 section's
-  // per-bucket hash-join builds OOM'd there (r15). The box has 128 GiB
-  // and the DuckDB oracle is allowed ~80% of it by default; 24g keeps
-  // the comparison honest while bounding our footprint.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 40g default: local[32] runs 32 concurrent tasks in ONE JVM (driver +
+  // executor). 8g gave each task ~250 MB and the sf10 per-bucket
+  // hash-join builds OOM'd (r15); at 24g the sf10 minhash sort livelocked
+  // with all 32 tasks spinning in TaskMemoryManager.allocatePage — each
+  // task's ~450 MB execution share can't hold its sort run and the
+  // mutual spill-eviction never converges (r19; r18 lost one window to
+  // the same stage as a hard OOM). The box has 128 GiB and the DuckDB
+  // oracle defaults to ~80% of it (~102 GiB), so 40g still leaves the
+  // comparison lopsided AGAINST us while giving 32 sorters ~750 MB each.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "40g")}",
 )

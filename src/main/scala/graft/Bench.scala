@@ -436,6 +436,27 @@ object Bench {
         val (_, busy) = gateLoad()
         o.time(name).foreach { t => oTimes += name -> t; oBusy += name -> busy }
       }
+    // PER-REP WATCHDOG (r19): a mid-storm r19 window HUNG — all 32
+    // executor threads livelocked in TaskMemoryManager.allocatePage
+    // inside the sf10 minhash sort, the count() never returned, and only
+    // an external kill ended the run. A rep that exceeds the cap has its
+    // job group cancelled (interrupts the tasks), so the row records a
+    // visible error in the artifact and the REST of the bench still runs
+    // — a hung row must cost itself, never the record. 600 s is 4x the
+    // slowest legitimate rep ever observed (sf10 minhash ~140 s).
+    val repCap = sys.env.get("SPARK_GRAFT_REP_CAP").map(_.toDouble).getOrElse(600.0)
+    def cappedRep(name: String): Rep = {
+      val sc = spark.sparkContext
+      val group = s"bench-$name"
+      sc.setJobGroup(group, s"bench rep $name", interruptOnCancel = true)
+      val timer = new java.util.Timer(true)
+      timer.schedule(new java.util.TimerTask {
+        override def run(): Unit =
+          try sc.cancelJobGroup(group) catch { case _: Throwable => () }
+      }, (repCap * 1000).toLong)
+      try cappedRep(name)
+      finally { timer.cancel(); sc.clearJobGroup() }
+    }
     val records = names.map { name =>
       // INTER-ROW HYGIENE (VERDICT r15 item 2): the r15 sf3 reps worsened
       // monotonically at zero external load — heap/GC pressure accumulated
@@ -462,7 +483,7 @@ object Bench {
           var err: Option[String] = None
           var rep = 0
           while (rep < 5 && err.isEmpty) {
-            try reps += timeOnce(qmap(name)(spark, dir).count())
+            try reps += cappedRep(name)
             catch { case e: Throwable =>
               err = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
             rep += 1
@@ -491,9 +512,9 @@ object Bench {
           // min; a third only when the box was contended or the row is
           // slow enough for a one-time cost to dominate (bounded at 3 so
           // a storm cannot hang the bench).
-          reps += timeOnce(qmap(name)(spark, dir).count())
+          reps += cappedRep(name)
           hygiene()
-          reps += timeOnce(qmap(name)(spark, dir).count())
+          reps += cappedRep(name)
           // third rep for every non-heavy row (r19): the scale floor rows
           // are 0.2-3.5 s, so min-of-2 exposes the record to single-draw
           // luck — the r18 driver read q4 sf10 at 2.15x where a same-window
@@ -504,7 +525,7 @@ object Bench {
           // row is what squeezed the mega heavies out of the r18 budget.
           if (!heavyNames.contains(name)) {
             hygiene()
-            reps += timeOnce(qmap(name)(spark, dir).count())
+            reps += cappedRep(name)
           }
           QRecord(name, reps.toSeq, None)
         } catch { case e: Throwable =>
