@@ -130,6 +130,11 @@ object Bench {
     def best: Double = if (reps.isEmpty) 0.0 else reps.map(_.sec).min
   }
 
+  /** One shared daemon Timer for every rep watchdog — per-rep TimerTasks
+    * are cancelled on completion; the thread is created ONCE (a Timer per
+    * rep would spawn and join a thread per rep for nothing). */
+  private val watchdog = new java.util.Timer("bench-rep-watchdog", true)
+
   /** The cross-engine comparison set recorded in SCALEUP.md. */
   private val oracleNames = Seq("b_tpch_q1", "b_tpch_q3", "b_tpch_q5",
     "b_events_sessions", "l_text_tokens", "l_ann_top1", "l_dedup_minhash",
@@ -449,13 +454,13 @@ object Bench {
       val sc = spark.sparkContext
       val group = s"bench-$name"
       sc.setJobGroup(group, s"bench rep $name", interruptOnCancel = true)
-      val timer = new java.util.Timer(true)
-      timer.schedule(new java.util.TimerTask {
+      val task = new java.util.TimerTask {
         override def run(): Unit =
           try sc.cancelJobGroup(group) catch { case _: Throwable => () }
-      }, (repCap * 1000).toLong)
-      try cappedRep(name)
-      finally { timer.cancel(); sc.clearJobGroup() }
+      }
+      watchdog.schedule(task, (repCap * 1000).toLong)
+      try timeOnce(qmap(name)(spark, dir).count())
+      finally { task.cancel(); sc.clearJobGroup() }
     }
     val records = names.map { name =>
       // INTER-ROW HYGIENE (VERDICT r15 item 2): the r15 sf3 reps worsened
