@@ -216,8 +216,7 @@ object Dedup {
       .select(col("id"), lshBandBuckets(col("sig"), numHashes, bands).as("bks"))
     def explodeBands(s: DataFrame): DataFrame =
       s.select(col("id"), col("bks"), posexplode(col("bks")).as(Seq("band", "bucket")))
-    val firstMatch =
-      array_position(zip_with(col("a.bks"), col("b.bks"), (x, y) => x === y), lit(true))
+    val firstMatch = firstAgreeingBand(col("a.bks"), col("b.bks"), bands)
     def symmetric(s: DataFrame): DataFrame =
       // shuffle-hash (not broadcast) self-join: both sides shuffle on the
       // same (band, bucket) key from the same lineage, so ReuseExchange
@@ -352,10 +351,34 @@ object Dedup {
       .select(col(idCol), col("dup_of").isNotNull.as("dup"), col("dup_of"))
   }
 
+  /** 1-based index of the FIRST band where both sides' bucket keys agree,
+    * unrolled at plan time into a codegen CaseWhen chain; null when no
+    * band agrees (the callers test `=== band + 1`, which null fails the
+    * same way array_position's 0 did). The zip_with/array_position
+    * spelling computed the identical value but higher-order functions
+    * evaluate INTERPRETED — and this predicate runs once per CANDIDATE
+    * PAIR inside the band join's condition, so the sf10 minhash join's
+    * hot-bucket straggler tasks were interpreter-bound, not data-bound
+    * (r19: jstack showed the last tasks inside ZipWith.eval for minutes). */
+  private def firstAgreeingBand(a: Column, b: Column, bands: Int): Column =
+    (0 until bands).foldRight(lit(null).cast("int")) { (i, acc) =>
+      when(element_at(a, i + 1) === element_at(b, i + 1), lit(i + 1)).otherwise(acc)
+    }
+
   /** Estimated jaccard from two signatures (fraction of equal components). */
   def minhashJaccardEstimate(sigA: Column, sigB: Column): Column =
     aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v).cast("double") / size(sigA)
+
+  /** Same estimate with the hash count known at plan time: a flat
+    * codegen sum of `numHashes` equality terms instead of the public
+    * overload's interpreted aggregate-over-zip_with (evaluated once per
+    * emitted pair in the cross-corpus join). */
+  private def jaccardEstimateUnrolled(sigA: Column, sigB: Column,
+                                      numHashes: Int): Column =
+    (0 until numHashes)
+      .map(i => when(element_at(sigA, i + 1) === element_at(sigB, i + 1), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / numHashes
 
   /** CROSS-corpus MinHash-LSH candidate pairs — fuzzy decontamination:
     * surface train docs that are near-duplicates of eval/benchmark docs
@@ -380,13 +403,12 @@ object Dedup {
       .select(col("id"), col("sig"), lshBandBuckets(col("sig"), numHashes, bands).as("bks"))
       .select(col("id"), col("sig"), col("bks"),
         posexplode(col("bks")).as(Seq("band", "bucket")))
-    val firstMatch =
-      array_position(zip_with(col("a.bks"), col("b.bks"), (x, y) => x === y), lit(true))
+    val firstMatch = firstAgreeingBand(col("a.bks"), col("b.bks"), bands)
     sigs(left).as("a").join(sigs(right).as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           firstMatch === col("a.band") + 1)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        minhashJaccardEstimate(col("a.sig"), col("b.sig")).as("est_jaccard"))
+        jaccardEstimateUnrolled(col("a.sig"), col("b.sig"), numHashes).as("est_jaccard"))
   }
 
   // ------------------------------------------- duplicate-text spans
