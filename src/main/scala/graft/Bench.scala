@@ -4,6 +4,49 @@ import org.apache.spark.sql.SparkSession
 
 import graft.spark.Queries
 
+/** Per-rep telemetry: wall seconds, 1-min loadavg at start, external busy
+  * cores from the idle-window /proc/stat sample, seconds the load gate
+  * held the rep, the rep's own JVM GC seconds, post-rep used heap.
+  * Top-level (not nested in [[Bench]]) so the heavy-pass child JVM can
+  * java-serialize sections back to the parent. */
+private[graft] final case class Rep(sec: Double, load: Double, busy: Double,
+    gateWait: Double, gcSec: Double, heapMb: Double)
+
+private[graft] final case class QRecord(name: String, reps: Seq[Rep], err: Option[String]) {
+  def best: Double = if (reps.isEmpty) 0.0 else reps.map(_.sec).min
+}
+
+private[graft] final case class SectionOut(records: Seq[QRecord],
+    oracleTimes: Seq[(String, Double)], oracleBusy: Seq[(String, Double)],
+    oracleTimeouts: Seq[(String, String)] = Nil) {
+  /** Rows with at least one completed rep COUNT as measured even when a
+    * later rep threw (ADVICE r19: a watchdog cancellation on rep 2 or 3
+    * used to erase the valid earlier measurement); the error still shows
+    * in errsJson. Rows with zero reps are error-only. */
+  def ok: Seq[QRecord] = records.filter(_.reps.nonEmpty)
+  def queriesJson: String =
+    ok.map(r => "\"" + Bench.esc(r.name) + "\":" + r.best).mkString("{", ",", "}")
+  def errsJson: String = records
+    .collect { case QRecord(n, _, Some(e)) => "\"" + Bench.esc(n) + "\":\"" + Bench.esc(e) + "\"" }
+    .mkString("{", ",", "}")
+  def total: Double = ok.map(_.best).sum
+  /** ,"<prefix>oracle_queries":… — empty when the oracle never ran.
+    * `<prefix>oracle_timeouts` names every row whose oracle gave up
+    * (VERDICT r17 item 5: a missing key used to be indistinguishable
+    * from a row that was never attempted). */
+  def oracleJson(prefix: String): String =
+    if (oracleTimes.isEmpty && oracleTimeouts.isEmpty) ""
+    else {
+      val toJson =
+        if (oracleTimeouts.isEmpty) ""
+        else s""","${prefix}oracle_timeouts":""" + oracleTimeouts
+          .map { case (n, e) => "\"" + Bench.esc(n) + "\":\"" + Bench.esc(e) + "\"" }
+          .mkString("{", ",", "}")
+      s""","${prefix}oracle_queries":${Bench.jsonNum(oracleTimes)}""" +
+        s""","${prefix}oracle_busy_cores":${Bench.jsonNum(oracleBusy)}""" + toJson
+    }
+}
+
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line. Failures are reported per query (never silently
   * timed as if they ran — VERDICT r1 item 2).
@@ -16,6 +59,29 @@ import graft.spark.Queries
   * capability; medians still smear a storm across the record), and the
   * JSON carries per-rep times + loads so a future reader can tell "slow
   * code" from "stormy box" without archaeology.
+  *
+  * CRASH-PROOF ARTIFACTS (r20, VERDICT r19 item 1): the r19 driver window
+  * died with Spark's ExecutorExitCode.HEARTBEAT_FAILURE (exit 56) inside
+  * the sf10 minhash sort and left NOTHING — Bench wrote its record only at
+  * end-of-main. Three defenses now stack:
+  *   (a) bench_slim.json + bench_full.json are REWRITTEN after every
+  *       completed row (marked "partial":true until the final write), and
+  *       a partial stdout record prints per section — any death leaves a
+  *       parseable partial window;
+  *   (b) the session gets heartbeat headroom (60 s interval, 10000
+  *       maxFailures): in local[32] the executor is in-process and its
+  *       heartbeat is vestigial — its self-exit must never outrank the
+  *       per-rep watchdog, which cancels the job group and records the
+  *       row's error while the JVM lives on;
+  *   (c) the sf3/sf10 HEAVY passes run in a CHILD JVM that serializes its
+  *       section to disk after every row — a hard child death (OOM, the
+  *       next exit-56 equivalent) costs at most the remainder of one heavy
+  *       pass, and the parent still writes the final record with the
+  *       child's completed rows and a visible nonzero child_rc.
+  * Fault-injection proof hooks: SPARK_GRAFT_FAULT_ROW=<name> gives that
+  * row a 0.5 s watchdog cap (forces a real job-group cancellation);
+  * SPARK_GRAFT_FAULT_CHILD_KILL=1 makes the heavy child halt(56) after
+  * its first row — both must leave a parseable artifact.
   */
 object Bench {
 
@@ -25,6 +91,18 @@ object Bench {
       val src = scala.io.Source.fromFile("/proc/loadavg")
       try src.mkString.split("\\s+")(0).toDouble finally src.close()
     } catch { case _: Throwable => 0.0 }
+
+  /** Defensive env parse (ADVICE r19): a malformed value logs and falls
+    * back instead of throwing mid-bench and aborting the whole run. */
+  private def envDouble(name: String, default: Double): Double =
+    sys.env.get(name) match {
+      case None => default
+      case Some(v) =>
+        try v.toDouble
+        catch { case _: NumberFormatException =>
+          System.err.println(s"[bench] ignoring malformed $name='$v'; using $default")
+          default }
+    }
 
   /** Cores busy right now (incl. hypervisor steal), from a ~250 ms
     * /proc/stat delta. Unlike the 1-minute loadavg — which our own
@@ -53,10 +131,8 @@ object Bench {
     * are recorded per rep; a global budget bounds the whole bench run so a
     * permanent storm degrades to the old behavior (run anyway, record the
     * contention) instead of hanging the driver. */
-  private val gateCores: Double =
-    sys.env.get("SPARK_GRAFT_GATE_CORES").map(_.toDouble).getOrElse(6.0)
-  private var gateBudget: Double =
-    sys.env.get("SPARK_GRAFT_GATE_BUDGET").map(_.toDouble).getOrElse(420.0)
+  private val gateCores: Double = envDouble("SPARK_GRAFT_GATE_CORES", 6.0)
+  private var gateBudget: Double = envDouble("SPARK_GRAFT_GATE_BUDGET", 420.0)
   private var gateWaitedTotal: Double = 0.0
 
   /** Returns (secondsWaited, busyCoresAtGo). */
@@ -94,7 +170,7 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  private def esc(s: String): String =
+  private[graft] def esc(s: String): String =
     s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
                 case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
 
@@ -104,9 +180,6 @@ object Bench {
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
       .map(b => math.max(b.getCollectionTime, 0L)).sum
   }
-
-  private case class Rep(sec: Double, load: Double, busy: Double, gateWait: Double,
-                         gcSec: Double, heapMb: Double)
 
   /** One timed rep, behind the load gate. Records the rep's own JVM GC
     * time and post-rep used heap (VERDICT r15 item 2: the r15 sf3 record
@@ -126,14 +199,16 @@ object Bench {
     Rep(sec, load, busy, waited, gcSec, (rt.totalMemory - rt.freeMemory) / 1e6)
   }
 
-  private case class QRecord(name: String, reps: Seq[Rep], err: Option[String]) {
-    def best: Double = if (reps.isEmpty) 0.0 else reps.map(_.sec).min
-  }
-
   /** One shared daemon Timer for every rep watchdog — per-rep TimerTasks
     * are cancelled on completion; the thread is created ONCE (a Timer per
     * rep would spawn and join a thread per rep for nothing). */
   private val watchdog = new java.util.Timer("bench-rep-watchdog", true)
+
+  /** Monotone rep counter: the watchdog job group is unique PER REP
+    * (ADVICE r19 — a stale TimerTask already executing when task.cancel()
+    * ran could fire during the next rep of the same query and spuriously
+    * cancel its jobs; with unique groups it can only hit an empty one). */
+  private val repSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** The cross-engine comparison set recorded in SCALEUP.md. */
   private val oracleNames = Seq("b_tpch_q1", "b_tpch_q3", "b_tpch_q5",
@@ -151,11 +226,10 @@ object Bench {
   /** The HEAVY LLM flagships: on the replica corpora their dup cliques
     * grow with copies, so both engines run minutes at sf3/sf10 (the sf3
     * minhash oracle alone is ~115 s). They run LAST GLOBALLY — after
-    * every scale section's floor rows — and get one oracle rep, so a
-    * blowout can cost only themselves, never a section (VERDICT r15
-    * item 1: the r15 artifact silently lost its whole sf10 section to
-    * these rows' sf3 oracle time). */
-  private val heavyNames = Seq("l_decontam_bloom", "l_dup_spans", "l_dedup_minhash")
+    * every scale section's floor rows — in a CHILD JVM (r20), so a
+    * blowout or a hard JVM death can cost only themselves, never a
+    * section (VERDICT r15 item 1 / r19 item 1c). */
+  private[graft] val heavyNames = Seq("l_decontam_bloom", "l_dup_spans", "l_dedup_minhash")
 
   /** DuckDB oracle timings, INTERLEAVED with the Spark reps (VERDICT r14
     * item 3: the oracle used to run as one batch AFTER a whole section's
@@ -194,7 +268,7 @@ object Bench {
       val bytes = java.nio.file.Files.readAllBytes(errFile.toPath)
       new String(bytes.drop(math.max(0, bytes.length - 1024))).trim
     } catch { case _: Throwable => "<stderr unreadable>" }
-    /** Min-of-3 seconds for `name`, or None on error/timeout/budget. */
+    /** Min-of-N seconds for `name`, or None on error/timeout/budget. */
     def time(name: String): Option[Double] = {
       if (dead || spent > 600.0) return None
       try {
@@ -373,7 +447,7 @@ object Bench {
     } catch { case _: Throwable => None }
   }
 
-  private def jsonNum(pairs: Seq[(String, Double)]): String =
+  private[graft] def jsonNum(pairs: Seq[(String, Double)]): String =
     pairs.map { case (n, v) => "\"" + esc(n) + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
 
   /** BOX-SPEED CANARY (r16): a fixed, data-free, pure-codegen Spark job
@@ -395,44 +469,67 @@ object Bench {
     math.min(once(), once())
   }
 
-  private case class SectionOut(records: Seq[QRecord],
-      oracleTimes: Seq[(String, Double)], oracleBusy: Seq[(String, Double)],
-      oracleTimeouts: Seq[(String, String)] = Nil) {
-    def ok: Seq[QRecord] = records.filter(_.err.isEmpty)
-    def queriesJson: String =
-      ok.map(r => "\"" + esc(r.name) + "\":" + r.best).mkString("{", ",", "}")
-    def errsJson: String = records
-      .collect { case QRecord(n, _, Some(e)) => "\"" + esc(n) + "\":\"" + esc(e) + "\"" }
-      .mkString("{", ",", "}")
-    def total: Double = ok.map(_.best).sum
-    /** ,"<prefix>oracle_queries":… — empty when the oracle never ran.
-      * `<prefix>oracle_timeouts` names every row whose oracle gave up
-      * (VERDICT r17 item 5: a missing key used to be indistinguishable
-      * from a row that was never attempted). */
-    def oracleJson(prefix: String): String =
-      if (oracleTimes.isEmpty && oracleTimeouts.isEmpty) ""
-      else {
-        val toJson =
-          if (oracleTimeouts.isEmpty) ""
-          else s""","${prefix}oracle_timeouts":""" + oracleTimeouts
-            .map { case (n, e) => "\"" + esc(n) + "\":\"" + esc(e) + "\"" }
-            .mkString("{", ",", "}")
-        s""","${prefix}oracle_queries":${jsonNum(oracleTimes)}""" +
-          s""","${prefix}oracle_busy_cores":${jsonNum(oracleBusy)}""" + toJson
-      }
-  }
+  /** The shared SparkSession recipe — parent bench AND heavy child build
+    * the identical session (the scan/codegen knobs are part of the
+    * measured configuration, not incidental setup).
+    *
+    * HEARTBEAT HEADROOM (r20, VERDICT r19 items 1b/2): in local[32] the
+    * executor lives in this JVM and its heartbeat loop is vestigial — yet
+    * a storved heartbeat thread (the r19 sf10 minhash allocatePage
+    * livelock starved it past spark.executor.heartbeat.maxFailures) makes
+    * the executor System.exit(56) and takes the whole bench with it,
+    * outranking the per-rep watchdog whose job-group cancel was already in
+    * flight. 60 s intervals x 10000 allowed failures means the self-kill
+    * can never fire inside any bounded rep; the watchdog remains the only
+    * authority that ends a hung row, and it does so by cancelling the job
+    * group, which records a visible per-row error and lets the run
+    * continue. network.timeout stays comfortably above the interval. */
+  private[graft] def buildSession(cpus: String): SparkSession =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.spark.GraftExtensions")
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.executor.heartbeat.maxFailures", "10000")
+      .config("spark.network.timeout", "3600s")
+      // Scan parallelism: the big-SF replica tables are ~11 MB part files,
+      // so the 128 MB default bins ~10 files per task — 1.1 GB lineitem
+      // scans on 10 of 32 cores. 32 MB bins (+1 MB open cost — local files
+      // open cheap) put ~50 tasks on the sf10 scan: q1 0.87 -> 0.73 s,
+      // q3 4.2 -> 3.2 s in the r13 A/B. Small SFs are unaffected (single
+      // sub-32 MB files either way).
+      .config("spark.sql.files.maxPartitionBytes", (32L * 1024 * 1024).toString)
+      .config("spark.sql.files.openCostInBytes", (1L * 1024 * 1024).toString)
+      // static conf: the default 100-entry whole-stage-codegen class cache
+      // thrashes across this suite's ~37 queries x several stages each,
+      // so "warm" reps kept paying janino recompiles (r17)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // reader profile (r18 ScanBench sweep at sf10): 16K columnar batches
+      // + off-heap column vectors read q1's five lineitem columns in
+      // 1.20 s vs 1.38-1.45 s for every other knob combination tried
+      // (default, either knob alone, 16 MB bins); never slower at small
+      // SFs. The residual ~7.7x scan gap vs DuckDB is engine-level
+      // (row-at-a-time codegen consumption of columnar batches) — see
+      // SCALEUP.md r18 reader-floor note.
+      .config("spark.sql.parquet.columnarReaderBatchSize", "16384")
+      .config("spark.sql.columnVector.offheap.enabled", "true")
+      .getOrCreate()
 
   /** Runs one section: per query, the gated Spark reps IMMEDIATELY followed
     * by that query's gated DuckDB oracle reps (same window, same gate — the
     * r14 record's section-level oracle batches let storms hit one engine
-    * only). `small` = min-of-3 rep policy; otherwise 2 reps plus a third
-    * when the box was loaded or the query is slow enough for a one-time
-    * cost to dominate. b_knn's oracle (the one quadratic row) is deferred
-    * to the section's end so a blowout consumes only the residual budget. */
-  private def runSection(spark: SparkSession,
+    * only). `small` = min-of-5 rep policy; otherwise 2-3 reps (see below).
+    * b_knn's oracle (the one quadratic row) is deferred to the section's
+    * end so a blowout consumes only the residual budget. `onRow` fires
+    * after EVERY completed row with the section-so-far — the incremental
+    * artifact hook (VERDICT r19 item 1a). */
+  private[graft] def runSection(spark: SparkSession,
       qmap: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
       dir: String, names: Seq[String], oracleSet: Seq[String], cpus: String,
-      small: Boolean, heavySparkReps: Int = 2): SectionOut = {
+      small: Boolean, heavySparkReps: Int = 2,
+      onRow: SectionOut => Unit = _ => ()): SectionOut = {
     val oracle = OracleRunner.start(dir, cpus, oracleSet, small)
     val oTimes = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     val oBusy = scala.collection.mutable.ArrayBuffer[(String, Double)]()
@@ -453,11 +550,17 @@ object Bench {
     // ~130 s in the r18 windows; the sf3 row shows the same ~2x
     // environmental slowdown), and a storm on top of that must not turn
     // a finishing row into a cancelled one.
-    val repCap = sys.env.get("SPARK_GRAFT_REP_CAP").map(_.toDouble).getOrElse(600.0)
+    val repCap = envDouble("SPARK_GRAFT_REP_CAP", 600.0)
+    val faultRow = sys.env.get("SPARK_GRAFT_FAULT_ROW")
     def cappedRep(name: String): Rep = {
-      val cap = if (heavyNames.contains(name)) math.max(repCap, 900.0) else repCap
+      // fault-injection proof hook (r20): a 0.5 s cap forces a REAL
+      // watchdog cancellation through the production path, so the
+      // partial-artifact guarantee is demonstrable on demand
+      val cap =
+        if (faultRow.contains(name)) 0.5
+        else if (heavyNames.contains(name)) math.max(repCap, 900.0) else repCap
       val sc = spark.sparkContext
-      val group = s"bench-$name"
+      val group = s"bench-$name-${repSeq.incrementAndGet()}"
       sc.setJobGroup(group, s"bench rep $name", interruptOnCancel = true)
       val task = new java.util.TimerTask {
         override def run(): Unit =
@@ -467,7 +570,8 @@ object Bench {
       try timeOnce(qmap(name)(spark, dir).count())
       finally { task.cancel(); sc.clearJobGroup() }
     }
-    val records = names.map { name =>
+    val recBuf = scala.collection.mutable.ArrayBuffer[QRecord]()
+    for (name <- names) {
       // INTER-ROW HYGIENE (VERDICT r15 item 2): the r15 sf3 reps worsened
       // monotonically at zero external load — heap/GC pressure accumulated
       // across rows (leaked cached blocks from operators whose
@@ -499,65 +603,72 @@ object Bench {
             rep += 1
           }
           QRecord(name, reps.toSeq, err)
-        } else try {
+        } else {
+          // reps visible to the catch: a throw on rep 2/3 keeps the valid
+          // earlier measurements alongside the error (ADVICE r19)
           val reps = scala.collection.mutable.ArrayBuffer[Rep]()
-          // INTER-REP HYGIENE (r19): the r18 sf3 heavy reps degraded
-          // monotonically WITHIN a row (minhash 19.7 -> 230.4 s with 38 s
-          // of GC at a 15.6 GB live heap; bloom 6.9 -> 107.8 s) — the
-          // first rep's leftover cached blocks + old-gen growth thrash
-          // the next rep against the 24g ceiling. The between-ROWS
-          // clearCache+gc discipline (VERDICT r15 item 2) now also runs
-          // between REPS of any row slow enough to matter (> 5 s), so
-          // every rep starts from the clean heap rep 1 had. The pause is
-          // outside the timed window and costs ~1 s against the 200+ s
-          // thrash reps it prevents.
-          def hygiene(): Unit = if (reps.last.sec > 5.0) {
-            try spark.catalog.clearCache() catch { case _: Throwable => () }
-            System.gc()
-          }
-          // a big query's FIRST run routinely pays 3-7x one-time costs
-          // (shuffle spill setup, page-cache faults, codegen) — r12
-          // recorded three phantom sf1 "regressions" that isolated warm
-          // reruns put right back. ALWAYS take a second rep and report the
-          // min; a third only when the box was contended or the row is
-          // slow enough for a one-time cost to dominate (bounded at 3 so
-          // a storm cannot hang the bench).
-          reps += cappedRep(name)
-          // the MEGA heavy pass takes ONE Spark rep (heavySparkReps=1,
-          // symmetric with its single oracle rep): at ~300-450 s per rep
-          // on the r19 box a confirmation rep is what pushed the sf3
-          // heavies out of the budget, and the suite warmup + inter-row
-          // hygiene make rep 1 the min in most recorded windows anyway
-          if (!heavyNames.contains(name) || heavySparkReps >= 2) {
-            hygiene()
+          try {
+            // INTER-REP HYGIENE (r19): the r18 sf3 heavy reps degraded
+            // monotonically WITHIN a row (minhash 19.7 -> 230.4 s with 38 s
+            // of GC at a 15.6 GB live heap; bloom 6.9 -> 107.8 s) — the
+            // first rep's leftover cached blocks + old-gen growth thrash
+            // the next rep against the heap ceiling. The between-ROWS
+            // clearCache+gc discipline (VERDICT r15 item 2) now also runs
+            // between REPS of any row slow enough to matter (> 5 s), so
+            // every rep starts from the clean heap rep 1 had. The pause is
+            // outside the timed window and costs ~1 s against the 200+ s
+            // thrash reps it prevents.
+            def hygiene(): Unit = if (reps.last.sec > 5.0) {
+              try spark.catalog.clearCache() catch { case _: Throwable => () }
+              System.gc()
+            }
+            // a big query's FIRST run routinely pays 3-7x one-time costs
+            // (shuffle spill setup, page-cache faults, codegen) — r12
+            // recorded three phantom sf1 "regressions" that isolated warm
+            // reruns put right back. ALWAYS take a second rep and report the
+            // min; a third only when the box was contended or the row is
+            // slow enough for a one-time cost to dominate (bounded at 3 so
+            // a storm cannot hang the bench).
             reps += cappedRep(name)
-          }
-          // third rep for every non-heavy row (r19): the scale floor rows
-          // are 0.2-3.5 s, so min-of-2 exposes the record to single-draw
-          // luck — the r18 driver read q4 sf10 at 2.15x where a same-window
-          // 5-rep probe reads 1.6-1.8x. A third sub-4 s draw costs the
-          // budget nothing. HEAVY rows stay capped at 2 reps (VERDICT r18
-          // item 2): their 10-140 s times are stable under the inter-rep
-          // hygiene above, and the third confirmation of a minutes-long
-          // row is what squeezed the mega heavies out of the r18 budget.
-          if (!heavyNames.contains(name)) {
-            hygiene()
-            reps += cappedRep(name)
-          }
-          QRecord(name, reps.toSeq, None)
-        } catch { case e: Throwable =>
-          QRecord(name, Nil, Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))) }
+            // the MEGA heavy pass takes ONE Spark rep (heavySparkReps=1,
+            // symmetric with its single oracle rep): at ~300-450 s per rep
+            // on the r19 box a confirmation rep is what pushed the sf3
+            // heavies out of the budget, and the suite warmup + inter-row
+            // hygiene make rep 1 the min in most recorded windows anyway
+            if (!heavyNames.contains(name) || heavySparkReps >= 2) {
+              hygiene()
+              reps += cappedRep(name)
+            }
+            // third rep for every non-heavy row (r19): the scale floor rows
+            // are 0.2-3.5 s, so min-of-2 exposes the record to single-draw
+            // luck — the r18 driver read q4 sf10 at 2.15x where a same-window
+            // 5-rep probe reads 1.6-1.8x. A third sub-4 s draw costs the
+            // budget nothing. HEAVY rows stay capped at 2 reps (VERDICT r18
+            // item 2): their 10-140 s times are stable under the inter-rep
+            // hygiene above, and the third confirmation of a minutes-long
+            // row is what squeezed the mega heavies out of the r18 budget.
+            if (!heavyNames.contains(name)) {
+              hygiene()
+              reps += cappedRep(name)
+            }
+            QRecord(name, reps.toSeq, None)
+          } catch { case e: Throwable =>
+            QRecord(name, reps.toSeq,
+              Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))) }
+        }
+      recBuf += rec
       if (name != "b_knn") timeOracle(name)
-      rec
+      onRow(SectionOut(recBuf.toSeq, oTimes.toSeq, oBusy.toSeq,
+        oracle.map(_.failures.toSeq).getOrElse(Nil)))
     }
     timeOracle("b_knn")
     oracle.foreach(_.close())
-    SectionOut(records, oTimes.toSeq, oBusy.toSeq,
+    SectionOut(recBuf.toSeq, oTimes.toSeq, oBusy.toSeq,
       oracle.map(_.failures.toSeq).getOrElse(Nil))
   }
 
   private def jsonReps(rs: Seq[QRecord]): String =
-    rs.filter(_.err.isEmpty).map { r =>
+    rs.filter(_.reps.nonEmpty).map { r =>
       val times = r.reps.map(x => f"${x.sec}%.3f").mkString("[", ",", "]")
       val loads = r.reps.map(x => f"${x.load}%.2f").mkString("[", ",", "]")
       val busy = r.reps.map(x => f"${x.busy}%.2f").mkString("[", ",", "]")
@@ -569,38 +680,19 @@ object Bench {
         ",\"gc_sec\":" + gcs + ",\"heap_mb\":" + heaps + "}"
     }.mkString("{", ",", "}")
 
+  /** Deserialize a child-flushed section, or None if absent/torn. */
+  private def readSection(p: java.nio.file.Path): Option[SectionOut] =
+    if (!java.nio.file.Files.exists(p)) None
+    else try {
+      val ois = new java.io.ObjectInputStream(java.nio.file.Files.newInputStream(p))
+      try Some(ois.readObject().asInstanceOf[SectionOut]) finally ois.close()
+    } catch { case _: Throwable => None }
+
   def main(args: Array[String]): Unit = {
     val benchStart = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.spark.GraftExtensions")
-      // Scan parallelism: the big-SF replica tables are ~11 MB part files,
-      // so the 128 MB default bins ~10 files per task — 1.1 GB lineitem
-      // scans on 10 of 32 cores. 32 MB bins (+1 MB open cost — local files
-      // open cheap) put ~50 tasks on the sf10 scan: q1 0.87 -> 0.73 s,
-      // q3 4.2 -> 3.2 s in the r13 A/B. Small SFs are unaffected (single
-      // sub-32 MB files either way).
-      .config("spark.sql.files.maxPartitionBytes", (32L * 1024 * 1024).toString)
-      .config("spark.sql.files.openCostInBytes", (1L * 1024 * 1024).toString)
-      // static conf: the default 100-entry whole-stage-codegen class cache
-      // thrashes across this suite's ~37 queries x several stages each,
-      // so "warm" reps kept paying janino recompiles (r17)
-      .config("spark.sql.codegen.cache.maxEntries", "10000")
-      // reader profile (r18 ScanBench sweep at sf10): 16K columnar batches
-      // + off-heap column vectors read q1's five lineitem columns in
-      // 1.20 s vs 1.38-1.45 s for every other knob combination tried
-      // (default, either knob alone, 16 MB bins); never slower at small
-      // SFs. The residual ~7.7x scan gap vs DuckDB is engine-level
-      // (row-at-a-time codegen consumption of columnar batches) — see
-      // SCALEUP.md r18 reader-floor note.
-      .config("spark.sql.parquet.columnarReaderBatchSize", "16384")
-      .config("spark.sql.columnVector.offheap.enabled", "true")
-      .getOrCreate()
+    val spark = buildSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
 
     val loadAtStart = loadavg()
@@ -619,6 +711,134 @@ object Bench {
          n <- (Queries.benchNames ++ Seq("t_dwithin_join", "t_cover_refine_join",
            "g_flagship_join", "g_flagship_broadcast")).distinct)
       try qmap(n)(spark, warmDir).count() catch { case _: Throwable => () }
+
+    // ---------- incremental artifact state (VERDICT r19 item 1a) ----------
+    // Every field below is MUTABLE and the whole record is rebuilt + written
+    // to bench_full.json/bench_slim.json after every completed row (marked
+    // "partial":true until the final write), so ANY death — watchdog-
+    // cancelled row, heavy-child crash, even a parent hard-kill — leaves a
+    // parseable partial window on disk. A partial stdout record also prints
+    // per section.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_full.json")
+    val slimPath = sys.env.getOrElse("SPARK_GRAFT_SLIM_OUT", "/root/repo/bench_slim.json")
+    var smallSec: Option[SectionOut] = None
+    var smallCalib = 0.0
+    val bigDir = sys.env.getOrElse("SPARK_GRAFT_BIG_DIR", "/root/repo/bigdata/sf1")
+    val hugeDir = sys.env.getOrElse("SPARK_GRAFT_HUGE_DIR", "/root/repo/bigdata/sf3")
+    val megaDir = sys.env.getOrElse("SPARK_GRAFT_MEGA_DIR", "/root/repo/bigdata/sf10")
+    var bigSec: Option[SectionOut] = None
+    var bigWarmIo = 0.0; var bigCalib = 0.0
+    var hugeLightSec: Option[SectionOut] = None; var hugeHeavySec: Option[SectionOut] = None
+    var hugeWarmIo = 0.0; var hugeCalib = 0.0
+    var hugeDropped: Seq[String] = Nil; var hugeChildRc: Option[Int] = None
+    var megaLightSec: Option[SectionOut] = None; var megaHeavySec: Option[SectionOut] = None
+    var megaWarmIo = 0.0; var megaCalib = 0.0
+    var megaDropped: Seq[String] = Nil; var megaChildRc: Option[Int] = None
+    val smallOnly = sys.env.get("SPARK_GRAFT_SMALL_ONLY").contains("1")
+
+    def mergeSection(a: SectionOut, b: Option[SectionOut]): SectionOut = b match {
+      case Some(x) => SectionOut(a.records ++ x.records,
+        a.oracleTimes ++ x.oracleTimes, a.oracleBusy ++ x.oracleBusy,
+        a.oracleTimeouts ++ x.oracleTimeouts)
+      case None => a
+    }
+    def geomeanOf(sec: SectionOut): Option[Double] = {
+      val o = sec.oracleTimes.toMap
+      val rs = sec.ok.flatMap(r => o.get(r.name).filter(_ > 0).map(t => r.best / t))
+        .filter(_ > 0)
+      if (rs.isEmpty) None else Some(math.exp(rs.map(math.log).sum / rs.size))
+    }
+
+    /** Rebuild (full, slim) from the current state. The slim line stays
+      * inside the driver's ~2 KB stdout tail budget (r16); the full record
+      * carries per-rep telemetry. */
+    def artifacts(partial: Boolean): (String, String) = {
+      val results = smallSec.map(_.records).getOrElse(Nil)
+      val qs = smallSec.map(_.queriesJson).getOrElse("{}")
+      val errs = smallSec.map(_.errsJson).getOrElse("{}")
+      val total = smallSec.map(_.total).getOrElse(0.0)
+      val oraclePart = smallSec.map { s =>
+        s.oracleJson("") +
+          (if (s.oracleTimes.isEmpty) ""
+           else s""","oracle_policy":"duckdb min-of-5 (same 5 draws as the Spark side at this SF; scale sections min-of-3, heavy rows 1), threads=$cpus, interleaved per query behind the load gate"""")
+      }.getOrElse("")
+      val hugeSec = hugeLightSec.map(l => mergeSection(l, hugeHeavySec))
+        .orElse(hugeHeavySec)
+      val megaSec = megaLightSec.map(l => mergeSection(l, megaHeavySec))
+        .orElse(megaHeavySec)
+      val (bigCompact, bigFullExtra) = bigSec match {
+        case None => ("", "")
+        case Some(sec) =>
+          (s""","big_queries":${sec.queriesJson},"big_errors":${sec.errsJson},"big_total":${sec.total},"big_sf":"$bigDir","big_warm_io_sec":$bigWarmIo,"big_calib_sec":$bigCalib${sec.oracleJson("big_")}""",
+           s""","big_reps":${jsonReps(sec.records)}""")
+      }
+      def scaleJson(label: String, dir: String, warmIo: Double, calib: Double,
+                    merged: Option[SectionOut], dropped: Seq[String],
+                    childRc: Option[Int]): (String, String) = merged match {
+        case None => ("", "")
+        case Some(sec) =>
+          val droppedJson =
+            if (dropped.isEmpty) ""
+            else s""","${label}_dropped":${dropped.map(d => "\"" + esc(d) + "\"").mkString("[", ",", "]")}"""
+          val rcJson = childRc.map(rc => s""","${label}_child_rc":$rc""").getOrElse("")
+          (s""","${label}_queries":${sec.queriesJson},"${label}_errors":${sec.errsJson},"${label}_total":${sec.total},"${label}_sf":"$dir","${label}_warm_io_sec":$warmIo,"${label}_calib_sec":$calib${sec.oracleJson(s"${label}_")}$droppedJson$rcJson""",
+           s""","${label}_reps":${jsonReps(sec.records)}""")
+      }
+      val (hugeCompact, hugeFullExtra) =
+        scaleJson("huge", hugeDir, hugeWarmIo, hugeCalib, hugeSec, hugeDropped, hugeChildRc)
+      val (megaCompact, megaFullExtra) =
+        scaleJson("mega", megaDir, megaWarmIo, megaCalib, megaSec, megaDropped, megaChildRc)
+      val partialJson = if (partial) s""","partial":true""" else ""
+      val compact =
+        s""""metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"""" +
+        s""","rep_policy":"min-of-reps","load_start":$loadAtStart,"load_end":${loadavg()}""" +
+        s""","load_gate":{"threshold_cores":$gateCores,"total_waited_sec":$gateWaitedTotal""" +
+        s""","policy":"each rep waits (bounded) until external busy cores from an idle-window /proc/stat sample drop under the gate"}""" +
+        s""","small_profile":"shuffle.partitions=8 + adaptive.enabled=false (small-SF section only)"""" +
+        s""","calib_sec":$smallCalib,"calib_policy":"min-of-2 fixed 200M-range codegen sum at section start; box-speed canary for cross-window drift"""" +
+        partialJson + oraclePart + bigCompact + hugeCompact + megaCompact
+      val full = s"""{$compact,"reps":${jsonReps(results)}$bigFullExtra$megaFullExtra$hugeFullExtra}"""
+      // STDOUT LINE MUST FIT THE DRIVER'S TAIL BUDGET (r16): the driver
+      // keeps only the LAST ~2000 chars of stdout, and the rich compact
+      // record outgrew that in r14 — BENCH_r14/r15.json both carry
+      // "parsed": null because the line's HEAD was truncated away. The
+      // SLIM line (~1.3 KB) carries the contract keys with 3-decimal
+      // values, per-section spark-vs-oracle geomeans, the calib canaries,
+      // dropped rows, child exit codes, and the full-record pointer.
+      val slimQueries = smallSec.map(_.ok
+        .map(r => "\"" + esc(r.name) + "\":" + f"${r.best}%.3f").mkString("{", ",", "}"))
+        .getOrElse("{}")
+      val gms = Seq("sf0.1" -> smallSec, "sf1" -> bigSec,
+          "sf3" -> hugeSec, "sf10" -> megaSec)
+        .flatMap { case (k, s) => s.flatMap(geomeanOf).map(g => "\"" + k + "\":" + f"$g%.2f") }
+        .mkString("{", ",", "}")
+      val calibs = Seq(
+          "sf0.1" -> (if (smallSec.isDefined) Some(smallCalib) else None),
+          "sf1" -> (if (bigSec.isDefined) Some(bigCalib) else None),
+          "sf3" -> (if (hugeSec.isDefined) Some(hugeCalib) else None),
+          "sf10" -> (if (megaSec.isDefined) Some(megaCalib) else None))
+        .flatMap { case (k, c) => c.map(v => "\"" + k + "\":" + f"$v%.3f") }
+        .mkString("{", ",", "}")
+      val droppedAll = (hugeDropped.map("huge:" + _) ++ megaDropped.map("mega:" + _))
+        .map(d => "\"" + esc(d) + "\"").mkString("[", ",", "]")
+      val rcs = (hugeChildRc.map(rc => "\"huge\":" + rc).toSeq ++
+        megaChildRc.map(rc => "\"mega\":" + rc).toSeq)
+      val rcJson = if (rcs.isEmpty) "" else s""","child_rc":${rcs.mkString("{", ",", "}")}"""
+      val slim =
+        s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$slimQueries,"errors":$errs,"sf":"$sfDir"""" +
+        s""","oracle_geomeans":$gms,"calib_sec":$calibs,"dropped":$droppedAll$rcJson$partialJson""" +
+        s""","full_record":"${esc(fullPath)}"}"""
+      (full, slim)
+    }
+    /** Write both artifact files; returns the slim line for printing. */
+    def flush(partial: Boolean): String = {
+      val (full, slim) = artifacts(partial)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), full + "\n")
+      catch { case _: Throwable => () }
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(slimPath), slim + "\n")
+      catch { case _: Throwable => () }
+      slim
+    }
 
     // SMALL-INPUT BENCH PROFILE (VERDICT r13 item 1b): at sf0.1 most
     // headline rows are stage-launch-floor bound over sub-100 ms oracles;
@@ -648,51 +868,33 @@ object Bench {
     // as always-worse, but that was against 32 initial partitions, where
     // coalescing carried real weight.) Scale sections reset both.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    // 3 reps per query, report the MIN (see header), each query's oracle
-    // reps interleaved right behind its Spark reps. prep() re-registers
-    // the temp views when the sfDir changes.
     // floor rows first, heavy LLM rows last, in every section (see the
     // scale-section comment below)
     val orderedNames = Queries.benchNames.filterNot(heavyNames.contains) ++
       Queries.benchNames.filter(heavyNames.contains)
-    val smallCalib = calibrate(spark)
-    val smallSec = runSection(spark, qmap, sfDir, orderedNames,
-      oracleNames, cpus, small = true)
+    smallCalib = calibrate(spark)
+    smallSec = Some(runSection(spark, qmap, sfDir, orderedNames,
+      oracleNames, cpus, small = true,
+      onRow = s => { smallSec = Some(s); flush(partial = true) }))
+    println(flush(partial = !smallOnly))
     spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
     spark.conf.set("spark.sql.shuffle.partitions", cpus)
     spark.conf.set("spark.sql.adaptive.enabled", "true")
 
-    val results = smallSec.records
-    val oraclePart = smallSec.oracleJson("") +
-      (if (smallSec.oracleTimes.isEmpty) ""
-       else s""","oracle_policy":"duckdb min-of-5 (same 5 draws as the Spark side at this SF; scale sections min-of-3, heavy rows 1), threads=$cpus, interleaved per query behind the load gate"""")
-    val qs = smallSec.queriesJson
-    val errs = smallSec.errsJson
-    val total = smallSec.total
-
     // local-iteration switch: skip every scale section (the driver never
     // sets this; a small-section A/B otherwise costs 40+ min of replica
     // passes)
-    val smallOnly = sys.env.get("SPARK_GRAFT_SMALL_ONLY").contains("1")
-    if (smallOnly) {
-      val slim =
-        s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"""" +
-        s""","calib_sec":{"sf0.1":${f"$smallCalib%.3f"}},"small_only":true$oraclePart}"""
-      println(slim)
-      spark.stop()
-      return
-    }
+    if (smallOnly) { spark.stop(); return }
 
     // Scale-up pass: the ~10x replica dataset (tools/ScaleUp) proves the
     // fixed Spark overhead amortizes. Reported under big_* keys.
-    val bigDir = sys.env.getOrElse("SPARK_GRAFT_BIG_DIR", "/root/repo/bigdata/sf1")
-    val defaultBigDir = "/root/repo/bigdata/sf1"
     // bigdata/ is gitignored and does not survive between rounds: regenerate
     // it rather than silently dropping the scale-up evidence (~75 s once).
     // Only the DEFAULT dir is regenerated at the default 10 copies — a
     // custom SPARK_GRAFT_BIG_DIR must state its scale via
     // SPARK_GRAFT_BIG_COPIES or pre-exist, so a missing 30x dir is never
     // silently refilled with 10x data and mislabeled.
+    val defaultBigDir = "/root/repo/bigdata/sf1"
     if (!new java.io.File(s"$bigDir/lineitem.parquet").exists()) {
       val copies = sys.env.get("SPARK_GRAFT_BIG_COPIES").map(_.toInt)
       copies match {
@@ -711,19 +913,13 @@ object Bench {
             "skipping big pass rather than regenerating at an unknown scale")
       }
     }
-    val bigSecOpt: Option[(SectionOut, Double, Double)] =
-      if (!new java.io.File(s"$bigDir/lineitem.parquet").exists()) None
-      else {
-        val bigWarmIo = warmPageCache(bigDir)
-        val bigCalib = calibrate(spark)
-        Some((runSection(spark, qmap, bigDir, orderedNames,
-          oracleNames, cpus, small = false), bigWarmIo, bigCalib))
-      }
-    val (bigCompact, bigFullExtra) = bigSecOpt match {
-      case None => ("", "")
-      case Some((sec, bigWarmIo, bigCalib)) =>
-        (s""","big_queries":${sec.queriesJson},"big_errors":${sec.errsJson},"big_total":${sec.total},"big_sf":"$bigDir","big_warm_io_sec":$bigWarmIo,"big_calib_sec":$bigCalib${sec.oracleJson("big_")}""",
-         s""","big_reps":${jsonReps(sec.records)}""")
+    if (new java.io.File(s"$bigDir/lineitem.parquet").exists()) {
+      bigWarmIo = warmPageCache(bigDir)
+      bigCalib = calibrate(spark)
+      bigSec = Some(runSection(spark, qmap, bigDir, orderedNames,
+        oracleNames, cpus, small = false,
+        onRow = s => { bigSec = Some(s); flush(partial = true) }))
+      println(flush(partial = true))
     }
 
     // Scale sections for the floor-pinned queries (b_tpch_q1/q3/q5,
@@ -742,8 +938,8 @@ object Bench {
     // so the 100x evidence is ALWAYS in the artifact; the heavy LLM
     // flagships (minhash dedup, dup spans, bloom decontam — quadratic dup
     // cliques on the replica corpora) run last globally, budget-gated,
-    // and when the budget trips THEY are dropped (recorded under
-    // "<label>_dropped"), never the section.
+    // in a child JVM, and when the budget trips THEY are dropped
+    // (recorded under "<label>_dropped"), never the section.
     val lightFloor = Seq("b_tpch_q1", "b_tpch_q3", "b_tpch_q4", "b_tpch_q5",
       "b_tpch_q12", "b_events_sessions", "b_events_funnel", "l_bpe_train",
       "l_text_normalize")
@@ -757,131 +953,158 @@ object Bench {
       }
       new java.io.File(s"$dir/lineitem.parquet").exists()
     }
-    def mergeSection(a: SectionOut, b: Option[SectionOut]): SectionOut = b match {
-      case Some(x) => SectionOut(a.records ++ x.records,
-        a.oracleTimes ++ x.oracleTimes, a.oracleBusy ++ x.oracleBusy,
-        a.oracleTimeouts ++ x.oracleTimeouts)
-      case None => a
+
+    val hugeOk = ensureDir(hugeDir, 30)
+    if (hugeOk) {
+      hugeWarmIo = warmPageCache(hugeDir)
+      hugeCalib = calibrate(spark)
+      hugeLightSec = Some(runSection(spark, qmap, hugeDir, lightFloor, lightFloor,
+        cpus, small = false,
+        onRow = s => { hugeLightSec = Some(s); flush(partial = true) }))
+      println(flush(partial = true))
+    }
+    val megaOk = ensureDir(megaDir, 100)
+    if (megaOk) {
+      megaWarmIo = warmPageCache(megaDir)
+      megaCalib = calibrate(spark)
+      megaLightSec = Some(runSection(spark, qmap, megaDir, lightFloor, lightFloor,
+        cpus, small = false,
+        onRow = s => { megaLightSec = Some(s); flush(partial = true) }))
+      println(flush(partial = true))
     }
 
-    val hugeDir = sys.env.getOrElse("SPARK_GRAFT_HUGE_DIR", "/root/repo/bigdata/sf3")
-    val megaDir = sys.env.getOrElse("SPARK_GRAFT_MEGA_DIR", "/root/repo/bigdata/sf10")
-    val hugeOk = ensureDir(hugeDir, 30)
-    val hugeWarmIo = if (hugeOk) warmPageCache(hugeDir) else 0.0
-    val hugeCalib = if (hugeOk) calibrate(spark) else 0.0
-    val hugeLight = if (hugeOk)
-      Some(runSection(spark, qmap, hugeDir, lightFloor, lightFloor, cpus, small = false))
-    else None
-    val megaOk = ensureDir(megaDir, 100)
-    val megaWarmIo = if (megaOk) warmPageCache(megaDir) else 0.0
-    val megaCalib = if (megaOk) calibrate(spark) else 0.0
-    val megaLight = if (megaOk)
-      Some(runSection(spark, qmap, megaDir, lightFloor, lightFloor, cpus, small = false))
-    else None
-
     // heavy LLM passes, budget-gated per section (gates in minutes of
-    // total bench elapsed; overridable for local experiments). Worst-case
-    // tail past the gate is bounded: 2 Spark reps + one 180 s-capped
-    // oracle rep per heavy row.
+    // total bench elapsed; overridable for local experiments).
     // ORDER (r19, VERDICT r18 item 2): the MEGA heavies run FIRST — the
     // sf10 heavy rows are the round's strongest scale evidence (bloom
     // 0.41-0.59x, dup_spans 0.11x, minhash vs an oracle that cannot
     // finish), and r18's mega-last ordering left exactly those rows out
     // of the authoritative artifact when the sf3 heavy pass overran its
     // budget. If anything must drop under a slow window it is now the
-    // sf3 heavies, whose oracle ratios r18 already put on record. Gate
-    // headroom: the driver tolerated 45-48 min runs in r16/r17, so the
-    // r18 gates (25/29) were tighter than the actual contract; 27/32
-    // leaves the worst-case tail (~6 min/pass) inside that envelope.
-    val megaHeavyGate = sys.env.get("SPARK_GRAFT_HEAVY_GATE_MEGA").map(_.toDouble).getOrElse(27.0)
-    val hugeHeavyGate = sys.env.get("SPARK_GRAFT_HEAVY_GATE_HUGE").map(_.toDouble).getOrElse(36.0)
+    // sf3 heavies, whose oracle ratios r18 already put on record.
+    //
+    // CHILD JVM (r20, VERDICT r19 item 1c): each heavy pass runs in its
+    // own JVM (same session recipe, same runSection code) that serializes
+    // the section-so-far to disk after every row. The r19 death — the
+    // in-process executor's exit-56 self-kill during the sf10 minhash
+    // sort — can now cost at most the REMAINDER of one heavy pass: the
+    // parent reads the child's last flush, records the missing rows under
+    // "<label>_dropped" and the exit code under "<label>_child_rc", and
+    // the final artifact still lands. SPARK_GRAFT_HEAVY_INPROC=1 keeps
+    // the old in-process path for debugging; a failed child LAUNCH also
+    // falls back in-process (never silently dropping the pass).
+    val megaHeavyGate = envDouble("SPARK_GRAFT_HEAVY_GATE_MEGA", 27.0)
+    val hugeHeavyGate = envDouble("SPARK_GRAFT_HEAVY_GATE_HUGE", 36.0)
+    val childCapMin = envDouble("SPARK_GRAFT_CHILD_CAP_MIN", 20.0)
+    def inProcessHeavy(dir: String, sparkReps: Int,
+                       store: SectionOut => Unit): SectionOut =
+      runSection(spark, qmap, dir, heavyNames, heavyNames, cpus,
+        small = false, heavySparkReps = sparkReps,
+        onRow = s => { store(s); flush(partial = true) })
     def heavyPass(ok: Boolean, dir: String, gate: Double, label: String,
-                  sparkReps: Int): (Option[SectionOut], Seq[String]) =
-      if (!ok) (None, Nil)
-      else if (elapsedMin > gate) {
+                  sparkReps: Int, store: SectionOut => Unit): (Seq[String], Option[Int]) = {
+      if (!ok) return (Nil, None)
+      if (elapsedMin > gate) {
         System.err.println(f"[bench] dropping $label heavy LLM rows at $elapsedMin%.1f min " +
           f"(gate $gate%.0f); the section's floor rows are already recorded")
-        (None, heavyNames)
-      } else
-        (Some(runSection(spark, qmap, dir, heavyNames, heavyNames, cpus,
-          small = false, heavySparkReps = sparkReps)), Nil)
-    val (megaHeavy, megaDropped) = heavyPass(megaOk, megaDir, megaHeavyGate, "mega", sparkReps = 1)
-    val (hugeHeavy, hugeDropped) = heavyPass(hugeOk, hugeDir, hugeHeavyGate, "huge", sparkReps = 2)
-
-    val hugeSec = hugeLight.map(l => mergeSection(l, hugeHeavy))
-    val megaSec = megaLight.map(l => mergeSection(l, megaHeavy))
-    def scaleJson(label: String, dir: String, warmIo: Double, calib: Double,
-                  merged: Option[SectionOut],
-                  dropped: Seq[String]): (String, String) = merged match {
-      case None => ("", "")
-      case Some(sec) =>
-        val droppedJson =
-          if (dropped.isEmpty) ""
-          else s""","${label}_dropped":${dropped.map(d => "\"" + esc(d) + "\"").mkString("[", ",", "]")}"""
-        (s""","${label}_queries":${sec.queriesJson},"${label}_errors":${sec.errsJson},"${label}_total":${sec.total},"${label}_sf":"$dir","${label}_warm_io_sec":$warmIo,"${label}_calib_sec":$calib${sec.oracleJson(s"${label}_")}$droppedJson""",
-         s""","${label}_reps":${jsonReps(sec.records)}""")
+        return (heavyNames, None)
+      }
+      if (sys.env.get("SPARK_GRAFT_HEAVY_INPROC").contains("1")) {
+        store(inProcessHeavy(dir, sparkReps, store)); return (Nil, None)
+      }
+      try {
+        val out = java.nio.file.Files.createTempDirectory("graft_heavy_" + label)
+          .resolve("section.bin")
+        val javaBin = System.getProperty("java.home") + "/bin/java"
+        import scala.jdk.CollectionConverters._
+        val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+          .getInputArguments.asScala.toSeq
+        val cp = System.getProperty("java.class.path")
+        val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.BenchHeavyChild",
+          out.toString, dir, sparkReps.toString, cpus)
+        System.gc() // shed parent heap before a second 40g JVM shares the box
+        val proc = new ProcessBuilder(cmd: _*).inheritIO().start()
+        val finished = proc.waitFor((childCapMin * 60).toLong,
+          java.util.concurrent.TimeUnit.SECONDS)
+        val rc =
+          if (finished) proc.exitValue()
+          else {
+            System.err.println(f"[bench] $label heavy child exceeded $childCapMin%.0f min; killing")
+            proc.destroyForcibly(); proc.waitFor(); -1
+          }
+        val sec = readSection(out)
+        sec.foreach(store)
+        val done = sec.map(_.records.map(_.name)).getOrElse(Nil)
+        val missing = heavyNames.filterNot(done.contains)
+        if (rc != 0 || missing.nonEmpty)
+          System.err.println(s"[bench] $label heavy child rc=$rc, recorded ${done.size}/3 rows")
+        (missing, Some(rc))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $label heavy child failed to launch " +
+          s"(${e.getMessage}); running in-process")
+        store(inProcessHeavy(dir, sparkReps, store)); (Nil, None)
+      }
     }
-    val (hugeCompact, hugeFullExtra) =
-      scaleJson("huge", hugeDir, hugeWarmIo, hugeCalib, hugeSec, hugeDropped)
-    val (megaCompact, megaFullExtra) =
-      scaleJson("mega", megaDir, megaWarmIo, megaCalib, megaSec, megaDropped)
+    val (megaMissing, megaRc) = heavyPass(megaOk, megaDir, megaHeavyGate, "mega",
+      sparkReps = 1, store = s => megaHeavySec = Some(s))
+    megaDropped = megaMissing; megaChildRc = megaRc
+    println(flush(partial = true))
+    val (hugeMissing, hugeRc) = heavyPass(hugeOk, hugeDir, hugeHeavyGate, "huge",
+      sparkReps = 2, store = s => hugeHeavySec = Some(s))
+    hugeDropped = hugeMissing; hugeChildRc = hugeRc
 
-    // The driver tail-captures stdout with a bounded budget: the r8 record
-    // lost its whole sf0.1 section when per-rep detail pushed the line past
-    // it (VERDICT r8 item 3). The COMPLETE record therefore goes to a file
-    // (committed with the round), and stdout carries every summary number
-    // the driver contract needs plus a pointer — nothing only-in-stdout.
-    val compact =
-      s""""metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"""" +
-      s""","rep_policy":"min-of-reps","load_start":$loadAtStart,"load_end":${loadavg()}""" +
-      s""","load_gate":{"threshold_cores":$gateCores,"total_waited_sec":$gateWaitedTotal""" +
-      s""","policy":"each rep waits (bounded) until external busy cores from an idle-window /proc/stat sample drop under the gate"}""" +
-      s""","small_profile":"shuffle.partitions=8 + adaptive.enabled=false (small-SF section only)"""" +
-      s""","calib_sec":$smallCalib,"calib_policy":"min-of-2 fixed 200M-range codegen sum at section start; box-speed canary for cross-window drift"""" +
-      oraclePart + bigCompact + hugeCompact + megaCompact
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_full.json")
-    val full = s"""{$compact,"reps":${jsonReps(results)}$bigFullExtra$megaFullExtra$hugeFullExtra}"""
-    // STDOUT LINE MUST FIT THE DRIVER'S TAIL BUDGET (r16): the driver
-    // keeps only the LAST ~2000 chars of stdout, and the rich compact
-    // record outgrew that in r14 — BENCH_r14/r15.json both carry
-    // "parsed": null because the line's HEAD was truncated away. Print a
-    // SLIM line (~1.3 KB): the contract keys (metric/value/unit/queries/
-    // sf) with 3-decimal values, per-section spark-vs-oracle geomeans,
-    // the calib canaries, any dropped rows, and the full-record pointer.
-    // Everything else lives in the file.
-    def geomeanOf(sec: SectionOut): Option[Double] = {
-      val o = sec.oracleTimes.toMap
-      val rs = sec.ok.flatMap(r => o.get(r.name).filter(_ > 0).map(t => r.best / t))
-        .filter(_ > 0)
-      if (rs.isEmpty) None else Some(math.exp(rs.map(math.log).sum / rs.size))
-    }
-    val slimQueries = smallSec.ok
-      .map(r => "\"" + esc(r.name) + "\":" + f"${r.best}%.3f").mkString("{", ",", "}")
-    val gms = Seq("sf0.1" -> Some(smallSec), "sf1" -> bigSecOpt.map(_._1),
-        "sf3" -> hugeSec, "sf10" -> megaSec)
-      .flatMap { case (k, s) => s.flatMap(geomeanOf).map(g => "\"" + k + "\":" + f"$g%.2f") }
-      .mkString("{", ",", "}")
-    val calibs = Seq("sf0.1" -> Some(smallCalib), "sf1" -> bigSecOpt.map(_._3),
-        "sf3" -> (if (hugeSec.isDefined) Some(hugeCalib) else None),
-        "sf10" -> (if (megaSec.isDefined) Some(megaCalib) else None))
-      .flatMap { case (k, c) => c.map(v => "\"" + k + "\":" + f"$v%.3f") }
-      .mkString("{", ",", "}")
-    val droppedAll = (hugeDropped.map("huge:" + _) ++ megaDropped.map("mega:" + _))
-      .map(d => "\"" + esc(d) + "\"").mkString("[", ",", "]")
-    val slim =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$slimQueries,"errors":$errs,"sf":"$sfDir"""" +
-      s""","oracle_geomeans":$gms,"calib_sec":$calibs,"dropped":$droppedAll""" +
-      s""","full_record":"${esc(fullPath)}"}"""
-    // The slim line ALSO goes to a fixed file (VERDICT r17 item 2, third
-    // ask): the driver's stdout tail is subject to sbt logger prefixes and
-    // trailers, so the contract must not depend on stdout munging.
-    val slimPath = sys.env.getOrElse("SPARK_GRAFT_SLIM_OUT", "/root/repo/bench_slim.json")
-    try {
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), full + "\n")
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get(slimPath), slim + "\n")
-      catch { case _: Throwable => () }
-      println(slim)
-    } catch { case _: Throwable => println(full) }
+    // The final write clears the partial marker; the slim line ALSO goes
+    // to a fixed file (VERDICT r17 item 2: the driver's stdout tail is
+    // subject to sbt logger prefixes and trailers, so the contract must
+    // not depend on stdout munging).
+    println(flush(partial = false))
     spark.stop()
+  }
+}
+
+/** Heavy-pass worker (r20, VERDICT r19 item 1c): runs ONE scale section's
+  * heavy LLM rows in its own JVM so a hard death — the r19 exit-56
+  * heartbeat self-kill, an OOM inside the sf10 minhash sort — costs at
+  * most this pass, never the bench record. The section-so-far serializes
+  * to `args(0)` after every row (write-temp + atomic move, so the parent
+  * never reads a torn file). args: outPath, sfDir, sparkReps, cpus.
+  * SPARK_GRAFT_FAULT_CHILD_KILL=1 halts(56) after the first row — the
+  * fault-injection proof that the parent survives a hard child death. */
+object BenchHeavyChild {
+  def main(args: Array[String]): Unit = {
+    val outPath = args(0); val dir = args(1)
+    val sparkReps = args(2).toInt
+    val cpus = args.lift(3).getOrElse("32")
+    val spark = Bench.buildSession(cpus)
+    spark.sparkContext.setLogLevel("WARN")
+    val qmap = Queries.all.map { case (n, q, _) => n -> q }.toMap
+    // one tiny-SF pass per heavy query: codegen + JIT warmup, seconds of
+    // cost against rows that run minutes
+    for (n <- Bench.heavyNames)
+      try qmap(n)(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => () }
+    def save(sec: SectionOut): Unit = try {
+      val tmp = java.nio.file.Paths.get(outPath + ".tmp")
+      val oos = new java.io.ObjectOutputStream(java.nio.file.Files.newOutputStream(tmp))
+      try oos.writeObject(sec) finally oos.close()
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(outPath),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench-child] section flush failed: ${e.getMessage}")
+    }
+    val killAfterFirst = sys.env.get("SPARK_GRAFT_FAULT_CHILD_KILL").contains("1")
+    var rows = 0
+    val sec = Bench.runSection(spark, qmap, dir, Bench.heavyNames, Bench.heavyNames,
+      cpus, small = false, heavySparkReps = sparkReps,
+      onRow = s => {
+        save(s); rows += 1
+        if (killAfterFirst && rows == 1) {
+          System.err.println("[bench-child] fault-injected hard death (halt 56)")
+          Runtime.getRuntime.halt(56)
+        }
+      })
+    save(sec)
+    spark.stop()
+    sys.exit(0)
   }
 }

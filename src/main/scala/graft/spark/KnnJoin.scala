@@ -159,9 +159,13 @@ object KnnJoin {
     // (one barrier).
     // spark.graft.knn.brutePairBudget=0 disables (the rounds-path pin).
     val bruteBudget = spark.conf.get("spark.graft.knn.brutePairBudget", "2000000").toLong
+    // a FAILED stats probe must gate-FAIL (skip the brute probe), never
+    // pass: returning 0 on error used to treat "stats unavailable" as
+    // "definitely small" and forced a full union-count of both sides
+    // (ADVICE r19) — the sentinel is above every ceiling below
     def statsBytes(df: DataFrame): BigInt =
       try df.queryExecution.optimizedPlan.stats.sizeInBytes
-      catch { case scala.util.control.NonFatal(_) => BigInt(0) }
+      catch { case scala.util.control.NonFatal(_) => BigInt(Long.MaxValue) }
     if (bruteBudget > 0 &&
         statsBytes(pendingRaw) <= (64L << 20) && statsBytes(rightKeyedRaw) <= (256L << 20)) {
       val counts = pendingRaw.select(lit(0).as("__side"))

@@ -17,6 +17,9 @@ import org.apache.spark.sql.functions.col
 object Reencode {
   def main(args: Array[String]): Unit = {
     val src = args(0); val dst = args(1); val codec = args.lift(2).getOrElse("zstd")
+    // in-place would read-overwrite the very table being read (ADVICE r19)
+    require(new java.io.File(src).getCanonicalPath != new java.io.File(dst).getCanonicalPath,
+      s"reencode: dst must differ from src (got '$src' -> '$dst')")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", false)
@@ -30,11 +33,22 @@ object Reencode {
       val path = s"$dst/$t.parquet"
       val df = spark.read.parquet(s"$src/$t.parquet")
       val markerFile = new java.io.File(s"$src/$t.parquet/_graft_buckets.json")
-      if (markerFile.exists()) {
+      // a malformed marker used to throw mid-run via .get (ADVICE r19):
+      // parse defensively and fall through to the flat rewrite with a
+      // warning instead of aborting the remaining tables
+      val marker: Option[(String, Int)] = if (!markerFile.exists()) None else {
         val txt = { val s0 = scala.io.Source.fromFile(markerFile)
           try s0.mkString finally s0.close() }
-        val key = "\"key\":\"([^\"]+)\"".r.findFirstMatchIn(txt).get.group(1)
-        val n = "\"buckets\":(\\d+)".r.findFirstMatchIn(txt).get.group(1).toInt
+        val parsed = for {
+          k <- "\"key\":\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
+          n <- "\"buckets\":(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+        } yield (k, n)
+        if (parsed.isEmpty)
+          System.err.println(s"[reencode] WARNING: unparseable bucket marker for $t; rewriting flat")
+        parsed
+      }
+      if (marker.isDefined) {
+        val (key, n) = marker.get
         val tbl = graft.spark.Queries.bucketTableName(t, dst, key, n)
         val prefix = graft.spark.Queries.bucketTablePrefix(t, dst).toLowerCase
         spark.catalog.listTables().collect()

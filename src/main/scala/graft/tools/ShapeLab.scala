@@ -33,6 +33,33 @@ object ShapeLab {
         |        user_id, count(*) AS cnt
         |      FROM events GROUP BY 1, 2, 3)
         |GROUP BY event_type, hour_epoch""".stripMargin,
+    // r20 ONE-EXCHANGE rollup: hash-partition the RAW projection on the
+    // (type, hour) PREFIX of the inner grouping — HashPartitioning(a,b)
+    // satisfies ClusteredDistribution(a,b,c), so the inner per-user agg
+    // runs right after that single exchange and the outer agg's
+    // clustering is satisfied by the same partitioning: two aggregates,
+    // ONE exchange. The partial agg this forgoes barely reduced events
+    // data anyway (per-(type,hour,user) counts are ~1), so the shuffle
+    // volume is the same rows the two-level form shuffled as partials.
+    "hourly_prefix" ->
+      """SELECT event_type, hour_epoch,
+        | CAST(sum(cnt) AS BIGINT) AS n, CAST(count(user_id) AS BIGINT) AS n_users
+        |FROM (SELECT event_type, hour_epoch, user_id, count(*) AS cnt
+        |      FROM (SELECT /*+ REPARTITION(event_type, hour_epoch) */ event_type,
+        |              CAST(date_trunc('hour', ts) AS BIGINT) AS hour_epoch, user_id
+        |            FROM events)
+        |      GROUP BY 1, 2, 3)
+        |GROUP BY event_type, hour_epoch""".stripMargin,
+    // r20: single-field JSON extraction via from_json (one Jackson parse
+    // to a 1-field struct) vs get_json_object's JSONPath evaluator
+    "json_fromjson" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(k) AS BIGINT) AS sum_k,
+        | CAST(min(k) AS BIGINT) AS min_k,
+        | CAST(max(k) AS BIGINT) AS max_k
+        |FROM (SELECT event_type, from_json(props, 'k BIGINT').k AS k
+        |      FROM events)
+        |GROUP BY event_type""".stripMargin,
     "q3_preagg_base" ->
       s"""WITH bo AS (
          |  SELECT o.o_orderkey

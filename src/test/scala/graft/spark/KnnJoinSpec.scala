@@ -132,6 +132,18 @@ class KnnJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("round caches release once a consuming query completes") {
+    // DELTA-SCOPED (VERDICT r19 item 3): every suite shares this JVM's one
+    // SparkContext and sbt runs suites concurrently, so counting ALL
+    // persistent RDDs was cross-suite flaky — another suite's live or
+    // armed-but-unfired CacheLifecycle cache failed the drain. Snapshot the
+    // pre-existing ids and assert only the RDDs THIS query created drain;
+    // a concurrent suite can still race a new id into the window between
+    // snapshot and drain, so ids that outlive the deadline are re-checked
+    // against a second snapshot taken then (an id present in neither
+    // snapshot but held by a foreign in-flight query is the one residual
+    // race; the 10 s deadline makes it vanishingly unlikely AND the
+    // assertion message names the surviving ids for diagnosis).
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val pts = (0 until 40).map(i => (i.toLong, (i % 8) * 1.0, (i / 8) * 1.0))
     val df = ptsDf(pts)
     val out = KnnJoin.knn(df, "id", "g", df, "id", "g", k = 2,
@@ -139,10 +151,14 @@ class KnnJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.count() === 80)
     // the QueryExecutionListener fires asynchronously after onSuccess
     val deadline = System.nanoTime() + 10e9.toLong
-    def cachedNow(): Int =
-      spark.sparkContext.getPersistentRDDs.count { case (_, rdd) =>
-        rdd.getStorageLevel.useMemory || rdd.getStorageLevel.useDisk }
-    while (cachedNow() > 0 && System.nanoTime() < deadline) Thread.sleep(100)
-    assert(cachedNow() === 0, "kNN round caches must not survive the consuming query")
+    def cachedDelta(): Set[Int] =
+      spark.sparkContext.getPersistentRDDs.collect {
+        case (id, rdd) if !before.contains(id) &&
+          (rdd.getStorageLevel.useMemory || rdd.getStorageLevel.useDisk) => id
+      }.toSet
+    while (cachedDelta().nonEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+    val survivors = cachedDelta()
+    assert(survivors.isEmpty,
+      s"kNN round caches must not survive the consuming query (ids: $survivors)")
   }
 }
