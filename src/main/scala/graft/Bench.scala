@@ -995,22 +995,29 @@ object Bench {
     // falls back in-process (never silently dropping the pass).
     val megaHeavyGate = envDouble("SPARK_GRAFT_HEAVY_GATE_MEGA", 27.0)
     val hugeHeavyGate = envDouble("SPARK_GRAFT_HEAVY_GATE_HUGE", 36.0)
-    val childCapMin = envDouble("SPARK_GRAFT_CHILD_CAP_MIN", 20.0)
-    def inProcessHeavy(dir: String, sparkReps: Int,
+    // 24 min (r20): the first child-JVM window measured the sf10 pass at
+    // minhash-rep (900 s cap) + its oracle interrupt (210 s) + bloom/spans
+    // (~3 min) ≈ 21 min — a 20 min cap killed the child mid-minhash and
+    // cost the round's one missing row. Worst-case end stays inside the
+    // driver's observed 45-48 min tolerance, and a kill still leaves every
+    // flushed row.
+    val childCapMin = envDouble("SPARK_GRAFT_CHILD_CAP_MIN", 24.0)
+    def inProcessHeavy(dir: String, rows: Seq[String], sparkReps: Int,
                        store: SectionOut => Unit): SectionOut =
-      runSection(spark, qmap, dir, heavyNames, heavyNames, cpus,
+      runSection(spark, qmap, dir, rows, heavyNames, cpus,
         small = false, heavySparkReps = sparkReps,
         onRow = s => { store(s); flush(partial = true) })
     def heavyPass(ok: Boolean, dir: String, gate: Double, label: String,
-                  sparkReps: Int, store: SectionOut => Unit): (Seq[String], Option[Int]) = {
+                  rows: Seq[String], sparkReps: Int,
+                  store: SectionOut => Unit): (Seq[String], Option[Int]) = {
       if (!ok) return (Nil, None)
       if (elapsedMin > gate) {
         System.err.println(f"[bench] dropping $label heavy LLM rows at $elapsedMin%.1f min " +
           f"(gate $gate%.0f); the section's floor rows are already recorded")
-        return (heavyNames, None)
+        return (rows, None)
       }
       if (sys.env.get("SPARK_GRAFT_HEAVY_INPROC").contains("1")) {
-        store(inProcessHeavy(dir, sparkReps, store)); return (Nil, None)
+        store(inProcessHeavy(dir, rows, sparkReps, store)); return (Nil, None)
       }
       try {
         val out = java.nio.file.Files.createTempDirectory("graft_heavy_" + label)
@@ -1021,7 +1028,7 @@ object Bench {
           .getInputArguments.asScala.toSeq
         val cp = System.getProperty("java.class.path")
         val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.BenchHeavyChild",
-          out.toString, dir, sparkReps.toString, cpus)
+          out.toString, dir, sparkReps.toString, cpus, rows.mkString(","))
         System.gc() // shed parent heap before a second 40g JVM shares the box
         val proc = new ProcessBuilder(cmd: _*).inheritIO().start()
         val finished = proc.waitFor((childCapMin * 60).toLong,
@@ -1035,22 +1042,31 @@ object Bench {
         val sec = readSection(out)
         sec.foreach(store)
         val done = sec.map(_.records.map(_.name)).getOrElse(Nil)
-        val missing = heavyNames.filterNot(done.contains)
+        val missing = rows.filterNot(done.contains)
         if (rc != 0 || missing.nonEmpty)
-          System.err.println(s"[bench] $label heavy child rc=$rc, recorded ${done.size}/3 rows")
+          System.err.println(s"[bench] $label heavy child rc=$rc, recorded ${done.size}/${rows.size} rows")
         (missing, Some(rc))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $label heavy child failed to launch " +
           s"(${e.getMessage}); running in-process")
-        store(inProcessHeavy(dir, sparkReps, store)); (Nil, None)
+        store(inProcessHeavy(dir, rows, sparkReps, store)); (Nil, None)
       }
     }
+    // MINHASH-FIRST in the mega child (r20, VERDICT r19 item 4): the sf10
+    // minhash number (or its symmetric failure) is the round's one missing
+    // piece of evidence, while bloom/dup_spans sf10 ratios are on record —
+    // so the evidence row gets the child's budget first and a cap kill can
+    // only cost rows the record already has. The huge pass keeps the
+    // default order (its minhash oracle is recordable at ~115 s, no
+    // asymmetry to protect).
+    val megaRows = heavyNames.filter(_ == "l_dedup_minhash") ++
+      heavyNames.filterNot(_ == "l_dedup_minhash")
     val (megaMissing, megaRc) = heavyPass(megaOk, megaDir, megaHeavyGate, "mega",
-      sparkReps = 1, store = s => megaHeavySec = Some(s))
+      rows = megaRows, sparkReps = 1, store = s => megaHeavySec = Some(s))
     megaDropped = megaMissing; megaChildRc = megaRc
     println(flush(partial = true))
     val (hugeMissing, hugeRc) = heavyPass(hugeOk, hugeDir, hugeHeavyGate, "huge",
-      sparkReps = 2, store = s => hugeHeavySec = Some(s))
+      rows = heavyNames, sparkReps = 2, store = s => hugeHeavySec = Some(s))
     hugeDropped = hugeMissing; hugeChildRc = hugeRc
 
     // The final write clears the partial marker; the slim line ALSO goes
@@ -1067,7 +1083,9 @@ object Bench {
   * heartbeat self-kill, an OOM inside the sf10 minhash sort — costs at
   * most this pass, never the bench record. The section-so-far serializes
   * to `args(0)` after every row (write-temp + atomic move, so the parent
-  * never reads a torn file). args: outPath, sfDir, sparkReps, cpus.
+  * never reads a torn file). args: outPath, sfDir, sparkReps, cpus,
+  * rows (comma-separated; default the heavy set — the mega parent passes
+  * minhash first so the evidence row owns the budget).
   * SPARK_GRAFT_FAULT_CHILD_KILL=1 halts(56) after the first row — the
   * fault-injection proof that the parent survives a hard child death. */
 object BenchHeavyChild {
@@ -1075,12 +1093,14 @@ object BenchHeavyChild {
     val outPath = args(0); val dir = args(1)
     val sparkReps = args(2).toInt
     val cpus = args.lift(3).getOrElse("32")
+    val rows = args.lift(4).map(_.split(",").toSeq.filter(_.nonEmpty))
+      .getOrElse(Bench.heavyNames)
     val spark = Bench.buildSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
     val qmap = Queries.all.map { case (n, q, _) => n -> q }.toMap
     // one tiny-SF pass per heavy query: codegen + JIT warmup, seconds of
     // cost against rows that run minutes
-    for (n <- Bench.heavyNames)
+    for (n <- rows)
       try qmap(n)(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => () }
     def save(sec: SectionOut): Unit = try {
       val tmp = java.nio.file.Paths.get(outPath + ".tmp")
@@ -1093,12 +1113,12 @@ object BenchHeavyChild {
       System.err.println(s"[bench-child] section flush failed: ${e.getMessage}")
     }
     val killAfterFirst = sys.env.get("SPARK_GRAFT_FAULT_CHILD_KILL").contains("1")
-    var rows = 0
-    val sec = Bench.runSection(spark, qmap, dir, Bench.heavyNames, Bench.heavyNames,
+    var rowsDone = 0
+    val sec = Bench.runSection(spark, qmap, dir, rows, Bench.heavyNames,
       cpus, small = false, heavySparkReps = sparkReps,
       onRow = s => {
-        save(s); rows += 1
-        if (killAfterFirst && rows == 1) {
+        save(s); rowsDone += 1
+        if (killAfterFirst && rowsDone == 1) {
           System.err.println("[bench-child] fault-injected hard death (halt 56)")
           Runtime.getRuntime.halt(56)
         }
