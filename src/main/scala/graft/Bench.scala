@@ -788,7 +788,9 @@ object Bench {
         scaleJson("huge", hugeDir, hugeWarmIo, hugeCalib, hugeSec, hugeDropped, hugeChildRc)
       val (megaCompact, megaFullExtra) =
         scaleJson("mega", megaDir, megaWarmIo, megaCalib, megaSec, megaDropped, megaChildRc)
-      val partialJson = if (partial) s""","partial":true""" else ""
+      // a small-only artifact must never masquerade as a full window
+      val partialJson = (if (partial) s""","partial":true""" else "") +
+        (if (smallOnly) s""","small_only":true""" else "")
       val compact =
         s""""metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"""" +
         s""","rep_policy":"min-of-reps","load_start":$loadAtStart,"load_end":${loadavg()}""" +
